@@ -1,0 +1,89 @@
+"""Analytic / statistical composite ops (SURVEY.md §2.9, Y1-Y7).
+
+Pattern used throughout: reduce-to-scalars, broadcast the scalars back
+over the rows (a crossJoin of a 1-row frame — Catalyst plans it as a
+BroadcastNestedLoopJoin of one row, i.e. free), then filter. The
+reference does the same with python floats in driver memory
+(``eda.py:159-166``); this form distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sunat_rree_demo_spark.operators.windows import pct_change, series_window
+
+
+def sigma_outliers(df: DataFrame, value_col: str, order: list[str],
+                   sigma: float = 2.0, ndigits: int = 2) -> DataFrame:
+    """Y1 — σ-outlier detection on the pct-change series
+    (``eda.py:159-166``): flag rows where |Δ% − mean| > σ·std(sample).
+
+    Returns the flagged rows with their pct-change. At extreme scale the
+    exact mean/std pair stays a single reduction; a MAD/approxQuantile
+    variant is the robust alternative (documented, not default, to match
+    the reference)."""
+    w = series_window(order=order)
+    with_pct = df.withColumn("pct", pct_change(value_col, 1, w, ndigits))
+    stats = with_pct.agg(F.avg("pct").alias("_mean"),
+                         F.stddev_samp("pct").alias("_std"))
+    return (with_pct.crossJoin(F.broadcast(stats))
+            .filter(F.col("pct").isNotNull()
+                    & (F.abs(F.col("pct") - F.col("_mean")) > sigma * F.col("_std")))
+            .drop("_mean", "_std"))
+
+
+def seasonality_matrix(df: DataFrame, month_col: str = "month_num",
+                       year_col: str = "year", value_col: str = "export",
+                       years: list[int] | None = None) -> DataFrame:
+    """Y2 — month × year pivot of the value (``eda.py:93-99``,
+    ``app.py:313-318``). Presentation-shaped; explicit year values keep
+    the schema static when known."""
+    g = df.groupBy(month_col)
+    p = g.pivot(year_col, years) if years else g.pivot(year_col)
+    return p.agg(F.first(value_col)).orderBy(month_col)
+
+
+def monthly_profile(df: DataFrame, month_col: str = "month_num",
+                    value_col: str = "export") -> DataFrame:
+    """Y3/A11 — per-calendar-month mean±std profile (``app.py:336-338``,
+    ``eda.py:231``)."""
+    return (df.groupBy(month_col)
+              .agg(F.round(F.avg(value_col), 2).alias("mean_value"),
+                   F.round(F.stddev_samp(value_col), 2).alias("std_value"),
+                   F.count(value_col).alias("n_obs"))
+              .orderBy(month_col))
+
+
+def coverage_ratio(exp, imp, ndigits: int = 2):
+    """Y5 — export/import coverage % with inf-guarded division
+    (``metrics_products.py:72``, ``app.py:517``)."""
+    return F.when(imp.isNotNull() & (imp != 0),
+                  F.round(exp / imp * 100, ndigits))
+
+
+def ytd_vs_prior(df: DataFrame, year_col: str = "year",
+                 month_num_col: str = "month_num",
+                 value_cols: tuple[str, ...] = ("export", "import")) -> DataFrame:
+    """Y4/J4 — YTD totals per year restricted to the months available in
+    the latest year, plus prior-year delta % (``app.py:197-216``).
+
+    The month cutoff is derived with a window max over the latest year —
+    no driver round-trip."""
+    latest = df.agg(F.max(year_col).alias("_y")).withColumnRenamed("_y", "_latest_year")
+    cutoff = (df.join(F.broadcast(latest),
+                      F.col(year_col) == F.col("_latest_year"))
+                .agg(F.max(month_num_col).alias("_cutoff")))
+    scoped = (df.crossJoin(F.broadcast(cutoff))
+                .filter(F.col(month_num_col) <= F.col("_cutoff")))
+    agg = scoped.groupBy(year_col).agg(
+        *[F.round(F.sum(c), 2).alias(f"ytd_{c}") for c in value_cols])
+    w = Window.orderBy(year_col)
+    out = agg
+    for c in value_cols:
+        prev = F.lag(f"ytd_{c}", 1).over(w)
+        out = out.withColumn(
+            f"ytd_{c}_delta_pct",
+            F.when(prev.isNotNull() & (prev != 0),
+                   F.round((F.col(f"ytd_{c}") / prev - 1) * 100, 2)))
+    return out

@@ -1,0 +1,81 @@
+"""Window functions (SURVEY.md §2.5, W1-W8) — the analytical core.
+
+The reference computes these twice (pandas ``shift``/``rolling`` at
+``metrics.py:66-80`` and SQL ``LAG``/``AVG OVER`` at
+``models/metrics.sql:32-53``); here there is exactly one implementation:
+Spark window expressions. Scale note: each distinct
+(partitionBy, orderBy) pair costs one shuffle+sort, so the KPI builders
+reuse a single window spec for every lag/rolling/first-value column —
+one exchange, N expressions.
+
+Semantics preserved from the reference (SURVEY.md §7.3):
+- lags are ROW-offset (``shift(12)``), not calendar-offset — with gappy
+  months lag-12 ≠ same-month-last-year, and we reproduce that;
+- rolling means use ``min_periods=1`` — Spark's frame AVG over
+  ``ROWS 2 PRECEDING`` has exactly those semantics;
+- base-100 index guards a zero/NULL base with 1 (``metrics_products.py:104``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def series_window(partition: list[str] | None = None,
+                  order: list[str] | None = None) -> WindowSpec:
+    """The canonical (year, month_num) series window, optionally
+    partitioned by category (``metrics_products.py:81-84``)."""
+    order = order or ["year", "month_num"]
+    w = Window.partitionBy(*(partition or []))
+    return w.orderBy(*order)
+
+
+def lag_col(col: str, n: int, w: WindowSpec) -> Column:
+    """W1/W2/W8 — LAG n (row-offset ``shift(n)``, ``metrics.py:66-69``)."""
+    return F.lag(col, n).over(w)
+
+
+def pct_change(col: str, n: int, w: WindowSpec, ndigits: int = 2) -> Column:
+    """W3 — ``(x/lag(x,n) - 1)*100`` rounded (``metrics.py:72-75``,
+    ``models/metrics.sql:38-43``). NULL lag or zero base → NULL, matching
+    pandas NaN propagation and DuckDB NULL division."""
+    prev = F.lag(col, n).over(w)
+    return F.when(prev.isNotNull() & (prev != 0),
+                  F.round((F.col(col) / prev - 1) * 100, ndigits))
+
+
+def rolling_mean(col: str, n: int, w: WindowSpec, ndigits: int | None = 2) -> Column:
+    """W4/W5 — trailing n-row mean with min_periods=1
+    (``metrics.py:78-80``, ``models/metrics.sql:46-47``)."""
+    m = F.avg(col).over(w.rowsBetween(-(n - 1), 0))
+    return F.round(m, ndigits) if ndigits is not None else m
+
+
+def base_index(col: str, w: WindowSpec, ndigits: int = 2) -> Column:
+    """W6 — base-100 index on the first value of the (partitioned) series
+    (SQL form ``models/metrics.sql:50-51``; guarded pandas form
+    ``metrics_products.py:98-107``: base<=0 or NULL → treat base as 1)."""
+    first = F.first(col, ignorenulls=False).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    guarded = F.when(first.isNotNull() & (first > 0), first).otherwise(F.lit(1.0))
+    return F.round(F.col(col) / guarded * 100, ndigits)
+
+
+def running_sum(col: str, w: WindowSpec) -> Column:
+    """Y4 building block — cumulative (YTD) sum within the partition."""
+    return F.sum(col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def yoy_over_annual(df: DataFrame, year_col: str = "year",
+                    value_col: str = "exports", ndigits: int = 2) -> DataFrame:
+    """W7 — window over an aggregate: YoY growth of annual sums
+    (``models/metrics.sql:73-82``). The input is already one row per year
+    (tiny), so the unpartitioned window is safe; at scale the per-year
+    aggregate IS the reduction, never the raw facts."""
+    w = Window.orderBy(year_col)
+    prev = F.lag(value_col, 1).over(w)
+    return df.withColumn(
+        "yoy_growth_pct",
+        F.when(prev.isNotNull() & (prev != 0),
+               F.round((F.col(value_col) / prev - 1) * 100, ndigits)),
+    )

@@ -1,0 +1,93 @@
+"""Registry machinery + the shared monthly-flows base relation.
+
+Oracle-parity ground rules (SURVEY.md §4 'semantic' cautions):
+- every floating aggregate is ``round``-ed to a fixed number of digits in
+  BOTH engines, at the earliest point it materializes, so downstream
+  arithmetic starts from bit-identical inputs;
+- every computed column is aliased identically on both sides (the driver
+  hash sorts columns by name);
+- extracted date parts are cast to BIGINT on the Spark side because
+  DuckDB's ``year()``/``month()`` return BIGINT;
+- any top-k / argmax carries an explicit tiebreak so the selected SET is
+  deterministic.
+
+The trade-data mapping onto the driver's star schema (FIXTURES.md §6):
+``flow`` ↔ ``l_returnflag`` ('N'→export, 'R'→import), ``(year, month)`` ↔
+``l_shipdate`` parts, ``category`` ↔ ``p_type``, ``usd`` ↔
+``l_extendedprice``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sunat_rree_demo_spark.sources.catalog import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    """A named engine query plus its DuckDB oracle SQL (None → the driver
+    records a weaker rows-only check; reserved for genuinely
+    non-SQL-expressible ops)."""
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "",
+             tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+                               tags=tags)
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Shared base relation: monthly export/import flows from lineitem
+# (the engine's analog of the reference's `base_monthly` view,
+#  models/metrics.sql:6-29).
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTE — kept textually tiny so each oracle embeds it.
+MONTHLY_SQL = """
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+         CAST(month(l_shipdate) AS BIGINT) AS month_num,
+         round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS export_usd,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS import_usd
+  FROM lineitem
+  GROUP BY 1, 2
+"""
+
+
+def monthly_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of ``MONTHLY_SQL`` (operator A2 over the facts).
+
+    One hash-aggregate with map-side combine; grain (year, month_num) is
+    tiny regardless of fact volume, so everything derived from it is
+    cheap. The early ``round(…, 2)`` pins float equality with the oracle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").cast("bigint").alias("year"),
+            F.month("l_shipdate").cast("bigint").alias("month_num"),
+        )
+        .agg(
+            F.round(F.sum(F.when(F.col("l_returnflag") == "N",
+                                 F.col("l_extendedprice"))), 2).alias("export_usd"),
+            F.round(F.sum(F.when(F.col("l_returnflag") == "R",
+                                 F.col("l_extendedprice"))), 2).alias("import_usd"),
+        )
+    )

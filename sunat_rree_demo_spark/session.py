@@ -1,0 +1,70 @@
+"""SparkSession factory and runtime tuning.
+
+The reference has no engine of its own (pandas eager + embedded DuckDB,
+SURVEY.md §4); here the session IS the engine. Two entry shapes:
+
+- ``get_spark()`` builds a local session for tests/bench (local[N] with
+  N = ``SPARK_GRAFT_CPUS``).
+- ``tune(spark)`` applies the runtime-settable confs this engine relies on
+  to a session we did NOT create (the driver harness passes its own).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to set on a live session and that the engine needs.
+_RUNTIME_CONFS = {
+    # the driver-generated events.parquet stores ts as TIMESTAMP(NANOS),
+    # which vanilla Spark cannot read; read as long and convert ourselves
+    # (sources.catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing + skew-join handling; default-on in Spark 4
+    # but set explicitly — the 100 TB design depends on it.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some builds
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "sunat_rree_demo_spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Local session for tests and bench.
+
+    local[N] = one JVM, N executor threads; shuffle partitions sized to the
+    core count (not the 200 default) so tiny local shuffles don't dominate.
+    On a real cluster these two knobs come from the deployment, and AQE
+    re-coalesces at runtime either way.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
