@@ -1,0 +1,211 @@
+"""Deduplication operators (driver mandate, SURVEY.md §7.4): exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedup is a hash-groupBy — one shuffle on the content hash;
+- exact pairwise Jaccard is the *ground-truth* operator: it self-joins on
+  shingles, which explodes on frequent shingles — fine for verification,
+  quadratic in the worst case at 100 TB;
+- MinHash+LSH is the scale path: fixed-size signatures (k hashes),
+  banded into buckets, candidate pairs only within buckets → the shuffle
+  key is the (band, bucket-hash), never the raw shingle, and skew is
+  bounded by band width;
+- SimHash gives a 64-bit fingerprint whose hamming distance approximates
+  cosine similarity of the token sets — near-dup detection becomes a
+  band-equality join on bit slices.
+
+All hashes derive from sha-256 (via ``conv(substr(sha2,…),16,10)``), so
+signatures are engine-independent and unit tests can verify against a
+pure-Python golden implementation bit for bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+
+from sunat_rree_demo_spark.operators.text import tokens as tokenize
+
+#: MinHash parameters — fixed, public, deterministic.
+MINHASH_K = 32          #: signature length
+LSH_BANDS = 8           #: bands (rows per band = K / BANDS = 4)
+MERSENNE_P = 2147483647  #: 2^31 - 1
+HASH_HEX_LEN = 7         #: 28-bit base hash keeps a*h+b inside int64
+
+
+def _minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """(a, b) per permutation — fixed affine constants, odd a."""
+    return [((1000003 * i + 12345) | 1, 7919 * i + 104729) for i in range(k)]
+
+
+def base_hash_py(s: str) -> int:
+    """Python golden twin of ``base_hash_col`` (tests)."""
+    return int(hashlib.sha256(s.encode()).hexdigest()[:HASH_HEX_LEN], 16)
+
+
+def base_hash_col(col):
+    """28-bit engine-independent hash of a string: leading hex of
+    sha-256. ``conv`` parses hex → decimal string → long."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, HASH_HEX_LEN), 16, 10).cast("bigint")
+
+
+def shingles(tok, n: int = 5):
+    """Distinct word n-gram shingles of a token array: positions
+    1..len-n+1, each joined by a single space (DuckDB twin:
+    ``list_distinct(list_transform(range(1, len-n+2), i ->
+    array_to_string(tk[i:i+n-1], ' ')))``)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id row per content hash. One hash-groupBy
+    shuffle on the digest (uniform key → no skew), then a semi-join back
+    for the full row."""
+    canon = (
+        df.select(F.sha2(F.col(content_col), 256).alias("_h"), F.col(id_col))
+        .groupBy("_h").agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(canon.select(id_col), on=id_col, how="left_semi")
+
+
+def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
+                 n: int = 5) -> DataFrame:
+    """(id, shingle) exploded rows — distinct shingles per doc."""
+    tok = tokenize(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), shingles(tok, n).alias("_sh"))
+        .filter(F.size("_sh") >= 1)
+        .select(id_col, F.explode("_sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
+                        n: int = 5, threshold: float = 0.3) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold (ground-truth near-dup).
+
+    Plan: explode shingles → self-join on shingle (shuffle key =
+    shingle) → count intersections → join per-doc sizes (broadcast; one
+    row per doc) → filter. Use MinHash+LSH (below) when the corpus is too
+    large for the shingle self-join."""
+    sh = shingle_rows(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"),
+                 F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("_n", "n1")
+    sb = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("_n", "n2")
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "id1").join(F.broadcast(sb), "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
+                       n: int = 5, k: int = MINHASH_K) -> DataFrame:
+    """MinHash signature per doc: min over shingles of k affine
+    permutations of the 28-bit base hash. Computed on the exploded
+    shingle rows with one groupBy(doc) — the signature is k MIN
+    aggregates, all map-side combined."""
+    sh = shingle_rows(docs, id_col, text_col, n).withColumn(
+        "_h", base_hash_col(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_params(k))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
+                      n: int = 5, k: int = MINHASH_K, bands: int = LSH_BANDS,
+                      threshold: float = 0.3) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the 100 TB dedup path.
+
+    signatures → per band, bucket key = hash of the band's signature
+    slice → candidate pairs are docs sharing any band bucket → estimate
+    Jaccard as the fraction of equal signature components → filter.
+    The join key is (band, bucket), so shuffle volume is
+    O(docs × bands), independent of shingle frequency skew."""
+    sig = minhash_signatures(docs, id_col, text_col, n, k).cache()
+    rows_per_band = k // bands
+    mh_cols = [f"mh{i}" for i in range(k)]
+
+    band_rows = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh{bi * rows_per_band + r}").cast("string")
+                                   for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col(id_col).alias("id1"),
+                    *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    s2 = sig.select(F.col(id_col).alias("id2"),
+                    *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    est = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
+    ) / float(k)
+    return (
+        cand.join(s1, "id1").join(s2, "id2")
+        .withColumn("jaccard_est", F.round(est, 4))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id1", "id2", "jaccard_est")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str,
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per doc over token base-hashes (bits ≤ 28 are
+    real hash bits; default 32 keeps the aggregate narrow while the
+    base hash supplies 28 — the top 4 are zero and harmless).
+
+    Exploded tokens → per-bit signed votes summed in one groupBy → bit
+    reassembly. Near-dup = small hamming distance; pair generation would
+    band the bits exactly like MinHash-LSH."""
+    tok = tokenize(F.col(text_col))
+    rows = (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(tok)).alias("_t"))
+        .withColumn("_h", base_hash_col(F.col("_t")))
+    )
+    votes = rows.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ])
+    fp = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two bigint fingerprints (bit_count of
+    xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,1 +1,178 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream queries (batch form; SURVEY.md §2.10 / §7.4 extension
+surface — the reference is pure batch, so these enter via the driver's
+``events`` table). The Structured Streaming variants of the same
+operators live in ``sunat_rree_demo_spark.streaming`` — identical window
+semantics, verified here in batch against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from sunat_rree_demo_spark.queries.base import register, t
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------- q30
+@register(
+    "q30_tumbling_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "tumbling-window"),
+)
+def q30_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1-hour window aggregation via F.window — the exact
+    batch twin of the streaming tumbling agg
+    (streaming/events.py:tumbling_counts). Window start emitted as a
+    formatted string for engine-neutral comparison."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+                "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------- q31
+@register(
+    "q31_sliding_windows",
+    oracle=f"""
+    WITH x AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             value
+      FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM x
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    tags=("streaming", "sliding-window"),
+)
+def q31_sliding_windows(spark, sf_dir):
+    """Sliding 2h/1h window aggregation (each event lands in two
+    epoch-aligned windows) — F.window(slideDuration) in batch; the
+    oracle materializes the same two memberships explicitly."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+                "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------- q32
+@register(
+    "q32_sessionization",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+    g AS (
+      SELECT user_id,
+             CASE WHEN lag(tms) OVER w IS NULL
+                    OR tms - lag(tms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "session-window"),
+)
+def q32_sessionization(spark, sf_dir):
+    """Sessionization with a 30-min inactivity gap — the classic
+    gaps-and-islands window form in batch; the streaming twin uses
+    F.session_window (streaming/events.py). Millisecond epoch keeps the
+    gap arithmetic integer-exact across engines."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tms")
+    ev = e.select("user_id", F.unix_millis("ts").alias("tms"))
+    prev = F.lag("tms").over(w)
+    g = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (F.col("tms") - prev > 1800000), 1).otherwise(0))
+    return (
+        g.groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------- q33
+@register(
+    "q33_event_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, round(value, 4) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q33_event_dedup(spark, sf_dir):
+    """Keep-first dedup per (user, event_type) — deterministic
+    row_number form of dropDuplicates (the streaming twin is
+    dropDuplicates + watermark). Tiebreak on event_id pins ties."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id",
+                F.round("value", 4).alias("value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------- q34
+@register(
+    "q34_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+           sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50 THEN 1 ELSE 0 END)
+             AS n_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json", "X-family"),
+)
+def q34_json_extract(spark, sf_dir):
+    """JSON extraction from the props column (get_json_object ↔
+    DuckDB ->> with a JSONPath) feeding a grouped aggregate."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.avg("_k"), 4).alias("avg_k"),
+             F.sum(F.when(F.col("_k") > 50, 1).otherwise(0)).alias("n_high"))
+        .orderBy("event_type")
+    )

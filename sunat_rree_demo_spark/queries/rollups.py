@@ -1,1 +1,191 @@
-"""Placeholder — populated in a later milestone."""
+"""M2 rollups & multi-table joins (SURVEY.md §7.2): quarter/annual
+re-aggregation, the dim-join chain, seasonality/profile bundles, YTD.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sunat_rree_demo_spark.operators import aggregates as agg_ops
+from sunat_rree_demo_spark.operators.analytics import monthly_profile, ytd_vs_prior
+from sunat_rree_demo_spark.operators.windows import yoy_over_annual
+from sunat_rree_demo_spark.queries.base import MONTHLY_SQL, monthly_flows, register, t
+
+
+# ---------------------------------------------------------------------- q18
+@register(
+    "q18_quarterly_rollup",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL})
+    SELECT year,
+           CAST(floor((month_num - 1) / 3 + 1) AS INT) AS quarter,
+           round(sum(export_usd), 2) AS exports,
+           round(sum(import_usd), 2) AS imports,
+           round(sum(export_usd) - sum(import_usd), 2) AS balance
+    FROM monthly
+    GROUP BY 1, 2
+    ORDER BY year, quarter
+    """,
+    tags=("A12",),
+)
+def q18_quarterly_rollup(spark, sf_dir):
+    """Quarterly bucketed re-aggregation of the monthly base (A12,
+    models/metrics.sql:56-70)."""
+    m = monthly_flows(spark, sf_dir)
+    return agg_ops.quarterly_rollup(
+        m, export_col="export_usd", import_col="import_usd"
+    ).orderBy("year", "quarter")
+
+
+# ---------------------------------------------------------------------- q19
+@register(
+    "q19_annual_performance",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL}),
+    annual AS (
+      SELECT year,
+             round(sum(export_usd), 2) AS exports,
+             round(sum(import_usd), 2) AS imports,
+             round(sum(export_usd) - sum(import_usd), 2) AS balance
+      FROM monthly GROUP BY year
+    )
+    SELECT year, exports, imports, balance,
+           CASE WHEN lag(exports) OVER (ORDER BY year) IS NOT NULL
+                 AND lag(exports) OVER (ORDER BY year) <> 0
+                THEN round((exports / lag(exports) OVER (ORDER BY year) - 1) * 100, 2)
+           END AS yoy_growth_pct
+    FROM annual
+    ORDER BY year
+    """,
+    tags=("W7",),
+)
+def q19_annual_performance(spark, sf_dir):
+    """Window over an aggregate: YoY growth of annual sums (W7 — the
+    annual_performance view, models/metrics.sql:73-82). The window runs
+    on the per-year reduction, never the raw facts."""
+    m = monthly_flows(spark, sf_dir)
+    annual = m.groupBy("year").agg(
+        F.round(F.sum("export_usd"), 2).alias("exports"),
+        F.round(F.sum("import_usd"), 2).alias("imports"),
+        F.round(F.sum("export_usd") - F.sum("import_usd"), 2).alias("balance"),
+    )
+    return yoy_over_annual(annual, value_col="exports").orderBy("year")
+
+
+# ---------------------------------------------------------------------- q20
+@register(
+    "q20_region_revenue",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(year(o.o_orderdate) AS BIGINT) AS year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    ORDER BY region, year
+    """,
+    tags=("J1", "A1", "A6"),
+)
+def q20_region_revenue(spark, sf_dir):
+    """The dim-join chain: facts ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    (J1 generalized). orders/lineitem co-shuffle on the order key once;
+    every dim is broadcast — no fact-side shuffle for dims."""
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    c, n, r = (t(spark, sf_dir, x) for x in ("customer", "nation", "region"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"),
+                       F.year("o_orderdate").cast("bigint").alias("year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.countDistinct("o_orderkey").alias("n_orders"))
+        .orderBy("region", "year")
+    )
+
+
+# ---------------------------------------------------------------------- q21
+@register(
+    "q21_seasonality_matrix",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL})
+    SELECT month_num, year, export_usd
+    FROM monthly
+    ORDER BY month_num, year
+    """,
+    tags=("Y2",),
+)
+def q21_seasonality_matrix(spark, sf_dir):
+    """Seasonality month × year matrix in long form (Y2, eda.py:93-99 —
+    the wide pivot is presentation-shaped; the engine emits long so the
+    schema is scale-factor-independent)."""
+    m = monthly_flows(spark, sf_dir)
+    return m.select("month_num", "year", "export_usd").orderBy("month_num", "year")
+
+
+# ---------------------------------------------------------------------- q22
+@register(
+    "q22_monthly_profile",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL})
+    SELECT month_num,
+           round(avg(export_usd), 2) AS mean_value,
+           round(stddev_samp(export_usd), 2) AS std_value,
+           count(export_usd) AS n_obs
+    FROM monthly
+    GROUP BY month_num
+    ORDER BY month_num
+    """,
+    tags=("Y3", "A11"),
+)
+def q22_monthly_profile(spark, sf_dir):
+    """Per-calendar-month mean±std profile (Y3/A11, app.py:336-338)."""
+    m = monthly_flows(spark, sf_dir)
+    return monthly_profile(m, value_col="export_usd")
+
+
+# ---------------------------------------------------------------------- q23
+@register(
+    "q23_ytd_vs_prior",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL}),
+    cutoff AS (
+      SELECT max(month_num) AS c FROM monthly
+      WHERE year = (SELECT max(year) FROM monthly)
+    ),
+    ytd AS (
+      SELECT year,
+             round(sum(export_usd), 2) AS ytd_export_usd,
+             round(sum(import_usd), 2) AS ytd_import_usd
+      FROM monthly, cutoff
+      WHERE month_num <= c
+      GROUP BY year
+    )
+    SELECT year, ytd_export_usd, ytd_import_usd,
+           CASE WHEN lag(ytd_export_usd) OVER (ORDER BY year) IS NOT NULL
+                 AND lag(ytd_export_usd) OVER (ORDER BY year) <> 0
+                THEN round((ytd_export_usd / lag(ytd_export_usd) OVER (ORDER BY year) - 1) * 100, 2)
+           END AS ytd_export_usd_delta_pct,
+           CASE WHEN lag(ytd_import_usd) OVER (ORDER BY year) IS NOT NULL
+                 AND lag(ytd_import_usd) OVER (ORDER BY year) <> 0
+                THEN round((ytd_import_usd / lag(ytd_import_usd) OVER (ORDER BY year) - 1) * 100, 2)
+           END AS ytd_import_usd_delta_pct
+    FROM ytd
+    ORDER BY year
+    """,
+    tags=("Y4", "J4"),
+)
+def q23_ytd_vs_prior(spark, sf_dir):
+    """YTD totals scoped to the months available in the latest year,
+    with prior-year delta % (Y4/J4, app.py:197-216) — cutoff derived
+    in-plan (broadcast scalar), no driver round-trip."""
+    m = monthly_flows(spark, sf_dir)
+    return ytd_vs_prior(m, value_cols=("export_usd", "import_usd")).orderBy("year")

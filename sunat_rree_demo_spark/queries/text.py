@@ -1,1 +1,152 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the documents table (driver mandate,
+SURVEY.md §7.4): token stats, quality scoring, language-ID,
+fingerprinting. Oracle SQL shares the exact tokenizer
+(``string_split_regex(trim(x), '\\s+')``) and stopword lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sunat_rree_demo_spark.operators.text import (
+    EN_STOPWORDS,
+    ES_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from sunat_rree_demo_spark.queries.base import register, t
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------- q35
+@register(
+    "q35_token_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(CAST(len({_TOKS}) AS BIGINT)), 4) AS avg_tokens,
+           round(avg(CAST(length(text) AS BIGINT)), 4) AS avg_chars,
+           CAST(max(len({_TOKS})) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "token-count"),
+)
+def q35_token_stats(spark, sf_dir):
+    """Token counting per language: regex-whitespace tokens, char
+    lengths — all JVM-side expressions."""
+    d = t(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return (
+        d.select("lang", n.alias("_n"),
+                 F.length("text").cast("bigint").alias("_c"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("_n"), 4).alias("avg_tokens"),
+             F.round(F.avg("_c"), 4).alias("avg_chars"),
+             F.max("_n").alias("max_tokens"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------- q36
+@register(
+    "q36_quality_score",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             round(0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                          / CAST(len({_TOKS}) AS DOUBLE))
+                   + 0.5 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0),
+                   4) AS q
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(q), 4) AS avg_quality,
+           round(min(q), 4) AS min_quality
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality"),
+)
+def q36_quality_score(spark, sf_dir):
+    """Quality scoring per source: lexical diversity × length prior
+    (operators.text.quality_score)."""
+    d = t(spark, sf_dir, "documents")
+    q = quality_score(tokens(F.col("text")))
+    return (
+        d.select("source", q.alias("_q"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("_q"), 4).alias("avg_quality"),
+             F.round(F.min("_q"), 4).alias("min_quality"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------- q37
+_EN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_ES = ", ".join(f"'{w}'" for w in ES_STOPWORDS)
+
+
+@register(
+    "q37_lang_id",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_intersect({_TOKS}, [{_EN}])) > 0 THEN 'en'
+                  WHEN len(list_intersect({_TOKS}, [{_ES}])) > 0 THEN 'es'
+                  ELSE 'unknown' END AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM pred
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+    tags=("text", "lang-id"),
+)
+def q37_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-overlap vote) cross-tabulated
+    against the labeled lang column — the confusion-matrix view."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(tokens(F.col("text"))).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------- q38
+@register(
+    "q38_fingerprint",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+             AS n_unique
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "fingerprint"),
+)
+def q38_fingerprint(spark, sf_dir):
+    """Content fingerprinting: sha-256 of normalized text; distinct
+    fingerprints per source = exact-dup detection at the source grain."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("source", fingerprint(F.col("text")).alias("_fp"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("_fp").alias("n_unique"))
+        .orderBy("source")
+    )

@@ -1,0 +1,106 @@
+"""Golden tests: the MinHash and SimHash operators must agree bit-for-bit
+with a pure-Python implementation of the same published algorithm
+(sha-256-derived base hashes make this engine-independent)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def py_tokens(text: str) -> list[str]:
+    return re.split(r"\s+", text.strip())
+
+
+def py_shingles(tk: list[str], n: int = 5) -> set[str]:
+    return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    df = load_table(spark, SF_SMOKE, "documents")
+    return {r.doc_id: r.text for r in df.select("doc_id", "text").collect()}
+
+
+def test_minhash_signatures_match_python(spark, docs):
+    from sunat_rree_demo_spark.operators.dedup import (
+        MERSENNE_P,
+        MINHASH_K,
+        _minhash_params,
+        base_hash_py,
+        minhash_signatures,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    got = {r["doc_id"]: [r[f"mh{i}"] for i in range(MINHASH_K)]
+           for r in minhash_signatures(d, "doc_id", "text").collect()}
+    params = _minhash_params()
+    checked = 0
+    for doc_id, text in list(docs.items())[:50]:
+        tk = py_tokens(text)
+        sh = py_shingles(tk)
+        if not sh:
+            continue
+        hashes = [base_hash_py(s) for s in sh]
+        expected = [min((a * h + b) % MERSENNE_P for h in hashes)
+                    for a, b in params]
+        assert got[doc_id] == expected, f"doc {doc_id}"
+        checked += 1
+    assert checked >= 40
+
+
+def test_simhash_matches_python(spark, docs):
+    from sunat_rree_demo_spark.operators.dedup import base_hash_py, simhash
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    got = {r.doc_id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+    for doc_id, text in list(docs.items())[:50]:
+        toks = set(py_tokens(text))
+        votes = [0] * 32
+        for tok in toks:
+            h = base_hash_py(tok)
+            for i in range(32):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        expected = sum(1 << i for i in range(32) if votes[i] > 0)
+        assert got[doc_id] == expected, f"doc {doc_id}"
+
+
+def test_minhash_lsh_estimates_jaccard(spark):
+    """LSH candidates' estimated Jaccard must be close to the exact
+    n-gram Jaccard for the same pairs (MinHash is an unbiased
+    estimator; k=32 → tolerance is loose but bounded)."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    exact = {(r.id1, r.id2): r.jaccard
+             for r in ngram_jaccard_pairs(d, "doc_id", "text",
+                                          threshold=0.0).collect()}
+    est = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    assert est, "expected some high-similarity candidates at sf0.001"
+    for r in est:
+        true_j = exact.get((r.id1, r.id2), 0.0)
+        assert abs(r.jaccard_est - true_j) < 0.35, (r.id1, r.id2, r.jaccard_est, true_j)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([
+        Row(doc_id=3, text="hello world"),
+        Row(doc_id=1, text="hello world"),
+        Row(doc_id=2, text="different"),
+    ])
+    kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 2]
