@@ -1,0 +1,111 @@
+"""Structured Streaming over the events stream: tumbling/sliding/session
+windows with watermarks, and watermarked dedup — the streaming twins of
+the oracle-checked batch queries q30-q33 (queries/events.py).
+
+Design: every transform is a function streamingDF→streamingDF so the
+same code serves a file-source replay (tests: parquet dir +
+``Trigger.AvailableNow`` + memory sink) and a production source (kafka/
+rate) unchanged. Watermarks bound state: at 100 TB/day the state store
+holds only windows newer than (max event time − watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+#: events.parquet physical schema — ts is TIMESTAMP(NANOS) stored as
+#: int64; the stream reads it as long and converts (same truncation as
+#: sources.catalog.load_table).
+EVENTS_FILE_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def events_file_stream(spark: SparkSession, directory: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """Replayable file-source stream over event parquet files."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(directory)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts+totals per event_type; late rows beyond the
+    watermark are dropped and window state is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_totals(events: DataFrame, size: str = "2 hours",
+                   slide: str = "1 hour", watermark: str = "3 hours") -> DataFrame:
+    """Sliding-window totals (each event in size/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session windows with an inactivity gap per user — the built-in
+    stateful session operator (batch twin: the gaps-and-islands form in
+    q32_sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming dedup on (user_id, event_type): state for a
+    key is dropped once the watermark passes it (batch twin: keep-first
+    row_number in q33_event_dedup)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+def run_available_now(stream_df: DataFrame, sink_table: str,
+                      output_mode: str = "append", timeout: int = 120) -> None:
+    """Drain everything currently in the source into an in-memory sink
+    table and stop — the replay harness the tests use."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()

@@ -1,0 +1,177 @@
+"""Plans-layer tests: KPI builds cross-validated three ways (DataFrame
+impl vs Spark-SQL view vs DuckDB running the identical view SQL), QA
+invariants, the SQL view stack, and the end-to-end pipeline."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def trade(spark):
+    from sunat_rree_demo_spark.sources.trade import synthetic_trade
+    return synthetic_trade(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def trade_prod(spark):
+    from sunat_rree_demo_spark.sources.trade import synthetic_trade_prod
+    return synthetic_trade_prod(spark).cache()
+
+
+def test_kpi_monthly_matches_sql_view_and_duckdb(spark, trade):
+    from sunat_rree_demo_spark.plans.kpi import build_kpi_monthly
+    from sunat_rree_demo_spark.plans.views import register_sql_views, view_sql
+
+    built = build_kpi_monthly(trade)
+    trade.createOrReplaceTempView("trade")
+    register_sql_views(spark)
+    view = spark.table("metrics_windowed")
+
+    cols = ["year", "month_num", "export", "import", "balance",
+            "export_mom", "export_yoy", "import_mom", "import_yoy",
+            "export_ma3", "import_ma3", "idx2005_export", "idx2005_import"]
+    b = {(r.year, r.month_num): r for r in built.collect()}
+    v = {(r.year, r.month_num): r for r in view.collect()}
+    assert b.keys() == v.keys()
+    for k in b:
+        for c in cols:
+            assert b[k][c] == v[k][c], (k, c, b[k][c], v[k][c])
+
+    # DuckDB executes the double-quoted twin of the same view SQL
+    con = duckdb.connect()
+    con.register("trade", trade.toPandas())
+    sql = view_sql('"')
+    con.sql(f'CREATE VIEW base_monthly AS {sql["base_monthly"]}')
+    d = {(r[0], r[2]): r for r in con.sql(sql["metrics_windowed"]).fetchall()}
+    dcols = list(con.sql(sql["metrics_windowed"]).columns)
+    assert set(k for k in d) == set(b.keys())
+    for k, row in d.items():
+        duck = dict(zip(dcols, row))
+        for c in cols:
+            assert b[k][c] == duck[c], (k, c, b[k][c], duck[c])
+
+
+def test_kpi_prod_formulas_spot_check(spark, trade_prod):
+    from sunat_rree_demo_spark.plans.kpi import build_kpi_prod_monthly
+
+    kpi = build_kpi_prod_monthly(trade_prod)
+    cat = trade_prod.select("category").first().category
+    rows = sorted(
+        kpi.filter(F.col("category") == cat).collect(),
+        key=lambda r: (r.year, r.month_num))
+    assert rows, "category series must not be empty"
+    # row-offset lag semantics: mom at row i uses row i-1, not calendar
+    for i in range(1, min(len(rows), 20)):
+        prev, cur = rows[i - 1], rows[i]
+        if prev.exp and cur.exp is not None:
+            assert cur.exp_mom == round((cur.exp / prev.exp - 1) * 100, 2)
+    # base-100 index anchored at the first row of the category
+    first = rows[0]
+    base = first.exp if first.exp and first.exp > 0 else 1.0
+    for r in rows[:20]:
+        assert r.idx_exp == round(r.exp / base * 100, 2)
+    # ma3 min_periods=1 with 0-decimal rounding
+    assert rows[0].exp_ma3 == round(rows[0].exp, 0)
+    if len(rows) >= 3:
+        expect = round((rows[0].exp + rows[1].exp + rows[2].exp) / 3, 0)
+        assert rows[2].exp_ma3 == expect
+    # cov_ratio is exp/imp rounded 4, NULL-guarded
+    for r in rows[:20]:
+        if r.imp:
+            assert r.cov_ratio == round(r.exp / r.imp, 4)
+
+
+def test_qa_invariants_flag_seeded_discrepancy(spark, trade, trade_prod):
+    from sunat_rree_demo_spark.plans.kpi import build_kpi_prod_monthly
+    from sunat_rree_demo_spark.plans.qa import reconciliation, run_invariants
+
+    # the generator seeds a $5M discrepancy on (2012, export) national
+    warn = reconciliation(trade, ["year", "flow"]).collect()
+    assert [(r.year, r.flow) for r in warn] == [(2012, "export")]
+    assert abs(warn[0].delta - 5e6) < 1.0
+
+    results = {r.name: r for r in run_invariants(
+        trade, trade_prod, build_kpi_prod_monthly(trade_prod))}
+    assert results["reconciliation_major"].ok          # $5M < $10M major bar
+    assert results["table_non_empty"].ok
+    assert results["both_flows_present"].ok
+    assert results["year_range_sane"].ok
+    assert results["no_negative_or_null_usd"].ok
+    assert results["no_empty_categories"].ok
+    assert results["category_domains_consistent"].ok
+
+
+def test_quarterly_and_annual_views_agree_with_duckdb(spark, trade):
+    from sunat_rree_demo_spark.plans.views import register_sql_views, view_sql
+
+    trade.createOrReplaceTempView("trade")
+    register_sql_views(spark)
+    con = duckdb.connect()
+    con.register("trade", trade.toPandas())
+    sql = view_sql('"')
+    con.sql(f'CREATE VIEW base_monthly AS {sql["base_monthly"]}')
+    for name in ("quarterly_summary", "annual_performance"):
+        s = sorted(tuple(r) for r in spark.table(name).collect())
+        d = sorted(con.sql(sql[name]).fetchall())
+        assert s == d, name
+
+
+def test_pipeline_end_to_end(spark, trade, trade_prod, tmp_path):
+    from sunat_rree_demo_spark.plans.pipeline import run_pipeline
+
+    manifest = run_pipeline(spark, trade, trade_prod, str(tmp_path / "wh"))
+    assert manifest["qa_ok"]
+    assert set(manifest["kpi_tables"]) == {"kpi_monthly", "kpi_prod_monthly"}
+    assert spark.table("kpi_monthly").count() > 200
+    assert manifest["eda"]["n_outliers"] >= 0
+    assert "Mean monthly exports" in manifest["eda"]["report"]
+    assert manifest["insights"] and "Insight #1" in manifest["insights"][0]
+    assert manifest["quick_stats"]["latest_year"] == 2025
+    assert manifest["quick_stats"]["active_categories"] == 10
+    # partition pruning contract: facts are partitioned by year
+    assert (tmp_path / "wh" / "trade" / "year=2005").exists()
+
+
+def test_insights_edge_cases(spark):
+    from pyspark.sql import types as T
+
+    from sunat_rree_demo_spark.plans.insights import (
+        build_insights,
+        format_currency,
+        month_abbrev,
+        trend_emoji,
+    )
+
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("year", T.LongType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("exp_yoy", T.DoubleType()),
+        T.StructField("balance", T.DoubleType()),
+        T.StructField("month", T.StringType()),
+    ]))
+    out = build_insights(empty)
+    assert len(out) == 1 and "Sin datos" in out[0]
+
+    assert format_currency(1e9) == "1.0B"
+    assert format_currency(5.2e6) == "5.2M"
+    assert format_currency(900) == "0.9K"
+    assert trend_emoji(15) == "🚀" and trend_emoji(-15) == "⚠️"
+    assert month_abbrev("Enero") == "Jan" and month_abbrev("???") == "???"
+
+
+def test_insights_rank_by_abs_yoy(spark):
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.plans.insights import top_insight_records
+
+    df = spark.createDataFrame([
+        Row(year=2024, month="Marzo", category="A", exp_yoy=5.0, balance=1.0),
+        Row(year=2024, month="Marzo", category="B", exp_yoy=-40.0, balance=-2.0),
+        Row(year=2024, month="Marzo", category="C", exp_yoy=12.0, balance=3.0),
+        Row(year=2023, month="Marzo", category="D", exp_yoy=99.0, balance=4.0),
+    ])
+    recs = top_insight_records(df, top_n=2)
+    assert [r["category"] for r in recs] == ["B", "C"]  # latest year, |YoY| desc

@@ -1,0 +1,78 @@
+"""Structured Streaming tests: file-source replay of the events parquet
+through each streaming operator into a memory sink, cross-checked
+against the batch twin on the same data."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    return load_table(spark, SF_SMOKE, "events").cache()
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir, batch_events):
+    from sunat_rree_demo_spark.streaming.events import (
+        events_file_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    sdf = tumbling_counts(events_file_stream(spark, events_dir))
+    run_available_now(sdf, "t_tumbling", output_mode="complete")
+    got = {(str(r.window_start), r.event_type): (r.n_events, r.total_value)
+           for r in spark.table("t_tumbling").collect()}
+
+    expect = {
+        (str(r.ws), r.event_type): (r.n, r.tv)
+        for r in (batch_events
+                  .groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+                  .agg(F.count("*").alias("n"),
+                       F.round(F.sum("value"), 2).alias("tv"))
+                  .collect())
+    }
+    assert got == expect
+
+
+def test_session_stream_produces_sessions(spark, events_dir):
+    from sunat_rree_demo_spark.streaming.events import (
+        events_file_stream,
+        run_available_now,
+        session_counts,
+    )
+
+    sdf = session_counts(events_file_stream(spark, events_dir))
+    run_available_now(sdf, "t_sessions", output_mode="complete")
+    rows = spark.table("t_sessions").collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.session_end >= r.session_start and r.n_events >= 1
+
+
+def test_dedup_stream_keeps_one_per_key(spark, events_dir, batch_events):
+    from sunat_rree_demo_spark.streaming.events import (
+        dedup_events,
+        events_file_stream,
+        run_available_now,
+    )
+
+    sdf = dedup_events(events_file_stream(spark, events_dir))
+    run_available_now(sdf, "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    n_keys = batch_events.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_keys
+    assert got.select("user_id", "event_type").distinct().count() == n_keys
