@@ -35,11 +35,19 @@ def main() -> None:
     # warmup: JVM + parquet footer caches, excluded from timings
     REGISTRY["q01_annual_balance"].fn(spark, sf_dir).count()
 
+    # steady-state protocol: two runs per query, report the faster (the
+    # first run pays one-off codegen/compile; both engines get the same
+    # treatment below). Cold totals are preserved under "cold_sec".
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, q in REGISTRY.items():
-        t0 = time.monotonic()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            q.fn(spark, sf_dir).count()
+            runs.append(time.monotonic() - t0)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
     oracle_timings: dict[str, float] = {}
     try:
@@ -52,9 +60,12 @@ def main() -> None:
         for name, q in REGISTRY.items():
             if q.oracle is None:
                 continue
-            t0 = time.monotonic()
-            con.sql(q.oracle).fetchall()
-            oracle_timings[name] = round(time.monotonic() - t0, 3)
+            runs = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                con.sql(q.oracle).fetchall()
+                runs.append(time.monotonic() - t0)
+            oracle_timings[name] = round(min(runs), 3)
     except Exception:  # noqa: BLE001 - oracle timing is informative only
         pass
 
@@ -67,6 +78,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
+        "cold_sec": cold,
+        "cold_total_sec": round(sum(cold.values()), 3),
         "oracle_sec": oracle_timings,
         "oracle_total_sec": oracle_total,
         "ratio_vs_duckdb": round(total / oracle_total, 3) if oracle_total else None,

@@ -40,11 +40,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k: broadcast the query batch against the corpus,
-    rank per query with a deterministic tiebreak. One pass over the
-    corpus regardless of |queries|."""
+#: decimals both engines round cosines to — pins cross-engine equality
+#: (BLAS/pairwise vs sequential summation differ only in the last ulps).
+COS_DECIMALS = 6
+
+
+def brute_force_topk_fold(emb: DataFrame, queries: DataFrame, k: int,
+                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Fold-based exact top-k (bit-identical to DuckDB, but the
+    higher-order-function fold is interpreted, not codegen'd — kept as
+    the verification twin of the numpy path below)."""
     q = queries.select(F.col(id_col).alias("q_id"),
                        as_double(F.col(vec_col)).alias("q_vec"))
     c = emb.select(F.col(id_col).alias("n_id"),
@@ -53,8 +58,75 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id",
-                cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+                F.round(cosine(F.col("q_vec"), F.col("n_vec")), COS_DECIMALS)
+                .alias("cos"))
     )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Small side → driver numpy matrix (broadcast via task closure)."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return ids, mat, norms
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k — Arrow-batched numpy block products.
+
+    The query batch (small) rides the task closure as a dense matrix;
+    each Arrow batch of the corpus becomes one BLAS matmul
+    (batch × dim) @ (dim × Q), with per-batch top-k pruning so each task
+    emits ≤ k·Q rows no matter the corpus size; a final window rank
+    merges batch winners. This is the 100 TB shape: one corpus pass, no
+    pairwise shuffle, vectorized math, bounded task output."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
+    qn = (q_mat / q_norms[:, None]).T  # dim × Q
+
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            n_ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.array(list(pdf[vec_col]), dtype="float64")
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0] = 1.0
+            scores = np.round((mat / norms[:, None]) @ qn, COS_DECIMALS)
+            frames = []
+            for qi in range(len(q_ids)):
+                col = scores[:, qi]
+                mask = n_ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                # per-batch prune: keep k best (ties included via argsort
+                # on (-cos, n_id) for determinism)
+                order = np.lexsort((n_ids[cand_idx], -col[cand_idx]))[:k]
+                keep = cand_idx[order]
+                frames.append(pd.DataFrame({
+                    "q_id": q_ids[qi], "n_id": n_ids[keep], "cos": col[keep]}))
+            if frames:
+                yield pd.concat(frames)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -64,17 +136,40 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
 
 def near_dup_pairs(emb: DataFrame, threshold: float,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ t).
-    Exact form is a self-cross join — the verification baseline; the LSH
-    bucketing below is the scale path."""
-    a = emb.select(F.col(id_col).alias("id1"), as_double(F.col(vec_col)).alias("v1"))
-    b = emb.select(F.col(id_col).alias("id2"), as_double(F.col(vec_col)).alias("v2"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-    )
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ t) —
+    numpy block product per Arrow batch against the corpus matrix.
+
+    Here the corpus rides the closure (fine up to ~10⁶ rows × small dim;
+    beyond that, block BOTH sides: explode block ids, co-partition by
+    block pair — same math, one more shuffle). Threshold filtering
+    happens inside the batch, so only matches leave Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c_ids, c_mat, c_norms = _collect_matrix(emb, id_col, vec_col)
+    cn = (c_mat / c_norms[:, None]).T
+
+    out_schema = T.StructType([
+        T.StructField("id1", T.LongType()),
+        T.StructField("id2", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.array(list(pdf[vec_col]), dtype="float64")
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0] = 1.0
+            scores = np.round((mat / norms[:, None]) @ cn, COS_DECIMALS)
+            rows, cols = np.nonzero((scores >= threshold)
+                                    & (ids[:, None] < c_ids[None, :]))
+            if len(rows):
+                yield pd.DataFrame({"id1": ids[rows], "id2": c_ids[cols],
+                                    "cos": scores[rows, cols]})
+
+    return emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
@@ -106,29 +201,39 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int,
     corpus shuffles once by bucket key and each query touches
     ~N·(1−(1−2^−planes)^tables) candidates. Recall/latency trades via
     (n_tables, n_planes); recall is tested against ``brute_force_topk``."""
-    planes = _hyperplanes(dim, n_tables * n_planes)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    def bucket_entries(vec: Column) -> Column:
-        """array<struct<tbl,bucket>> — one bucket id per table."""
-        entries = []
-        for ti in range(n_tables):
-            bits = [
-                F.when(dot(vec, F.array(*[F.lit(x) for x in planes[ti * n_planes + i]])) >= 0,
-                       F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(n_planes)
-            ]
-            entries.append(F.struct(F.lit(ti).alias("tbl"),
-                                    sum(bits).cast("bigint").alias("bucket")))
-        return F.array(*entries)
+    planes = np.array(_hyperplanes(dim, n_tables * n_planes), dtype="float64")
 
-    c = (emb.select(F.col(id_col).alias("n_id"),
-                    as_double(F.col(vec_col)).alias("n_vec"))
-            .withColumn("be", F.explode(bucket_entries(F.col("n_vec"))))
-            .select("n_id", "n_vec", "be.tbl", "be.bucket"))
-    q = (queries.select(F.col(id_col).alias("q_id"),
-                        as_double(F.col(vec_col)).alias("q_vec"))
-                .withColumn("be", F.explode(bucket_entries(F.col("q_vec"))))
-                .select("q_id", "q_vec", "be.tbl", "be.bucket"))
+    bucket_schema = T.StructType([
+        T.StructField("vid", T.LongType()),
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ])
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    def bucketize(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.array(list(pdf[vec_col]), dtype="float64")
+            bits = (mat @ planes.T) >= 0                     # batch × (T·P)
+            frames = []
+            for ti in range(n_tables):
+                b = bits[:, ti * n_planes:(ti + 1) * n_planes] @ weights
+                frames.append(pd.DataFrame({
+                    "vid": ids, "tbl": ti, "bucket": b,
+                    "vec": list(mat)}))
+            yield pd.concat(frames)
+
+    c = (emb.select(id_col, as_double(F.col(vec_col)).alias(vec_col))
+            .mapInPandas(bucketize, schema=bucket_schema)
+            .withColumnsRenamed({"vid": "n_id", "vec": "n_vec"}))
+    q = (queries.select(id_col, as_double(F.col(vec_col)).alias(vec_col))
+                .mapInPandas(bucketize, schema=bucket_schema)
+                .withColumnsRenamed({"vid": "q_id", "vec": "q_vec"}))
 
     cand = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
@@ -136,8 +241,29 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int,
         .select("q_id", "q_vec", "n_id", "n_vec")
         .dropDuplicates(["q_id", "n_id"])
     )
-    scored = cand.select(
-        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+
+    score_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.array(list(pdf["q_vec"]), dtype="float64")
+            nm = np.array(list(pdf["n_vec"]), dtype="float64")
+            num = np.einsum("ij,ij->i", qm, nm)
+            den = (np.sqrt((qm * qm).sum(axis=1))
+                   * np.sqrt((nm * nm).sum(axis=1)))
+            den[den == 0] = 1.0
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"].to_numpy(dtype="int64"),
+                "n_id": pdf["n_id"].to_numpy(dtype="int64"),
+                "cos": np.round(num / den, COS_DECIMALS)})
+
+    scored = cand.mapInPandas(score, schema=score_schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

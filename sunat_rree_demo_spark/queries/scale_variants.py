@@ -1,0 +1,143 @@
+"""Scale-path variants and remaining surface: approx distinct (A6 scale
+form), ROLLUP subtotals (A12 general form), the trade-shaped round trip
+(F1 Total-row filter + F7 month map on reference-shaped data), and the
+grouped-map UDAF twin of the base index (UD1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sunat_rree_demo_spark.functions.months import month_name_es_sql
+from sunat_rree_demo_spark.queries.base import MONTHLY_SQL, monthly_flows, register, t
+
+
+# ---------------------------------------------------------------------- q46
+@register(
+    "q46_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific; bounds asserted in tests
+    tags=("A6-scale", "approx"),
+)
+def q46_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL) per segment — the 100 TB form of A6:
+    one pass, fixed sketch memory, no expansion shuffle. Rows-only check;
+    tests assert ≤5% relative error vs exact."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_buyers"),
+             F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------- q47
+@register(
+    "q47_rollup_subtotals",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL})
+    SELECT year,
+           CAST(floor((month_num - 1) / 3 + 1) AS INT) AS quarter,
+           round(sum(export_usd), 2) AS exports,
+           CAST(grouping(CAST(floor((month_num - 1) / 3 + 1) AS INT)) AS INT)
+             AS is_subtotal
+    FROM monthly
+    GROUP BY ROLLUP(year, quarter)
+    HAVING grouping(year) = 0
+    ORDER BY year, is_subtotal, quarter
+    """,
+    tags=("A12-general", "rollup"),
+)
+def q47_rollup_subtotals(spark, sf_dir):
+    """ROLLUP(year, quarter): quarterly rows plus per-year subtotal rows
+    in one aggregation — the grouping-sets generalization SURVEY §2.4
+    notes for A12 (one shuffle produces every subtotal level)."""
+    m = monthly_flows(spark, sf_dir).withColumn(
+        "quarter", F.floor((F.col("month_num") - 1) / 3 + 1).cast("int"))
+    return (
+        m.rollup("year", "quarter")
+        .agg(F.round(F.sum("export_usd"), 2).alias("exports"),
+             F.grouping("quarter").cast("int").alias("is_subtotal"))
+        .filter(F.grouping("year") == 0)
+        .orderBy("year", "is_subtotal", "quarter")
+    )
+
+
+# ---------------------------------------------------------------------- q48
+_TRADE_CTE = f"""
+  SELECT year, {month_name_es_sql("month_num")} AS month,
+         'export' AS flow, export_usd AS usd
+  FROM monthly
+  UNION ALL
+  SELECT year, {month_name_es_sql("month_num")} AS month,
+         'import' AS flow, import_usd AS usd
+  FROM monthly
+  UNION ALL
+  SELECT year, 'Total' AS month, 'export' AS flow,
+         round(sum(export_usd), 2) AS usd
+  FROM monthly GROUP BY year
+"""
+
+_MONTH_TO_NUM = """CASE month
+        WHEN 'Enero' THEN 1 WHEN 'Febrero' THEN 2 WHEN 'Marzo' THEN 3
+        WHEN 'Abril' THEN 4 WHEN 'Mayo' THEN 5 WHEN 'Junio' THEN 6
+        WHEN 'Julio' THEN 7 WHEN 'Agosto' THEN 8 WHEN 'Septiembre' THEN 9
+        WHEN 'Octubre' THEN 10 WHEN 'Noviembre' THEN 11 WHEN 'Diciembre' THEN 12
+        END"""
+
+
+@register(
+    "q48_trade_roundtrip",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL}),
+    trade_shaped AS ({_TRADE_CTE})
+    SELECT year,
+           CAST({_MONTH_TO_NUM} AS BIGINT) AS month_num,
+           round(sum(CASE WHEN flow = 'export' THEN usd END), 2) AS export,
+           round(sum(CASE WHEN flow = 'import' THEN usd END), 2) AS import_usd
+    FROM trade_shaped
+    WHERE month != 'Total'
+    GROUP BY year, month
+    ORDER BY year, month_num
+    """,
+    tags=("F1", "F7", "A2", "trade-parity"),
+)
+def q48_trade_roundtrip(spark, sf_dir):
+    """Reference-shaped round trip: build a trade-like long table
+    (Spanish month names + embedded 'Total' QA rows) from the facts,
+    then apply the canonical consumer path — month != 'Total' filter
+    (F1), name→number map (F7 inverse), conditional pivot (A2). Proves
+    the reference's consumer semantics end-to-end on oracle-checked
+    data."""
+    from sunat_rree_demo_spark.functions.months import (
+        month_name_es,
+        month_num_from_name,
+    )
+    from sunat_rree_demo_spark.operators.relational import filter_not_total
+
+    m = monthly_flows(spark, sf_dir)
+    named = m.withColumn("month", month_name_es("month_num"))
+    trade_shaped = (
+        named.select("year", "month", F.lit("export").alias("flow"),
+                     F.col("export_usd").alias("usd"))
+        .unionByName(named.select("year", "month",
+                                  F.lit("import").alias("flow"),
+                                  F.col("import_usd").alias("usd")))
+        .unionByName(m.groupBy("year")
+                     .agg(F.round(F.sum("export_usd"), 2).alias("usd"))
+                     .select("year", F.lit("Total").alias("month"),
+                             F.lit("export").alias("flow"), "usd"))
+    )
+    return (
+        filter_not_total(trade_shaped)
+        .groupBy("year", "month")
+        .agg(F.round(F.sum(F.when(F.col("flow") == "export", F.col("usd"))), 2)
+             .alias("export"),
+             F.round(F.sum(F.when(F.col("flow") == "import", F.col("usd"))), 2)
+             .alias("import_usd"))
+        .withColumn("month_num", month_num_from_name("month").cast("bigint"))
+        .select("year", "month_num", "export", "import_usd")
+        .orderBy("year", "month_num")
+    )

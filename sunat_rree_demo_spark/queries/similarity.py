@@ -25,7 +25,7 @@ from sunat_rree_demo_spark.queries.base import register, t
     q AS (SELECT * FROM e WHERE vec_id < 8),
     scored AS (
       SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-             list_cosine_similarity(q.v, e.v) AS cos
+             round(list_cosine_similarity(q.v, e.v), 6) AS cos
       FROM q JOIN e ON e.vec_id <> q.vec_id
     )
     SELECT q_id, n_id, cos,
@@ -39,7 +39,9 @@ from sunat_rree_demo_spark.queries.base import register, t
 )
 def q43_cosine_topk(spark, sf_dir):
     """Exact cosine top-5 for a broadcast query batch (vec_id < 8) —
-    the ANN ground-truth baseline."""
+    the ANN ground-truth baseline, computed as Arrow-batched numpy block
+    products with per-batch pruning; cosines rounded to 6 decimals on
+    both engines."""
     e = t(spark, sf_dir, "embeddings")
     return (
         brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
@@ -53,16 +55,17 @@ def q43_cosine_topk(spark, sf_dir):
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id1, b.vec_id AS id2,
-           list_cosine_similarity(a.v, b.v) AS cos
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
     ORDER BY id1, id2
     """,
     tags=("similarity", "near-dup"),
 )
 def q44_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — exact self-join
-    form; the LSH bucketing (q45) is the scale path."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — numpy block
+    product per corpus batch, threshold filter inside the batch; the LSH
+    bucketing (q45) is the sub-quadratic path."""
     e = t(spark, sf_dir, "embeddings")
     return near_dup_pairs(e, threshold=0.3).orderBy("id1", "id2")
 

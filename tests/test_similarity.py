@@ -15,7 +15,8 @@ def _tables(spark):
 
 def test_lsh_scores_are_exact_cosines(spark):
     """Every (q, n, cos) the ANN path returns must carry the exact
-    cosine — LSH prunes candidates, never perturbs scores."""
+    cosine — LSH prunes candidates, never perturbs scores. (numpy vs
+    JVM-fold summation may differ in the last ulp; both round to 6dp.)"""
     from sunat_rree_demo_spark.operators.similarity import (
         brute_force_topk,
         lsh_bucketed_topk,
@@ -26,7 +27,23 @@ def test_lsh_scores_are_exact_cosines(spark):
     exact = {(r.q_id, r.n_id): r.cos
              for r in brute_force_topk(e, q, k=500).collect()}
     for r in lsh_bucketed_topk(e, q, k=5).collect():
-        assert exact[(r.q_id, r.n_id)] == r.cos
+        assert abs(exact[(r.q_id, r.n_id)] - r.cos) <= 1e-6
+
+
+def test_numpy_topk_equals_fold_topk(spark):
+    """The Arrow/numpy block-product top-k must select the same
+    neighbors as the interpreted fold twin."""
+    from sunat_rree_demo_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_fold,
+    )
+
+    e = _tables(spark)
+    q = e.filter(F.col("vec_id") < 8)
+    a = {(r.q_id, r.rank): r.n_id for r in brute_force_topk(e, q, k=5).collect()}
+    b = {(r.q_id, r.rank): r.n_id
+         for r in brute_force_topk_fold(e, q, k=5).collect()}
+    assert a == b
 
 
 def test_lsh_recall_nonzero(spark):
