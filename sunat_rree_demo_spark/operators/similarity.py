@@ -172,6 +172,114 @@ def near_dup_pairs(emb: DataFrame, threshold: float,
     return emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
 
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
+             n_centroids: int = 16, n_probe: int = 4, iters: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) coarse quantizer.
+
+    Train: deterministic k-means on the collected corpus sample
+    (init = first ``n_centroids`` vectors by id, fixed ``iters`` Lloyd
+    steps — no RNG, reproducible). Serve: assign corpus vectors to their
+    nearest centroid (one numpy pass), probe each query's ``n_probe``
+    nearest centroids, score only within probed cells, window-rank.
+
+    100 TB shape: the centroid table is tiny and broadcast; the corpus
+    shuffles ONCE by cell id (and would be written bucketed-by-cell for
+    reuse); each query touches n_probe/n_centroids of the data. Recall
+    tuned via (n_centroids, n_probe); tested against brute force."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # ---- train (driver-side; sample at real scale) --------------------
+    ids, mat, norms = _collect_matrix(
+        emb.orderBy(id_col).limit(max(n_centroids * 64, 1024)), id_col, vec_col)
+    cent = mat[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for ci in range(n_centroids):
+            members = mat[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+
+    cell_schema = T.StructType([
+        T.StructField("vid", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ])
+
+    def assign_cells(batches):
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy(dtype="int64")
+            bmat = np.array(list(pdf[vec_col]), dtype="float64")
+            d2 = ((bmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({"vid": bids,
+                                "cell": d2.argmin(axis=1).astype("int32"),
+                                "vec": list(bmat)})
+
+    probe_schema = T.StructType([
+        T.StructField("vid", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ])
+
+    def probe_cells(batches):
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy(dtype="int64")
+            bmat = np.array(list(pdf[vec_col]), dtype="float64")
+            d2 = ((bmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            nearest = np.argsort(d2, axis=1)[:, :n_probe]
+            frames = []
+            for p in range(n_probe):
+                frames.append(pd.DataFrame({
+                    "vid": bids, "cell": nearest[:, p].astype("int32"),
+                    "vec": list(bmat)}))
+            yield pd.concat(frames)
+
+    c = (emb.select(id_col, as_double(F.col(vec_col)).alias(vec_col))
+            .mapInPandas(assign_cells, schema=cell_schema)
+            .withColumnsRenamed({"vid": "n_id", "vec": "n_vec"}))
+    q = (queries.select(id_col, as_double(F.col(vec_col)).alias(vec_col))
+                .mapInPandas(probe_cells, schema=probe_schema)
+                .withColumnsRenamed({"vid": "q_id", "vec": "q_vec"}))
+
+    cand = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+
+    score_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.array(list(pdf["q_vec"]), dtype="float64")
+            nm = np.array(list(pdf["n_vec"]), dtype="float64")
+            num = np.einsum("ij,ij->i", qm, nm)
+            den = (np.sqrt((qm * qm).sum(axis=1))
+                   * np.sqrt((nm * nm).sum(axis=1)))
+            den[den == 0] = 1.0
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"].to_numpy(dtype="int64"),
+                "n_id": pdf["n_id"].to_numpy(dtype="int64"),
+                "cos": np.round(num / den, COS_DECIMALS)})
+
+    scored = cand.mapInPandas(score, schema=score_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (fixed LCG —
     no RNG state, reproducible across sessions/engines)."""

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from sunat_rree_demo_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
     near_dup_pairs,
 )
@@ -82,5 +83,22 @@ def q45_ann_lsh_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return (
         lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------- q54
+@register(
+    "q54_ann_ivf_topk",
+    oracle=None,  # approximate; recall vs q43 asserted in tests
+    tags=("similarity", "ann-ivf"),
+)
+def q54_ann_ivf_topk(spark, sf_dir):
+    """Approximate top-5 via an IVF coarse quantizer (deterministic
+    k-means, 16 cells, 4 probes) — each query scans ~n_probe/n_centroids
+    of the corpus; the corpus shuffles once by cell id."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5)
         .orderBy("q_id", "rank")
     )

@@ -1,0 +1,207 @@
+"""Statistical / semi-structured surface: correlation, exact
+percentiles, robust (median/MAD) outliers — the scale-friendly variant
+of Y1 SURVEY §2.9 notes — plus TF-IDF text weighting and JSON map
+explosion, and the CUBE generalization of the pivot family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sunat_rree_demo_spark.queries.base import MONTHLY_SQL, monthly_flows, register, t
+
+
+# ---------------------------------------------------------------------- q49
+@register(
+    "q49_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           round(median(l_extendedprice), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A8-extended", "stats"),
+)
+def q49_correlation(spark, sf_dir):
+    """Pearson correlation, sample covariance, exact median/p90 per
+    flow — the full stats bundle beyond mean/std (A8). Exact percentiles
+    sort within the group; the 100 TB variant is approx_percentile
+    (t-digest, one pass)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_extendedprice", "l_quantity"), 6)
+             .alias("price_qty_corr"),
+             F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4)
+             .alias("price_qty_covar"),
+             F.round(F.expr("median(l_extendedprice)"), 4).alias("median_price"),
+             F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+             .alias("p90_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------- q50
+@register(
+    "q50_robust_outliers",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL}),
+    p AS (
+      SELECT year, month_num,
+             CASE WHEN lag(export_usd) OVER (ORDER BY year, month_num) IS NOT NULL
+                   AND lag(export_usd) OVER (ORDER BY year, month_num) <> 0
+                  THEN round((export_usd / lag(export_usd) OVER (ORDER BY year, month_num) - 1) * 100, 2)
+             END AS pct
+      FROM monthly
+    ),
+    med AS (SELECT median(pct) AS m FROM p),
+    mad AS (SELECT median(abs(pct - m)) AS d FROM p, med)
+    SELECT year, month_num, pct
+    FROM p, med, mad
+    WHERE pct IS NOT NULL AND abs(pct - m) > 3 * 1.4826 * d
+    ORDER BY year, month_num
+    """,
+    tags=("Y1-robust",),
+)
+def q50_robust_outliers(spark, sf_dir):
+    """Median/MAD outlier detection — the robust alternative to the 2σ
+    rule (SURVEY §2.9 Y1 scale note): unaffected by the outliers it
+    hunts. Same reduce-broadcast-filter shape as q27."""
+    from sunat_rree_demo_spark.operators.windows import pct_change, series_window
+
+    m = monthly_flows(spark, sf_dir)
+    w = series_window()
+    p = m.select("year", "month_num",
+                 pct_change("export_usd", 1, w).alias("pct"))
+    med = p.agg(F.expr("median(pct)").alias("m"))
+    mad = (p.crossJoin(F.broadcast(med))
+           .agg(F.expr("median(abs(pct - m))").alias("d")))
+    return (
+        p.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad))
+        .filter(F.col("pct").isNotNull()
+                & (F.abs(F.col("pct") - F.col("m")) > 3 * 1.4826 * F.col("d")))
+        .select("year", "month_num", "pct")
+        .orderBy("year", "month_num")
+    )
+
+
+# ---------------------------------------------------------------------- q51
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "q51_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.term,
+             round(avg(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df)), 6) AS avg_tfidf
+      FROM tf JOIN df ON tf.term = df.term, n
+      GROUP BY tf.term
+    )
+    SELECT term, avg_tfidf
+    FROM scored
+    ORDER BY avg_tfidf DESC, term
+    LIMIT 10
+    """,
+    tags=("text", "tfidf"),
+)
+def q51_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF term weighting: tf per (doc, term), idf = ln(N/df),
+    corpus-wide top-10 terms by mean tf·idf. Three hash aggregates and
+    a broadcast of the (term, df) side — no ml.feature pipeline needed,
+    and every step is map-side combined."""
+    from sunat_rree_demo_spark.operators.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("term")
+        .agg(F.round(F.avg("tfidf"), 6).alias("avg_tfidf"))
+        .orderBy(F.desc("avg_tfidf"), F.asc("term"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------- q52
+@register(
+    "q52_json_map_explode",
+    oracle="""
+    WITH kv AS (
+      SELECT event_type,
+             unnest(json_keys(props)) AS key,
+             CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS val
+      FROM events
+    )
+    SELECT event_type, key,
+           count(*) AS n,
+           round(avg(val), 4) AS avg_val
+    FROM kv
+    GROUP BY event_type, key
+    ORDER BY event_type, key
+    """,
+    tags=("json", "map-explode"),
+)
+def q52_json_map_explode(spark, sf_dir):
+    """Parse the JSON props into a typed map (from_json) and explode it —
+    the schema-full counterpart of get_json_object path extraction
+    (q34)."""
+    e = t(spark, sf_dir, "events")
+    kv = (
+        e.select("event_type",
+                 F.explode(F.from_json("props", "map<string,bigint>"))
+                 .alias("key", "val"))
+    )
+    return (
+        kv.groupBy("event_type", "key")
+        .agg(F.count("*").alias("n"), F.round(F.avg("val"), 4).alias("avg_val"))
+        .orderBy("event_type", "key")
+    )
+
+
+# ---------------------------------------------------------------------- q53
+@register(
+    "q53_cube",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL}),
+    q AS (
+      SELECT year, CAST(floor((month_num - 1) / 3 + 1) AS INT) AS quarter,
+             export_usd
+      FROM monthly
+    )
+    SELECT year, quarter,
+           round(sum(export_usd), 2) AS exports,
+           CAST(grouping(year) AS INT) AS g_year,
+           CAST(grouping(quarter) AS INT) AS g_quarter
+    FROM q
+    GROUP BY CUBE(year, quarter)
+    ORDER BY g_year, g_quarter, year, quarter
+    """,
+    tags=("A12-cube",),
+)
+def q53_cube(spark, sf_dir):
+    """CUBE(year, quarter): all four subtotal levels in one aggregation
+    — the full grouping-sets lattice (SURVEY §2.4 A12 general form)."""
+    m = monthly_flows(spark, sf_dir).withColumn(
+        "quarter", F.floor((F.col("month_num") - 1) / 3 + 1).cast("int"))
+    return (
+        m.cube("year", "quarter")
+        .agg(F.round(F.sum("export_usd"), 2).alias("exports"),
+             F.grouping("year").cast("int").alias("g_year"),
+             F.grouping("quarter").cast("int").alias("g_quarter"))
+        .orderBy("g_year", "g_quarter", "year", "quarter")
+    )

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the pure driver-side logic:
+Excel sheet parsing heuristics and the golden-hash primitives. Spark
+DataFrames are deliberately absent here — properties run hundreds of
+examples, so they exercise the pure functions."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sunat_rree_demo_spark.functions.months import MONTH_NAMES_ES
+
+# ---------------------------------------------------------------- adapter
+
+noise_cell = st.one_of(st.none(), st.floats(allow_nan=False), st.text(max_size=8)
+                       .filter(lambda s: s.strip() != "Enero"))
+
+
+@given(st.lists(st.lists(noise_cell, max_size=6), max_size=6),
+       st.integers(0, 5))
+@settings(max_examples=200, deadline=None)
+def test_header_detection_finds_first_enero(noise_rows, pos):
+    from sunat_rree_demo_spark.sources.excel_adapter import find_header_row
+
+    header = ["Sector"] + list(MONTH_NAMES_ES) + ["Total"]
+    rows = noise_rows[:pos] + [header] + noise_rows[pos:]
+    idx = find_header_row(rows)
+    # the found row genuinely contains Enero and no earlier row does
+    assert any(str(v).strip() == "Enero" for v in rows[idx])
+    for earlier in rows[:idx]:
+        assert not any(str(v).strip() == "Enero" for v in earlier)
+
+
+@given(st.permutations(list(MONTH_NAMES_ES)))
+@settings(max_examples=50, deadline=None)
+def test_month_columns_maps_every_month_any_order(perm):
+    from sunat_rree_demo_spark.sources.excel_adapter import month_columns
+
+    header = ["x", *perm, "Total", "junk"]
+    months, total_col = month_columns(header)
+    assert sorted(months.values()) == sorted(MONTH_NAMES_ES)
+    assert header[total_col] == "Total"
+    for i, name in months.items():
+        assert header[i].strip() == name
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_noise_filter_total_incluye_short(label):
+    from sunat_rree_demo_spark.sources.excel_adapter import _is_noise_label
+
+    cleaned = label.strip()
+    if _is_noise_label(cleaned):
+        low = cleaned.lower()
+        assert (cleaned == "" or low == "nan" or low.startswith("incluye")
+                or low.startswith("total") or len(cleaned) < 3)
+    else:
+        assert len(cleaned) >= 3
+        assert not cleaned.lower().startswith(("incluye", "total"))
+
+
+# ---------------------------------------------------------------- hashing
+
+@given(st.text(min_size=0, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_base_hash_is_28_bit_and_deterministic(s):
+    from sunat_rree_demo_spark.operators.dedup import base_hash_py
+
+    h = base_hash_py(s)
+    assert 0 <= h < (1 << 28)
+    assert h == base_hash_py(s)
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=5,
+                max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_shingles_count_and_width(tokens):
+    from tests.test_dedup import py_shingles
+
+    sh = py_shingles(tokens, 5)
+    assert len(sh) <= len(tokens) - 4
+    assert all(len(s.split(" ")) == 5 for s in sh)
+
+
+# ---------------------------------------------------------------- insights
+
+@given(st.floats(min_value=-1e12, max_value=1e12, allow_nan=False))
+@settings(max_examples=300, deadline=None)
+def test_format_currency_total(v):
+    from sunat_rree_demo_spark.plans.insights import format_currency
+
+    s = format_currency(v)
+    assert s.endswith(("B", "M", "K"))
+    float(s[:-1])  # parses back
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False))
+@settings(max_examples=300, deadline=None)
+def test_trend_emoji_is_total_function(yoy):
+    from sunat_rree_demo_spark.plans.insights import trend_emoji
+
+    assert trend_emoji(yoy) in ("🚀", "📈", "📉", "⚠️")

@@ -1,0 +1,73 @@
+"""Physical-plan contracts backing SCALE.md: partition pruning, filter
+pushdown, broadcast joins, top-k as TakeOrderedAndProject. These are
+regression tests for plan shape, not timings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q02_filter_range_membership"].fn(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "In(o_orderpriority" in plan
+
+
+def test_column_pruning_reads_minimal_schema(spark):
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q01_annual_balance"].fn(spark, SF_SMOKE))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 3 of lineitem's 11 columns
+    assert read.count(":") - 1 <= 3 or read.count(",") <= 2
+
+
+def test_dim_joins_broadcast_not_sort_merge(spark):
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q20_region_revenue"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q08_topn_categories"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruning_on_year(spark, tmp_path):
+    from sunat_rree_demo_spark.plans.kpi import save_kpi_tables
+    from sunat_rree_demo_spark.sources.trade import (
+        synthetic_trade,
+        synthetic_trade_prod,
+    )
+
+    save_kpi_tables(spark, synthetic_trade(spark),
+                    synthetic_trade_prod(spark), str(tmp_path / "wh"))
+    pruned = spark.table("kpi_monthly").filter(F.col("year") == 2010)
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan and "year" in plan
+    assert pruned.count() == 12
+
+
+def test_single_window_exchange_for_kpi(spark):
+    """All 9+ window columns of the KPI table must share one sort/
+    exchange pair (one window spec), not one per column."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q24_kpi_monthly"].fn(spark, SF_SMOKE))
+    n_windows = sum(1 for l in plan.splitlines()
+                    if l.strip().startswith("(") and ") Window" in l)
+    assert n_windows <= 2  # lag/avg frame + first_value running frame

@@ -68,6 +68,27 @@ def test_lsh_recall_nonzero(spark):
     assert sum(recalls) / len(recalls) > 0.05
 
 
+def test_ivf_recall_beats_lsh_floor(spark):
+    """IVF with 16 cells / 4 probes scans ~25% of the corpus — mean
+    recall@5 must clear a floor well above random candidate share."""
+    from sunat_rree_demo_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = _tables(spark)
+    q = e.filter(F.col("vec_id") < 20)
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(e, q, k=5).collect():
+        truth.setdefault(r.q_id, set()).add(r.n_id)
+    approx: dict[int, set[int]] = {}
+    for r in ivf_topk(e, q, k=5).collect():
+        approx.setdefault(r.q_id, set()).add(r.n_id)
+    recalls = [len(truth[qid] & approx.get(qid, set())) / len(truth[qid])
+               for qid in truth]
+    assert sum(recalls) / len(recalls) > 0.25
+
+
 def test_brute_force_topk_is_symmetric_sane(spark):
     from sunat_rree_demo_spark.operators.similarity import brute_force_topk
 
