@@ -48,6 +48,30 @@ def test_tumbling_stream_matches_batch(spark, events_dir, batch_events):
     assert got == expect
 
 
+def test_sliding_stream_matches_batch_twin(spark, events_dir, batch_events):
+    from sunat_rree_demo_spark.streaming.events import (
+        events_file_stream,
+        run_available_now,
+        sliding_totals,
+    )
+
+    sdf = sliding_totals(events_file_stream(spark, events_dir))
+    run_available_now(sdf, "t_sliding", output_mode="complete")
+    got = {str(r.window_start): (r.n_events, r.total_value)
+           for r in spark.table("t_sliding").collect()}
+
+    two = (batch_events
+           .select(F.explode(F.array(
+               F.date_trunc("hour", "ts"),
+               F.date_trunc("hour", "ts") - F.expr("INTERVAL 1 HOUR")))
+               .alias("ws"), "value"))
+    expect = {str(r.ws): (r.n, r.tv)
+              for r in two.groupBy("ws")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("tv")).collect()}
+    assert got == expect
+
+
 def test_session_stream_produces_sessions(spark, events_dir):
     from sunat_rree_demo_spark.streaming.events import (
         events_file_stream,
