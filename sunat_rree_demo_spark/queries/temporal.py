@@ -1,0 +1,136 @@
+"""Temporal-join surface: calendar-offset YoY (the alternative to the
+reference's row-offset semantics, SURVEY.md §7.3), as-of join, and a
+date-range join — the SURVEY §7.4 join extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sunat_rree_demo_spark.operators.joins import asof_join
+from sunat_rree_demo_spark.queries.base import MONTHLY_SQL, monthly_flows, register, t
+
+
+# ---------------------------------------------------------------------- q55
+@register(
+    "q55_calendar_yoy",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL})
+    SELECT a.year, a.month_num, a.export_usd,
+           CASE WHEN b.export_usd IS NOT NULL AND b.export_usd <> 0
+                THEN round((a.export_usd / b.export_usd - 1) * 100, 2)
+           END AS yoy_calendar
+    FROM monthly a
+    LEFT JOIN monthly b
+      ON b.year = a.year - 1 AND b.month_num = a.month_num
+    ORDER BY a.year, a.month_num
+    """,
+    tags=("W2-calendar", "J2"),
+)
+def q55_calendar_yoy(spark, sf_dir):
+    """Calendar-offset YoY: same-month-last-year via a self equi-join on
+    (year−1, month_num) — the semantically-correct alternative the
+    engine offers alongside the reference-faithful row-offset lag
+    (q24); with gappy months the two genuinely differ (SURVEY §7.3)."""
+    m = monthly_flows(spark, sf_dir)
+    a = m.alias("a")
+    b = m.select(F.col("year").alias("_py"), F.col("month_num").alias("_pm"),
+                 F.col("export_usd").alias("_pexp"))
+    prev = F.col("_pexp")
+    return (
+        a.join(F.broadcast(b),
+               (F.col("_py") == F.col("a.year") - 1)
+               & (F.col("_pm") == F.col("a.month_num")), "left")
+        .select(
+            F.col("a.year").alias("year"),
+            F.col("a.month_num").alias("month_num"),
+            F.col("a.export_usd").alias("export_usd"),
+            F.when(prev.isNotNull() & (prev != 0),
+                   F.round((F.col("a.export_usd") / prev - 1) * 100, 2))
+            .alias("yoy_calendar"),
+        )
+        .orderBy("year", "month_num")
+    )
+
+
+# ---------------------------------------------------------------------- q56
+@register(
+    "q56_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE NULL END AS is_l,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, is_l,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+      FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_id, last_click_id
+    FROM filled
+    WHERE is_l = 1
+    ORDER BY user_id, purchase_id
+    """,
+    tags=("asof-join",),
+)
+def q56_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-simultaneous click — union-merge implementation, one
+    shuffle+sort on (user, ts), no range scan (operators.joins.
+    asof_join)."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    out = asof_join(purchases, clicks, on=["user_id"], order_col="ts",
+                    right_cols=["event_id"])
+    return (
+        out.select("user_id",
+                   F.col("event_id").alias("purchase_id"),
+                   F.col("event_id_asof").alias("last_click_id"))
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------- q57
+@register(
+    "q57_range_join",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS year,
+           count(*) AS n_shipments,
+           round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 4)
+             AS avg_ship_delay_days
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    ORDER BY year
+    """,
+    tags=("range-join",),
+)
+def q57_range_join(spark, sf_dir):
+    """Equi + date-range join (shipments within 90 days of order):
+    the range predicate rides the equi-join shuffle as a post-join
+    filter — no nested-loop; a pure range join (no equi key) would
+    bucket time into bands and equi-join on the band."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    j = li.join(o, (li.l_orderkey == o.o_orderkey)
+                & (li.l_shipdate >= o.o_orderdate)
+                & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("year"))
+        .agg(F.count("*").alias("n_shipments"),
+             F.round(F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 4)
+             .alias("avg_ship_delay_days"))
+        .orderBy("year")
+    )
