@@ -1,0 +1,86 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.10 extension surface — arbitrary per-key state beyond what
+windows/dropDuplicates express).
+
+State design for scale: state lives in the state store keyed by the
+group; each micro-batch touches only keys present in the batch. Keep the
+state payload O(1) per key (here: Welford triples / counters) — never
+accumulate raw events into state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, mean) maintained across
+    micro-batches — the canonical custom-stateful shape. Emits one
+    updated summary row per user per batch (output mode 'update')."""
+    import pandas as pd
+
+    out_schema = "user_id bigint, n_events bigint, total_value double, mean_value double"
+    state_schema = "n bigint, s double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(s, 2)],
+            "mean_value": [round(s / n, 4) if n else None],
+        })
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
+def anomaly_flags(events: DataFrame, sigma: float = 3.0,
+                  min_history: int = 10) -> DataFrame:
+    """Streaming anomaly detector: flag events deviating more than
+    ``sigma`` running standard deviations from the user's own history
+    (Welford's online algorithm in O(1) state per user — the streaming
+    counterpart of the batch σ-outlier operator Y1)."""
+    import math
+
+    import pandas as pd
+
+    out_schema = "user_id bigint, event_id bigint, value double, zscore double"
+    state_schema = "n bigint, mean double, m2 double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        flagged = {"user_id": [], "event_id": [], "value": [], "zscore": []}
+        for pdf in pdfs:
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                if n >= min_history:
+                    var = m2 / (n - 1)
+                    std = math.sqrt(var) if var > 0 else 0.0
+                    if std > 0 and abs(v - mean) > sigma * std:
+                        flagged["user_id"].append(key[0])
+                        flagged["event_id"].append(int(eid))
+                        flagged["value"].append(v)
+                        flagged["zscore"].append(round((v - mean) / std, 4))
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(flagged)
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                GroupStateTimeout.NoTimeout)
+    )
