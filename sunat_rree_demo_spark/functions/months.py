@@ -48,3 +48,13 @@ def month_name_es_sql(col: str) -> str:
         f"WHEN {i + 1} THEN '{n}'" for i, n in enumerate(MONTH_NAMES_ES)
     )
     return f"CASE {col} {arms} END"
+
+
+def month_num_from_name_sql(col: str = "month") -> str:
+    """Inverse CASE (name → 1..12) — the single source for every SQL
+    consumer (view layer, oracles); generated from MONTH_NAMES_ES so the
+    two directions can never desynchronize."""
+    arms = "\n".join(
+        f"WHEN '{n}' THEN {i + 1}" for i, n in enumerate(MONTH_NAMES_ES)
+    )
+    return f"CASE {col} {arms} END"

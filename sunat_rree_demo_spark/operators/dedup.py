@@ -54,13 +54,17 @@ def shingles(tok, n: int = 5):
     """Distinct word n-gram shingles of a token array: positions
     1..len-n+1, each joined by a single space (DuckDB twin:
     ``list_distinct(list_transform(range(1, len-n+2), i ->
-    array_to_string(tk[i:i+n-1], ' ')))``)."""
-    return F.array_distinct(
+    array_to_string(tk[i:i+n-1], ' ')))``). Documents shorter than n
+    tokens yield an empty array (an unguarded ``sequence(1, size-n+1)``
+    runs DESCENDING for short docs and crashes ``slice``)."""
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(tok) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
         )
     )
+    return F.when(F.size(tok) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -166,7 +170,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     Jaccard as the fraction of equal signature components → filter.
     The join key is (band, bucket), so shuffle volume is
     O(docs × bands), independent of shingle frequency skew."""
-    sig = minhash_signatures(docs, id_col, text_col, n, k).cache()
+    # localCheckpoint (not cache): materialized once for the three
+    # consumers below, reclaimed by GC — cache() would pin executor
+    # storage for the session lifetime on every invocation
+    sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
     rows_per_band = k // bands
     mh_cols = [f"mh{i}" for i in range(k)]
 

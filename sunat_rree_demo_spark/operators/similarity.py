@@ -40,6 +40,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _score_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """Shared re-rank tail for the ANN variants: numpy cosine per
+    (q_vec, n_vec) candidate row, then window rank with the
+    deterministic (cos desc, n_id) tiebreak, keep top-k. One definition
+    so LSH/IVF scoring can never drift from each other."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    score_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.array(list(pdf["q_vec"]), dtype="float64")
+            nm = np.array(list(pdf["n_vec"]), dtype="float64")
+            num = np.einsum("ij,ij->i", qm, nm)
+            den = (np.sqrt((qm * qm).sum(axis=1))
+                   * np.sqrt((nm * nm).sum(axis=1)))
+            den[den == 0] = 1.0
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"].to_numpy(dtype="int64"),
+                "n_id": pdf["n_id"].to_numpy(dtype="int64"),
+                "cos": np.round(num / den, COS_DECIMALS)})
+
+    scored = cand.mapInPandas(score, schema=score_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 #: decimals both engines round cosines to — pins cross-engine equality
 #: (BLAS/pairwise vs sequential summation differ only in the last ulps).
 COS_DECIMALS = 6
@@ -251,33 +289,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
         .dropDuplicates(["q_id", "n_id"])
     )
 
-    score_schema = T.StructType([
-        T.StructField("q_id", T.LongType()),
-        T.StructField("n_id", T.LongType()),
-        T.StructField("cos", T.DoubleType()),
-    ])
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qm = np.array(list(pdf["q_vec"]), dtype="float64")
-            nm = np.array(list(pdf["n_vec"]), dtype="float64")
-            num = np.einsum("ij,ij->i", qm, nm)
-            den = (np.sqrt((qm * qm).sum(axis=1))
-                   * np.sqrt((nm * nm).sum(axis=1)))
-            den[den == 0] = 1.0
-            yield pd.DataFrame({
-                "q_id": pdf["q_id"].to_numpy(dtype="int64"),
-                "n_id": pdf["n_id"].to_numpy(dtype="int64"),
-                "cos": np.round(num / den, COS_DECIMALS)})
-
-    scored = cand.mapInPandas(score, schema=score_schema)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _score_candidates(cand, k)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
@@ -350,30 +362,4 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int,
         .dropDuplicates(["q_id", "n_id"])
     )
 
-    score_schema = T.StructType([
-        T.StructField("q_id", T.LongType()),
-        T.StructField("n_id", T.LongType()),
-        T.StructField("cos", T.DoubleType()),
-    ])
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qm = np.array(list(pdf["q_vec"]), dtype="float64")
-            nm = np.array(list(pdf["n_vec"]), dtype="float64")
-            num = np.einsum("ij,ij->i", qm, nm)
-            den = (np.sqrt((qm * qm).sum(axis=1))
-                   * np.sqrt((nm * nm).sum(axis=1)))
-            den[den == 0] = 1.0
-            yield pd.DataFrame({
-                "q_id": pdf["q_id"].to_numpy(dtype="int64"),
-                "n_id": pdf["n_id"].to_numpy(dtype="int64"),
-                "cos": np.round(num / den, COS_DECIMALS)})
-
-    scored = cand.mapInPandas(score, schema=score_schema)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _score_candidates(cand, k)

@@ -70,6 +70,8 @@ def summary(base: DataFrame) -> dict[str, Any]:
 
 def report_markdown(stats: dict[str, Any]) -> str:
     """Render the summary as the eda_summary.md shape (eda.py:243-298)."""
+    if not stats.get("n_months") or stats.get("peak_month") is None:
+        return "# EDA Summary\n\n- No data in the selected range\n"
     surplus_pct = (100.0 * stats["surplus_months"] / stats["n_months"]
                    if stats.get("n_months") else 0.0)
     return (

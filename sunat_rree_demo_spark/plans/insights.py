@@ -77,6 +77,10 @@ def top_insight_records(kpi_prod: DataFrame, top_n: int = 3) -> list[dict[str, A
         .orderBy(F.desc(F.abs(F.col(yoy_col))), F.asc("category"))
         .limit(top_n)
     )
+    # normalize the resolved YoY column to 'exp_yoy' so downstream
+    # templating works for either supported schema
+    if yoy_col != "exp_yoy":
+        sub = sub.withColumn("exp_yoy", F.col(yoy_col))
     return [r.asDict() for r in sub.collect()]
 
 

@@ -62,11 +62,16 @@ def run_invariants(trade: DataFrame, trade_prod: DataFrame,
     n = trade_prod.count()
     results.append(QAResult("table_non_empty", 0 if n > 0 else 1, f"{n} rows"))
 
-    major = reconciliation(trade_prod, ["year", "flow", "category"],
-                           MAJOR_TOLERANCE).count()
-    warn = reconciliation(trade_prod, ["year", "flow", "category"],
-                          WARN_TOLERANCE).count()
-    results.append(QAResult("reconciliation_major", major, f"{warn} warn-level"))
+    # one reconciliation pass yields both tolerance counts (the warn-level
+    # rows are a superset of the major ones)
+    recon = reconciliation(trade_prod, ["year", "flow", "category"],
+                           WARN_TOLERANCE)
+    counts = recon.agg(
+        F.count("*").alias("warn"),
+        F.sum(F.when(F.col("delta") > MAJOR_TOLERANCE, 1).otherwise(0))
+        .alias("major")).first()
+    results.append(QAResult("reconciliation_major", int(counts.major or 0),
+                            f"{counts.warn} warn-level"))
 
     flows = [r.flow for r in trade_prod.select("flow").distinct().collect()]
     results.append(QAResult(

@@ -14,15 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from sunat_rree_demo_spark.functions.months import month_name_es_sql
-
-
-def _inverse_month_case() -> str:
-    """month name → number, the 12-arm CASE of models/metrics.sql:10-23."""
-    from sunat_rree_demo_spark.functions.months import MONTH_NAMES_ES
-    arms = "\n        ".join(
-        f"WHEN '{n}' THEN {i + 1}" for i, n in enumerate(MONTH_NAMES_ES))
-    return f"CASE month {arms} END"
+from sunat_rree_demo_spark.functions.months import (
+    month_name_es_sql,
+    month_num_from_name_sql,
+)
 
 
 def view_sql(q: str = "`") -> dict[str, str]:
@@ -35,7 +30,7 @@ def view_sql(q: str = "`") -> dict[str, str]:
 
     base_monthly = f"""
     SELECT year, month,
-           {_inverse_month_case()} AS month_num,
+           {month_num_from_name_sql("month")} AS month_num,
            SUM(CASE WHEN flow = 'export' THEN usd END) AS export,
            SUM(CASE WHEN flow = 'import' THEN usd END) AS {imp}
     FROM trade

@@ -8,7 +8,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sunat_rree_demo_spark.functions.months import month_name_es_sql
+from sunat_rree_demo_spark.functions.months import (
+    month_name_es_sql,
+    month_num_from_name_sql,
+)
 from sunat_rree_demo_spark.queries.base import MONTHLY_SQL, monthly_flows, register, t
 
 
@@ -80,12 +83,7 @@ _TRADE_CTE = f"""
   FROM monthly GROUP BY year
 """
 
-_MONTH_TO_NUM = """CASE month
-        WHEN 'Enero' THEN 1 WHEN 'Febrero' THEN 2 WHEN 'Marzo' THEN 3
-        WHEN 'Abril' THEN 4 WHEN 'Mayo' THEN 5 WHEN 'Junio' THEN 6
-        WHEN 'Julio' THEN 7 WHEN 'Agosto' THEN 8 WHEN 'Septiembre' THEN 9
-        WHEN 'Octubre' THEN 10 WHEN 'Noviembre' THEN 11 WHEN 'Diciembre' THEN 12
-        END"""
+_MONTH_TO_NUM = month_num_from_name_sql("month")
 
 
 @register(

@@ -41,9 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer division: (ts / 1000) in double loses ulps above
+            # 2^53 ns and lands 1 µs off DuckDB's exact conversion
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 

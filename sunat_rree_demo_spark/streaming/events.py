@@ -39,8 +39,8 @@ def events_file_stream(spark: SparkSession, directory: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(directory)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    # integer division (div), not double /: exact µs like DuckDB's cast
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour",
