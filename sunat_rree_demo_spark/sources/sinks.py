@@ -1,0 +1,33 @@
+"""Warehouse sinks (SURVEY.md §2.1 S7/S8) — partitioned parquet (the
+plans layer default) plus bucketed managed tables for co-located joins.
+
+Bucketing is the 100 TB lever the reference never needed: writing both
+fact tables bucketed+sorted by the join key makes the recurring
+fact-fact join (lineitem ⋈ orders here; facts ⋈ facts generally)
+shuffle-free — the exchange disappears from the plan because both sides
+are already hash-distributed identically. Verified by
+tests/test_scale_contracts.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: str = "year",
+                      mode: str = "overwrite") -> None:
+    """S8 — partitioned parquet sink; readers get partition pruning."""
+    df.write.mode(mode).partitionBy(partition_by).parquet(path)
+
+
+def write_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
+                         bucket_col: str, n_buckets: int = 8,
+                         mode: str = "overwrite") -> None:
+    """S7 scale form — managed table bucketed+sorted by the join key.
+    Joins between tables bucketed identically on the key skip the
+    shuffle entirely (no Exchange in the plan)."""
+    (df.write.mode(mode)
+       .bucketBy(n_buckets, bucket_col)
+       .sortBy(bucket_col)
+       .format("parquet")
+       .saveAsTable(name))

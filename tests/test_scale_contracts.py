@@ -62,6 +62,48 @@ def test_partition_pruning_on_year(spark, tmp_path):
     assert pruned.count() == 12
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Identically-bucketed fact tables must join without an Exchange —
+    the co-located fact-fact join SCALE.md promises."""
+    import shutil
+
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.sources.sinks import write_bucketed_table
+
+    # clear catalog entries AND their locations (a crashed previous run
+    # can leave the dir behind with no metastore entry)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tname in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        shutil.rmtree(f"{warehouse}/{tname}", ignore_errors=True)
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice")
+    write_bucketed_table(spark, li, "b_lineitem", "l_orderkey", 4)
+    write_bucketed_table(
+        spark, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", "l_orderkey", 4)
+    # disable broadcast so the planner takes the co-located merge path
+    # (at test size it would rightly broadcast and skip bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+                                                "l_orderkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Bucketed: true" in plan
+        # no shuffle exchange feeding the join: both sides pre-distributed
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_single_window_exchange_for_kpi(spark):
     """All 9+ window columns of the KPI table must share one sort/
     exchange pair (one window spec), not one per column."""
