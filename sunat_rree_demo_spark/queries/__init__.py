@@ -18,3 +18,4 @@ from sunat_rree_demo_spark.queries import similarity  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import scale_variants  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import stats  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import temporal  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import arrays  # noqa: E402,F401
