@@ -1,8 +1,10 @@
 """Deduplication queries over the documents table (driver mandate):
-exact, n-gram Jaccard (oracle-checked), MinHash+LSH and SimHash
-(sha-derived hashes; MinHash/SimHash are golden-tested in
-tests/test_dedup.py against pure-Python implementations and registered
-rows-only — the banded-bucket plans aren't naturally SQL-expressible).
+exact, n-gram Jaccard, MinHash+LSH and SimHash — ALL oracle-checked.
+The MinHash/SimHash oracles are generated from the same constant tables
+as the Spark operators (sha-256-derived base hashes parse identically
+via DuckDB's ``('0x'||hex)::BIGINT``), so the full banded-LSH pipeline
+is verified end-to-end against an independent SQL implementation, on
+top of the pure-Python golden tests in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -10,12 +12,109 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sunat_rree_demo_spark.operators.dedup import (
+    HASH_HEX_LEN,
+    LSH_BANDS,
+    MERSENNE_P,
+    MINHASH_K,
+    _minhash_params,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
 from sunat_rree_demo_spark.queries.base import register, t
+
+#: shared shingle/token CTEs (the tokenizer contract of operators.text)
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
+      FROM toks WHERE len(tk) >= 5
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(sha256(shingle), 1, {hexlen}))::BIGINT AS bh
+      FROM sh
+    )
+""".format(hexlen=HASH_HEX_LEN)
+
+
+def _minhash_oracle_sql(threshold: float = 0.3) -> str:
+    """The full MinHash+LSH pipeline in DuckDB SQL, generated from the
+    operator's own (a, b) constants and band layout."""
+    params = _minhash_params()
+    sig_cols = ",\n             ".join(
+        f"min(({a} * bh + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bucket FROM sig"
+        .format(b=bi, cols=", ".join(
+            f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)))
+        for bi in range(LSH_BANDS))
+    eq_sum = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(({eq_sum}) / {float(MINHASH_K)}, 4) AS jaccard_est
+    FROM cand
+    JOIN sig s1 ON id1 = s1.doc_id
+    JOIN sig s2 ON id2 = s2.doc_id
+    WHERE round(({eq_sum}) / {float(MINHASH_K)}, 4) >= {threshold}
+    ORDER BY id1, id2
+    """
+
+
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    """Per-doc SimHash in DuckDB SQL: signed bit votes over distinct
+    token hashes, reassembled with the same bit weights."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (bh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits))
+    fp = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks
+    ),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substr(sha256(t), 1, {HASH_HEX_LEN}))::BIGINT AS bh
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """
 
 
 # ---------------------------------------------------------------------- q39
@@ -92,13 +191,14 @@ def q40_ngram_jaccard_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------- q41
 @register(
     "q41_minhash_lsh_pairs",
-    oracle=None,  # banded LSH plan; golden-tested in tests/test_dedup.py
+    oracle=_minhash_oracle_sql(0.3),
     tags=("dedup", "minhash-lsh"),
 )
 def q41_minhash_lsh_pairs(spark, sf_dir):
     """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs with
     estimated Jaccard ≥ 0.3 — the 100 TB dedup path: shuffle key is
-    (band, bucket), never the raw shingle."""
+    (band, bucket), never the raw shingle. The oracle re-implements the
+    whole banded pipeline in SQL from the same constants."""
     d = t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3).orderBy("id1", "id2")
 
@@ -106,7 +206,7 @@ def q41_minhash_lsh_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------- q42
 @register(
     "q42_simhash",
-    oracle=None,  # golden-tested in tests/test_dedup.py
+    oracle=_simhash_oracle_sql(32),
     tags=("dedup", "simhash"),
 )
 def q42_simhash(spark, sf_dir):
