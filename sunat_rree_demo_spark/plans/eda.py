@@ -19,9 +19,10 @@ from sunat_rree_demo_spark.operators.windows import rolling_mean, series_window
 
 
 def monthly_base(kpi_monthly: DataFrame) -> DataFrame:
-    """The EDA working set (eda.py:31-49): the monthly wide series in
-    billions."""
-    return kpi_monthly.select(
+    """The EDA working set: months with a complete balance (the
+    reference reads ``WHERE balance IS NOT NULL``, eda.py:27 — months
+    missing a flow are excluded from every EDA stat), in billions."""
+    return kpi_monthly.filter(F.col("balance").isNotNull()).select(
         "year", "month_num",
         (F.col("export") / 1e9).alias("export_bn"),
         (F.col("import") / 1e9).alias("import_bn"),

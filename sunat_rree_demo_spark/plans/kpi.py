@@ -14,8 +14,13 @@ Semantic fidelity notes (SURVEY.md §7.3):
   ``>0 else 1`` guard (``metrics_products.py:100-107``);
 - ``cov_ratio`` is exp/imp (no %, round 4) with inf→NULL
   (``metrics_products.py:72``);
-- missing flow columns default to NULL nationally (``metrics.py:40-43``)
-  but 0 for products (``metrics_products.py:61-64``) — reproduced.
+- a per-cell missing flow stays NULL (pandas pivot leaves NaN; the
+  0-default at ``metrics_products.py:61-64`` applies only to a wholly
+  absent column), and all-NULL (year, month) groups are dropped like
+  ``pivot_table(dropna=True)``;
+- rounding is HALF_EVEN (``F.bround``) to match pandas/numpy ``.round``
+  — both builders reproduce the reference's committed kpi tables
+  bit-for-bit on its own data (tests/test_reference_parity.py).
 
 Scale: the national series is one aggregated row per month (tiny window);
 the product table windows partition by category, so parallelism and
@@ -33,10 +38,13 @@ from sunat_rree_demo_spark.operators.windows import series_window
 
 def _pct(col: str, n: int, w) -> F.Column:
     # zero base → NULL (pandas would emit ±inf here; under ANSI Spark a
-    # raw division raises — NULL is the engine's inf_to_null stance, F9)
+    # raw division raises — NULL is the engine's inf_to_null stance, F9).
+    # bround = HALF_EVEN, matching pandas/numpy .round() exactly — the
+    # reference's SQL views use HALF_UP ROUND, an inconsistency the
+    # reference itself has between its two implementations (SURVEY §4d)
     prev = F.lag(col, n).over(w)
     return F.when(prev.isNotNull() & (prev != 0),
-                  F.round((F.col(col) / prev - 1) * 100, 2))
+                  F.bround((F.col(col) / prev - 1) * 100, 2))
 
 
 def build_kpi_monthly(trade: DataFrame, base_year: int = 2005) -> DataFrame:
@@ -51,6 +59,11 @@ def build_kpi_monthly(trade: DataFrame, base_year: int = 2005) -> DataFrame:
                     ignorenulls=True).alias("import"),
         )
         .withColumn("month_num", month_num_from_name("month"))
+        # pandas pivot_table(dropna=True) silently drops groups whose
+        # values are all NaN (e.g. a month present only as a NULL-usd
+        # import row); reproduce, BEFORE the windows, so lag offsets
+        # align with the reference
+        .filter(F.col("export").isNotNull() | F.col("import").isNotNull())
     )
     w = series_window()
     # base-100: January of base_year (metrics.py:59-63), broadcast scalar.
@@ -65,17 +78,17 @@ def build_kpi_monthly(trade: DataFrame, base_year: int = 2005) -> DataFrame:
         .withColumn("balance", bal)
         .withColumn("idx2005_export",
                     F.when(F.col("_bexp") != 0,
-                           F.round(F.col("export") / F.col("_bexp") * 100, 2)))
+                           F.bround(F.col("export") / F.col("_bexp") * 100, 2)))
         .withColumn("idx2005_import",
                     F.when(F.col("_bimp") != 0,
-                           F.round(F.col("import") / F.col("_bimp") * 100, 2)))
+                           F.bround(F.col("import") / F.col("_bimp") * 100, 2)))
         .withColumn("export_mom", _pct("export", 1, w))
         .withColumn("export_yoy", _pct("export", 12, w))
         .withColumn("import_mom", _pct("import", 1, w))
         .withColumn("import_yoy", _pct("import", 12, w))
-        .withColumn("export_ma3", F.round(F.avg("export").over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("import_ma3", F.round(F.avg("import").over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("balance_ma3", F.round(F.avg(bal).over(w.rowsBetween(-2, 0)), 0))
+        .withColumn("export_ma3", F.bround(F.avg("export").over(w.rowsBetween(-2, 0)), 0))
+        .withColumn("import_ma3", F.bround(F.avg("import").over(w.rowsBetween(-2, 0)), 0))
+        .withColumn("balance_ma3", F.bround(F.avg(bal).over(w.rowsBetween(-2, 0)), 0))
         .select("year", "month", "month_num", "export", "import", "balance",
                 "export_mom", "export_yoy", "import_mom", "import_yoy",
                 "export_ma3", "import_ma3", "balance_ma3",
@@ -91,10 +104,13 @@ def build_kpi_prod_monthly(trade_prod: DataFrame) -> DataFrame:
         .withColumn("month_num", month_num_from_name("month"))
         .groupBy("year", "month", "month_num", "category")
         .agg(
-            F.coalesce(F.sum(F.when(F.col("flow") == "export", F.col("usd"))),
-                       F.lit(0.0)).alias("exp"),
-            F.coalesce(F.sum(F.when(F.col("flow") == "import", F.col("usd"))),
-                       F.lit(0.0)).alias("imp"),
+            # per-cell missing flow stays NULL — pandas pivot_table only
+            # defaults a flow to 0 when the whole COLUMN is absent
+            # (metrics_products.py:61-64); per-cell gaps are NaN, and in
+            # the committed data the flows are disjoint per category, so
+            # this distinction decides most of the table
+            F.sum(F.when(F.col("flow") == "export", F.col("usd"))).alias("exp"),
+            F.sum(F.when(F.col("flow") == "import", F.col("usd"))).alias("imp"),
         )
     )
     w = series_window(partition=["category"])
@@ -107,16 +123,16 @@ def build_kpi_prod_monthly(trade_prod: DataFrame) -> DataFrame:
         base
         .withColumn("balance", bal)
         .withColumn("cov_ratio",
-                    F.round(F.when(F.col("imp") != 0, F.col("exp") / F.col("imp")), 4))
+                    F.bround(F.when(F.col("imp") != 0, F.col("exp") / F.col("imp")), 4))
         .withColumn("exp_mom", _pct("exp", 1, w))
         .withColumn("exp_yoy", _pct("exp", 12, w))
         .withColumn("imp_mom", _pct("imp", 1, w))
         .withColumn("imp_yoy", _pct("imp", 12, w))
-        .withColumn("exp_ma3", F.round(F.avg("exp").over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("imp_ma3", F.round(F.avg("imp").over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("balance_ma3", F.round(F.avg(bal).over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("idx_exp", F.round(F.col("exp") / guard(first_exp) * 100, 2))
-        .withColumn("idx_imp", F.round(F.col("imp") / guard(first_imp) * 100, 2))
+        .withColumn("exp_ma3", F.bround(F.avg("exp").over(w.rowsBetween(-2, 0)), 0))
+        .withColumn("imp_ma3", F.bround(F.avg("imp").over(w.rowsBetween(-2, 0)), 0))
+        .withColumn("balance_ma3", F.bround(F.avg(bal).over(w.rowsBetween(-2, 0)), 0))
+        .withColumn("idx_exp", F.bround(F.col("exp") / guard(first_exp) * 100, 2))
+        .withColumn("idx_imp", F.bround(F.col("imp") / guard(first_imp) * 100, 2))
         .select("year", "month", "month_num", "category",
                 "exp", "imp", "balance", "cov_ratio",
                 "exp_mom", "exp_yoy", "imp_mom", "imp_yoy",

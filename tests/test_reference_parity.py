@@ -1,0 +1,96 @@
+"""THE parity proof: run our KPI builders on the reference's own
+committed fact tables (/root/reference, read-only) and compare
+column-for-column against its committed derived tables. Guarded on the
+reference being present so the suite still runs elsewhere."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/trade.parquet"),
+    reason="reference artifacts not available")
+
+
+def _compare(ours_pdf, ref_pdf, keys):
+    """Exact (1e-6) on every column; the 0-decimal *_ma3 columns allow at
+    most 2 cells off by 1.0 — pandas' streaming rolling-mean and Spark's
+    frame AVG can land on opposite ulp sides of an exact .5 (observed:
+    exactly one 9-digit cell of 1669 in the committed data)."""
+    ours = ours_pdf.set_index(keys).sort_index()
+    ref = ref_pdf.set_index(keys).sort_index()
+    assert len(ours) == len(ref), (len(ours), len(ref))
+    assert sorted(ours.columns) == sorted(ref.columns)
+    problems = {}
+    for col in ref.columns:
+        o, r = ours[col], ref[col]
+        if o.dtype == object:
+            if not (o == r).all():
+                problems[col] = "string mismatch"
+            continue
+        both_nan = o.isna() & r.isna()
+        nan_mismatch = int((o.isna() != r.isna()).sum())
+        diff = (o.astype(float) - r.astype(float)).abs().where(~both_nan, 0)
+        if col.endswith("_ma3"):
+            n_off = int((diff > 1e-6).sum())
+            if diff.max() > 1.0 or n_off > 2 or nan_mismatch:
+                problems[col] = (float(diff.max()), n_off, nan_mismatch)
+        elif diff.max() > 1e-6 or nan_mismatch:
+            problems[col] = (float(diff.max()), nan_mismatch)
+    assert not problems, problems
+
+
+def test_kpi_monthly_reproduces_reference_artifact(spark):
+    import pandas as pd
+
+    from sunat_rree_demo_spark.plans.kpi import build_kpi_monthly
+
+    trade = spark.read.parquet(f"{REF}/trade.parquet")
+    _compare(build_kpi_monthly(trade).toPandas(),
+             pd.read_parquet(f"{REF}/kpi_monthly.parquet"),
+             ["year", "month"])
+
+
+def test_kpi_prod_monthly_reproduces_reference_artifact(spark):
+    import pandas as pd
+
+    from sunat_rree_demo_spark.plans.kpi import build_kpi_prod_monthly
+
+    tp = spark.read.parquet(f"{REF}/trade_prod.parquet")
+    _compare(build_kpi_prod_monthly(tp).toPandas(),
+             pd.read_parquet(f"{REF}/kpi_prod_monthly.parquet"),
+             ["year", "month", "category"])
+
+
+def test_insights_and_eda_run_on_reference_data(spark):
+    """The downstream layers must consume the real tables end-to-end."""
+    from sunat_rree_demo_spark.plans.eda import run_eda
+    from sunat_rree_demo_spark.plans.insights import build_insights, quick_stats
+    from sunat_rree_demo_spark.plans.kpi import (
+        build_kpi_monthly,
+        build_kpi_prod_monthly,
+    )
+
+    km = build_kpi_monthly(spark.read.parquet(f"{REF}/trade.parquet"))
+    kp = build_kpi_prod_monthly(spark.read.parquet(f"{REF}/trade_prod.parquet"))
+    stats = run_eda(km)
+    # the reference's published EDA stats (reports/eda/eda_summary.md:4-7
+    # prints at 1 decimal; our bundle keeps 2, so compare within half a
+    # display unit)
+    assert abs(stats["mean_export_bn"] - 2.9) <= 0.05
+    assert abs(stats["std_export_bn"] - 0.8) <= 0.05
+    assert abs(stats["max_export_bn"] - 4.6) <= 0.05
+    assert (stats["peak_year"], stats["peak_month"]) == (2011, 8)
+    assert stats["n_months"] == 156 and stats["surplus_months"] == 109
+    # the committed kpi_prod has disjoint flows per category → balance is
+    # NaN throughout the latest year → the reference's own dropna
+    # (insights_engine.py:63-68) yields the no-data card; both shapes are
+    # faithful depending on the year's completeness
+    cards = build_insights(kp)
+    assert cards and ("Insight #1" in cards[0] or "Sin datos" in cards[0])
+    qs = quick_stats(kp)
+    assert qs["latest_year"] == 2025 and qs["active_categories"] > 0
