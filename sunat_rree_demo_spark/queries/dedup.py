@@ -126,7 +126,8 @@ def _simhash_oracle_sql(bits: int = 32) -> str:
       FROM documents
       GROUP BY sha256(text)
     )
-    SELECT d.lang, count(*) AS n_kept, round(sum(d.n_chars), 2) AS total_chars
+    SELECT d.lang, count(*) AS n_kept,
+           round(CAST(sum(d.n_chars) AS DOUBLE), 2) AS total_chars
     FROM documents d
     JOIN canon c ON d.doc_id = c.doc_id
     GROUP BY d.lang
@@ -142,7 +143,9 @@ def q39_exact_dedup(spark, sf_dir):
     return (
         kept.groupBy("lang")
         .agg(F.count("*").alias("n_kept"),
-             F.round(F.sum("n_chars"), 2).alias("total_chars"))
+             # cast before round: sum(bigint) stays bigint in Spark but
+             # DuckDB's round(hugeint) returns DOUBLE — align the types
+             F.round(F.sum("n_chars").cast("double"), 2).alias("total_chars"))
         .orderBy("lang")
     )
 
