@@ -1,9 +1,20 @@
 """Local simulation of the driver's DuckDB-oracle correctness gate.
 
-For each query in the registry: run the Spark DataFrame and the oracle SQL
-on the same parquet, then compare row count, sorted column names, and an
-order-insensitive value comparison (exact for strings/ints, tiny epsilon
-for floats so we see *near* misses distinctly from hard mismatches).
+For each query in the registry: run the Spark DataFrame and the oracle
+SQL on the same parquet, then compare row count, sorted column names,
+and an EXACT, TYPE-SENSITIVE, order-insensitive value comparison at the
+Arrow level — the same strictness as the driver's value hash.
+
+Why Arrow-level: DuckDB's ``fetchall()`` silently converts HUGEINT
+(e.g. ``sum`` over an integer expression) to Python int, which hides
+exactly the int64-vs-decimal128 type drift the driver's hash catches.
+``rel.arrow()`` preserves it (decimal128(38,0)), and Spark's
+``df.toArrow()`` preserves int64 — so a drifted oracle fails here the
+same way it fails the driver.
+
+A value pair that fails the strict check but agrees within 1e-6 is
+reported as ``NEAR-MISS`` (would fail the driver hash) — kept as a
+diagnostic, never counted as a pass.
 
 Usage: python scripts/check_parity.py [sf_dir] [query ...]
 """
@@ -12,63 +23,108 @@ from __future__ import annotations
 
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
 
 
-def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, then rows — the driver's order-insensitive
-    compare. Floats rounded to 9 significant-ish digits for sorting."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def keyify(v):
-        if v is None:
-            return (0, "")
-        if isinstance(v, float):
-            if math.isnan(v):
-                return (1, "nan")
-            return (2, f"{v:.6f}")
-        return (3, str(v))
-
-    out = [tuple(r[i] for i in order) for r in rows]
-    return sorted(out, key=lambda r: [keyify(v) for v in r])
+def _sort_key(v):
+    """Deterministic mixed-type sort key (not the equality check)."""
+    if v is None:
+        return (0, "")
+    if isinstance(v, bool):
+        return (1, str(v))
+    if isinstance(v, (int, Decimal)) and not isinstance(v, bool):
+        return (2, f"{Decimal(v):040.6f}")
+    if isinstance(v, float):
+        if math.isnan(v):
+            return (3, "nan")
+        return (2, f"{Decimal(repr(v)):040.6f}" if abs(v) < 1e30 else repr(v))
+    return (4, str(v))
 
 
-def values_equal(a, b) -> bool:
+def normalize(table) -> list[tuple]:
+    """Arrow table → rows with columns reordered by sorted name, rows
+    sorted by a deterministic key — the driver's order-insensitive
+    shape."""
+    cols = sorted(table.column_names)
+    data = [table.column(c).to_pylist() for c in cols]
+    rows = list(zip(*data)) if data else []
+    return sorted(rows, key=lambda r: [_sort_key(v) for v in r])
+
+
+def strict_equal(a, b) -> bool:
+    """Exact, type-class-sensitive equality (mirrors hashing the Arrow
+    values): int64 != decimal128, 1.0 (float) != 1 (int)."""
     if a is None or b is None:
         return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) or math.isnan(fb):
-            return math.isnan(fa) and math.isnan(fb)
-        return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
-    return str(a) == str(b)
+    # type classes: bool < int < Decimal < float < datetime/str/other
+    ta = _type_class(a)
+    tb = _type_class(b)
+    if ta != tb:
+        return False
+    if ta == "float":
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b
+    return a == b
 
 
-def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
+def _type_class(v) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
+
+
+def near_equal(a, b) -> bool:
+    """The old epsilon check — used only to label near-misses."""
+    try:
+        fa, fb = float(a), float(b)
+    except (TypeError, ValueError):
+        return str(a) == str(b)
+    if math.isnan(fa) or math.isnan(fb):
+        return math.isnan(fa) and math.isnan(fb)
+    return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
+
+
+def compare(name: str, spark_df, duck_rel) -> list[str]:
     problems = []
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    if sorted(s_cols) != sorted(duck_cols):
-        problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(duck_cols)}")
+    s_tbl = spark_df.toArrow()
+    d_tbl = duck_rel.arrow()
+    if sorted(s_tbl.column_names) != sorted(d_tbl.column_names):
+        problems.append(
+            f"schema: spark={sorted(s_tbl.column_names)} "
+            f"duck={sorted(d_tbl.column_names)}")
         return problems
-    if len(s_rows) != len(duck_rows):
-        problems.append(f"rowcount: spark={len(s_rows)} duck={len(duck_rows)}")
-    a = normalize(s_rows, s_cols)
-    b = normalize(duck_rows, duck_cols)
-    n_bad = 0
+    a = normalize(s_tbl)
+    b = normalize(d_tbl)
+    if len(a) != len(b):
+        problems.append(f"rowcount: spark={len(a)} duck={len(b)}")
+        return problems
+    cols = sorted(s_tbl.column_names)
+    n_bad = n_near = 0
     for i, (ra, rb) in enumerate(zip(a, b)):
-        for va, vb in zip(ra, rb):
-            if not values_equal(va, vb):
+        for ci, (va, vb) in enumerate(zip(ra, rb)):
+            if not strict_equal(va, vb):
+                tag = ("NEAR-MISS" if near_equal(va, vb) else "MISMATCH")
+                if tag == "NEAR-MISS":
+                    n_near += 1
                 if n_bad < 3:
-                    problems.append(f"row {i}: {ra} != {rb}")
+                    problems.append(
+                        f"row {i} col {cols[ci]}: {tag} spark="
+                        f"{va!r}({_type_class(va)}) duck="
+                        f"{vb!r}({_type_class(vb)})")
                 n_bad += 1
                 break
     if n_bad:
-        problems.append(f"{n_bad}/{len(a)} rows differ")
+        problems.append(f"{n_bad}/{len(a)} rows differ "
+                        f"({n_near} near-miss, rest hard)")
     return problems
 
 
@@ -87,19 +143,18 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failed = []
+    n_run = 0
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = q.fn(spark, sf_dir)
             if q.oracle is None:
                 n = sdf.count()
                 print(f"  {name}: rows-only check, {n} rows")
                 continue
-            rel = con.sql(q.oracle)
-            duck_cols = list(rel.columns)
-            duck_rows = rel.fetchall()
-            problems = compare(name, sdf, duck_rows, duck_cols)
+            problems = compare(name, sdf, con.sql(q.oracle))
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
         if problems:
@@ -109,7 +164,7 @@ def main() -> int:
                 print(f"    {p}")
         else:
             print(f"✓ {name}")
-    print(f"\n{len(REGISTRY) - len(failed)}/{len(REGISTRY)} queries match")
+    print(f"\n{n_run - len(failed)}/{n_run} queries match")
     spark.stop()
     return 1 if failed else 0
 

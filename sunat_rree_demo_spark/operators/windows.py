@@ -51,6 +51,40 @@ def rolling_mean(col: str, n: int, w: WindowSpec, ndigits: int | None = 2) -> Co
     return F.round(m, ndigits) if ndigits is not None else m
 
 
+def rolling_mean_exact(col: str | Column, n: int, w: WindowSpec,
+                       ndigits: int = 2) -> Column:
+    """W5 — trailing n-row mean of an already-2dp-rounded series,
+    computed in exact integer cents so the result is bit-identical
+    across engines.
+
+    ``avg`` over a long float window is summation-order-dependent, and
+    even with an exact cents sum, ``round(total/(cnt*100), 2)`` still
+    diverges: Spark rounds doubles via their shortest decimal string
+    (HALF_UP), DuckDB rounds the raw binary double — one ulp around a
+    ``.005`` boundary flips the last digit (the r01 q26 hash fail, and
+    the residual q25 near-misses). So BOTH the sum and the rounding are
+    done in exact bigint arithmetic: mean-in-cents rounded
+    half-away-from-zero is ``sign(total) * ((2*|total| + cnt) div
+    (2*cnt))``, divided by 100 once at the end (exact: one correctly-
+    rounded IEEE division of an integer ≤ 2^53 by 100, same bits in
+    every engine). Oracle twin: ``_ma_exact_sql`` in queries/windows.py.
+
+    Integer division is expressed as ``(a - a % b) / b`` — exact for
+    nonneg bigints whose quotient fits a double — because the Column
+    API has no ``div`` operator.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    frame = w.rowsBetween(-(n - 1), 0)
+    cents = F.round(c * 100, 0).cast("bigint")
+    total = F.sum(cents).over(frame)
+    cnt = F.count(c).over(frame)
+    num = 2 * F.abs(total) + cnt
+    den = 2 * cnt
+    q = ((num - num % den) / den).cast("bigint")
+    mean_cents = F.when(total < 0, -q).otherwise(q)
+    return F.when(cnt > 0, mean_cents / F.lit(100.0))
+
+
 def base_index(col: str, w: WindowSpec, ndigits: int = 2) -> Column:
     """W6 — base-100 index on the first value of the (partitioned) series
     (SQL form ``models/metrics.sql:50-51``; guarded pandas form

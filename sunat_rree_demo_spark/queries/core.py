@@ -428,7 +428,8 @@ def q14_coverage_ratio(spark, sf_dir):
     oracle=f"""
     WITH monthly AS ({MONTHLY_SQL})
     SELECT count(*) AS n_months,
-           sum(CASE WHEN export_usd - import_usd > 0 THEN 1 ELSE 0 END) AS surplus_months
+           CAST(sum(CASE WHEN export_usd - import_usd > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS surplus_months
     FROM monthly
     """,
     tags=("A10",),
@@ -451,7 +452,8 @@ def q15_bool_count_surplus(spark, sf_dir):
            substr(trim(p_type), 1, 8) AS category_trunc,
            CAST(length(p_type) AS BIGINT) AS name_len,
            count(*) AS n_parts,
-           sum(CASE WHEN lower(p_type) LIKE 'eco%' THEN 1 ELSE 0 END) AS n_prefix
+           CAST(sum(CASE WHEN lower(p_type) LIKE 'eco%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_prefix
     FROM part
     GROUP BY 1, 2, 3
     ORDER BY category_norm, name_len

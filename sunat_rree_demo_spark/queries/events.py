@@ -155,8 +155,8 @@ def q33_event_dedup(spark, sf_dir):
     SELECT event_type,
            count(*) AS n_events,
            round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
-           sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50 THEN 1 ELSE 0 END)
-             AS n_high
+           CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events
     GROUP BY event_type
     ORDER BY event_type

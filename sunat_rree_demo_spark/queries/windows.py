@@ -20,13 +20,12 @@ from sunat_rree_demo_spark.operators.sorts import ranked_in_group, tail_k
 from sunat_rree_demo_spark.operators.windows import (
     base_index,
     pct_change,
-    rolling_mean,
+    rolling_mean_exact,
     series_window,
 )
 from sunat_rree_demo_spark.queries.base import MONTHLY_SQL, monthly_flows, register, t
 
 _WIN = "ORDER BY year, month_num"
-_FRAME3 = f"{_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
 _FIRST = f"{_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
 
@@ -40,6 +39,20 @@ def _idx_sql(col: str, win: str) -> str:
     fv = f"first_value({col}) OVER ({win})"
     return (f"round({col} / (CASE WHEN {fv} IS NOT NULL AND {fv} > 0 "
             f"THEN {fv} ELSE 1 END) * 100, 2)")
+
+
+def _ma_exact_sql(expr: str, n: int, win: str) -> str:
+    """Oracle twin of rolling_mean_exact: integer-cents window mean over
+    an already-2dp-rounded expression, with the half-away-from-zero
+    rounding ALSO done in exact bigint arithmetic (``(2*|total|+cnt) //
+    (2*cnt)``) — engine round() on doubles is not cross-engine stable at
+    .005 boundaries (see operators/windows.py:rolling_mean_exact)."""
+    frame = f"{win} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+    total = (f"sum(CAST(round(({expr}) * 100, 0) AS BIGINT)) "
+             f"OVER ({frame})")
+    cnt = f"count({expr}) OVER ({frame})"
+    return (f"(CASE WHEN {total} < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs({total}) + {cnt}) // (2 * {cnt})) / 100.0)")
 
 
 # ---------------------------------------------------------------------- q24
@@ -59,9 +72,9 @@ def _idx_sql(col: str, win: str) -> str:
            {_pct_sql('export', 12, _WIN)} AS export_yoy,
            {_pct_sql('"import"', 1, _WIN)} AS import_mom,
            {_pct_sql('"import"', 12, _WIN)} AS import_yoy,
-           round(avg(export) OVER ({_FRAME3}), 2) AS export_ma3,
-           round(avg("import") OVER ({_FRAME3}), 2) AS import_ma3,
-           round(avg(export - "import") OVER ({_FRAME3}), 2) AS balance_ma3,
+           {_ma_exact_sql('export', 3, _WIN)} AS export_ma3,
+           {_ma_exact_sql('"import"', 3, _WIN)} AS import_ma3,
+           {_ma_exact_sql('export - "import"', 3, _WIN)} AS balance_ma3,
            {_idx_sql('export', _FIRST)} AS idx_export,
            {_idx_sql('"import"', _FIRST)} AS idx_import
     FROM base
@@ -90,9 +103,9 @@ def q24_kpi_monthly(spark, sf_dir):
         .withColumn("export_yoy", pct_change("export", 12, w))
         .withColumn("import_mom", pct_change("import", 1, w))
         .withColumn("import_yoy", pct_change("import", 12, w))
-        .withColumn("export_ma3", rolling_mean("export", 3, w))
-        .withColumn("import_ma3", rolling_mean("import", 3, w))
-        .withColumn("balance_ma3", F.round(F.avg(bal).over(w.rowsBetween(-2, 0)), 2))
+        .withColumn("export_ma3", rolling_mean_exact("export", 3, w))
+        .withColumn("import_ma3", rolling_mean_exact("import", 3, w))
+        .withColumn("balance_ma3", rolling_mean_exact(bal, 3, w))
         .withColumn("idx_export", base_index("export", w))
         .withColumn("idx_import", base_index("import", w))
         .select("year", "month", "month_num", "export", "import", "balance",
@@ -115,7 +128,6 @@ _CAT_SQL = """
 """
 
 _CWIN = "PARTITION BY category ORDER BY year, month_num"
-_CFRAME3 = f"{_CWIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
 _CFIRST = f"{_CWIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
 
@@ -133,9 +145,9 @@ _CFIRST = f"{_CWIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
            {_pct_sql('exp', 12, _CWIN)} AS exp_yoy,
            {_pct_sql('imp', 1, _CWIN)} AS imp_mom,
            {_pct_sql('imp', 12, _CWIN)} AS imp_yoy,
-           round(avg(exp) OVER ({_CFRAME3}), 2) AS exp_ma3,
-           round(avg(imp) OVER ({_CFRAME3}), 2) AS imp_ma3,
-           round(avg(exp - imp) OVER ({_CFRAME3}), 2) AS balance_ma3,
+           {_ma_exact_sql('exp', 3, _CWIN)} AS exp_ma3,
+           {_ma_exact_sql('imp', 3, _CWIN)} AS imp_ma3,
+           {_ma_exact_sql('exp - imp', 3, _CWIN)} AS balance_ma3,
            {_idx_sql('exp', _CFIRST)} AS idx_exp,
            {_idx_sql('imp', _CFIRST)} AS idx_imp
     FROM base
@@ -175,9 +187,9 @@ def q25_kpi_prod_monthly(spark, sf_dir):
         .withColumn("exp_yoy", pct_change("exp", 12, w))
         .withColumn("imp_mom", pct_change("imp", 1, w))
         .withColumn("imp_yoy", pct_change("imp", 12, w))
-        .withColumn("exp_ma3", rolling_mean("exp", 3, w))
-        .withColumn("imp_ma3", rolling_mean("imp", 3, w))
-        .withColumn("balance_ma3", F.round(F.avg(bal).over(w.rowsBetween(-2, 0)), 2))
+        .withColumn("exp_ma3", rolling_mean_exact("exp", 3, w))
+        .withColumn("imp_ma3", rolling_mean_exact("imp", 3, w))
+        .withColumn("balance_ma3", rolling_mean_exact(bal, 3, w))
         .withColumn("idx_exp", base_index("exp", w))
         .withColumn("idx_imp", base_index("imp", w))
         .select("category", "year", "month", "month_num", "exp", "imp",
@@ -194,22 +206,23 @@ def q25_kpi_prod_monthly(spark, sf_dir):
     oracle=f"""
     WITH monthly AS ({MONTHLY_SQL})
     SELECT year, month_num,
-           round(avg(export_usd) OVER ({_WIN} ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 2) AS ma12,
-           round(avg(export_usd) OVER ({_WIN} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 2) AS ma24
+           {_ma_exact_sql('export_usd', 12, _WIN)} AS ma12,
+           {_ma_exact_sql('export_usd', 24, _WIN)} AS ma24
     FROM monthly
     ORDER BY year, month_num
     """,
     tags=("W5",),
 )
 def q26_rolling_trend(spark, sf_dir):
-    """12/24-row trailing trend smoothing (W5, eda.py:126-127)."""
+    """12/24-row trailing trend smoothing (W5, eda.py:126-127), in
+    exact integer cents for cross-engine bit parity."""
     m = monthly_flows(spark, sf_dir)
     w = series_window()
     return (
         m.select(
             "year", "month_num",
-            rolling_mean("export_usd", 12, w).alias("ma12"),
-            rolling_mean("export_usd", 24, w).alias("ma24"),
+            rolling_mean_exact("export_usd", 12, w).alias("ma12"),
+            rolling_mean_exact("export_usd", 24, w).alias("ma24"),
         ).orderBy("year", "month_num")
     )
 

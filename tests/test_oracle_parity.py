@@ -25,6 +25,5 @@ def test_query_matches_oracle(name, spark, duck):
         assert sdf.columns
         assert sdf.count() >= 0
         return
-    rel = duck.sql(q.oracle)
-    problems = compare(name, sdf, rel.fetchall(), list(rel.columns))
+    problems = compare(name, sdf, duck.sql(q.oracle))
     assert not problems, f"{name}: {problems[:5]}"
