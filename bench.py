@@ -1,12 +1,22 @@
 """Benchmark harness: runs every registered query at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "full_query_suite_wall", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1, "n_queries": N,
+     "cold_total_sec": N, "oracle_total_sec": N, "ratio_vs_duckdb": N}
 
-Also times the DuckDB oracle for each query on the same parquet (the
-operative baseline per BASELINE.md) under "oracle_sec"; "ratio" is
-spark_total / duckdb_total.
+Per-query cold/oracle breakdowns go to ``bench_detail.json`` next to
+this file (the r01 single-line dump with three 60-entry dicts was too
+long for the driver to capture — keep the stdout line small).
+
+Measurement protocol (recorded in BASELINE.md):
+- Both engines fully materialize results to driver memory via Arrow
+  (Spark ``df.toArrow()``, DuckDB ``rel.arrow()``) so Catalyst cannot
+  prune unreferenced projection/window columns the way a bare
+  ``.count()`` would, and neither side pays Python-object conversion.
+- Two runs per query, report the faster (steady state); first-run
+  times are preserved under cold_sec in the detail file.
 """
 
 from __future__ import annotations
@@ -33,18 +43,15 @@ def main() -> None:
     spark = get_spark("bench")
 
     # warmup: JVM + parquet footer caches, excluded from timings
-    REGISTRY["q01_annual_balance"].fn(spark, sf_dir).count()
+    REGISTRY["q01_annual_balance"].fn(spark, sf_dir).toArrow()
 
-    # steady-state protocol: two runs per query, report the faster (the
-    # first run pays one-off codegen/compile; both engines get the same
-    # treatment below). Cold totals are preserved under "cold_sec".
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, q in REGISTRY.items():
         runs = []
         for _ in range(2):
             t0 = time.monotonic()
-            q.fn(spark, sf_dir).count()
+            q.fn(spark, sf_dir).toArrow()
             runs.append(time.monotonic() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
@@ -63,7 +70,7 @@ def main() -> None:
             runs = []
             for _ in range(2):
                 t0 = time.monotonic()
-                con.sql(q.oracle).fetchall()
+                con.sql(q.oracle).arrow()
                 runs.append(time.monotonic() - t0)
             oracle_timings[name] = round(min(runs), 3)
     except Exception:  # noqa: BLE001 - oracle timing is informative only
@@ -71,6 +78,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     oracle_total = round(sum(oracle_timings.values()), 3) if oracle_timings else None
+    detail = {
+        "sf": sf_val,
+        "warm_sec": timings,
+        "cold_sec": cold,
+        "oracle_sec": oracle_timings,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
     out = {
         "metric": "full_query_suite_wall",
         "value": total,
@@ -78,9 +96,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
-        "cold_sec": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
-        "oracle_sec": oracle_timings,
         "oracle_total_sec": oracle_total,
         "ratio_vs_duckdb": round(total / oracle_total, 3) if oracle_total else None,
     }

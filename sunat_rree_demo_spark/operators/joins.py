@@ -49,9 +49,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     the key and sort once.
 
     Determinism: when multiple right rows share an identical
-    (on, order_col), which one wins is sort-order-defined — give
-    ``order_col`` unique values per group (or pre-dedup the right side)
-    for reproducible output."""
+    (on, order_col), the window order falls through to the right
+    payload columns themselves (ascending), so the winner is the
+    greatest payload tuple — stable across engines and shuffles rather
+    than sort-order-defined. Left rows carry NULL payload and are
+    already separated by ``_side``, so the extra keys never reorder
+    left vs right."""
     from pyspark.sql import Window
 
     lt = left.withColumn("_side", F.lit(1))
@@ -68,7 +71,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
             lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
     unioned = lt.unionByName(rt.select(lt.columns))
     w = (Window.partitionBy(*on)
-         .orderBy(order_col, "_side")
+         .orderBy(order_col, "_side", *payload)
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
         *[c for c in left.columns if c != "_side"], "_side",

@@ -177,10 +177,11 @@ def near_dup_pairs(emb: DataFrame, threshold: float,
     """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ t) —
     numpy block product per Arrow batch against the corpus matrix.
 
-    Here the corpus rides the closure (fine up to ~10⁶ rows × small dim;
-    beyond that, block BOTH sides: explode block ids, co-partition by
-    block pair — same math, one more shuffle). Threshold filtering
-    happens inside the batch, so only matches leave Python."""
+    Here the corpus rides the closure (fine up to ~10⁶ rows × small dim)
+    — the small-N fast path: one corpus pass, zero shuffle. Past the
+    driver-memory cap use :func:`near_dup_pairs_blocked`, which blocks
+    BOTH sides and never collects. Threshold filtering happens inside
+    the batch, so only matches leave Python."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -208,6 +209,98 @@ def near_dup_pairs(emb: DataFrame, threshold: float,
                                     "cos": scores[rows, cols]})
 
     return emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+def near_dup_pairs_blocked(emb: DataFrame, threshold: float,
+                           n_blocks: int = 8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine near-dups with BOTH sides blocked — the 100 TB
+    path: no driver collect, no closure-shipped corpus.
+
+    Plan shape: every vector gets a deterministic block id
+    (``xxhash64(id) mod n_blocks``); the block-pair table
+    {(b1, b2) | b1 ≤ b2} is tiny and broadcast; each vector is tagged
+    into every pair where its block participates (side A for
+    (blk, b2 ≥ blk), side B for (b1 < blk, blk)), then ONE shuffle
+    co-partitions by (b1, b2) and ``applyInPandas`` runs the same numpy
+    block matmul per pair group — within-block upper triangle for
+    b1 == b2, cross A×B otherwise, so every unordered pair is scored
+    exactly once. Replication factor is n_blocks + 1 per row; peak group
+    memory is ~2·N/n_blocks × dim doubles, so ``n_blocks`` scales with
+    corpus size independent of driver memory (vs the closure cap of
+    :func:`near_dup_pairs`). Only pairs with rounded cos ≥ threshold
+    leave Python — identical semantics to the closure variant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    rng = spark.range(n_blocks)
+    bpairs = (
+        rng.select(F.col("id").cast("int").alias("b1"))
+        .crossJoin(rng.select(F.col("id").cast("int").alias("b2")))
+        .filter(F.col("b1") <= F.col("b2"))
+    )
+    tagged = (
+        v.join(F.broadcast(bpairs), v["blk"] == F.col("b1"))
+        .select("b1", "b2", "vid", "vec", F.lit(0).alias("side"))
+        .unionByName(
+            v.join(F.broadcast(bpairs.filter(F.col("b1") < F.col("b2"))),
+                   v["blk"] == F.col("b2"))
+            .select("b1", "b2", "vid", "vec", F.lit(1).alias("side"))
+        )
+    )
+
+    out_schema = T.StructType([
+        T.StructField("id1", T.LongType()),
+        T.StructField("id2", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+    empty = pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                          "id2": pd.Series(dtype="int64"),
+                          "cos": pd.Series(dtype="float64")})
+
+    def _unit(pdf: "pd.DataFrame"):
+        ids = pdf["vid"].to_numpy(dtype="int64")
+        mat = np.array(list(pdf["vec"]), dtype="float64")
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        return ids, mat / norms[:, None]
+
+    def score_pair(key, pdf):
+        b1k, b2k = key
+        a = pdf[pdf["side"] == 0]
+        if not len(a):
+            return empty
+        ids_a, an = _unit(a)
+        if b1k == b2k:
+            scores = np.round(an @ an.T, COS_DECIMALS)
+            r, c = np.nonzero((scores >= threshold)
+                              & (ids_a[:, None] < ids_a[None, :]))
+            if not len(r):
+                return empty
+            return pd.DataFrame({"id1": ids_a[r], "id2": ids_a[c],
+                                 "cos": scores[r, c]})
+        b = pdf[pdf["side"] == 1]
+        if not len(b):
+            return empty
+        ids_b, bn = _unit(b)
+        scores = np.round(an @ bn.T, COS_DECIMALS)
+        r, c = np.nonzero(scores >= threshold)
+        if not len(r):
+            return empty
+        # cross-block: id order is arbitrary — normalize to id1 < id2
+        return pd.DataFrame({"id1": np.minimum(ids_a[r], ids_b[c]),
+                             "id2": np.maximum(ids_a[r], ids_b[c]),
+                             "cos": scores[r, c]})
+
+    return tagged.groupBy("b1", "b2").applyInPandas(score_pair, schema=out_schema)
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,

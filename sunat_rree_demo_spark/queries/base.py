@@ -71,15 +71,33 @@ MONTHLY_SQL = """
 """
 
 
+#: Session-scoped materialization of the monthly base relation, keyed by
+#: (spark application, sf_dir). ~15 queries derive from this tiny
+#: (year, month) grain; persisting it is the Spark analog of the
+#: reference's materialized ``base_monthly`` view — the 100 TB fact scan
+#: plus hash-aggregate runs once per session, not once per query.
+_MONTHLY_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def monthly_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark side of ``MONTHLY_SQL`` (operator A2 over the facts).
 
     One hash-aggregate with map-side combine; grain (year, month_num) is
     tiny regardless of fact volume, so everything derived from it is
     cheap. The early ``round(…, 2)`` pins float equality with the oracle.
+    The result is ``persist()``-ed per (session, sf_dir) — a few hundred
+    rows at any scale factor — so repeated callers share one scan.
     """
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        app = str(id(spark))
+    key = (app, sf_dir)
+    cached = _MONTHLY_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = t(spark, sf_dir, "lineitem")
-    return (
+    df = (
         li.groupBy(
             F.year("l_shipdate").cast("bigint").alias("year"),
             F.month("l_shipdate").cast("bigint").alias("month_num"),
@@ -90,4 +108,6 @@ def monthly_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.when(F.col("l_returnflag") == "R",
                                  F.col("l_extendedprice"))), 2).alias("import_usd"),
         )
-    )
+    ).persist()
+    _MONTHLY_CACHE[key] = df
+    return df

@@ -13,7 +13,7 @@ from sunat_rree_demo_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
-    near_dup_pairs,
+    near_dup_pairs_blocked,
 )
 from sunat_rree_demo_spark.queries.base import register, t
 
@@ -64,11 +64,12 @@ def q43_cosine_topk(spark, sf_dir):
     tags=("similarity", "near-dup"),
 )
 def q44_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — numpy block
-    product per corpus batch, threshold filter inside the batch; the LSH
-    bucketing (q45) is the sub-quadratic path."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3) — both sides blocked
+    by hashed id, co-partitioned by block pair, numpy block matmul per
+    group: no driver collect at any corpus size; the LSH bucketing (q45)
+    is the sub-quadratic path."""
     e = t(spark, sf_dir, "embeddings")
-    return near_dup_pairs(e, threshold=0.3).orderBy("id1", "id2")
+    return near_dup_pairs_blocked(e, threshold=0.3).orderBy("id1", "id2")
 
 
 # ---------------------------------------------------------------------- q45

@@ -68,7 +68,7 @@ def q55_calendar_yoy(spark, sf_dir):
     filled AS (
       SELECT user_id, ts, event_id, is_l,
              last_value(click_id IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, click_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
       FROM tagged
     )

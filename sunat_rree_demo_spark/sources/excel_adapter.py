@@ -89,20 +89,26 @@ def parse_national_sheet(rows: Rows, year: int, flow: str) -> list[tuple]:
 def _is_noise_label(label: str) -> bool:
     """S5 noise filter (etl_products.py:65-72)."""
     low = label.lower()
-    return (label == "" or low == "nan" or low.startswith("incluye")
+    return (label == "" or low in ("nan", "none") or low.startswith("incluye")
             or low.startswith("total") or len(label) < 3)
 
 
 def parse_products_sheet(rows: Rows, year: int, flow: str,
-                         label_col: int = 0) -> list[tuple]:
+                         label_col: int | None = None) -> list[tuple]:
     """S5+S6 — category rows from header+3 downward, noise-filtered,
     zero/NaN cells skipped, unpivoted; one Total record per surviving
-    category when the Total column is present (etl_products.py:57-92)."""
+    category when the Total column is present (etl_products.py:57-92).
+
+    ``label_col`` defaults to the reference's placement: column 2 when
+    the sheet is wider than 2 columns (etl_products.py:64
+    ``df.iat[r, 2] if df.shape[1] > 2``), else column 0."""
     hdr = find_header_row(rows)
     months, total_col = month_columns(rows[hdr])
+    sheet_width = max((len(r) for r in rows), default=0)
+    lcol = label_col if label_col is not None else (2 if sheet_width > 2 else 0)
     out: list[tuple] = []
     for row in rows[hdr + 3:]:
-        label = _clean(row[label_col] if label_col < len(row) else None)
+        label = _clean(row[lcol] if lcol < len(row) else None)
         if _is_noise_label(label):
             continue
         for c, m in months.items():
@@ -117,14 +123,95 @@ def parse_products_sheet(rows: Rows, year: int, flow: str,
     return out
 
 
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_RID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'BC12' → 0-based column 54 (A1-notation column letters)."""
+    idx = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def read_xlsx_rows(path: str, sheet_filter=is_year_sheet) -> dict[str, Rows]:
+    """Dependency-free xlsx reader (zipfile + ElementTree over the
+    OOXML SpreadsheetML parts — public ECMA-376 format): returns
+    {sheet_name: row-lists} with openpyxl ``values_only`` semantics.
+
+    Rows are placed by their 1-based ``r`` attribute (sheet XML omits
+    empty rows; positional parsing like find_header_row needs the gaps
+    preserved). Cell types: shared string / inline string / formula
+    string / boolean / number (float). Styles/dates are not resolved —
+    the trade workbooks contain only text headers and numbers."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    z = zipfile.ZipFile(path)
+    names = set(z.namelist())
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        for si in ET.fromstring(z.read("xl/sharedStrings.xml")):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    rid2target = {rel.get("Id"): rel.get("Target") for rel in rels}
+    out: dict[str, Rows] = {}
+    for sheet in ET.fromstring(z.read("xl/workbook.xml")).iter(f"{_SSML}sheet"):
+        name = sheet.get("name") or ""
+        if not sheet_filter(name):
+            continue
+        target = rid2target[sheet.get(_RID)]
+        if not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+        rows: Rows = []
+        for row in ET.fromstring(z.read(target)).iter(f"{_SSML}row"):
+            rnum = int(row.get("r", len(rows) + 1))
+            while len(rows) < rnum:
+                rows.append([])
+            cells = rows[rnum - 1]
+            for c in row.iter(f"{_SSML}c"):
+                ci = _col_index(c.get("r", ""))
+                if ci < 0:
+                    ci = len(cells)
+                t = c.get("t")
+                v = c.find(f"{_SSML}v")
+                if t == "inlineStr":
+                    is_el = c.find(f"{_SSML}is")
+                    val = ("".join(tt.text or "" for tt in
+                                   is_el.iter(f"{_SSML}t"))
+                           if is_el is not None else None)
+                elif v is None or v.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                elif t == "str":
+                    val = v.text
+                elif t == "b":
+                    val = v.text == "1"
+                else:
+                    val = float(v.text)
+                while len(cells) <= ci:
+                    cells.append(None)
+                cells[ci] = val
+        out[name] = rows
+    return out
+
+
 def load_workbook_sheets(path: str) -> dict[str, Rows]:
-    """S1 — gated openpyxl loader: {sheet_name: rows} for year sheets."""
+    """S1 — workbook loader: {sheet_name: rows} for year sheets.
+    Prefers openpyxl when installed; otherwise the stdlib OOXML reader
+    above (same values_only row-lists)."""
     try:
         import openpyxl
-    except ImportError as e:  # pragma: no cover - not installed here
-        raise ImportError(
-            "openpyxl not available; feed parse_*_sheet with row-lists "
-            "or use pre-built long-format parquet (sources.trade)") from e
+    except ImportError:
+        return read_xlsx_rows(path)
     wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
     return {ws.title: [list(r) for r in ws.iter_rows(values_only=True)]
             for ws in wb.worksheets if is_year_sheet(ws.title)}

@@ -18,17 +18,20 @@ def _national_sheet() -> list[list]:
 
 
 def _products_sheet() -> list[list]:
+    # real-workbook layout: category label in column 2
+    # (etl_products.py:64 reads df.iat[r, 2] when the sheet is >2 wide)
     return [
-        ["cuadro", None, None, None],
-        ["Sector", "Enero", "Febrero", "Total"],
-        ["skip1", 0, 0, 0],
-        ["skip2", 0, 0, 0],
-        ["I. Productos Tradicionales", 10.0, 20.0, 30.0],
-        ["Incluye ajustes", 5.0, 5.0, 10.0],     # noise: Incluye…
-        ["ab", 1.0, 1.0, 2.0],                   # noise: len<3
-        ["Total exportaciones", 9.0, 9.0, 18.0], # noise: Total…
-        ["Textil y Confecciones", None, 7.5, 7.5],  # NaN cell skipped
-        ["Químico", 0, 3.0, 3.0],                # zero cell skipped
+        ["cuadro", None, None, None, None, None],
+        [None, None, "Sector", "Enero", "Febrero", "Total"],
+        [None, None, "skip1", 0, 0, 0],
+        [None, None, "skip2", 0, 0, 0],
+        [None, None, "I. Productos Tradicionales", 10.0, 20.0, 30.0],
+        [None, None, "Incluye ajustes", 5.0, 5.0, 10.0],     # noise: Incluye…
+        [None, None, "ab", 1.0, 1.0, 2.0],                   # noise: len<3
+        [None, None, "Total exportaciones", 9.0, 9.0, 18.0], # noise: Total…
+        [None, None, "none", 4.0, 4.0, 8.0],                 # noise: 'none'
+        [None, None, "Textil y Confecciones", None, 7.5, 7.5],  # NaN skipped
+        [None, None, "Químico", 0, 3.0, 3.0],                # zero cell skipped
     ]
 
 
@@ -95,8 +98,10 @@ def test_year_sheet_filter():
     assert not is_year_sheet("20055")
 
 
-def test_openpyxl_gate():
+def test_loader_missing_file():
+    """The loader no longer needs openpyxl (stdlib OOXML fallback);
+    a missing workbook surfaces as FileNotFoundError, not ImportError."""
     from sunat_rree_demo_spark.sources.excel_adapter import load_workbook_sheets
 
-    with pytest.raises(ImportError):
+    with pytest.raises(FileNotFoundError):
         load_workbook_sheets("/nonexistent.xlsx")

@@ -98,3 +98,23 @@ def test_brute_force_topk_is_symmetric_sane(spark):
     assert [r.rank for r in out] and all(-1.0 <= r.cos <= 1.0 for r in out)
     ordered = sorted(out, key=lambda r: r.rank)
     assert all(ordered[i].cos >= ordered[i + 1].cos for i in range(len(ordered) - 1))
+
+
+def test_blocked_near_dup_equals_closure_variant(spark):
+    """The both-sides-blocked near-dup (no driver collect) must emit
+    exactly the same (id1, id2, cos) set as the closure-matrix fast
+    path, for an n_blocks that forces within-block AND cross-block
+    groups."""
+    from sunat_rree_demo_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_blocked,
+    )
+
+    e = _tables(spark)
+    closure = {(r.id1, r.id2): r.cos
+               for r in near_dup_pairs(e, threshold=0.3).collect()}
+    for n_blocks in (1, 5):
+        blocked = {(r.id1, r.id2): r.cos
+                   for r in near_dup_pairs_blocked(
+                       e, threshold=0.3, n_blocks=n_blocks).collect()}
+        assert blocked == closure
