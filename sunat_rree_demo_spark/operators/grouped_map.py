@@ -49,6 +49,51 @@ def base_index_grouped_map(df: DataFrame, key: str = "category",
     return df.groupBy(key).applyInPandas(per_group, schema=out_schema)
 
 
+def pandas_rolling_mean(df: DataFrame, cols: dict[str, str],
+                        partition: list[str] | None,
+                        order: tuple[str, ...] = ("year", "month_num"),
+                        window: int = 3, decimals: int = 0) -> DataFrame:
+    """Rolling mean computed with the SAME streaming kernel the
+    reference uses (pandas ``rolling(window, min_periods=1).mean()
+    .round(decimals)``, ``metrics.py:78-80`` /
+    ``metrics_products.py:94-96``) via applyInPandas.
+
+    Exists because pandas' rolling mean is a history-dependent
+    compensated accumulator: on values whose frame mean lands within an
+    ulp of an exact .5, it can round to the other side than Spark's
+    frame AVG — one cell in 23,366 of the reference's committed
+    kpi_prod_monthly does exactly that. Running the identical kernel per
+    group makes artifact parity exact by construction.
+
+    Scale: applied to the REDUCED kpi grain (categories × months, a few
+    thousand rows — never the raw facts); one shuffle by ``partition``,
+    each group a tiny Arrow batch. ``cols`` maps output name → source
+    column. With ``partition=None`` the whole frame is one group (the
+    national monthly series — hundreds of rows)."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        list(df.schema)
+        + [T.StructField(out, T.DoubleType()) for out in cols])
+
+    def per_group(pdf):
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        if "_g" in pdf.columns:
+            pdf = pdf.drop(columns=["_g"])
+        for out, src in cols.items():
+            pdf[out] = (pdf[src].rolling(window, min_periods=1)
+                        .mean().round(decimals))
+        return pdf
+
+    # single-series case: a literal int in groupBy resolves as an
+    # ordinal, so group on a materialized constant column instead
+    grouped = (df.groupBy(*partition) if partition
+               else df.withColumn("_g", F.lit(0)).groupBy("_g"))
+    return grouped.applyInPandas(per_group, schema=out_schema)
+
+
 def weighted_mean_udaf(df: DataFrame, key: str, value_col: str,
                        weight_col: str) -> DataFrame:
     """Sample pandas UDAF via applyInPandas aggregation: per-key weighted

@@ -18,9 +18,12 @@ Semantic fidelity notes (SURVEY.md §7.3):
   0-default at ``metrics_products.py:61-64`` applies only to a wholly
   absent column), and all-NULL (year, month) groups are dropped like
   ``pivot_table(dropna=True)``;
-- rounding is HALF_EVEN (``F.bround``) to match pandas/numpy ``.round``
-  — both builders reproduce the reference's committed kpi tables
-  bit-for-bit on its own data (tests/test_reference_parity.py).
+- rounding is HALF_EVEN (``F.bround``) to match pandas/numpy ``.round``;
+  the ma3 columns run the reference's own pandas rolling kernel via
+  applyInPandas (grouped_map.pandas_rolling_mean) because its
+  compensated streaming accumulator is not reproducible by a frame AVG
+  at .5 boundaries — both builders reproduce the reference's committed
+  kpi tables bit-for-bit on its own data (tests/test_reference_parity.py).
 
 Scale: the national series is one aggregated row per month (tiny window);
 the product table windows partition by category, so parallelism and
@@ -32,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from sunat_rree_demo_spark.functions.months import month_num_from_name
+from sunat_rree_demo_spark.operators.grouped_map import pandas_rolling_mean
 from sunat_rree_demo_spark.operators.relational import filter_not_total
 from sunat_rree_demo_spark.operators.windows import series_window
 
@@ -86,9 +90,11 @@ def build_kpi_monthly(trade: DataFrame, base_year: int = 2005) -> DataFrame:
         .withColumn("export_yoy", _pct("export", 12, w))
         .withColumn("import_mom", _pct("import", 1, w))
         .withColumn("import_yoy", _pct("import", 12, w))
-        .withColumn("export_ma3", F.bround(F.avg("export").over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("import_ma3", F.bround(F.avg("import").over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("balance_ma3", F.bround(F.avg(bal).over(w.rowsBetween(-2, 0)), 0))
+        # ma3 via the reference's own pandas streaming kernel (exact
+        # artifact parity; see operators.grouped_map.pandas_rolling_mean)
+        .transform(lambda d: pandas_rolling_mean(
+            d, {"export_ma3": "export", "import_ma3": "import",
+                "balance_ma3": "balance"}, partition=None))
         .select("year", "month", "month_num", "export", "import", "balance",
                 "export_mom", "export_yoy", "import_mom", "import_yoy",
                 "export_ma3", "import_ma3", "balance_ma3",
@@ -128,9 +134,11 @@ def build_kpi_prod_monthly(trade_prod: DataFrame) -> DataFrame:
         .withColumn("exp_yoy", _pct("exp", 12, w))
         .withColumn("imp_mom", _pct("imp", 1, w))
         .withColumn("imp_yoy", _pct("imp", 12, w))
-        .withColumn("exp_ma3", F.bround(F.avg("exp").over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("imp_ma3", F.bround(F.avg("imp").over(w.rowsBetween(-2, 0)), 0))
-        .withColumn("balance_ma3", F.bround(F.avg(bal).over(w.rowsBetween(-2, 0)), 0))
+        # ma3 via the reference's own pandas streaming kernel, per
+        # category (exact artifact parity; see grouped_map)
+        .transform(lambda d: pandas_rolling_mean(
+            d, {"exp_ma3": "exp", "imp_ma3": "imp",
+                "balance_ma3": "balance"}, partition=["category"]))
         .withColumn("idx_exp", F.bround(F.col("exp") / guard(first_exp) * 100, 2))
         .withColumn("idx_imp", F.bround(F.col("imp") / guard(first_imp) * 100, 2))
         .select("year", "month", "month_num", "category",

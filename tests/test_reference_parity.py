@@ -17,10 +17,9 @@ pytestmark = pytest.mark.skipif(
 
 
 def _compare(ours_pdf, ref_pdf, keys):
-    """Exact (1e-6) on every column; the 0-decimal *_ma3 columns allow at
-    most 2 cells off by 1.0 — pandas' streaming rolling-mean and Spark's
-    frame AVG can land on opposite ulp sides of an exact .5 (observed:
-    exactly one 9-digit cell of 1669 in the committed data)."""
+    """Exact (1e-6) on every column, *_ma3 included — the ma3 columns
+    now run the reference's own pandas rolling kernel (grouped_map.
+    pandas_rolling_mean), so no .5-boundary allowance is needed."""
     ours = ours_pdf.set_index(keys).sort_index()
     ref = ref_pdf.set_index(keys).sort_index()
     assert len(ours) == len(ref), (len(ours), len(ref))
@@ -35,11 +34,7 @@ def _compare(ours_pdf, ref_pdf, keys):
         both_nan = o.isna() & r.isna()
         nan_mismatch = int((o.isna() != r.isna()).sum())
         diff = (o.astype(float) - r.astype(float)).abs().where(~both_nan, 0)
-        if col.endswith("_ma3"):
-            n_off = int((diff > 1e-6).sum())
-            if diff.max() > 1.0 or n_off > 2 or nan_mismatch:
-                problems[col] = (float(diff.max()), n_off, nan_mismatch)
-        elif diff.max() > 1e-6 or nan_mismatch:
+        if diff.max() > 1e-6 or nan_mismatch:
             problems[col] = (float(diff.max()), nan_mismatch)
     assert not problems, problems
 
