@@ -56,6 +56,11 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
+    # stop Spark BEFORE timing DuckDB: a live 32-thread JVM (GC, AQE
+    # housekeeping) steals cores from the baseline and inflates the
+    # denominator 20-100% (measured)
+    spark.stop()
+
     oracle_timings: dict[str, float] = {}
     try:
         import duckdb
@@ -78,6 +83,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     oracle_total = round(sum(oracle_timings.values()), 3) if oracle_timings else None
+    # ratio over the oracle-covered intersection only: the 3 no-oracle
+    # queries (approximate ANN / HLL) have no DuckDB twin, so counting
+    # their Spark time against a 0-second denominator skews the ratio
+    covered = round(sum(v for k, v in timings.items() if k in oracle_timings), 3)
     detail = {
         "sf": sf_val,
         "warm_sec": timings,
@@ -98,10 +107,10 @@ def main() -> None:
         "n_queries": len(timings),
         "cold_total_sec": round(sum(cold.values()), 3),
         "oracle_total_sec": oracle_total,
-        "ratio_vs_duckdb": round(total / oracle_total, 3) if oracle_total else None,
+        "oracle_covered_spark_sec": covered if oracle_timings else None,
+        "ratio_vs_duckdb": round(covered / oracle_total, 3) if oracle_total else None,
     }
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, functions as F
 
+from sunat_rree_demo_spark.operators.skew import fan_out
 from sunat_rree_demo_spark.operators.text import tokens as tokenize
 
 #: MinHash parameters — fixed, public, deterministic.
@@ -110,7 +111,8 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
                     shs.append(s)
             yield pd.DataFrame({id_col: ids, "shingle": shs})
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=out_schema)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -148,16 +150,53 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
                        n: int = 5, k: int = MINHASH_K) -> DataFrame:
     """MinHash signature per doc: min over shingles of k affine
-    permutations of the 28-bit base hash. Computed on the exploded
-    shingle rows with one groupBy(doc) — the signature is k MIN
-    aggregates, all map-side combined."""
-    sh = shingle_rows(docs, id_col, text_col, n).withColumn(
-        "_h", base_hash_col(F.col("shingle")))
-    aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_minhash_params(k))
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    permutations of the 28-bit base hash.
+
+    Computed wholly in-batch (mapInPandas): shingle set, sha-256 base
+    hash, then one vectorized (k × n_shingles) affine-mod-min per doc —
+    signatures are emitted at DOC grain directly, so there is no
+    shingle-row explosion through Arrow and no groupBy shuffle at all
+    (the earlier exploded-rows + k-MIN-aggregates form paid both).
+    Numerically identical: int64 never overflows (a < 2^25, h < 2^28)
+    and the golden test pins it to the pure-Python twin."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    params = _minhash_params(k)
+    A = np.array([a for a, _ in params], dtype="int64")[:, None]
+    B = np.array([b for _, b in params], dtype="int64")[:, None]
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, docs.schema[id_col].dataType)]
+        + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)])
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            sigs: list = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                tk = re.split(r"\s+", str(txt).strip())
+                if len(tk) < n:
+                    continue  # same as shingle_rows: short docs vanish
+                sh = {" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)}
+                h = np.fromiter(
+                    (int(hashlib.sha256(s.encode()).hexdigest()[:HASH_HEX_LEN], 16)
+                     for s in sh), dtype="int64", count=len(sh))
+                sigs.append(((A * h[None, :] + B) % MERSENNE_P).min(axis=1))
+                ids.append(i)
+            if ids:
+                arr = np.vstack(sigs)
+                data = {id_col: ids}
+                for idx in range(k):
+                    data[f"mh{idx}"] = arr[:, idx]
+                yield pd.DataFrame(data)
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=out_schema)
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -224,7 +263,8 @@ def simhash(docs: DataFrame, id_col: str, text_col: str,
     band the bits exactly like MinHash-LSH."""
     tok = tokenize(F.col(text_col))
     rows = (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(tok)).alias("_t"))
+        fan_out(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(F.array_distinct(tok)).alias("_t"))
         .withColumn("_h", base_hash_col(F.col("_t")))
     )
     votes = rows.groupBy(id_col).agg(*[

@@ -21,6 +21,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from sunat_rree_demo_spark.operators.skew import fan_out
+
 
 def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
@@ -164,7 +166,8 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
             if frames:
                 yield pd.concat(frames)
 
-    scored = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    scored = fan_out(emb.select(id_col, vec_col)).mapInPandas(
+        score, schema=out_schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -208,7 +211,8 @@ def near_dup_pairs(emb: DataFrame, threshold: float,
                 yield pd.DataFrame({"id1": ids[rows], "id2": c_ids[cols],
                                     "cos": scores[rows, cols]})
 
-    return emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    return fan_out(emb.select(id_col, vec_col)).mapInPandas(
+        score, schema=out_schema)
 
 
 def near_dup_pairs_blocked(emb: DataFrame, threshold: float,
@@ -368,7 +372,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
                     "vec": list(bmat)}))
             yield pd.concat(frames)
 
-    c = (emb.select(id_col, as_double(F.col(vec_col)).alias(vec_col))
+    c = (fan_out(emb.select(id_col, as_double(F.col(vec_col)).alias(vec_col)))
             .mapInPandas(assign_cells, schema=cell_schema)
             .withColumnsRenamed({"vid": "n_id", "vec": "n_vec"}))
     q = (queries.select(id_col, as_double(F.col(vec_col)).alias(vec_col))
@@ -441,7 +445,7 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int,
                     "vec": list(mat)}))
             yield pd.concat(frames)
 
-    c = (emb.select(id_col, as_double(F.col(vec_col)).alias(vec_col))
+    c = (fan_out(emb.select(id_col, as_double(F.col(vec_col)).alias(vec_col)))
             .mapInPandas(bucketize, schema=bucket_schema)
             .withColumnsRenamed({"vid": "n_id", "vec": "n_vec"}))
     q = (queries.select(id_col, as_double(F.col(vec_col)).alias(vec_col))

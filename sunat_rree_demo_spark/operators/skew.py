@@ -16,6 +16,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW input ahead of a CPU-bound
+    Python stage (mapInPandas): a small parquet table arrives as a
+    single split, which would serialize shingling/hashing/matmul work on
+    one core while 31 idle. No-op when the input already has enough
+    partitions — the warehouse-scale case, where a wide scan is already
+    parallel and an extra shuffle would only cost. The shuffle moves
+    O(input) bytes once; the Python work it parallelizes is the
+    dominant term whenever this matters."""
+    try:
+        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:  # pragma: no cover - Spark Connect: no rdd handle
+        target = min_partitions or 32
+    return df.repartition(target)
+
+
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
     """Uniform salt from a hash of the row's monotonic id — cheap and
     evenly spread. Salt assignment need not be stable across task

@@ -23,6 +23,28 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+#: Size-gated hot-table cache (S12 generalized): tables whose on-disk
+#: parquet is under this many bytes are ``persist()``-ed per
+#: (session, sf_dir, table), so a workload that touches the same small
+#: table from many queries scans it once. The gate is deliberately
+#: dimension-sized: for a large fact table a columnar parquet scan with
+#: pushdown beats a deserialized row cache (measured: caching the
+#: 10 MB lineitem regressed sort-heavy queries 2-5× via storage-memory
+#: eviction churn), and at warehouse scale a multi-TB fact must stream
+#: anyway — the gate is what makes the cache scale-honest.
+#: Override via SPARK_GRAFT_HOT_CACHE_BYTES (0 disables).
+HOT_CACHE_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_HOT_CACHE_BYTES", str(4 * 1024 * 1024)))
+
+_HOT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        return str(id(spark))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table.
@@ -34,6 +56,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP cast does, so the oracle agrees).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (_session_key(spark), sf_dir, name)
+    cached = _HOT_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,8 +70,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division: (ts / 1000) in double loses ulps above
             # 2^53 ns and lands 1 µs off DuckDB's exact conversion
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if HOT_CACHE_MAX_BYTES > 0 and _path_bytes(path, HOT_CACHE_MAX_BYTES) > 0:
+        df = df.persist()
+        _HOT_CACHE[key] = df
+    return df
+
+
+def _path_bytes(path: str, cap: int) -> int:
+    """On-disk bytes of a parquet file OR partitioned directory tree,
+    walking with early exit: returns 0 (→ don't cache) as soon as the
+    running total exceeds ``cap``, so probing a 100 TB table costs a few
+    stat calls, not a full tree walk."""
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+            return size if 0 < size <= cap else 0
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+                if total > cap:
+                    return 0
+        return total if total > 0 else 0
+    except OSError:
+        return 0
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -4,6 +4,8 @@ regression tests for plan shape, not timings."""
 
 from __future__ import annotations
 
+import contextlib
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -15,10 +17,35 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+@contextlib.contextmanager
+def big_table_path(spark):
+    """Disable the size-gated hot cache so plans show the parquet scan —
+    the pushdown/pruning contracts below are about tables too large for
+    the gate, which is exactly the path the cache bypasses at scale.
+
+    Spark's CacheManager substitutes ANY logically-equal plan with an
+    already-persisted relation (and a *materialized* one prints without
+    its nested scan detail), so the session cache must be cleared too;
+    the memo dicts are left empty and repopulate lazily afterwards."""
+    from sunat_rree_demo_spark.queries import base as qbase
+    from sunat_rree_demo_spark.sources import catalog
+
+    prev_gate = catalog.HOT_CACHE_MAX_BYTES
+    catalog.HOT_CACHE_MAX_BYTES = 0
+    catalog._HOT_CACHE.clear()
+    qbase._MONTHLY_CACHE.clear()
+    spark.catalog.clearCache()
+    try:
+        yield
+    finally:
+        catalog.HOT_CACHE_MAX_BYTES = prev_gate
+
+
 def test_filter_pushdown_reaches_scan(spark):
     from sunat_rree_demo_spark.queries import REGISTRY
 
-    plan = plan_of(REGISTRY["q02_filter_range_membership"].fn(spark, SF_SMOKE))
+    with big_table_path(spark):
+        plan = plan_of(REGISTRY["q02_filter_range_membership"].fn(spark, SF_SMOKE))
     assert "PushedFilters" in plan
     assert "In(o_orderpriority" in plan
 
@@ -26,7 +53,8 @@ def test_filter_pushdown_reaches_scan(spark):
 def test_column_pruning_reads_minimal_schema(spark):
     from sunat_rree_demo_spark.queries import REGISTRY
 
-    plan = plan_of(REGISTRY["q01_annual_balance"].fn(spark, SF_SMOKE))
+    with big_table_path(spark):
+        plan = plan_of(REGISTRY["q01_annual_balance"].fn(spark, SF_SMOKE))
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     # 3 of lineitem's 11 columns
     assert read.count(":") - 1 <= 3 or read.count(",") <= 2
