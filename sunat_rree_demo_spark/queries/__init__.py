@@ -19,3 +19,25 @@ from sunat_rree_demo_spark.queries import scale_variants  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import stats  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import temporal  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import arrays  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
+# the FIRST 50 registry entries in iteration order (r01/r02 each held exactly
+# the first 50 — see BASELINE.md "Driver correctness snapshot cap"). q50-q53
+# and q55-q60 registered past position 50 and have never been driver-checked,
+# so re-order iteration to pull them inside the window; ten doubly-verified
+# (r01 AND r02 driver-green, plus the identical local exact-hash gate) simple
+# relational queries rotate to the tail. Registration itself is unchanged —
+# this only re-orders the dict.
+# ---------------------------------------------------------------------------
+_ROTATE_TO_TAIL = (
+    "q02_filter_range_membership", "q05_month_name_map", "q09_top_abs",
+    "q10_anti_join", "q11_union_distinct", "q13_argmax_month",
+    "q16_string_funcs", "q17_date_funcs", "q22_monthly_profile",
+    "q29_tail_window",
+)
+_head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
+_tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}
+REGISTRY.clear()
+REGISTRY.update(_head)
+REGISTRY.update(_tail)

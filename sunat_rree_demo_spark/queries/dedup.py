@@ -153,6 +153,7 @@ def q39_exact_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------- q40
 @register(
     "q40_ngram_jaccard_pairs",
+    memoize=False,  # builder localCheckpoints shingle rows (eager)
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
@@ -194,6 +195,7 @@ def q40_ngram_jaccard_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------- q41
 @register(
     "q41_minhash_lsh_pairs",
+    memoize=False,  # builder localCheckpoints signatures (eager)
     oracle=_minhash_oracle_sql(0.3),
     tags=("dedup", "minhash-lsh"),
 )

@@ -30,16 +30,29 @@ def q49_correlation(spark, sf_dir):
     """Pearson correlation, sample covariance, exact median/p90 per
     flow — the full stats bundle beyond mean/std (A8).
 
-    Exact percentiles are computed sort-based — rank with ONE window
-    sort per group, keep only the 2 boundary rows per quantile, linearly
-    interpolate (the quantile_cont formula lo + (hi-lo)*frac) — instead
-    of Spark's ``percentile``/``median`` aggregates, which buffer every
-    group value in an in-memory map (4s vs 0.5s at sf0.1, and an OOM
-    risk at 100 TB; the one-pass approximate variant is
-    ``approx_percentile``). Codegen'd shuffle+sort scales; the
-    boundary-row filter means only O(groups) rows leave the sort."""
+    Exact percentiles are computed by HISTOGRAM-REFINEMENT SELECTION —
+    never ``Window.partitionBy(flag)`` (3 distinct flags would sort the
+    whole fact table inside 3 reducer tasks at any scale), and never
+    Spark's ``percentile``/``median`` aggregates (they buffer every
+    group value in an in-memory map — an OOM risk at 100 TB; the
+    one-pass approximate variant is ``approx_percentile``).
+
+    Plan: one aggregate pass gives per-flag count/min/max; a second
+    hash-aggregate pass counts rows per (flag, equi-width bucket); a
+    tiny cumulative-sum window over the ≤ flags×1024-row histogram
+    locates which bucket holds each target rank; only rows in those ≤4
+    buckets per flag (~1/256 of the data) are ranked, with a window
+    whose partition key (flag, bucket) is high-cardinality. Global
+    rank = bucket offset + local rank; the 2 boundary rows per quantile
+    are interpolated with the quantile_cont formula lo + (hi-lo)*frac.
+    Every heavy stage is a map-side-combined hash aggregate at full
+    parallelism (measured 0.04s exec vs 0.56s for any full-data window
+    at sf0.1). A pathologically hot bucket (≫ rows/1024 of one value)
+    would re-apply the same refinement recursively; one level is enough
+    for real value distributions."""
     from pyspark.sql import Window
 
+    n_buckets = 1024
     li = t(spark, sf_dir, "lineitem")
     stats = (
         li.groupBy("l_returnflag")
@@ -47,17 +60,42 @@ def q49_correlation(spark, sf_dir):
              .alias("price_qty_corr"),
              F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4)
              .alias("price_qty_covar"),
-             F.count("l_extendedprice").alias("_n"))
+             F.count("l_extendedprice").alias("_n"),
+             F.min("l_extendedprice").alias("_lo"),
+             F.max("l_extendedprice").alias("_hi"))
     )
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = (
-        li.select("l_returnflag", "l_extendedprice")
-        .filter(F.col("l_extendedprice").isNotNull())
-        .withColumn("_i", F.row_number().over(w) - 1)
-        .join(F.broadcast(stats.select("l_returnflag", "_n")), "l_returnflag")
-        .withColumn("pos_m", (F.col("_n") - 1) * 0.5)
-        .withColumn("pos_p", (F.col("_n") - 1) * 0.9)
-    )
+    vals = (li.select("l_returnflag", "l_extendedprice")
+            .filter(F.col("l_extendedprice").isNotNull()))
+    rng = stats.select("l_returnflag", "_n", "_lo", "_hi")
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    # ANSI-safe: degenerate flags (all prices equal → width 0) land in
+    # bucket 0; fp edge x == _hi clamps into the last bucket.
+    bucket = F.when(
+        width > 0,
+        F.least(F.lit(n_buckets - 1),
+                F.floor((F.col("l_extendedprice") - F.col("_lo")) / width)
+                .cast("int"))).otherwise(F.lit(0))
+    bk = vals.join(F.broadcast(rng), "l_returnflag").withColumn("_b", bucket)
+    hist = bk.groupBy("l_returnflag", "_b").agg(F.count("*").alias("_c"))
+    w_off = (Window.partitionBy("l_returnflag").orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    boff = hist.withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
+    pos = rng.select("l_returnflag",
+                     ((F.col("_n") - 1) * 0.5).alias("pos_m"),
+                     ((F.col("_n") - 1) * 0.9).alias("pos_p"))
+
+    def _holds(p):
+        return ((F.floor(p) >= F.col("_off"))
+                & (F.floor(p) < F.col("_off") + F.col("_c"))) | \
+               ((F.ceil(p) >= F.col("_off"))
+                & (F.ceil(p) < F.col("_off") + F.col("_c")))
+
+    tgt = (boff.join(F.broadcast(pos), "l_returnflag")
+           .filter(_holds(F.col("pos_m")) | _holds(F.col("pos_p")))
+           .select("l_returnflag", "_b", "_off", "pos_m", "pos_p"))
+    w_loc = Window.partitionBy("l_returnflag", "_b").orderBy("l_extendedprice")
+    ranked = (bk.join(F.broadcast(tgt), ["l_returnflag", "_b"])
+              .withColumn("_i", F.row_number().over(w_loc) - 1 + F.col("_off")))
     i = F.col("_i")
     boundary = ranked.filter(
         (i == F.floor("pos_m")) | (i == F.ceil("pos_m"))
@@ -161,17 +199,21 @@ def q51_tfidf_top_terms(spark, sf_dir):
     """TF-IDF term weighting: tf per (doc, term), idf = ln(N/df),
     corpus-wide top-10 terms by mean tf·idf. Three hash aggregates and
     a broadcast of the (term, df) side — no ml.feature pipeline needed,
-    and every step is map-side combined."""
+    and every step is map-side combined. The corpus size enters the
+    plan as a broadcast 1-row frame (like q27/q50's scalar params) —
+    never an eager ``d.count()`` baked in as a literal, which would run
+    a driver-side job per plan construction."""
     from sunat_rree_demo_spark.operators.text import tokens
 
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     return (
         tf.join(F.broadcast(df_), "term")
-        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("term")
         .agg(F.round(F.avg("tfidf"), 6).alias("avg_tfidf"))
         .orderBy(F.desc("avg_tfidf"), F.asc("term"))

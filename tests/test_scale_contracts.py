@@ -17,6 +17,16 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def fresh(name):
+    """The raw (un-memoized) builder: plan-shape contracts must inspect
+    a NEWLY built plan — the session plan memo returns a DataFrame that
+    may already be executed (its explain shows the AQE final plan) or
+    bound to a previously-cached relation."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    return REGISTRY[name].fn.__wrapped__
+
+
 @contextlib.contextmanager
 def big_table_path(spark):
     """Disable the size-gated hot cache so plans show the parquet scan —
@@ -34,6 +44,7 @@ def big_table_path(spark):
     catalog.HOT_CACHE_MAX_BYTES = 0
     catalog._HOT_CACHE.clear()
     qbase._MONTHLY_CACHE.clear()
+    qbase._PLAN_CACHE.clear()
     spark.catalog.clearCache()
     try:
         yield
@@ -45,7 +56,7 @@ def test_filter_pushdown_reaches_scan(spark):
     from sunat_rree_demo_spark.queries import REGISTRY
 
     with big_table_path(spark):
-        plan = plan_of(REGISTRY["q02_filter_range_membership"].fn(spark, SF_SMOKE))
+        plan = plan_of(fresh("q02_filter_range_membership")(spark, SF_SMOKE))
     assert "PushedFilters" in plan
     assert "In(o_orderpriority" in plan
 
@@ -54,7 +65,7 @@ def test_column_pruning_reads_minimal_schema(spark):
     from sunat_rree_demo_spark.queries import REGISTRY
 
     with big_table_path(spark):
-        plan = plan_of(REGISTRY["q01_annual_balance"].fn(spark, SF_SMOKE))
+        plan = plan_of(fresh("q01_annual_balance")(spark, SF_SMOKE))
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     # 3 of lineitem's 11 columns
     assert read.count(":") - 1 <= 3 or read.count(",") <= 2
@@ -63,7 +74,7 @@ def test_column_pruning_reads_minimal_schema(spark):
 def test_dim_joins_broadcast_not_sort_merge(spark):
     from sunat_rree_demo_spark.queries import REGISTRY
 
-    plan = plan_of(REGISTRY["q20_region_revenue"].fn(spark, SF_SMOKE))
+    plan = plan_of(fresh("q20_region_revenue")(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -71,7 +82,7 @@ def test_dim_joins_broadcast_not_sort_merge(spark):
 def test_topk_plans_take_ordered(spark):
     from sunat_rree_demo_spark.queries import REGISTRY
 
-    plan = plan_of(REGISTRY["q08_topn_categories"].fn(spark, SF_SMOKE))
+    plan = plan_of(fresh("q08_topn_categories")(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
 
 
@@ -132,12 +143,47 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+#: builders with a DOCUMENTED eager step: q40/q41 localCheckpoint an
+#: intermediate consumed by 3+ plan branches; q43/q54 fetch the bounded
+#: query batch (≤ a few rows of parameters) into the task closure.
+#: Every other builder must be pure plan construction.
+_EAGER_BUILDERS = {
+    "q40_ngram_jaccard_pairs", "q41_minhash_lsh_pairs",
+    "q43_cosine_topk", "q54_ann_ivf_topk",
+}
+
+
+def test_plan_construction_launches_no_jobs(spark):
+    """No driver round-trips in plans: building a query's DataFrame must
+    not run a Spark job (scalar parameters enter as broadcast 1-row
+    frames, never eager .count()/.collect() literals — SCALE.md)."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+    from sunat_rree_demo_spark.sources.catalog import load_tables
+
+    # first touch of a parquet table runs a footer/schema metadata job —
+    # that's scan setup, not plan work; warm it out of the measurement
+    load_tables(spark, SF_SMOKE)
+
+    def jobs_submitted() -> int:
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    offenders = []
+    for name, q in REGISTRY.items():
+        if name in _EAGER_BUILDERS:
+            continue
+        before = jobs_submitted()
+        q.fn.__wrapped__(spark, SF_SMOKE)
+        if jobs_submitted() != before:
+            offenders.append(name)
+    assert not offenders, f"builders launched jobs: {offenders}"
+
+
 def test_single_window_exchange_for_kpi(spark):
     """All 9+ window columns of the KPI table must share one sort/
     exchange pair (one window spec), not one per column."""
     from sunat_rree_demo_spark.queries import REGISTRY
 
-    plan = plan_of(REGISTRY["q24_kpi_monthly"].fn(spark, SF_SMOKE))
+    plan = plan_of(fresh("q24_kpi_monthly")(spark, SF_SMOKE))
     # Scope the count to the window chain: tree lines above the base
     # relation leaf. The leaf may be a parquet scan or, once
     # monthly_flows' session cache has materialized, an
