@@ -62,6 +62,7 @@ def main() -> None:
     spark.stop()
 
     oracle_timings: dict[str, float] = {}
+    oracle_errors: dict[str, str] = {}
     try:
         import duckdb
 
@@ -69,17 +70,24 @@ def main() -> None:
         for t in ("region nation customer supplier part orders lineitem events "
                   "documents embeddings").split():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    except Exception as exc:  # noqa: BLE001 - no DuckDB → ratio omitted
+        con = None
+        oracle_errors["__setup__"] = repr(exc)
+    if con is not None:
         for name, q in REGISTRY.items():
             if q.oracle is None:
                 continue
-            runs = []
-            for _ in range(2):
-                t0 = time.monotonic()
-                con.sql(q.oracle).arrow()
-                runs.append(time.monotonic() - t0)
-            oracle_timings[name] = round(min(runs), 3)
-    except Exception:  # noqa: BLE001 - oracle timing is informative only
-        pass
+            # per-query try/except: one failing oracle must not silently
+            # abort the rest and shrink the covered set without a trace
+            try:
+                runs = []
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    con.sql(q.oracle).arrow()
+                    runs.append(time.monotonic() - t0)
+                oracle_timings[name] = round(min(runs), 3)
+            except Exception as exc:  # noqa: BLE001
+                oracle_errors[name] = repr(exc)
 
     total = round(sum(timings.values()), 3)
     oracle_total = round(sum(oracle_timings.values()), 3) if oracle_timings else None
@@ -87,11 +95,28 @@ def main() -> None:
     # queries (approximate ANN / HLL) have no DuckDB twin, so counting
     # their Spark time against a 0-second denominator skews the ratio
     covered = round(sum(v for k, v in timings.items() if k in oracle_timings), 3)
+    # regression tripwire: flag any oracle-covered query whose warm time
+    # exceeds RATIO_CAP× its DuckDB twin AND costs real absolute time
+    # (tiny sub-0.5s queries are dominated by fixed per-job overhead that
+    # vanishes at scale; a 0.3s-vs-0.01s "30×" is noise, not a plan bug)
+    ratio_cap = float(os.environ.get("SPARK_GRAFT_RATIO_CAP", "5"))
+    abs_floor = float(os.environ.get("SPARK_GRAFT_RATIO_FLOOR_SEC", "1.0"))
+    per_query_ratio = {
+        k: round(timings[k] / oracle_timings[k], 2) if oracle_timings[k] > 0
+        else None
+        for k in oracle_timings
+    }
+    offenders = sorted(
+        k for k, r in per_query_ratio.items()
+        if r is not None and r > ratio_cap and timings[k] >= abs_floor)
     detail = {
         "sf": sf_val,
         "warm_sec": timings,
         "cold_sec": cold,
         "oracle_sec": oracle_timings,
+        "oracle_errors": oracle_errors,
+        "ratio": per_query_ratio,
+        "ratio_offenders": offenders,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
@@ -110,7 +135,16 @@ def main() -> None:
         "oracle_covered_spark_sec": covered if oracle_timings else None,
         "ratio_vs_duckdb": round(covered / oracle_total, 3) if oracle_total else None,
     }
+    if oracle_errors:
+        out["oracle_errors"] = sorted(oracle_errors)
+    if offenders:
+        out["ratio_offenders"] = offenders
     print(json.dumps(out))
+    if offenders:
+        print(f"bench: {len(offenders)} queries exceed {ratio_cap}x DuckDB "
+              f"(warm >= {abs_floor}s): {', '.join(offenders)}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -49,21 +49,71 @@ def docs_as_media(docs: DataFrame, media_type: str = "image/fake") -> DataFrame:
 
 
 def _decode_dims_stub(payload: bytes) -> tuple[int, int]:
-    """STUB decode: a real implementation would parse the codec header
-    (PNG IHDR / JPEG SOF / WAV fmt). Deterministic fake derived from the
-    first payload bytes so tests have stable expectations."""
+    """Fallback for unrecognized codecs: deterministic fake derived from
+    the first/last payload bytes so tests have stable expectations."""
     if not payload:
         return (0, 0)
     return (int(payload[0]) + 1, int(payload[-1]) + 1)
 
 
+#: JPEG frame-header (SOFn) markers carrying dimensions — every 0xC0-0xCF
+#: marker except DHT (C4), JPG (C8) and DAC (CC), per ITU-T T.81 §B.2.2.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL header parse for the common raster codecs, stdlib-only:
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are the
+      two big-endian u32 at bytes 16..24 (RFC 2083 §3.1).
+    - JPEG: walk the marker segments from SOI (FFD8) to the first SOFn
+      frame header; dims are u16 height then width at offsets 3/5 of the
+      segment body (ITU-T T.81 §B.2.2).
+    - GIF: 'GIF87a'/'GIF89a' signature, then little-endian u16
+      width/height in the logical screen descriptor.
+
+    Returns None when no codec matches — callers fall back to the
+    deterministic stub (the honest path for media this environment has
+    no decoder for, e.g. video keyframes)."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" \
+            and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return (w, h)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:  # desynced / corrupt stream
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:  # RST/SOI/EOI: no length field
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+            if marker in _JPEG_SOF and i + 9 <= len(payload):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return (w, h)
+            i += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (w, h)
+    return None
+
+
 def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
     """Feature extraction over media batches via mapInPandas.
 
-    ``real_codec=True`` is the integration point for an actual decoder
-    (PIL/ffmpeg) — unavailable here, so it raises; the deterministic
-    stub keeps the distributed plumbing (schema, Arrow batching,
-    partition mapping) real and tested."""
+    Width/height come from a REAL stdlib header parse (PNG IHDR / JPEG
+    SOFn / GIF LSD — ``decode_dims``) whenever the payload matches a
+    known codec; unrecognized payloads fall back to the deterministic
+    stub so the plumbing stays testable on synthetic media.
+    ``real_codec=True`` is the integration point for full pixel decode
+    (PIL/ffmpeg) — unavailable in this environment, so it raises."""
     if real_codec:
         raise NotImplementedError(
             "no media codec libraries in this environment; "
@@ -73,10 +123,13 @@ def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
 
     import pandas as pd
 
+    def _dims(payload: bytes) -> tuple[int, int]:
+        return decode_dims(payload) or _decode_dims_stub(payload)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             dims = pdf["content"].map(
-                lambda b: _decode_dims_stub(bytes(b) if b is not None else b""))
+                lambda b: _dims(bytes(b) if b is not None else b""))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],

@@ -24,7 +24,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from sunat_rree_demo_spark.sources.catalog import load_table
+from sunat_rree_demo_spark.sources.catalog import (
+    load_table,
+    register_session_cache,
+)
 
 
 @dataclass(frozen=True)
@@ -51,6 +54,7 @@ REGISTRY: dict[str, Query] = {}
 #: (session, sf_dir) reproduces that steady state locally. Execution
 #: (scan → shuffle → collect) still happens in full on every call.
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+register_session_cache(_PLAN_CACHE)
 
 
 def _app_id(spark: SparkSession) -> str:
@@ -113,6 +117,7 @@ MONTHLY_SQL = """
 #: reference's materialized ``base_monthly`` view — the 100 TB fact scan
 #: plus hash-aggregate runs once per session, not once per query.
 _MONTHLY_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_session_cache(_MONTHLY_CACHE)
 
 
 def monthly_flows(spark: SparkSession, sf_dir: str) -> DataFrame:

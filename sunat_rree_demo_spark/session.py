@@ -28,6 +28,15 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local-deployment split size: the test warehouse's parquet files are
+    # ~1-11 MB, so the 128 MB default turns every scan into ONE task and
+    # serializes it on a single core (measured 4× on aggregate-over-
+    # lineitem queries). Runtime-settable, so tune() carries the speedup
+    # to driver-supplied vanilla sessions too. Per-deployment knob — a
+    # real cluster overrides back to 128m+ via SPARK_GRAFT_SPLIT_BYTES
+    # (4 MB over 100 TB would be 25M tasks); see SCALE.md.
+    "spark.sql.files.maxPartitionBytes":
+        os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "4m"),
 }
 
 
@@ -62,15 +71,6 @@ def get_spark(app_name: str = "sunat_rree_demo_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # local-deployment split size: the test warehouse's parquet files
-        # are ~1-11 MB, so the 128 MB default turns every scan into ONE
-        # task and serializes it on a single core (measured 4× on
-        # aggregate-over-lineitem queries). 4 MB splits restore scan
-        # parallelism at this data size. This is a per-deployment knob —
-        # a real cluster keeps the 128 MB default (4 MB over 100 TB
-        # would be 25M tasks); see SCALE.md.
-        .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "4m"))
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

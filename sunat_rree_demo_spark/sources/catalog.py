@@ -38,6 +38,51 @@ HOT_CACHE_MAX_BYTES = int(
 
 _HOT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+#: Every session-keyed DataFrame memo in the package registers here so
+#: eviction/clearing covers them all (queries.base adds its plan and
+#: monthly-flows memos on import).
+_SESSION_CACHES: list[dict] = [_HOT_CACHE]
+
+
+def register_session_cache(cache: dict) -> None:
+    """Opt a {key-starting-with-app-id: DataFrame} memo into the shared
+    eviction sweep below."""
+    if cache not in _SESSION_CACHES:
+        _SESSION_CACHES.append(cache)
+
+
+def _session_stopped(df: DataFrame) -> bool:
+    try:
+        return df.sparkSession.sparkContext._jsc.sc().isStopped()
+    except Exception:  # Spark Connect / session already torn down
+        return True
+
+
+def evict_stopped_sessions() -> None:
+    """Drop memo entries owned by stopped sessions: their persisted
+    blocks died with the executors, so the dict entry is the only leak —
+    long-lived processes cycling get_spark()/stop() would otherwise
+    accumulate one stale generation per cycle. Runs on every hot-cache
+    miss (a handful of py4j liveness probes, driver-side only)."""
+    for cache in _SESSION_CACHES:
+        for key, df in list(cache.items()):
+            if _session_stopped(df):
+                cache.pop(key, None)
+
+
+def clear_caches(unpersist: bool = True) -> None:
+    """Explicitly empty every registered memo, unpersisting live
+    DataFrames (no-op on never-persisted plan-memo entries) — the
+    programmatic reset tests and notebooks need."""
+    for cache in _SESSION_CACHES:
+        for key, df in list(cache.items()):
+            if unpersist:
+                try:
+                    df.unpersist()
+                except Exception:  # session gone → blocks already freed
+                    pass
+            cache.pop(key, None)
+
 
 def _session_key(spark: SparkSession) -> str:
     try:
@@ -60,6 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _HOT_CACHE.get(key)
     if cached is not None:
         return cached
+    evict_stopped_sessions()
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -167,9 +167,12 @@ def read_xlsx_rows(path: str, sheet_filter=is_year_sheet) -> dict[str, Rows]:
         name = sheet.get("name") or ""
         if not sheet_filter(name):
             continue
-        target = rid2target[sheet.get(_RID)]
+        # absolute targets ('/xl/worksheets/…') are valid OOXML — strip
+        # the leading '/' BEFORE the prefix check or they'd double to
+        # 'xl/xl/…' and KeyError out of the archive
+        target = rid2target[sheet.get(_RID)].lstrip("/")
         if not target.startswith("xl/"):
-            target = "xl/" + target.lstrip("/")
+            target = "xl/" + target
         rows: Rows = []
         for row in ET.fromstring(z.read(target)).iter(f"{_SSML}row"):
             rnum = int(row.get("r", len(rows) + 1))
@@ -195,6 +198,10 @@ def read_xlsx_rows(path: str, sheet_filter=is_year_sheet) -> dict[str, Rows]:
                     val = v.text
                 elif t == "b":
                     val = v.text == "1"
+                elif t == "e":
+                    val = None  # error cell ('#DIV/0!' etc.) — not a number
+                elif t == "d":
+                    val = v.text  # ISO-8601 date cell — keep the string
                 else:
                     val = float(v.text)
                 while len(cells) <= ci:

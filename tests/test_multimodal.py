@@ -56,3 +56,74 @@ def test_frame_sample_offsets(media):
         list(range(len(one)))
     assert all(r.offset == r.frame_no * 64 for r in one)
     assert all(r.offset < r.byte_len for r in one)
+
+
+# ---------------------------------------------------------------- real codecs
+def _tiny_png(w: int, h: int) -> bytes:
+    """Fully valid 8-bit grayscale PNG built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _tiny_jpeg(w: int, h: int) -> bytes:
+    """SOI + APP0(JFIF) + SOF0 header walk target (valid marker stream;
+    no entropy-coded data — decode_dims only reads frame headers)."""
+    import struct
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _tiny_gif(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def test_decode_dims_real_headers():
+    from sunat_rree_demo_spark.operators.multimodal import decode_dims
+
+    assert decode_dims(_tiny_png(640, 480)) == (640, 480)
+    assert decode_dims(_tiny_jpeg(1920, 1080)) == (1920, 1080)
+    assert decode_dims(_tiny_gif(31, 17)) == (31, 17)
+    # unknown codec -> None (callers fall back to the stub)
+    assert decode_dims(b"plain text payload") is None
+    assert decode_dims(b"") is None
+    # truncated PNG signature must not crash
+    assert decode_dims(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+
+
+def test_decode_media_uses_real_dims_for_known_codecs(spark):
+    from pyspark.sql import types as T
+
+    from sunat_rree_demo_spark.operators.multimodal import decode_media
+
+    rows = [
+        (1, bytearray(_tiny_png(12, 34)), "image/png", None),
+        (2, bytearray(_tiny_jpeg(56, 78)), "image/jpeg", None),
+        (3, bytearray(_tiny_gif(9, 4)), "image/gif", None),
+        (4, bytearray(b"opaque blob"), "application/octet-stream", None),
+    ]
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ])
+    media = spark.createDataFrame(rows, schema)
+    got = {r.media_id: (r.width, r.height) for r in decode_media(media).collect()}
+    assert got[1] == (12, 34)
+    assert got[2] == (56, 78)
+    assert got[3] == (9, 4)
+    blob = b"opaque blob"
+    assert got[4] == (blob[0] + 1, blob[-1] + 1)  # stub fallback
