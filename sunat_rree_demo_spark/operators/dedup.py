@@ -116,17 +116,45 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
-                        n: int = 5, threshold: float = 0.3) -> DataFrame:
+                        n: int = 5, threshold: float = 0.3,
+                        max_shingle_df: int | None = 256) -> DataFrame:
     """Exact pairwise n-gram Jaccard ≥ threshold (ground-truth near-dup).
 
     Plan: explode shingles → self-join on shingle (shuffle key =
     shingle) → count intersections → join per-doc sizes (broadcast; one
     row per doc) → filter. Use MinHash+LSH (below) when the corpus is too
-    large for the shingle self-join."""
+    large for the shingle self-join.
+
+    ``max_shingle_df`` bounds the self-join fan-out: one shingle shared
+    by f documents emits f² join rows, so a single boilerplate phrase
+    ("all rights reserved …") appearing in millions of docs would
+    otherwise explode one reducer. Shingles with document frequency
+    above the cutoff are dropped from BOTH the intersection join and the
+    per-doc sizes (the standard stop-shingle treatment — such shingles
+    carry no near-dup signal anyway), capping per-shingle fan-out at
+    cutoff². The drop is LOGGED, never silent; committed testdata's max
+    df is 4 (sf0.1), so the 256 default provably changes nothing there —
+    the exact DuckDB oracle twin stays hash-identical. ``None`` disables
+    the guard (true unbounded ground truth)."""
+    import logging
+
     # materialize the shingle rows once (localCheckpoint) — they feed the
     # self-join twice plus the size aggregate; recomputing the Python
     # shingling three times would dominate the runtime
     sh = shingle_rows(docs, id_col, text_col, n).localCheckpoint()
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_shingle_df))
+        # q40 builders are documented-eager (localCheckpoint above), so
+        # counting the tiny hot-shingle set is one cheap aggregate over
+        # already-materialized rows — the no-silent-caps log line
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d shingles with df > %d "
+                "(stop-shingle fan-out guard)", n_hot, max_shingle_df)
+            sh = sh.join(F.broadcast(hot.select("shingle")),
+                         "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -170,9 +198,14 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
     A = np.array([a for a, _ in params], dtype="int64")[:, None]
     B = np.array([b for _, b in params], dtype="int64")[:, None]
 
-    out_schema = T.StructType(
-        [T.StructField(id_col, docs.schema[id_col].dataType)]
-        + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)])
+    # one array<bigint> column, NOT k long columns: the narrow schema
+    # keeps every downstream plan (band explode, pair joins, estimate)
+    # a handful of Column expressions instead of ~200 — measured 2.6s →
+    # sub-second builder construction+analysis for q41 at any k
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
 
     def gen(batches):
         for pdf in batches:
@@ -189,11 +222,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
                 sigs.append(((A * h[None, :] + B) % MERSENNE_P).min(axis=1))
                 ids.append(i)
             if ids:
-                arr = np.vstack(sigs)
-                data = {id_col: ids}
-                for idx in range(k):
-                    data[f"mh{idx}"] = arr[:, idx]
-                yield pd.DataFrame(data)
+                yield pd.DataFrame({id_col: ids, "sig": sigs})
 
     return fan_out(docs.select(id_col, text_col)).mapInPandas(
         gen, schema=out_schema)
@@ -214,15 +243,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     # storage for the session lifetime on every invocation
     sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
     rows_per_band = k // bands
-    mh_cols = [f"mh{i}" for i in range(k)]
 
     band_rows = sig.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.concat_ws("_", *[F.col(f"mh{bi * rows_per_band + r}").cast("string")
-                                   for r in range(rows_per_band)]).alias("bucket"),
+                F.concat_ws("_", F.slice("sig", bi * rows_per_band + 1,
+                                         rows_per_band)
+                            .cast("array<string>")).alias("bucket"),
             )
             for bi in range(bands)
         ])).alias("bb"),
@@ -237,13 +266,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                 F.col(f"b.{id_col}").alias("id2"))
         .distinct()
     )
-    s1 = sig.select(F.col(id_col).alias("id1"),
-                    *[F.col(c).alias(f"a_{c}") for c in mh_cols])
-    s2 = sig.select(F.col(id_col).alias("id2"),
-                    *[F.col(c).alias(f"b_{c}") for c in mh_cols])
-    est = sum(
-        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
-    ) / float(k)
+    s1 = sig.select(F.col(id_col).alias("id1"), F.col("sig").alias("a_sig"))
+    s2 = sig.select(F.col(id_col).alias("id2"), F.col("sig").alias("b_sig"))
+    # interpreted HOF, but only over the candidate pairs (bounded by the
+    # band collisions — hundreds of rows, never the corpus), so the
+    # keep-hot-loops-in-numpy rule doesn't bite here
+    eq = F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(k)
     return (
         cand.join(s1, "id1").join(s2, "id2")
         .withColumn("jaccard_est", F.round(est, 4))

@@ -37,7 +37,7 @@ def test_minhash_signatures_match_python(spark, docs):
     from sunat_rree_demo_spark.sources.catalog import load_table
 
     d = load_table(spark, SF_SMOKE, "documents")
-    got = {r["doc_id"]: [r[f"mh{i}"] for i in range(MINHASH_K)]
+    got = {r["doc_id"]: list(r["sig"])
            for r in minhash_signatures(d, "doc_id", "text").collect()}
     params = _minhash_params()
     checked = 0
@@ -104,3 +104,45 @@ def test_exact_dedup_keeps_min_id(spark):
     ])
     kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
     assert kept == [1, 2]
+
+
+def test_jaccard_df_cutoff_identical_on_testdata(spark):
+    """The default stop-shingle guard (df > 256) provably drops nothing
+    on committed testdata (max shingle df = 4 at sf0.1), so guarded and
+    unguarded runs must be identical — the oracle-parity precondition."""
+    from sunat_rree_demo_spark.operators.dedup import ngram_jaccard_pairs
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    guarded = {(r.id1, r.id2): r.jaccard
+               for r in ngram_jaccard_pairs(d, "doc_id", "text").collect()}
+    unguarded = {(r.id1, r.id2): r.jaccard
+                 for r in ngram_jaccard_pairs(
+                     d, "doc_id", "text", max_shingle_df=None).collect()}
+    assert guarded == unguarded and guarded
+
+
+def test_jaccard_df_cutoff_bounds_hot_shingle(spark, caplog):
+    """A boilerplate shingle shared by every doc must be dropped (and
+    logged) under a low cutoff: near-dup pairs driven only by the hot
+    shingle disappear, bounding the f^2 self-join fan-out."""
+    import logging
+
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the publisher"
+    rows = [Row(doc_id=i, text=f"{boiler} unique tail {i} a b c d e")
+            for i in range(12)]
+    df = spark.createDataFrame(rows)
+
+    unguarded = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1,
+                                    max_shingle_df=None).collect()
+    assert unguarded, "hot shingles alone should clear the 0.1 threshold"
+    with caplog.at_level(logging.WARNING,
+                         logger="sunat_rree_demo_spark.operators.dedup"):
+        guarded = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1,
+                                      max_shingle_df=4).collect()
+    assert not guarded, "boilerplate-only pairs must vanish under the guard"
+    assert any("stop-shingle" in r.message for r in caplog.records)
