@@ -89,3 +89,56 @@ def test_insights_and_eda_run_on_reference_data(spark):
     assert cards and ("Insight #1" in cards[0] or "Sin datos" in cards[0])
     qs = quick_stats(kp)
     assert qs["latest_year"] == 2025 and qs["active_categories"] > 0
+
+
+def test_reference_summary_markdown_matches_committed_report(spark):
+    """S11 golden: render the reference's own eda_summary.md template
+    from the committed kpi_monthly and compare byte-for-byte against the
+    committed report's stat sections (reports/eda/eda_summary.md:1-16;
+    the trailing narrative/file-list/timestamp lines are static prose,
+    not engine output)."""
+    from sunat_rree_demo_spark.plans.eda import reference_summary_markdown
+
+    km = spark.read.parquet(f"{REF}/kpi_monthly.parquet")
+    ours = reference_summary_markdown(km).splitlines()
+    with open(f"{REF}/reports/eda/eda_summary.md", encoding="utf-8") as f:
+        ref = f.read().splitlines()
+    assert ours == ref[: len(ours)]
+
+
+def test_chart_artifacts_shapes_and_outliers(spark, tmp_path):
+    """S11 chart sink: six artifacts with the reference figures' data —
+    series lengths = n months, heatmap = months × years, outlier flags =
+    the committed report's 7 events, dashboard carries all four panels."""
+    import json
+
+    from sunat_rree_demo_spark.plans.eda import write_chart_artifacts
+
+    km = spark.read.parquet(f"{REF}/kpi_monthly.parquet")
+    paths = write_chart_artifacts(km, str(tmp_path))
+    assert sorted(paths) == [
+        "dashboard_eda", "distribucion_mensual", "estacionalidad_heatmap",
+        "outliers", "series_temporal", "tendencias",
+    ]
+    with open(paths["series_temporal"], encoding="utf-8") as f:
+        series = json.load(f)
+    assert len(series["x"]) == 156
+    assert {len(v) for v in series["series"].values()} == {156}
+    with open(paths["estacionalidad_heatmap"], encoding="utf-8") as f:
+        heat = json.load(f)
+    assert len(heat["y"]) == 12 and len(heat["x"]) == 13
+    assert all(len(row) == len(heat["x"]) for row in heat["z"])
+    with open(paths["outliers"], encoding="utf-8") as f:
+        out = json.load(f)
+    assert len(out["outliers"]["x"]) == 7  # eda_summary.md: 7 eventos
+    with open(paths["dashboard_eda"], encoding="utf-8") as f:
+        dash = json.load(f)
+    assert sorted(dash["panels"]) == [
+        "Balance Comercial", "Comercio Exterior",
+        "Crecimiento YoY", "Estacionalidad",
+    ]
+    with open(paths["tendencias"], encoding="utf-8") as f:
+        trends = json.load(f)
+    # min_periods=1 ⇒ ma12 of the first row equals the raw value
+    assert trends["series"]["Media Móvil 12m"][0] == pytest.approx(
+        trends["series"]["Exportaciones"][0])
