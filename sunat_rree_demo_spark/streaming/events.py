@@ -95,6 +95,65 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def rate_events(spark: SparkSession, rows_per_second: int = 200,
+                n_users: int = 8, burst: int = 1) -> DataFrame:
+    """A live (unbounded) events stream from Spark's built-in ``rate``
+    source, shaped exactly like the events table so every operator in
+    this package runs on it unchanged. All derived columns are
+    deterministic functions of the rate counter: user_id cycles over
+    ``n_users`` (in runs of ``burst`` consecutive events — burst > 1
+    makes activity bursty, so sessions CLOSE: a user goes quiet for
+    (n_users-1)·burst events while others keep event time advancing,
+    which is what lets append-mode session windows finalize), event_type
+    cycles over four kinds, and value is a small ramp with a large spike
+    every 97th event (so the streaming anomaly detector has something
+    real to flag). This is the production-source twin of
+    ``events_file_stream`` — same schema, no files."""
+    raw = (spark.readStream.format("rate")
+           .option("rowsPerSecond", rows_per_second).load())
+    kinds = F.array(F.lit("click"), F.lit("view"),
+                    F.lit("purchase"), F.lit("scroll"))
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.expr(f"value div {int(burst)}") % n_users).alias("user_id"),
+        F.element_at(kinds, (F.col("value") % 4 + 1).cast("int"))
+         .alias("event_type"),
+        F.when(F.col("value") % 97 == 0, F.lit(500.0))
+         .otherwise((F.col("value") % 20).cast("double") * 0.5 + 1.0)
+         .alias("value"),
+        F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+    )
+
+
+def run_foreach_batch(stream_df: DataFrame, on_batch,
+                      output_mode: str = "update",
+                      processing_time: str = "500 milliseconds",
+                      should_stop=None, timeout: float = 120.0):
+    """Drive a live stream under a real ``foreachBatch`` sink until
+    ``should_stop()`` returns true (or ``timeout`` elapses), then stop.
+    ``on_batch(df, epoch_id)`` is the user sink callable — in production
+    a merge/upsert into a table, in tests a driver-side collector.
+    Returns the streaming query's elapsed wall-clock seconds (the
+    bounded-latency measurement)."""
+    import time
+
+    q = (stream_df.writeStream.foreachBatch(on_batch)
+         .outputMode(output_mode)
+         .trigger(processingTime=processing_time)
+         .start())
+    t0 = time.time()
+    try:
+        while time.time() - t0 < timeout:
+            if should_stop is not None and should_stop():
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return time.time() - t0
+
+
 def run_available_now(stream_df: DataFrame, sink_table: str,
                       output_mode: str = "append", timeout: int = 120) -> None:
     """Drain everything currently in the source into an in-memory sink

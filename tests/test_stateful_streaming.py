@@ -59,6 +59,128 @@ def test_running_stats_converge_to_batch(spark, split_events_dir):
     assert multi > 0
 
 
+LIVE_LATENCY_BUDGET = 60.0  # s from query start to first useful output
+
+
+def _collector():
+    """Driver-side foreachBatch sink: records (wall-clock, rows) per
+    non-empty batch."""
+    import time
+
+    batches: list[tuple[float, list]] = []
+
+    def on_batch(df, _epoch):
+        rows = df.collect()
+        if rows:
+            batches.append((time.time(), rows))
+
+    return batches, on_batch
+
+
+def test_live_rate_running_stats_foreachbatch(spark):
+    """applyInPandasWithState on a LIVE unbounded source (rate), not a
+    file replay: state must accumulate across micro-batches under a real
+    foreachBatch sink, with the first output inside the latency budget."""
+    import time
+
+    from sunat_rree_demo_spark.streaming.events import (
+        rate_events,
+        run_foreach_batch,
+    )
+    from sunat_rree_demo_spark.streaming.stateful import running_user_stats
+
+    batches, on_batch = _collector()
+    t0 = time.time()
+    run_foreach_batch(
+        running_user_stats(rate_events(spark, rows_per_second=400)),
+        on_batch,
+        should_stop=lambda: len(batches) >= 3,
+        timeout=LIVE_LATENCY_BUDGET + 30,
+    )
+    assert len(batches) >= 2, "live stream produced too few update batches"
+    assert batches[0][0] - t0 < LIVE_LATENCY_BUDGET
+
+    # state genuinely accumulated: per user, n_events strictly grows
+    # across batches and mean stays consistent with (total, n)
+    last_n: dict[int, int] = {}
+    grew = 0
+    for _, rows in batches:
+        for r in rows:
+            if r.user_id in last_n:
+                assert r.n_events >= last_n[r.user_id]
+                grew += int(r.n_events > last_n[r.user_id])
+            last_n[r.user_id] = r.n_events
+            if r.n_events:
+                assert abs(r.mean_value - r.total_value / r.n_events) < 0.01
+    assert grew > 0, "no user's state advanced across live batches"
+
+
+def test_live_rate_anomaly_flags_foreachbatch(spark):
+    """The Welford anomaly detector on the live rate source: the
+    deterministic 500.0 spikes (every 97th event) must be flagged with
+    |z| above the threshold inside the latency budget."""
+    import time
+
+    from sunat_rree_demo_spark.streaming.events import (
+        rate_events,
+        run_foreach_batch,
+    )
+    from sunat_rree_demo_spark.streaming.stateful import anomaly_flags
+
+    batches, on_batch = _collector()
+    t0 = time.time()
+    run_foreach_batch(
+        anomaly_flags(rate_events(spark, rows_per_second=400),
+                      sigma=3.0, min_history=10),
+        on_batch,
+        should_stop=lambda: sum(len(b[1]) for b in batches) >= 2,
+        timeout=LIVE_LATENCY_BUDGET + 30,
+    )
+    flagged = [r for _, rows in batches for r in rows]
+    assert flagged, "no anomalies flagged on the spiky live stream"
+    assert batches[0][0] - t0 < LIVE_LATENCY_BUDGET
+    for r in flagged:
+        assert abs(r.zscore) > 3.0
+        assert r.value == 500.0  # only the planted spikes qualify
+
+
+def test_live_rate_session_window_foreachbatch(spark):
+    """The built-in stateful session-window operator on the live rate
+    source under foreachBatch. Session aggregations only support APPEND
+    mode — a session row is emitted once the watermark passes its close,
+    so the source must be bursty: each user emits `burst` consecutive
+    events then goes quiet for 7 bursts while the others keep event time
+    advancing past its gap. Finalized sessions must arrive inside the
+    latency budget with start <= end and the burst's events inside."""
+    import time
+
+    from sunat_rree_demo_spark.streaming.events import (
+        rate_events,
+        run_foreach_batch,
+        session_counts,
+    )
+
+    batches, on_batch = _collector()
+    t0 = time.time()
+    run_foreach_batch(
+        session_counts(rate_events(spark, rows_per_second=400, burst=400),
+                       gap="2 seconds", watermark="1 second"),
+        on_batch,
+        output_mode="append",
+        should_stop=lambda: sum(len(b[1]) for b in batches) >= 2,
+        timeout=LIVE_LATENCY_BUDGET + 30,
+    )
+    closed = [r for _, rows in batches for r in rows]
+    assert closed, "no session closed on the live stream"
+    assert batches[0][0] - t0 < LIVE_LATENCY_BUDGET
+    for r in closed:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+    # a full burst is ~1s of one user's events — the closed session
+    # must have aggregated many of them, not one per row
+    assert max(r.n_events for r in closed) > 1
+
+
 def test_anomaly_flags_zscores_sane(spark, split_events_dir):
     from sunat_rree_demo_spark.streaming.events import (
         events_file_stream,
