@@ -94,11 +94,13 @@ def _session_key(spark: SparkSession) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a proper
-    timestamp (microsecond truncation — identical to what DuckDB's
-    TIMESTAMP cast does, so the oracle agrees).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (earlier
+    testdata) and as TIMESTAMP(MICROS) without a timezone (current);
+    vanilla Spark rejects the former and reads the latter as
+    TIMESTAMP_NTZ, which time functions like ``unix_millis`` refuse.
+    Both variants are normalized here to TIMESTAMP_LTZ under the UTC
+    session zone — bit-identical instants to DuckDB's naive TIMESTAMP
+    view of the same file, so the oracle agrees either way.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (_session_key(spark), sf_dir, name)
@@ -112,10 +114,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: (ts / 1000) in double loses ulps above
             # 2^53 ns and lands 1 µs off DuckDB's exact conversion
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ micros → LTZ: session TZ is pinned to UTC (session.tune),
+            # so the wall-clock reinterpretation is the identity instant
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     if HOT_CACHE_MAX_BYTES > 0 and _path_bytes(path, HOT_CACHE_MAX_BYTES) > 0:
