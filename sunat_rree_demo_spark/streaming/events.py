@@ -14,33 +14,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-#: events.parquet physical schema — ts is TIMESTAMP(NANOS) stored as
-#: int64; the stream reads it as long and converts (same truncation as
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """events.parquet logical schema with the given physical ts type."""
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+
+#: legacy physical schema — ts shipped as TIMESTAMP(NANOS), readable
+#: only as int64 under nanosAsLong (same normalization as
 #: sources.catalog.load_table).
-EVENTS_FILE_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+EVENTS_FILE_SCHEMA = _events_schema(T.LongType())
 
 
 def events_file_stream(spark: SparkSession, directory: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
-    """Replayable file-source stream over event parquet files."""
+    """Replayable file-source stream over event parquet files.
+
+    events.parquet has shipped with ts as TIMESTAMP(NANOS) (legacy →
+    int64 under nanosAsLong) and as TIMESTAMP(MICROS) without a
+    timezone (current → TIMESTAMP_NTZ). A file stream needs an explicit
+    schema, so probe the directory's parquet footer once (batch-side,
+    no job) and normalize either variant to TIMESTAMP_LTZ — identical
+    instants to the batch twin under the UTC session zone."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    ts_type = dict(spark.read.parquet(directory).dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = (
+            spark.readStream.schema(EVENTS_FILE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(directory)
+        )
+        # integer division (div), not double /: exact µs like DuckDB's cast
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(directory)
     )
-    # integer division (div), not double /: exact µs like DuckDB's cast
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour",
