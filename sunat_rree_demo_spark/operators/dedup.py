@@ -14,9 +14,11 @@ Scale design:
   cosine similarity of the token sets — near-dup detection becomes a
   band-equality join on bit slices.
 
-All hashes derive from sha-256 (via ``conv(substr(sha2,…),16,10)``), so
-signatures are engine-independent and unit tests can verify against a
-pure-Python golden implementation bit for bit.
+Engine-visible hashes (MinHash signatures, SimHash fingerprints) derive
+from sha-256 (via ``conv(substr(sha2,…),16,10)``), so they are
+engine-independent and unit tests verify them against a pure-Python
+golden implementation bit for bit. Purely internal join keys (the
+Jaccard shingle key) use ``xxhash64`` — never surfaced in results.
 """
 
 from __future__ import annotations
@@ -125,46 +127,61 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     row per doc) → filter. Use MinHash+LSH (below) when the corpus is too
     large for the shingle self-join.
 
-    ``max_shingle_df`` bounds the self-join fan-out: one shingle shared
-    by f documents emits f² join rows, so a single boilerplate phrase
+    Shingle strings are collapsed to 64-bit ``xxhash64`` keys right
+    after the Python shingler, so every shuffle and the checkpoint carry
+    16-byte (id, hash) rows instead of ~50-byte strings. The hash is
+    internal only (the DuckDB oracle twin intersects the strings
+    themselves); a 64-bit collision would merge two distinct shingles —
+    p ≈ n²/2⁶⁵, ~3·10⁻⁸ at a million distinct shingles — measured
+    irrelevant on committed testdata (hash-identical results) and
+    negligible against MinHash's own approximation error at corpus
+    scale. The pair generation groups rows by shingle once and explodes
+    sorted-id combinations per group — one shuffle, versus two plus a
+    join for the classic self-join form, with identical output.
+
+    ``max_shingle_df`` bounds the pair fan-out: one shingle shared by f
+    documents emits f(f−1)/2 pairs, so a single boilerplate phrase
     ("all rights reserved …") appearing in millions of docs would
     otherwise explode one reducer. Shingles with document frequency
-    above the cutoff are dropped from BOTH the intersection join and the
-    per-doc sizes (the standard stop-shingle treatment — such shingles
-    carry no near-dup signal anyway), capping per-shingle fan-out at
-    cutoff². The drop is LOGGED, never silent; committed testdata's max
-    df is 4 (sf0.1), so the 256 default provably changes nothing there —
-    the exact DuckDB oracle twin stays hash-identical. ``None`` disables
-    the guard (true unbounded ground truth)."""
+    above the cutoff are dropped from BOTH the intersection counts and
+    the per-doc sizes (the standard stop-shingle treatment — such
+    shingles carry no near-dup signal anyway). The drop is LOGGED,
+    never silent; committed testdata's max df is 4 (sf0.1), so the 256
+    default provably changes nothing there — the exact DuckDB oracle
+    twin stays hash-identical. ``None`` disables the guard (true
+    unbounded ground truth)."""
     import logging
 
-    # materialize the shingle rows once (localCheckpoint) — they feed the
-    # self-join twice plus the size aggregate; recomputing the Python
-    # shingling three times would dominate the runtime
-    sh = shingle_rows(docs, id_col, text_col, n).localCheckpoint()
+    # one shuffle to shingle grain, materialized once (localCheckpoint):
+    # the grouped frame feeds the guard count, the pair explode, and the
+    # per-doc sizes; recomputing the Python shingling would dominate
+    sh = (shingle_rows(docs, id_col, text_col, n)
+          .select(F.col(id_col), F.xxhash64("shingle").alias("_sh")))
+    grp = (sh.groupBy("_sh")
+           .agg(F.array_sort(F.collect_list(id_col)).alias("ids"),
+                F.count("*").alias("_df"))
+           .localCheckpoint())
     if max_shingle_df is not None:
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-               .filter(F.col("_df") > max_shingle_df))
         # q40 builders are documented-eager (localCheckpoint above), so
         # counting the tiny hot-shingle set is one cheap aggregate over
         # already-materialized rows — the no-silent-caps log line
-        n_hot = hot.count()
+        n_hot = grp.filter(F.col("_df") > max_shingle_df).count()
         if n_hot:
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: dropping %d shingles with df > %d "
                 "(stop-shingle fan-out guard)", n_hot, max_shingle_df)
-            sh = sh.join(F.broadcast(hot.select("shingle")),
-                         "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id1"),
-                 F.col(f"b.{id_col}").alias("id2"))
-        .agg(F.count("*").alias("inter"))
-    )
+        grp = grp.filter(F.col("_df") <= max_shingle_df)
+    sizes = (grp.select(F.explode("ids").alias(id_col))
+             .groupBy(id_col).agg(F.count("*").alias("_n")))
+    # sorted-id combinations per shingle group: ids is ascending, so
+    # (ids[i], ids[j>i]) gives id1 < id2 without a filter; interpreted
+    # HOF, but bounded by the df cutoff (≤ f(f−1)/2 structs per row)
+    pairs = grp.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id1, y AS id2))))"
+    )).alias("p")).select("p.id1", "p.id2")
+    inter = pairs.groupBy("id1", "id2").agg(F.count("*").alias("inter"))
     sa = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("_n", "n1")
     sb = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("_n", "n2")
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
