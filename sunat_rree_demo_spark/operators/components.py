@@ -1,0 +1,69 @@
+"""Connected components over an undirected edge list — duplicate
+*clustering*, the step after pairwise near-dup detection (the reference
+stops at pairs; a production dedup pipeline groups pairs into clusters
+and keeps one representative per cluster, cf. q61/q65).
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round replaces a node's label with the minimum label
+in its closed neighborhood; convergence when no label changes. Rounds
+needed = the maximum component diameter. Near-dup graphs are
+star-or-clique-shaped (a handful of versions of one document), so the
+diameter is small and 2-4 rounds settle the labels; for genuinely
+high-diameter graphs (web link graphs) the alternating large-star /
+small-star scheme of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC'14), converges in O(log² n) rounds with the
+same per-round join shape and would slot in here unchanged.
+
+Scale design: each round is one shuffle — join labels to the symmetric
+edge list on the destination, min-aggregate per source, join back. The
+edge list and labels are localCheckpointed so the lineage stays one
+round deep (an unchecked loop would replay every prior round each
+iteration and blow the plan up exponentially). State per round is
+O(nodes + edges); the convergence check rides the label join as a
+count, one cheap job per round over checkpointed inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id1",
+                         dst: str = "id2", max_rounds: int = 50) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id in the node's connected component.
+
+    The loop is documented-eager (one count job per round): callers
+    register queries built on it with ``memoize=False``.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("b"),
+                                   F.col("comp").alias("nbr_comp")), "b")
+            .groupBy("a").agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        proposed = (
+            labels.join(nbr_min.select(F.col("a").alias("node"), "nbr_min"),
+                        "node", "left")
+            .select("node",
+                    F.col("comp").alias("old_comp"),
+                    F.least("comp", F.coalesce("nbr_min", "comp"))
+                    .alias("comp"))
+            .localCheckpoint()
+        )
+        changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = proposed.select("node", "comp")
+        if changed == 0:
+            break
+    return labels

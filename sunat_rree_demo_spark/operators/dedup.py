@@ -192,6 +192,29 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def contamination_overlap(corpus: DataFrame, probe: DataFrame,
+                          id_col: str, text_col: str, n: int = 8,
+                          min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ ``min_overlap``
+    distinct word n-grams with any probe (benchmark/eval) document —
+    the n-gram-overlap contamination test used before training-data
+    release. Returns (id, n_overlap).
+
+    Scale design: the probe side is an eval suite — MBs, not TBs — so
+    its distinct shingle set broadcasts and the corpus NEVER shuffles:
+    one map-side hash-join over the corpus scan, then a uniform-key
+    groupBy on doc id. ``n`` defaults to 8 (the usual 8-13-gram
+    contamination window); callers pick smaller n for fuzzier matching.
+    """
+    csh = shingle_rows(corpus, id_col, text_col, n)
+    psh = shingle_rows(probe, id_col, text_col, n).select("shingle").distinct()
+    return (
+        csh.join(F.broadcast(psh), "shingle")
+        .groupBy(id_col).agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
                        n: int = 5, k: int = MINHASH_K) -> DataFrame:
     """MinHash signature per doc: min over shingles of k affine

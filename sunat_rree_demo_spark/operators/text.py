@@ -57,10 +57,66 @@ def lang_id(tok: Column) -> Column:
     )
 
 
+#: Redaction patterns — written to the common subset of Java regex
+#: (Spark) and RE2 (DuckDB), so the oracle twin runs them verbatim.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pattern_count(text: Column, pattern: str) -> Column:
+    """How many non-overlapping matches of ``pattern`` — BIGINT for
+    oracle type parity (DuckDB ``len(regexp_extract_all(...))``)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("bigint")
+
+
+def redact(text: Column, patterns: dict[str, str]) -> Column:
+    """Replace every match of each pattern with its token, applied in
+    dict order (the oracle nests ``regexp_replace(..., 'g')`` in the
+    same order). Pure Column expression — the scrub stays JVM-side and
+    codegen'd at any corpus size."""
+    out = text
+    for pattern, token in patterns.items():
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed
     whitespace."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def pack_sequences(df, id_col: str, text_col: str,
+                   budget: int = 256, shards: int = 16):
+    """Concat-and-chunk sequence packing: lay the token stream of each
+    shard's docs (id order) end to end and cut it into fixed
+    ``budget``-token training chunks; per doc, emit the first chunk it
+    lands in and how many chunks it spans. This is the
+    split-documents-allowed packing used for LLM pretraining batches
+    (greedy no-split bin packing is inherently sequential; the
+    concat-and-chunk form is exact, deterministic, and windowable).
+
+    Scale design: one shuffle to ``shards`` hash shards (id % shards),
+    one sort per shard (the window). Shard count is the number of
+    output training files — thousands at warehouse scale, so each sort
+    covers corpus/shards rows and no global ordering is ever built.
+    All arithmetic is integer (exact on both engines)."""
+    from pyspark.sql import Window
+
+    tok = token_count(F.col(text_col))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        df.select(F.col(id_col), tok.alias("n_tokens"),
+                  (F.col(id_col) % shards).alias("shard"))
+        .withColumn("_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col, "shard", "n_tokens",
+            F.expr(f"_off div {budget}").alias("first_chunk"),
+            (F.expr(f"(_off + n_tokens - 1) div {budget}")
+             - F.expr(f"_off div {budget}") + 1).alias("n_chunks"),
+        )
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -19,6 +19,7 @@ from sunat_rree_demo_spark.queries import scale_variants  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import stats  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import temporal  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import arrays  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import llm_pipeline  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
@@ -35,6 +36,10 @@ _ROTATE_TO_TAIL = (
     "q10_anti_join", "q11_union_distinct", "q13_argmax_month",
     "q16_string_funcs", "q17_date_funcs", "q22_monthly_profile",
     "q29_tail_window",
+    # round 3: five more doubly-driver-verified (r01+r02 green) simple
+    # queries rotate out so q61-q65 land inside the 50-entry window
+    "q03_conditional_pivot_agg", "q04_pivot_table", "q06_scalar_stats",
+    "q07_count_distinct", "q08_topn_categories", "q12_having_max_case",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -1,0 +1,340 @@
+"""Training-data pipeline queries (driver mandate, SURVEY.md §7.4
+extension surface): duplicate *clustering* (the step after pairwise
+near-dup detection), deterministic train/val/test hash splits,
+benchmark decontamination, and PII/entity redaction — each
+oracle-checked, the iterative clustering ones against DuckDB
+``WITH RECURSIVE`` transitive closures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from sunat_rree_demo_spark.operators.components import connected_components
+from sunat_rree_demo_spark.operators.dedup import (
+    contamination_overlap,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from sunat_rree_demo_spark.operators.text import (
+    EMAIL_RE,
+    URL_RE,
+    pack_sequences,
+    pattern_count,
+    quality_score,
+    redact,
+    tokens,
+)
+from sunat_rree_demo_spark.queries.base import register, t
+from sunat_rree_demo_spark.queries.dedup import _minhash_oracle_sql
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments
+# ---------------------------------------------------------------------------
+
+#: q40's exact-Jaccard pair pipeline as a bare (id1, id2) SELECT —
+#: embedded as the `pairs` CTE body of the recursive closures below.
+_JACCARD_PAIRS_SQL = """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+      ),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(tk) - 3, 1)),
+                 i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
+        FROM toks WHERE len(tk) >= 5
+      ),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id1, id2
+      FROM inter
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
+"""
+
+#: per-doc quality twin of operators.text.quality_score (= q36's oracle)
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_QUALITY_SQL = f"""
+      SELECT doc_id AS node,
+             round(0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                          / CAST(len({_TOKS}) AS DOUBLE))
+                   + 0.5 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0),
+                   4) AS quality
+      FROM documents
+"""
+
+
+def _closure_ctes(pairs_sql: str) -> str:
+    """Transitive closure of an undirected pair list: ``labels`` =
+    (node, cluster_id = min node in component), ``csizes`` = members
+    per cluster. The recursive UNION deduplicates, so the fixpoint is
+    the reachability set — the SQL twin of the min-label propagation in
+    operators.components."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    labels AS (
+      SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node
+    ),
+    csizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+    )
+"""
+
+
+# ---------------------------------------------------------------------- q61
+@register(
+    "q61_dup_clusters",
+    memoize=False,  # iterative label propagation is documented-eager
+    oracle=_closure_ctes(_JACCARD_PAIRS_SQL) + """
+    SELECT l.node AS doc_id, l.cluster_id, c.cluster_size
+    FROM labels l JOIN csizes c USING (cluster_id)
+    ORDER BY cluster_id, doc_id
+    """,
+    tags=("llm-pipeline", "dedup", "connected-components"),
+)
+def q61_dup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components over the exact 5-gram
+    Jaccard ≥ 0.3 pair graph (operators.components min-label
+    propagation vs a DuckDB recursive-CTE closure)."""
+    d = t(spark, sf_dir, "documents")
+    edges = (ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.3)
+             .select("id1", "id2"))
+    labels = connected_components(edges)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(F.col("node").alias("doc_id"),
+                F.col("comp").alias("cluster_id"),
+                "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------- q62
+@register(
+    "q62_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 7))
+                  AS BIGINT) % 100 AS bucket,
+             n_chars
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+    tags=("llm-pipeline", "sampling"),
+)
+def q62_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by sha-256 bucket
+    of the doc id — content-stable assignment with no RNG state, the
+    standard reproducible-split recipe: the same doc lands in the same
+    split on any engine, any partitioning, any run. Pure expressions;
+    one aggregate."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 7),
+               16, 10).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------- q63
+@register(
+    "q63_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 1, 1)),
+               i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(tk) >= 3
+    ),
+    probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 50 != 0)
+    SELECT c.doc_id, count(*) AS n_overlap
+    FROM corpus c JOIN probe p USING (shingle)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm-pipeline", "decontamination"),
+)
+def q63_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any word 3-gram
+    with the probe set (docs with id % 50 = 0 stand in for an eval
+    suite; real pipelines use 8-13-grams — n is a parameter). The probe
+    shingle set broadcasts, so the corpus never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return (
+        contamination_overlap(corpus, probe, "doc_id", "text", n=3)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------- q64
+_ENTITY_RE = r"\b(customer|supplier)\b"
+
+
+@register(
+    "q64_redact_scrub",
+    oracle=f"""
+    WITH red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{EMAIL_RE}'))
+               + len(regexp_extract_all(text, '{URL_RE}')) AS n_pii,
+             len(regexp_extract_all(text, '{_ENTITY_RE}')) AS n_entities,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{URL_RE}', '<URL>', 'g'),
+               '{_ENTITY_RE}', '<ENTITY>', 'g') AS r
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_pii AS BIGINT) AS n_pii,
+           CAST(n_entities AS BIGINT) AS n_entities,
+           CAST(length(r) AS BIGINT) AS redacted_len,
+           sha256(r) AS redacted_sha
+    FROM red ORDER BY doc_id
+    """,
+    tags=("llm-pipeline", "redaction"),
+)
+def q64_redact_scrub(spark, sf_dir):
+    """PII/entity scrub before training-data release: count and replace
+    emails, URLs, and a lexicon of sensitive terms; the redacted text
+    is verified across engines by its sha-256. Patterns live in the
+    RE2 ∩ Java-regex subset so the oracle runs them verbatim; the whole
+    scrub is JVM-side codegen'd expressions (no Python in the path)."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    red = redact(txt, {EMAIL_RE: "<EMAIL>", URL_RE: "<URL>",
+                       _ENTITY_RE: "<ENTITY>"})
+    return (
+        d.select(
+            "doc_id",
+            (pattern_count(txt, EMAIL_RE)
+             + pattern_count(txt, URL_RE)).alias("n_pii"),
+            pattern_count(txt, _ENTITY_RE).alias("n_entities"),
+            F.length(red).cast("bigint").alias("redacted_len"),
+            F.sha2(red, 256).alias("redacted_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------- q66
+@register(
+    "q66_pack_sequences",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             doc_id % 16 AS shard
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM base
+    )
+    SELECT doc_id, shard, n_tokens,
+           off // 256 AS first_chunk,
+           (off + n_tokens - 1) // 256 - off // 256 + 1 AS n_chunks
+    FROM packed ORDER BY doc_id
+    """,
+    tags=("llm-pipeline", "packing"),
+)
+def q66_pack_sequences(spark, sf_dir):
+    """Training-batch sequence packing: concat-and-chunk each hash
+    shard's token stream into 256-token chunks (operators.text.
+    pack_sequences); per doc, its first chunk and span."""
+    d = t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------- q65
+@register(
+    "q65_cluster_representatives",
+    memoize=False,  # iterative label propagation is documented-eager
+    # pairs CTE = the full generated MinHash+LSH pipeline (q41's oracle,
+    # nested WITH); the closure reads only its (id1, id2) columns
+    oracle=_closure_ctes(_minhash_oracle_sql(0.3)) + f"""
+    , scored AS ({_QUALITY_SQL}),
+    ranked AS (
+      SELECT l.cluster_id, l.node, s.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY s.quality DESC, l.node) AS rn
+      FROM labels l JOIN scored s USING (node)
+    )
+    SELECT r.cluster_id, r.node AS rep_doc_id, c.cluster_size,
+           r.quality AS rep_quality
+    FROM ranked r JOIN csizes c USING (cluster_id)
+    WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+    tags=("llm-pipeline", "dedup", "representatives"),
+)
+def q65_cluster_representatives(spark, sf_dir):
+    """One representative per near-dup cluster — the doc a dedup
+    pipeline KEEPS: clusters from the scale path (MinHash+LSH ≥ 0.3
+    pairs → connected components), representative = highest quality
+    score, ties to the lowest doc id."""
+    d = t(spark, sf_dir, "documents")
+    edges = (minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
+             .select("id1", "id2"))
+    labels = connected_components(edges)
+    scored = d.select(F.col("doc_id").alias("node"),
+                      quality_score(tokens(F.col("text"))).alias("quality"))
+    w = Window.partitionBy("comp").orderBy(F.desc("quality"), F.asc("node"))
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(scored, "node")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "comp")
+        .select(F.col("comp").alias("cluster_id"),
+                F.col("node").alias("rep_doc_id"),
+                "cluster_size",
+                F.col("quality").alias("rep_quality"))
+        .orderBy("cluster_id")
+    )

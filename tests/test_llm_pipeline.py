@@ -1,0 +1,132 @@
+"""Unit tests for the training-data-pipeline operators behind q61-q65:
+connected components, contamination overlap, and redaction — shapes the
+oracle gate can't isolate (synthetic graphs with known components,
+texts with planted PII)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+
+def _components(spark, edges):
+    from sunat_rree_demo_spark.operators.components import connected_components
+    df = spark.createDataFrame([Row(id1=a, id2=b) for a, b in edges])
+    return {r.node: r.comp for r in connected_components(df).collect()}
+
+
+def test_components_path_graph_beyond_one_hop(spark):
+    """A 5-node path needs multiple propagation rounds — exercises the
+    loop, not just the first join."""
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_components_two_clusters_and_reversed_edges(spark):
+    """Min label wins regardless of edge direction; disjoint components
+    stay disjoint."""
+    got = _components(spark, [(9, 7), (7, 8), (20, 30)])
+    assert got == {7: 7, 8: 7, 9: 7, 20: 20, 30: 20}
+
+
+def test_components_empty_edges(spark):
+    from sunat_rree_demo_spark.operators.components import connected_components
+    empty = spark.createDataFrame([], "id1 bigint, id2 bigint")
+    assert connected_components(empty).collect() == []
+
+
+def test_contamination_overlap_counts_shared_ngrams(spark):
+    from sunat_rree_demo_spark.operators.dedup import contamination_overlap
+
+    probe = spark.createDataFrame([
+        Row(doc_id=100, text="the quick brown fox jumps over the lazy dog"),
+    ])
+    corpus = spark.createDataFrame([
+        # shares the 'quick brown fox' and 'brown fox jumps' 3-grams
+        Row(doc_id=1, text="a quick brown fox jumps here"),
+        Row(doc_id=2, text="completely different words entirely now"),
+    ])
+    got = {r.doc_id: r.n_overlap
+           for r in contamination_overlap(corpus, probe, "doc_id", "text",
+                                          n=3).collect()}
+    assert got == {1: 2}
+
+
+def test_redact_plants_and_scrubs_pii(spark):
+    from sunat_rree_demo_spark.operators.text import (
+        EMAIL_RE, URL_RE, pattern_count, redact)
+
+    df = spark.createDataFrame([Row(
+        doc_id=1,
+        text="mail a@b.co and c.d@e.org or visit https://x.io/p?q=1 now",
+    )])
+    out = df.select(
+        pattern_count(F.col("text"), EMAIL_RE).alias("n_email"),
+        pattern_count(F.col("text"), URL_RE).alias("n_url"),
+        redact(F.col("text"), {EMAIL_RE: "<EMAIL>", URL_RE: "<URL>"})
+        .alias("red"),
+    ).first()
+    assert out.n_email == 2 and out.n_url == 1
+    assert out.red == "mail <EMAIL> and <EMAIL> or visit <URL> now"
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Cross-check min-label propagation against a pure-Python
+    union-find on seeded random graphs (including one with a long path
+    to force multi-round propagation)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(7, 20, 12), (11, 30, 25), (13, 12, 6)]:
+        rng = random.Random(seed)
+        edges = sorted({tuple(sorted(rng.sample(range(n_nodes), 2)))
+                        for _ in range(n_edges)})
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {}
+        for v in touched:
+            root = find(v)
+            want[v] = min(u for u in touched if find(u) == root)
+
+        assert _components(spark, edges) == want, f"seed={seed}"
+
+
+def test_pack_sequences_chunks_are_exact_cover(spark):
+    """Within a shard, doc spans tile the token stream: each doc starts
+    in the chunk holding its offset and spans ceil-consistent chunks;
+    totals reconstruct from the window arithmetic."""
+    from sunat_rree_demo_spark.operators.text import pack_sequences
+
+    rows = [Row(doc_id=i, text=" ".join(["w"] * n))
+            for i, n in enumerate([100, 300, 5, 256, 512, 1, 255])]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in
+           pack_sequences(df, "doc_id", "text", budget=256, shards=1)
+           .collect()}
+    off = 0
+    for i in sorted(got):
+        r = got[i]
+        assert r.first_chunk == off // 256
+        assert r.n_chunks == (off + r.n_tokens - 1) // 256 - off // 256 + 1
+        off += r.n_tokens
+
+
+def test_hash_split_is_deterministic_and_disjoint(spark):
+    """Every doc lands in exactly one split, and rerunning assigns the
+    identical split — the reproducibility contract."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    one = REGISTRY["q62_hash_split"].fn(spark, SF_SMOKE).collect()
+    two = REGISTRY["q62_hash_split"].fn(spark, SF_SMOKE).collect()
+    assert one == two
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in one) == total

@@ -150,6 +150,8 @@ def test_bucketed_join_is_shuffle_free(spark):
 _EAGER_BUILDERS = {
     "q40_ngram_jaccard_pairs", "q41_minhash_lsh_pairs",
     "q43_cosine_topk", "q54_ann_ivf_topk",
+    # iterative label propagation: per-round convergence counts
+    "q61_dup_clusters", "q65_cluster_representatives",
 }
 
 
