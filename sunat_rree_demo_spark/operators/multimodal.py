@@ -105,6 +105,71 @@ def decode_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("byte_len", T.LongType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("bits_per_sample", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+
+def decode_audio_meta(payload: bytes) \
+        -> tuple[int, int, int, int] | None:
+    """REAL stdlib header parse for RIFF/WAVE audio: walk the chunk list
+    for ``fmt `` (channels u16, sample rate u32, block align u16, bits
+    u16 — all little-endian) and ``data`` (payload byte length), per the
+    WAVE spec (RIFF registration, multimedia programming interface §4).
+    Returns (sample_rate, n_channels, bits_per_sample, duration_ms), or
+    None for non-WAV payloads — callers treat those as opaque."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = block_align = None
+    data_len = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
+        if cid == b"fmt " and i + 24 <= len(payload):
+            channels, rate = struct.unpack("<HI", payload[i + 10:i + 16])
+            block_align, bits = struct.unpack("<HH", payload[i + 20:i + 24])
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if not rate or not channels or data_len is None or not block_align:
+        return None
+    n_frames = data_len // block_align
+    return (rate, channels, bits or 0, n_frames * 1000 // rate)
+
+
+def extract_audio_meta(media: DataFrame) -> DataFrame:
+    """Audio metadata extraction via the same Arrow-batched mapInPandas
+    shape as ``decode_media``: WAV headers parse for real (stdlib);
+    other codecs (mp3/flac — no libraries here) yield NULL metadata
+    rather than fakes."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf["content"].map(
+                lambda b: decode_audio_meta(bytes(b)) if b is not None
+                else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "byte_len": pdf["content"].map(
+                    lambda b: len(b) if b is not None else 0).astype("int64"),
+                "sample_rate": meta.map(lambda m: m[0] if m else None),
+                "n_channels": meta.map(lambda m: m[1] if m else None),
+                "bits_per_sample": meta.map(lambda m: m[2] if m else None),
+                "duration_ms": meta.map(lambda m: m[3] if m else None),
+            })
+
+    return media.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
 def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
     """Feature extraction over media batches via mapInPandas.
 

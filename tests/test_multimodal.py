@@ -127,3 +127,46 @@ def test_decode_media_uses_real_dims_for_known_codecs(spark):
     assert got[3] == (9, 4)
     blob = b"opaque blob"
     assert got[4] == (blob[0] + 1, blob[-1] + 1)  # stub fallback
+
+
+def _tiny_wav(rate=16000, channels=1, bits=16, n_frames=16000) -> bytes:
+    """Minimal valid RIFF/WAVE: fmt + data chunks, silent payload."""
+    import struct
+
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_frames * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * block_align, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_audio_meta_real_wav_header():
+    from sunat_rree_demo_spark.operators.multimodal import decode_audio_meta
+
+    assert decode_audio_meta(_tiny_wav(16000, 1, 16, 16000)) \
+        == (16000, 1, 16, 1000)
+    assert decode_audio_meta(_tiny_wav(44100, 2, 16, 22050)) \
+        == (44100, 2, 16, 500)
+    assert decode_audio_meta(b"not audio at all") is None
+    assert decode_audio_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt
+
+
+def test_extract_audio_meta_mapinpandas(spark):
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_meta,
+    )
+
+    df = spark.createDataFrame([
+        Row(media_id=1, content=bytearray(_tiny_wav(8000, 1, 8, 4000)),
+            media_type="audio/wav", meta={}),
+        Row(media_id=2, content=bytearray(b"opaque mp3-ish bytes"),
+            media_type="audio/mp3", meta={}),
+    ], schema=MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_audio_meta(df).collect()}
+    assert got[1].sample_rate == 8000 and got[1].duration_ms == 500
+    assert got[2].sample_rate is None and got[2].byte_len == 20
