@@ -268,6 +268,27 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
         gen, schema=out_schema)
 
 
+def band_rows(sig: DataFrame, id_col: str, k: int = MINHASH_K,
+              bands: int = LSH_BANDS) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame: per band, the
+    bucket key is the band's signature slice joined to a string. The
+    (band, bucket) pair is the LSH join key — also the layout of the
+    persisted index (operators.dedup_index)."""
+    rows_per_band = k // bands
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", F.slice("sig", bi * rows_per_band + 1,
+                                         rows_per_band)
+                            .cast("array<string>")).alias("bucket"),
+            )
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                       n: int = 5, k: int = MINHASH_K, bands: int = LSH_BANDS,
                       threshold: float = 0.3) -> DataFrame:
@@ -282,23 +303,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     # consumers below, reclaimed by GC — cache() would pin executor
     # storage for the session lifetime on every invocation
     sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
-    rows_per_band = k // bands
+    bb = band_rows(sig, id_col, k, bands)
 
-    band_rows = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws("_", F.slice("sig", bi * rows_per_band + 1,
-                                         rows_per_band)
-                            .cast("array<string>")).alias("bucket"),
-            )
-            for bi in range(bands)
-        ])).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    a = bb.alias("a")
+    b = bb.alias("b")
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
