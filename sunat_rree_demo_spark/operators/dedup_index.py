@@ -31,6 +31,15 @@ from sunat_rree_demo_spark.operators.dedup import (
 )
 
 
+def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """The not-yet-bootstrapped index reads as empty (first streaming
+    micro-batch probes before anything was ever appended)."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
 def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         k: int = MINHASH_K, bands: int = LSH_BANDS,
@@ -57,8 +66,8 @@ def incremental_near_dup_pairs(spark: SparkSession, new_docs: DataFrame,
     new_sig = minhash_signatures(new_docs, id_col, text_col, n, k) \
         .localCheckpoint()
     new_bands = band_rows(new_sig, id_col, k, bands)
-    idx_bands = spark.read.parquet(f"{path}/bands")
-    idx_sigs = spark.read.parquet(f"{path}/sigs")
+    idx_bands = _read_or_empty(spark, f"{path}/bands", new_bands.schema)
+    idx_sigs = _read_or_empty(spark, f"{path}/sigs", new_sig.schema)
 
     # candidates sharing any (band, bucket): corpus side probes the
     # broadcast batch; within-batch pairs from the tiny self-join
