@@ -40,6 +40,7 @@ _ROTATE_TO_TAIL = (
     # queries rotate out so q61-q65 land inside the 50-entry window
     "q03_conditional_pivot_agg", "q04_pivot_table", "q06_scalar_stats",
     "q07_count_distinct", "q08_topn_categories", "q12_having_max_case",
+    "q14_coverage_ratio",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -109,3 +109,38 @@ def q60_range_frame_window(spark, sf_dir):
         .select("event_id", "user_id", "n_trailing_1h")
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------- q67
+@register(
+    "q67_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(embedding::DOUBLE[],
+                    (x, i) -> struct_pack(ord := i, val := x))) AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(u.ord - 1 AS BIGINT) AS pos,
+           round(avg(u.val), 6) AS centroid
+    FROM ex GROUP BY label, u.ord ORDER BY label, pos
+    """,
+    tags=("arrays", "centroids"),
+)
+def q67_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding vectors, long format
+    (label, dimension position, mean component) — the class-prototype /
+    cluster-centroid primitive. posexplode → two-phase avg per
+    (label, pos): shuffle key cardinality = labels × dims, uniform, so
+    the plan is flat at any corpus size (the explode is dim× the scan,
+    all map-side)."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "val"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid"))
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "centroid")
+        .orderBy("label", "pos")
+    )
