@@ -42,9 +42,11 @@ def connected_components(edges: DataFrame, src: str = "id1",
         .distinct()
         .localCheckpoint()
     )
+    # seed with the closed-neighborhood min — exactly the result of a
+    # first identity-label round, one round (join + count job) cheaper
     labels = (
-        sym.select(F.col("a").alias("node")).distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.min("a")).alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_rounds):

@@ -205,3 +205,32 @@ def test_single_window_exchange_for_kpi(spark):
     n_exchanges = sum(1 for s in chain if "Exchange" in s)
     assert n_sorts == 1, plan
     assert n_exchanges <= 2, plan
+
+
+def test_decontaminate_broadcasts_probe_side(spark):
+    """q63's corpus side must never shuffle for the join: the probe
+    shingle set is the broadcast build side (an eval suite is MBs at
+    any corpus scale — SCALE.md)."""
+    plan = plan_of(fresh("q63_decontaminate")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_sorts_per_shard_only(spark):
+    """q66 must contain no global window: the only Sort feeding the
+    Window is partitioned by shard (an Exchange hashpartitioning on
+    shard precedes it), never a single-partition ordering."""
+    plan = plan_of(fresh("q66_pack_sequences")(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan
+    # a global window would demand Exchange SinglePartition before Sort
+    window_prefix = plan.split("Window")[0]
+    assert "SinglePartition" not in window_prefix
+
+
+def test_hash_split_is_two_phase_aggregate(spark):
+    """q62: one partial + one final HashAggregate pair around a single
+    key exchange — map-side combine at any scale."""
+    plan = plan_of(fresh("q62_hash_split")(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "SinglePartition" not in plan.split("Sort")[0]
