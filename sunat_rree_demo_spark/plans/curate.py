@@ -1,0 +1,110 @@
+"""Training-data curation — the composed end-to-end job a 100 TB
+pretraining-data pipeline runs, wired from the engine's own operators
+(no reference counterpart; driver-mandate extension surface):
+
+    1. language/quality gate      (operators.text.quality_score)
+    2. benchmark decontamination  (operators.dedup.contamination_overlap)
+    3. exact dedup                (operators.dedup.exact_dedup)
+    4. near-dup clustering        (minhash_lsh_pairs → connected_components)
+    5. keep best doc per cluster  (quality argmax, id tiebreak)
+    6. deterministic split        (sha-256 bucket → train/val/test)
+    7. sequence packing           (operators.text.pack_sequences)
+
+Everything through step 6 is pure plan composition — one lazy DAG, no
+driver round-trips except the documented-eager clustering loop. The
+output is one row per SURVIVING doc with its split, packing
+coordinates, and provenance flags; the summary is a per-split rollup.
+
+Scale: each step keeps the design of its operator (broadcast probe
+set, banded LSH shuffle, per-shard sort); survivors are a filter over
+the corpus, so the plan never materializes a second copy of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sunat_rree_demo_spark.operators.components import connected_components
+from sunat_rree_demo_spark.operators.dedup import (
+    contamination_overlap,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from sunat_rree_demo_spark.operators.text import (
+    pack_sequences,
+    quality_score,
+    tokens,
+)
+
+
+def curate(docs: DataFrame, probe: DataFrame | None = None,
+           id_col: str = "doc_id", text_col: str = "text",
+           min_quality: float = 0.25, near_dup_threshold: float = 0.3,
+           budget: int = 256, shards: int = 16) -> DataFrame:
+    """One row per surviving doc: (id, quality, split, shard,
+    n_tokens, first_chunk, n_chunks). Deterministic end to end."""
+    scored = docs.withColumn(
+        "quality", quality_score(tokens(F.col(text_col))))
+
+    # 1. quality gate
+    kept = scored.filter(F.col("quality") >= min_quality)
+
+    # 2. decontamination: drop anything overlapping the probe suite
+    if probe is not None:
+        dirty = contamination_overlap(kept, probe, id_col, text_col,
+                                      n=3).select(id_col)
+        kept = kept.join(dirty, id_col, "left_anti")
+
+    # 3. exact dedup (content-hash canonical row)
+    kept = exact_dedup(kept, text_col, id_col)
+
+    # 4-5. near-dup clustering on the survivors; keep the best-quality
+    # doc per cluster (docs in no cluster survive by default)
+    edges = minhash_lsh_pairs(kept, id_col, text_col,
+                              threshold=near_dup_threshold) \
+        .select("id1", "id2")
+    labels = connected_components(edges)
+    losers = (
+        labels.join(kept.select(F.col(id_col).alias("node"), "quality"),
+                    "node")
+        .withColumnRenamed("node", id_col)
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("comp").orderBy(F.desc("quality"),
+                                               F.asc(id_col))))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
+    )
+    kept = kept.join(losers, id_col, "left_anti")
+
+    # 6. deterministic split
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 7),
+               16, 10).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    kept = kept.withColumn("split", split)
+
+    # 7. pack surviving docs into training chunks
+    packed = pack_sequences(kept, id_col, text_col,
+                            budget=budget, shards=shards)
+    return (
+        kept.select(id_col, "quality", "split")
+        .join(packed, id_col)
+        .select(id_col, "quality", "split", "shard", "n_tokens",
+                "first_chunk", "n_chunks")
+    )
+
+
+def curate_summary(curated: DataFrame) -> DataFrame:
+    """Per-split rollup of the curated corpus."""
+    return (
+        curated.groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.round(F.avg("quality"), 4).alias("avg_quality"))
+        .orderBy("split")
+    )

@@ -1,0 +1,72 @@
+"""End-to-end curation plan: the composed pipeline must leave a corpus
+with no contamination, no exact dups, no near-dup pairs, a clean split
+partition, and deterministic output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    from sunat_rree_demo_spark.plans.curate import curate
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    probe = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    out = curate(corpus, probe).localCheckpoint()
+    return d, corpus, probe, out
+
+
+def test_survivors_pass_every_gate(spark, curated):
+    from sunat_rree_demo_spark.operators.dedup import (
+        contamination_overlap,
+        minhash_lsh_pairs,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    d, corpus, probe, out = curated
+    rows = out.collect()
+    assert rows, "curation must keep something"
+    assert all(r.quality >= 0.25 for r in rows)
+    assert all(r.split in ("train", "validation", "test") for r in rows)
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    survivors = corpus.join(out.select("doc_id"), "doc_id", "left_semi")
+    # no exact dups: content hashes unique
+    n = survivors.count()
+    assert survivors.select(F.sha2("text", 256)).distinct().count() == n
+    # no near-dup pair survives (one representative per component)
+    assert minhash_lsh_pairs(survivors, "doc_id", "text").count() == 0
+    # no contamination against the probe suite (3-gram window)
+    assert contamination_overlap(survivors, probe, "doc_id", "text",
+                                 n=3).count() == 0
+
+
+def test_packing_covers_every_survivor_once(curated):
+    _, _, _, out = curated
+    rows = out.collect()
+    assert all(r.n_chunks >= 1 and r.first_chunk >= 0 for r in rows)
+    assert all(r.shard == r.doc_id % 16 for r in rows)
+
+
+def test_curate_is_deterministic(spark, curated):
+    from sunat_rree_demo_spark.plans.curate import curate
+
+    d, corpus, probe, out = curated
+    again = curate(corpus, probe)
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(out.collect(), key=key) == sorted(again.collect(), key=key)
+
+
+def test_summary_rolls_up_per_split(spark, curated):
+    from sunat_rree_demo_spark.plans.curate import curate_summary
+
+    _, _, _, out = curated
+    summary = {r.split: r for r in curate_summary(out).collect()}
+    assert sum(r.n_docs for r in summary.values()) == out.count()
+    assert all(r.total_tokens > 0 for r in summary.values())
