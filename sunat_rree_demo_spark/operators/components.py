@@ -67,5 +67,11 @@ def connected_components(edges: DataFrame, src: str = "id1",
         changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
         labels = proposed.select("node", "comp")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # no-silent-caps: unconverged labels are WRONG labels — fail loudly
+    # rather than hand back split components (raise max_rounds, or use
+    # the large-star/small-star variant, for diameter > max_rounds
+    # graphs)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        f"(component diameter exceeds max_rounds)")

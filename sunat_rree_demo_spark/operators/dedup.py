@@ -152,25 +152,31 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     unbounded ground truth)."""
     import logging
 
-    # one shuffle to shingle grain, materialized once (localCheckpoint):
-    # the grouped frame feeds the guard count, the pair explode, and the
-    # per-doc sizes; recomputing the Python shingling would dominate
+    # shingle rows materialized once (localCheckpoint) — they feed the
+    # guard count, the grouped pair explode, and the per-doc sizes;
+    # recomputing the Python shingling would dominate
     sh = (shingle_rows(docs, id_col, text_col, n)
-          .select(F.col(id_col), F.xxhash64("shingle").alias("_sh")))
-    grp = (sh.groupBy("_sh")
-           .agg(F.array_sort(F.collect_list(id_col)).alias("ids"),
-                F.count("*").alias("_df"))
-           .localCheckpoint())
+          .select(F.col(id_col), F.xxhash64("shingle").alias("_sh"))
+          .localCheckpoint())
     if max_shingle_df is not None:
+        # the guard must fire BEFORE collect_list: a hot shingle's id
+        # array would otherwise materialize f elements in one reducer
+        # row — the exact blowup the cutoff exists to prevent. The
+        # count aggregate is narrow (map-side combined longs) and the
+        # hot set is tiny, so the anti-join is a broadcast.
+        hot = (sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_shingle_df))
         # q40 builders are documented-eager (localCheckpoint above), so
         # counting the tiny hot-shingle set is one cheap aggregate over
         # already-materialized rows — the no-silent-caps log line
-        n_hot = grp.filter(F.col("_df") > max_shingle_df).count()
+        n_hot = hot.count()
         if n_hot:
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: dropping %d shingles with df > %d "
                 "(stop-shingle fan-out guard)", n_hot, max_shingle_df)
-        grp = grp.filter(F.col("_df") <= max_shingle_df)
+            sh = sh.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
+    grp = sh.groupBy("_sh").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids"))
     sizes = (grp.select(F.explode("ids").alias(id_col))
              .groupBy(id_col).agg(F.count("*").alias("_n")))
     # sorted-id combinations per shingle group: ids is ascending, so
@@ -314,11 +320,23 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                 F.col(f"b.{id_col}").alias("id2"))
         .distinct()
     )
+    return estimate_pairs(cand, sig, id_col, k, threshold)
+
+
+def estimate_pairs(cand: DataFrame, sig: DataFrame, id_col: str,
+                   k: int = MINHASH_K,
+                   threshold: float = 0.3) -> DataFrame:
+    """Estimated Jaccard for candidate (id1, id2) pairs from a
+    signature frame: fraction of equal components, rounded to 4dp,
+    filtered to ≥ threshold. Shared by the batch-global pipeline and
+    the incremental index (operators.dedup_index) so the two stay
+    estimate-identical by construction.
+
+    Interpreted HOF, but only over the candidate pairs (bounded by the
+    band collisions — hundreds of rows, never the corpus), so the
+    keep-hot-loops-in-numpy rule doesn't bite here."""
     s1 = sig.select(F.col(id_col).alias("id1"), F.col("sig").alias("a_sig"))
     s2 = sig.select(F.col(id_col).alias("id2"), F.col("sig").alias("b_sig"))
-    # interpreted HOF, but only over the candidate pairs (bounded by the
-    # band collisions — hundreds of rows, never the corpus), so the
-    # keep-hot-loops-in-numpy rule doesn't bite here
     eq = F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int"))
     est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(k)
     return (

@@ -27,17 +27,24 @@ from sunat_rree_demo_spark.operators.dedup import (
     LSH_BANDS,
     MINHASH_K,
     band_rows,
+    estimate_pairs,
     minhash_signatures,
 )
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
     """The not-yet-bootstrapped index reads as empty (first streaming
-    micro-batch probes before anything was ever appended)."""
+    micro-batch probes before anything was ever appended). ONLY the
+    path-missing case falls back — a corrupt or unreadable existing
+    index must fail loudly, not silently drop every cross-batch pair."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
@@ -86,14 +93,9 @@ def incremental_near_dup_pairs(spark: SparkSession, new_docs: DataFrame,
     )
     cand = cross.union(within).filter("id1 != id2").distinct()
 
-    sigs = idx_sigs.union(new_sig).dropDuplicates([id_col])
-    s1 = sigs.select(F.col(id_col).alias("id1"), F.col("sig").alias("a_sig"))
-    s2 = sigs.select(F.col(id_col).alias("id2"), F.col("sig").alias("b_sig"))
-    eq = F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int"))
-    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(k)
-    return (
-        cand.join(s1, "id1").join(s2, "id2")
-        .withColumn("jaccard_est", F.round(est, 4))
-        .filter(F.col("jaccard_est") >= threshold)
-        .select("id1", "id2", "jaccard_est")
-    )
+    # a doc id present in BOTH (foreachBatch replay, or a re-ingested
+    # edited doc) must resolve deterministically: the NEW batch's
+    # signature wins (latest-write semantics), never an arbitrary row
+    sigs = (idx_sigs.join(new_sig.select(id_col), id_col, "left_anti")
+            .union(new_sig))
+    return estimate_pairs(cand, sigs, id_col, k, threshold)

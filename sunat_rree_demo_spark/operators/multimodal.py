@@ -133,7 +133,7 @@ def decode_audio_meta(payload: bytes) \
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
         (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
-        if cid == b"fmt " and i + 24 <= len(payload):
+        if cid == b"fmt " and clen >= 16 and i + 24 <= len(payload):
             channels, rate = struct.unpack("<HI", payload[i + 10:i + 16])
             block_align, bits = struct.unpack("<HH", payload[i + 20:i + 24])
         elif cid == b"data":

@@ -86,8 +86,28 @@ def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def hash_split(id_col: Column, train_pct: int = 80,
+               val_pct: int = 10) -> Column:
+    """Deterministic train/validation/test assignment by sha-256 bucket
+    of the id — content-stable, no RNG state, identical on any engine /
+    partitioning / run. The single source of the split recipe: q62 and
+    plans.curate must agree doc-for-doc (DuckDB twin:
+    ``('0x' || substring(sha256(CAST(id AS VARCHAR)),1,7))::BIGINT %
+    100`` against the same boundaries)."""
+    bucket = (
+        F.conv(F.substring(F.sha2(id_col.cast("string"), 256), 1, 7),
+               16, 10).cast("bigint") % 100
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def pack_sequences(df, id_col: str, text_col: str,
-                   budget: int = 256, shards: int = 16):
+                   budget: int = 256, shards: int = 16,
+                   partition_by: tuple[str, ...] = ()):
     """Concat-and-chunk sequence packing: lay the token stream of each
     shard's docs (id order) end to end and cut it into fixed
     ``budget``-token training chunks; per doc, emit the first chunk it
@@ -100,18 +120,24 @@ def pack_sequences(df, id_col: str, text_col: str,
     one sort per shard (the window). Shard count is the number of
     output training files — thousands at warehouse scale, so each sort
     covers corpus/shards rows and no global ordering is ever built.
-    All arithmetic is integer (exact on both engines)."""
+    All arithmetic is integer (exact on both engines).
+
+    ``partition_by`` prepends extra columns of ``df`` to the chunk
+    partitioning — e.g. ``("split",)`` so train/validation/test docs
+    pack into DISJOINT chunk streams and no training chunk straddles
+    eval tokens."""
     from pyspark.sql import Window
 
+    keys = [*partition_by, "shard"]
     tok = token_count(F.col(text_col))
-    w = (Window.partitionBy("shard").orderBy(id_col)
+    w = (Window.partitionBy(*keys).orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     return (
-        df.select(F.col(id_col), tok.alias("n_tokens"),
+        df.select(F.col(id_col), *partition_by, tok.alias("n_tokens"),
                   (F.col(id_col) % shards).alias("shard"))
         .withColumn("_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .select(
-            id_col, "shard", "n_tokens",
+            id_col, *keys, "n_tokens",
             F.expr(f"_off div {budget}").alias("first_chunk"),
             (F.expr(f"(_off + n_tokens - 1) div {budget}")
              - F.expr(f"_off div {budget}") + 1).alias("n_chunks"),

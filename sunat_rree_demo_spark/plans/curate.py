@@ -31,6 +31,7 @@ from sunat_rree_demo_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from sunat_rree_demo_spark.operators.text import (
+    hash_split,
     pack_sequences,
     quality_score,
     tokens,
@@ -76,23 +77,17 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     )
     kept = kept.join(losers, id_col, "left_anti")
 
-    # 6. deterministic split
-    bucket = (
-        F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 7),
-               16, 10).cast("bigint") % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("validation"))
-        .otherwise(F.lit("test"))
-    )
-    kept = kept.withColumn("split", split)
+    # 6. deterministic split (operators.text.hash_split — the single
+    # source of the recipe, shared with q62)
+    kept = kept.withColumn("split", hash_split(F.col(id_col)))
 
-    # 7. pack surviving docs into training chunks
-    packed = pack_sequences(kept, id_col, text_col,
-                            budget=budget, shards=shards)
+    # 7. pack surviving docs into training chunks, partitioned by split
+    # so train/validation/test pack into DISJOINT chunk streams — a
+    # training chunk must never straddle eval tokens
+    packed = pack_sequences(kept, id_col, text_col, budget=budget,
+                            shards=shards, partition_by=("split",))
     return (
-        kept.select(id_col, "quality", "split")
+        kept.select(id_col, "quality")
         .join(packed, id_col)
         .select(id_col, "quality", "split", "shard", "n_tokens",
                 "first_chunk", "n_chunks")

@@ -151,34 +151,32 @@ def q39_exact_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------- q40
+#: the exact-Jaccard pair pipeline as a bare SELECT — q40's oracle core,
+#: also embedded as the `pairs` CTE of q61's recursive closure
+#: (queries.llm_pipeline); ONE copy so the two can't drift.
+JACCARD_PAIRS_SELECT = f"""
+      WITH {_SHINGLE_CTE},
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      jac AS (
+        SELECT id1, id2,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+        FROM inter
+        JOIN sizes sa ON id1 = sa.doc_id
+        JOIN sizes sb ON id2 = sb.doc_id
+      )
+      SELECT id1, id2, round(j, 4) AS jaccard FROM jac WHERE j >= 0.3
+"""
+
+
 @register(
     "q40_ngram_jaccard_pairs",
     memoize=False,  # builder localCheckpoints shingle rows (eager)
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(tk) - 3, 1)),
-               i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
-      FROM toks WHERE len(tk) >= 5
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id1, id2,
-           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON id1 = sa.doc_id
-    JOIN sizes sb ON id2 = sb.doc_id
-    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
-    ORDER BY id1, id2
-    """,
+    oracle=JACCARD_PAIRS_SELECT + " ORDER BY id1, id2",
     tags=("dedup", "ngram-jaccard"),
 )
 def q40_ngram_jaccard_pairs(spark, sf_dir):

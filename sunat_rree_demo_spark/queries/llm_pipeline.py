@@ -19,6 +19,7 @@ from sunat_rree_demo_spark.operators.dedup import (
 from sunat_rree_demo_spark.operators.text import (
     EMAIL_RE,
     URL_RE,
+    hash_split,
     pack_sequences,
     pattern_count,
     quality_score,
@@ -26,37 +27,14 @@ from sunat_rree_demo_spark.operators.text import (
     tokens,
 )
 from sunat_rree_demo_spark.queries.base import register, t
-from sunat_rree_demo_spark.queries.dedup import _minhash_oracle_sql
+from sunat_rree_demo_spark.queries.dedup import (
+    JACCARD_PAIRS_SELECT,
+    _minhash_oracle_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Shared oracle fragments
 # ---------------------------------------------------------------------------
-
-#: q40's exact-Jaccard pair pipeline as a bare (id1, id2) SELECT —
-#: embedded as the `pairs` CTE body of the recursive closures below.
-_JACCARD_PAIRS_SQL = """
-      WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
-      ),
-      sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 range(1, greatest(len(tk) - 3, 1)),
-                 i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
-        FROM toks WHERE len(tk) >= 5
-      ),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id1, id2
-      FROM inter
-      JOIN sizes sa ON id1 = sa.doc_id
-      JOIN sizes sb ON id2 = sb.doc_id
-      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
-"""
 
 #: per-doc quality twin of operators.text.quality_score (= q36's oracle)
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -101,7 +79,9 @@ def _closure_ctes(pairs_sql: str) -> str:
 @register(
     "q61_dup_clusters",
     memoize=False,  # iterative label propagation is documented-eager
-    oracle=_closure_ctes(_JACCARD_PAIRS_SQL) + """
+    # pairs CTE = q40's oracle pipeline verbatim (ONE copy, see
+    # queries.dedup); the closure reads only its (id1, id2) columns
+    oracle=_closure_ctes(JACCARD_PAIRS_SELECT) + """
     SELECT l.node AS doc_id, l.cluster_id, c.cluster_size
     FROM labels l JOIN csizes c USING (cluster_id)
     ORDER BY cluster_id, doc_id
@@ -149,20 +129,12 @@ def q62_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (80/10/10) by sha-256 bucket
     of the doc id — content-stable assignment with no RNG state, the
     standard reproducible-split recipe: the same doc lands in the same
-    split on any engine, any partitioning, any run. Pure expressions;
-    one aggregate."""
+    split on any engine, any partitioning, any run (operators.text.
+    hash_split, shared with plans.curate). Pure expressions; one
+    aggregate."""
     d = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 7),
-               16, 10).cast("bigint") % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("validation"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        d.select(split.alias("split"), "n_chars")
+        d.select(hash_split(F.col("doc_id")).alias("split"), "n_chars")
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"),
              F.round(F.avg("n_chars"), 2).alias("avg_chars"))

@@ -69,6 +69,10 @@ def run_dedup_stream(spark: SparkSession, docs_stream: DataFrame,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
-    if q.isActive:  # pragma: no cover - safety net
+    done = q.awaitTermination(timeout)
+    if not done:
         q.stop()
+        raise TimeoutError(
+            f"dedup stream did not drain within {timeout}s — pairs/index "
+            f"hold only the completed micro-batches (restart resumes from "
+            f"the stream checkpoint)")

@@ -54,6 +54,25 @@ def test_packing_covers_every_survivor_once(curated):
     assert all(r.shard == r.doc_id % 16 for r in rows)
 
 
+def test_packing_streams_are_split_disjoint(curated):
+    """Train/validation/test pack into independent chunk streams: chunk
+    coordinates must reconstruct from a per-(split, shard) cumsum — a
+    train chunk never straddles eval tokens (the leakage the pipeline's
+    decontamination step exists to prevent)."""
+    from collections import defaultdict
+
+    _, _, _, out = curated
+    streams = defaultdict(list)
+    for r in out.collect():
+        streams[(r.split, r.shard)].append(r)
+    for rows in streams.values():
+        off = 0
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            assert r.first_chunk == off // 256
+            assert r.n_chunks == (off + r.n_tokens - 1) // 256 - off // 256 + 1
+            off += r.n_tokens
+
+
 def test_curate_is_deterministic(spark, curated):
     from sunat_rree_demo_spark.plans.curate import curate
 

@@ -5,6 +5,7 @@ texts with planted PII)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 
@@ -26,6 +27,21 @@ def test_components_two_clusters_and_reversed_edges(spark):
     stay disjoint."""
     got = _components(spark, [(9, 7), (7, 8), (20, 30)])
     assert got == {7: 7, 8: 7, 9: 7, 20: 20, 30: 20}
+
+
+def test_components_raise_rather_than_return_unconverged(spark):
+    """A diameter beyond max_rounds must fail loudly (no-silent-caps),
+    never hand back split components."""
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components,
+    )
+
+    path_edges = [(i, i + 1) for i in range(9)]  # diameter 9
+    df = spark.createDataFrame([Row(id1=a, id2=b) for a, b in path_edges])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=2)
 
 
 def test_components_empty_edges(spark):
