@@ -191,8 +191,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     sa = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("_n", "n1")
     sb = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("_n", "n2")
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    # no broadcast hint: sizes is doc-grain (corpus-sized at scale);
+    # AQE broadcasts it when the checkpoint stats say it is small
     return (
-        inter.join(F.broadcast(sa), "id1").join(F.broadcast(sb), "id2")
+        inter.join(sa, "id1").join(sb, "id2")
         .filter(jac >= threshold)
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
     )

@@ -85,33 +85,59 @@ def test_redact_plants_and_scrubs_pii(spark):
     assert out.red == "mail <EMAIL> and <EMAIL> or visit <URL> now"
 
 
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {v for e in edges for v in e}
+    return {v: min(u for u in touched if find(u) == find(v))
+            for v in touched}
+
+
 def test_components_match_union_find_on_random_graphs(spark):
-    """Cross-check min-label propagation against a pure-Python
-    union-find on seeded random graphs (including one with a long path
-    to force multi-round propagation)."""
+    """Cross-check BOTH algorithms (min-label propagation and
+    large-star/small-star) against a pure-Python union-find on seeded
+    random graphs."""
     import random
+
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components_two_phase,
+    )
 
     for seed, n_nodes, n_edges in [(7, 20, 12), (11, 30, 25), (13, 12, 6)]:
         rng = random.Random(seed)
         edges = sorted({tuple(sorted(rng.sample(range(n_nodes), 2)))
                         for _ in range(n_edges)})
-        parent = list(range(n_nodes))
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in edges:
-            parent[find(a)] = find(b)
-        touched = {v for e in edges for v in e}
-        want = {}
-        for v in touched:
-            root = find(v)
-            want[v] = min(u for u in touched if find(u) == root)
-
+        want = _union_find_labels(edges)
         assert _components(spark, edges) == want, f"seed={seed}"
+        df = spark.createDataFrame([Row(id1=a, id2=b) for a, b in edges])
+        got2 = {r.node: r.comp
+                for r in connected_components_two_phase(df).collect()}
+        assert got2 == want, f"two-phase seed={seed}"
+
+
+def test_two_phase_converges_on_long_path(spark):
+    """A 120-node path (diameter 119): large-star/small-star must
+    converge in far fewer rounds than the diameter — the O(log² n)
+    contract that makes it the high-diameter path."""
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components_two_phase,
+    )
+
+    edges = [(i, i + 1) for i in range(119)]
+    df = spark.createDataFrame([Row(id1=a, id2=b) for a, b in edges])
+    got = {r.node: r.comp
+           for r in connected_components_two_phase(df, max_rounds=15)
+           .collect()}
+    assert got == {i: 0 for i in range(120)}
 
 
 def test_pack_sequences_chunks_are_exact_cover(spark):
