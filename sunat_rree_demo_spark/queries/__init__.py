@@ -36,11 +36,11 @@ _ROTATE_TO_TAIL = (
     "q10_anti_join", "q11_union_distinct", "q13_argmax_month",
     "q16_string_funcs", "q17_date_funcs", "q22_monthly_profile",
     "q29_tail_window",
-    # round 3: seven more doubly-driver-verified (r01+r02 green) simple
-    # queries rotate out so q61-q67 land inside the 50-entry window
+    # round 3: more doubly-driver-verified (r01+r02 green) simple
+    # queries rotate out so q61-q68 land inside the 50-entry window
     "q03_conditional_pivot_agg", "q04_pivot_table", "q06_scalar_stats",
     "q07_count_distinct", "q08_topn_categories", "q12_having_max_case",
-    "q14_coverage_ratio",
+    "q14_coverage_ratio", "q15_bool_count_surplus",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

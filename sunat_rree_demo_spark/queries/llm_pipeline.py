@@ -76,16 +76,21 @@ def _closure_ctes(pairs_sql: str) -> str:
 
 
 # ---------------------------------------------------------------------- q61
+#: shared by q61 (min-label) and q68 (large-star/small-star): both
+#: algorithms must land on the identical closure
+_DUP_CLUSTERS_ORACLE = _closure_ctes(JACCARD_PAIRS_SELECT) + """
+    SELECT l.node AS doc_id, l.cluster_id, c.cluster_size
+    FROM labels l JOIN csizes c USING (cluster_id)
+    ORDER BY cluster_id, doc_id
+    """
+
+
 @register(
     "q61_dup_clusters",
     memoize=False,  # iterative label propagation is documented-eager
     # pairs CTE = q40's oracle pipeline verbatim (ONE copy, see
     # queries.dedup); the closure reads only its (id1, id2) columns
-    oracle=_closure_ctes(JACCARD_PAIRS_SELECT) + """
-    SELECT l.node AS doc_id, l.cluster_id, c.cluster_size
-    FROM labels l JOIN csizes c USING (cluster_id)
-    ORDER BY cluster_id, doc_id
-    """,
+    oracle=_DUP_CLUSTERS_ORACLE,
     tags=("llm-pipeline", "dedup", "connected-components"),
 )
 def q61_dup_clusters(spark, sf_dir):
@@ -96,6 +101,37 @@ def q61_dup_clusters(spark, sf_dir):
     edges = (ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.3)
              .select("id1", "id2"))
     labels = connected_components(edges)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(F.col("node").alias("doc_id"),
+                F.col("comp").alias("cluster_id"),
+                "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------- q68
+@register(
+    "q68_dup_clusters_two_phase",
+    memoize=False,  # iterative star contraction is documented-eager
+    oracle=_DUP_CLUSTERS_ORACLE,  # same closure ground truth as q61
+    tags=("llm-pipeline", "dedup", "connected-components"),
+)
+def q68_dup_clusters_two_phase(spark, sf_dir):
+    """q61's clusters via the OTHER algorithm: alternating large-star /
+    small-star contraction (Kiveris et al., SoCC'14 — the high-diameter
+    O(log² n)-round path) over the same exact-Jaccard pair graph,
+    checked against the same recursive-CTE closure: both Spark
+    algorithms and the SQL ground truth must agree label-for-label."""
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components_two_phase,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    edges = (ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.3)
+             .select("id1", "id2"))
+    labels = connected_components_two_phase(edges)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "comp")
