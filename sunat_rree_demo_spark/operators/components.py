@@ -83,11 +83,16 @@ def _canonical(df: DataFrame) -> DataFrame:
             .filter(F.col("a") != F.col("b")).distinct())
 
 
+def _adj(E: DataFrame) -> DataFrame:
+    """Symmetric adjacency (u, v) of a canonical edge list."""
+    return E.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .union(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+
 def _large_star(E: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of each node to the min of
     its closed neighborhood."""
-    adj = E.select(F.col("a").alias("u"), F.col("b").alias("v")) \
-        .union(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    adj = _adj(E)
     m = (adj.groupBy("u")
          .agg(F.least(F.min("v"), F.min("u")).alias("m")))
     return _canonical(
@@ -98,9 +103,7 @@ def _large_star(E: DataFrame) -> DataFrame:
 def _small_star(E: DataFrame) -> DataFrame:
     """Connect every smaller neighbor (and the node itself) to the min
     of the node's smaller neighborhood."""
-    adj = E.select(F.col("a").alias("u"), F.col("b").alias("v")) \
-        .union(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    smaller = adj.filter(F.col("v") < F.col("u"))
+    smaller = _adj(E).filter(F.col("v") < F.col("u"))
     m = smaller.groupBy("u").agg(F.min("v").alias("m"))
     member_edges = smaller.join(m, "u").select(
         F.col("v").alias("a"), F.col("m").alias("b"))
@@ -119,23 +122,37 @@ def connected_components_two_phase(edges: DataFrame, src: str = "id1",
     (node, comp = min node of the component), nodes drawn from the edge
     list. Each phase is two shuffles (neighborhood min + emit); the
     edge set is localCheckpointed per round so lineage stays flat."""
+    all_nodes = (edges.select(F.col(src).alias("node"))
+                 .union(edges.select(F.col(dst).alias("node")))
+                 .distinct().localCheckpoint())
     E = _canonical(edges.select(F.col(src).alias("a"),
                                 F.col(dst).alias("b"))).localCheckpoint()
+    n_prev = E.count()
     for _ in range(max_rounds):
-        E_new = _small_star(_large_star(E)).localCheckpoint()
-        same_size = E_new.count() == E.count()
-        if same_size and E_new.exceptAll(E).count() == 0:
+        # checkpoint the large-star intermediate too: _small_star reads
+        # it from three plan branches — "each phase is two shuffles"
+        # must hold by construction, not by AQE exchange reuse
+        E_new = _small_star(_large_star(E).localCheckpoint()) \
+            .localCheckpoint()
+        n_new = E_new.count()
+        if n_new == n_prev and E_new.exceptAll(E).count() == 0:
             E = E_new
             break
-        E = E_new
+        E, n_prev = E_new, n_new
     else:
         raise RuntimeError(
             f"connected_components_two_phase did not converge in "
             f"{max_rounds} rounds")
     # converged: every component is a star (root = min node); members
-    # appear as b with a = root, roots only as a
+    # appear as b with a = root, roots only as a. Nodes whose every
+    # edge was a self-loop vanished at canonicalization — restore them
+    # as singleton components (same output contract as
+    # connected_components, which keeps them).
     members = E.select(F.col("b").alias("node"), F.col("a").alias("comp"))
+    linked = members.select("node").union(E.select(F.col("a").alias("node")))
+    singletons = (all_nodes.join(linked.distinct(), "node", "left_anti")
+                  .withColumn("comp", F.col("node")))
     roots = (E.select(F.col("a").alias("node"))
              .join(members.select("node"), "node", "left_anti")
              .distinct().withColumn("comp", F.col("node")))
-    return members.union(roots)
+    return members.union(roots).union(singletons)

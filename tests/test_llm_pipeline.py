@@ -124,6 +124,23 @@ def test_components_match_union_find_on_random_graphs(spark):
         assert got2 == want, f"two-phase seed={seed}"
 
 
+def test_two_phase_keeps_self_loop_only_nodes(spark):
+    """Contract parity with connected_components: a node whose only
+    edge is a self-pair stays in the output as its own singleton."""
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id1=5, id2=5), Row(id1=1, id2=2)])
+    want = {1: 1, 2: 1, 5: 5}
+    assert {r.node: r.comp
+            for r in connected_components(df).collect()} == want
+    assert {r.node: r.comp
+            for r in connected_components_two_phase(df).collect()} == want
+
+
 def test_two_phase_converges_on_long_path(spark):
     """A 120-node path (diameter 119): large-star/small-star must
     converge in far fewer rounds than the diameter — the O(log² n)
