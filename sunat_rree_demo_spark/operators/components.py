@@ -36,14 +36,22 @@ def connected_components(edges: DataFrame, src: str = "id1",
     The loop is documented-eager (one count job per round): callers
     register queries built on it with ``memoize=False``.
     """
+    # checkpoint the RAW edge projection first: the symmetric union
+    # references the edge plan from two branches, so building sym
+    # straight off `edges` would compute the (expensive — e.g. the
+    # Python-shingled near-dup pair pipeline) upstream plan twice in
+    # one job. One eager checkpoint = upstream runs exactly once.
+    raw = edges.select(F.col(src).alias("a"),
+                       F.col(dst).alias("b")).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # seed with the closed-neighborhood min — exactly the result of a
-    # first identity-label round, one round (join + count job) cheaper
+    # first identity-label round, one round (join + count job) cheaper.
+    # This eager checkpoint is the first action through sym, so the lazy
+    # sym checkpoint materializes inside the same job.
     labels = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.least(F.min("b"), F.min("a")).alias("comp"))
@@ -62,7 +70,10 @@ def connected_components(edges: DataFrame, src: str = "id1",
                     F.col("comp").alias("old_comp"),
                     F.least("comp", F.coalesce("nbr_min", "comp"))
                     .alias("comp"))
-            .localCheckpoint()
+            # lazy: the changed-count below is the first action, so it
+            # materializes the checkpoint and checks convergence in the
+            # SAME job (the eager form paid two jobs per round)
+            .localCheckpoint(eager=False)
         )
         changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
         labels = proposed.select("node", "comp")
@@ -74,6 +85,18 @@ def connected_components(edges: DataFrame, src: str = "id1",
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         f"(component diameter exceeds max_rounds)")
+
+
+def _edge_fingerprint(E: DataFrame) -> tuple[int, int]:
+    """(row count, xor of per-edge xxhash64) of a canonical edge list —
+    an order-independent set fingerprint computed in ONE aggregate job.
+    bit_xor never overflows (unlike SUM under ANSI mode) and duplicate
+    edges can't cancel because canonical edge lists are distinct. Equal
+    fingerprints across rounds are confirmed exactly (one exceptAll)
+    before declaring convergence."""
+    row = E.agg(F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("h")).first()
+    return row["n"], row["h"]
 
 
 def _canonical(df: DataFrame) -> DataFrame:
@@ -122,23 +145,44 @@ def connected_components_two_phase(edges: DataFrame, src: str = "id1",
     (node, comp = min node of the component), nodes drawn from the edge
     list. Each phase is two shuffles (neighborhood min + emit); the
     edge set is localCheckpointed per round so lineage stays flat."""
-    all_nodes = (edges.select(F.col(src).alias("node"))
-                 .union(edges.select(F.col(dst).alias("node")))
-                 .distinct().localCheckpoint())
-    E = _canonical(edges.select(F.col(src).alias("a"),
-                                F.col(dst).alias("b"))).localCheckpoint()
-    n_prev = E.count()
+    # one eager checkpoint of the raw edge projection: all_nodes and the
+    # canonical E both read from it, so the upstream edge plan (e.g. the
+    # near-dup pair pipeline) runs exactly once — the r3 form paid it
+    # twice (once per eager checkpoint)
+    raw = edges.select(F.col(src).alias("a"),
+                       F.col(dst).alias("b")).localCheckpoint()
+    # all_nodes is only read once, by the final singleton restore — a
+    # rescan of the tiny checkpointed raw frame, no checkpoint needed
+    all_nodes = (raw.select(F.col("a").alias("node"))
+                 .union(raw.select(F.col("b").alias("node")))
+                 .distinct())
+    E = _canonical(raw).localCheckpoint(eager=False)
+    fp_prev = _edge_fingerprint(E)  # materializes E's lazy checkpoint
     for _ in range(max_rounds):
-        # checkpoint the large-star intermediate too: _small_star reads
-        # it from three plan branches — "each phase is two shuffles"
-        # must hold by construction, not by AQE exchange reuse
-        E_new = _small_star(_large_star(E).localCheckpoint()) \
-            .localCheckpoint()
-        n_new = E_new.count()
-        if n_new == n_prev and E_new.exceptAll(E).count() == 0:
+        # Both checkpoints are LAZY and materialize inside the single
+        # fingerprint job below — one job per round, where the r3
+        # version paid three (large-star checkpoint + E_new checkpoint +
+        # count) plus a full exceptAll shuffle-and-subtract on every
+        # count-match round. The large-star intermediate still
+        # checkpoints (persist + lineage cut: _small_star reads it from
+        # three plan branches, so an unpersisted LS would replicate its
+        # subtree into every round's lineage); lazy materialization
+        # means at worst a concurrently-scheduled stage recomputes an
+        # LS partition before the persist lands — bounded by the three
+        # in-job references, deterministic either way, and strictly
+        # cheaper than the extra job barrier it replaces.
+        E_new = _small_star(_large_star(E).localCheckpoint(eager=False)) \
+            .localCheckpoint(eager=False)
+        fp_new = _edge_fingerprint(E_new)
+        if fp_new == fp_prev and E_new.exceptAll(E).count() == 0:
+            # fingerprint (count, xor-of-hashes) equality is necessary
+            # for a fixed point; exceptAll runs ONCE here as the exact
+            # confirmation (hash-collision guard). A collision without
+            # set equality falls through and keeps iterating — loud,
+            # never a silently split component.
             E = E_new
             break
-        E, n_prev = E_new, n_new
+        E, fp_prev = E_new, fp_new
     else:
         raise RuntimeError(
             f"connected_components_two_phase did not converge in "
