@@ -81,15 +81,19 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return df.join(canon.select(id_col), on=id_col, how="left_semi")
 
 
-def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
-                 n: int = 5) -> DataFrame:
-    """(id, shingle) exploded rows — distinct shingles per doc.
+def doc_shingle_arrays(docs: DataFrame, id_col: str, text_col: str,
+                       n: int = 5) -> DataFrame:
+    """(id, shingles: array<string>) — the distinct word n-gram set per
+    doc, at DOC grain. Docs shorter than n tokens yield no row.
 
     Arrow-batched Python (mapInPandas) instead of the Catalyst
     sequence/transform/slice HOF chain: higher-order functions are
     interpreted per element, while a per-batch Python loop over plain
     strings is ~5× faster and identical in semantics (regex whitespace
-    split, n-token join by single space, distinct)."""
+    split, n-token join by single space, distinct). Doc grain keeps the
+    per-doc shingle-set SIZE available as a zero-shuffle projection
+    (``F.size``) — ``ngram_jaccard_pairs`` reads it directly instead of
+    re-aggregating exploded rows."""
     import re
 
     import pandas as pd
@@ -97,24 +101,32 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
 
     out_schema = T.StructType([
         T.StructField(id_col, docs.schema[id_col].dataType),
-        T.StructField("shingle", T.StringType()),
+        T.StructField("shingles", T.ArrayType(T.StringType())),
     ])
 
     def gen(batches):
         for pdf in batches:
             ids: list = []
-            shs: list[str] = []
+            shs: list[list[str]] = []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
                 tk = re.split(r"\s+", str(txt).strip())
                 if len(tk) < n:
                     continue
-                for s in {" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)}:
-                    ids.append(i)
-                    shs.append(s)
-            yield pd.DataFrame({id_col: ids, "shingle": shs})
+                ids.append(i)
+                shs.append(sorted({" ".join(tk[j:j + n])
+                                   for j in range(len(tk) - n + 1)}))
+            yield pd.DataFrame({id_col: ids, "shingles": shs})
 
     return fan_out(docs.select(id_col, text_col)).mapInPandas(
         gen, schema=out_schema)
+
+
+def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
+                 n: int = 5) -> DataFrame:
+    """(id, shingle) exploded rows — distinct shingles per doc (the
+    row-grain view of ``doc_shingle_arrays``)."""
+    return doc_shingle_arrays(docs, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -122,10 +134,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
                         max_shingle_df: int | None = 256) -> DataFrame:
     """Exact pairwise n-gram Jaccard ≥ threshold (ground-truth near-dup).
 
-    Plan: explode shingles → self-join on shingle (shuffle key =
-    shingle) → count intersections → join per-doc sizes (broadcast; one
-    row per doc) → filter. Use MinHash+LSH (below) when the corpus is too
-    large for the shingle self-join.
+    Plan: doc-grain shingle arrays (one lazy checkpoint) → explode →
+    group by shingle → emit sorted-id combinations → count
+    intersections → join per-doc sizes (a zero-shuffle ``F.size``
+    projection of the same checkpoint) → filter. Use MinHash+LSH
+    (below) when the corpus is too large for the shingle group-by.
 
     Shingle strings are collapsed to 64-bit ``xxhash64`` keys right
     after the Python shingler, so every shuffle and the checkpoint carry
@@ -152,12 +165,22 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     unbounded ground truth)."""
     import logging
 
-    # shingle rows materialized once (localCheckpoint) — they feed the
-    # guard count, the grouped pair explode, and the per-doc sizes;
-    # recomputing the Python shingling would dominate
-    sh = (shingle_rows(docs, id_col, text_col, n)
-          .select(F.col(id_col), F.xxhash64("shingle").alias("_sh"))
-          .localCheckpoint())
+    # doc-grain shingle arrays materialized once (localCheckpoint) —
+    # they feed the guard count, the grouped pair explode, and the
+    # per-doc sizes; recomputing the Python shingling would dominate.
+    # The checkpoint is LAZY: the guard count below is the first
+    # action, so shingling, checkpoint persist, and the hot-shingle
+    # aggregate all ride ONE job (the r3 eager form paid a separate
+    # checkpoint job first — ~25% of q40's warm wall at sf0.1).
+    arr = (doc_shingle_arrays(docs, id_col, text_col, n)
+           .localCheckpoint(eager=False))
+    sh = arr.select(F.col(id_col),
+                    F.explode("shingles").alias("shingle")) \
+        .select(F.col(id_col), F.xxhash64("shingle").alias("_sh"))
+    # per-doc set size is a zero-shuffle projection of the doc-grain
+    # checkpoint (arrays hold the distinct set already); only a fired
+    # stop-shingle guard falls back to re-aggregating filtered rows
+    sizes = arr.select(F.col(id_col), F.size("shingles").alias("_n"))
     if max_shingle_df is not None:
         # the guard must fire BEFORE collect_list: a hot shingle's id
         # array would otherwise materialize f elements in one reducer
@@ -166,19 +189,20 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
         # hot set is tiny, so the anti-join is a broadcast.
         hot = (sh.groupBy("_sh").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_shingle_df))
-        # q40 builders are documented-eager (localCheckpoint above), so
-        # counting the tiny hot-shingle set is one cheap aggregate over
-        # already-materialized rows — the no-silent-caps log line
+        # q40 builders are documented-eager (the count materializes the
+        # checkpoint), so counting the tiny hot-shingle set doubles as
+        # the no-silent-caps log line
         n_hot = hot.count()
         if n_hot:
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: dropping %d shingles with df > %d "
                 "(stop-shingle fan-out guard)", n_hot, max_shingle_df)
             sh = sh.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
+            # dropped shingles leave BOTH the intersections and the
+            # sizes: recount per doc over the filtered rows
+            sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     grp = sh.groupBy("_sh").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids"))
-    sizes = (grp.select(F.explode("ids").alias(id_col))
-             .groupBy(id_col).agg(F.count("*").alias("_n")))
     # sorted-id combinations per shingle group: ids is ascending, so
     # (ids[i], ids[j>i]) gives id1 < id2 without a filter; interpreted
     # HOF, but bounded by the df cutoff (≤ f(f−1)/2 structs per row)
