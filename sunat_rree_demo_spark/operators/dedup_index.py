@@ -5,23 +5,41 @@ docs and probes the index, instead of re-running pairwise dedup over
 the whole corpus per batch (the reference pipeline, like q41, is
 batch-global; this is its incremental twin).
 
-Index layout (two parquet tables under one root):
-- ``sigs/``  — (id, sig array<bigint>): one row per doc.
-- ``bands/`` — (id, band, bucket): LSH band rows, the join key layout.
+Index layout (two parquet tables under one root, partitioned by ingest
+batch):
+- ``sigs/batch_id=N/``  — (id, sig array<bigint>): one row per doc.
+- ``bands/batch_id=N/`` — (id, band, bucket): LSH band rows, the join
+  key layout. Written LAST, so ``bands/batch_id=N/_SUCCESS`` is the
+  batch's commit marker (see ``batch_committed``).
+
+Exactly-once: every batch write is an OVERWRITE of that batch's own
+partition directory, so a foreachBatch crash-replay rewrites the same
+files instead of appending duplicates — (id, sig) and (id, band,
+bucket) rows are unique per (batch, doc) by construction. The partition
+column is ``batch_id`` (no leading underscore: Spark's file index
+treats ``_``-prefixed paths as hidden and would skip the partitions).
+
+A doc id re-ingested in a LATER batch (an edited document) legitimately
+appears in several partitions; reads resolve it latest-batch-wins at
+CANDIDATE scale (see ``incremental_near_dup_pairs``) — the corpus-side
+table is never shuffled for it. Long-lived indexes with many re-ingests
+should periodically compact (rewrite keeping the max-batch row per id);
+until compaction the index carries one extra row per re-ingest, not
+wrong answers.
 
 Scale design: an ingest batch is small relative to the corpus, so the
 batch's band rows BROADCAST and the stored band table is probed by a
 map-side hash join — the corpus-side shuffle is zero. Estimates then
 join signatures for just the candidate ids (semi-join-sized reads).
-Appending a batch is an append-mode parquet write of its own rows; no
-index rewrite. With the bucketed-table sink (plans/bucketed) the bands
-table can additionally be bucketed by ``bucket`` for shuffle-free
-index-vs-index joins; plain parquet keeps this module engine-portable.
+With the bucketed-table sink (plans/bucketed) the bands table can
+additionally be bucketed by ``bucket`` for shuffle-free index-vs-index
+joins; plain parquet keeps this module engine-portable.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from sunat_rree_demo_spark.operators.dedup import (
     LSH_BANDS,
@@ -30,6 +48,24 @@ from sunat_rree_demo_spark.operators.dedup import (
     estimate_pairs,
     minhash_signatures,
 )
+
+#: partition column added to both index tables by the batch layout
+BATCH_COL = "batch_id"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works
+    for any supported filesystem (local, HDFS, object stores), unlike
+    ``os.path`` probes."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _with_batch_schema(schema: T.StructType) -> T.StructType:
+    return T.StructType(list(schema.fields)
+                        + [T.StructField(BATCH_COL, T.LongType())])
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -42,23 +78,79 @@ def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
     try:
         return spark.read.schema(schema).parquet(path)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc):
+        # error-class check first (getCondition on Spark 4, the
+        # deprecated getErrorClass elsewhere); substring as a fallback
+        # for versions that wrap the class into the message only
+        get_cls = getattr(exc, "getCondition", None) or exc.getErrorClass
+        if (get_cls() or "") == "PATH_NOT_FOUND" \
+                or "PATH_NOT_FOUND" in str(exc):
             return spark.createDataFrame([], schema)
         raise
+
+
+def batch_committed(spark: SparkSession, path: str, batch_id: int) -> bool:
+    """True iff ``batch_id`` was fully absorbed into the index at
+    ``path``. The marker is the ``_SUCCESS`` file of the batch's bands
+    partition: bands are written last, so its successful commit implies
+    the sigs partition (and, in the streaming flow, the pairs
+    partition written before either) are complete."""
+    fs, marker = _hadoop_fs(
+        spark, f"{path}/bands/{BATCH_COL}={batch_id}/_SUCCESS")
+    return fs.exists(marker)
+
+
+def _existing_batch_ids(spark: SparkSession, path: str) -> list[int]:
+    fs, table = _hadoop_fs(spark, f"{path}/sigs")
+    if not fs.exists(table):
+        return []
+    out = []
+    for st in fs.listStatus(table):
+        name = st.getPath().getName()
+        if name.startswith(f"{BATCH_COL}="):
+            out.append(int(name.split("=", 1)[1]))
+    return out
 
 
 def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         k: int = MINHASH_K, bands: int = LSH_BANDS,
-                        mode: str = "overwrite") -> None:
-    """Materialize (or with ``mode='append'``, extend) the index."""
+                        batch_id: int = 0) -> None:
+    """Materialize the index from scratch (full overwrite) as batch
+    ``batch_id`` (default 0). Incremental growth goes through
+    ``absorb_batch`` (idempotent) or ``append_minhash_index``."""
+    spark = docs.sparkSession
     sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
-    sig.write.mode(mode).parquet(f"{path}/sigs")
-    band_rows(sig, id_col, k, bands).write.mode(mode).parquet(f"{path}/bands")
+    bnd = band_rows(sig, id_col, k, bands)
+    for df, table in ((sig, "sigs"), (bnd, "bands")):
+        (df.withColumn(BATCH_COL, F.lit(batch_id))
+         .write.partitionBy(BATCH_COL).mode("overwrite")
+         .parquet(f"{path}/{table}"))
+
+
+def absorb_batch(docs: DataFrame, path: str, batch_id: int,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 5, k: int = MINHASH_K,
+                 bands: int = LSH_BANDS) -> None:
+    """Idempotently absorb one identified batch: sigs then bands are
+    each OVERWRITTEN into their ``batch_id=N`` partition directory, so
+    a replay (foreachBatch crash recovery) rewrites identical files
+    rather than appending duplicates. Bands last = commit marker
+    (``batch_committed``)."""
+    sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
+    sig.write.mode("overwrite").parquet(
+        f"{path}/sigs/{BATCH_COL}={batch_id}")
+    band_rows(sig, id_col, k, bands).write.mode("overwrite").parquet(
+        f"{path}/bands/{BATCH_COL}={batch_id}")
 
 
 def append_minhash_index(docs: DataFrame, path: str, **kw) -> None:
-    write_minhash_index(docs, path, mode="append", **kw)
+    """Extend the index with an auto-numbered batch (max existing + 1).
+    For replay-safe ingestion use ``absorb_batch`` with the caller's
+    own stable batch id — auto-numbering is only deterministic when
+    nothing ever crashes between numbering and writing."""
+    spark = docs.sparkSession
+    existing = _existing_batch_ids(spark, path)
+    absorb_batch(docs, path, (max(existing) + 1) if existing else 0, **kw)
 
 
 def incremental_near_dup_pairs(spark: SparkSession, new_docs: DataFrame,
@@ -73,11 +165,17 @@ def incremental_near_dup_pairs(spark: SparkSession, new_docs: DataFrame,
     new_sig = minhash_signatures(new_docs, id_col, text_col, n, k) \
         .localCheckpoint()
     new_bands = band_rows(new_sig, id_col, k, bands)
-    idx_bands = _read_or_empty(spark, f"{path}/bands", new_bands.schema)
-    idx_sigs = _read_or_empty(spark, f"{path}/sigs", new_sig.schema)
+    idx_bands = _read_or_empty(spark, f"{path}/bands",
+                               _with_batch_schema(new_bands.schema))
+    idx_sigs = _read_or_empty(spark, f"{path}/sigs",
+                              _with_batch_schema(new_sig.schema))
 
     # candidates sharing any (band, bucket): corpus side probes the
-    # broadcast batch; within-batch pairs from the tiny self-join
+    # broadcast batch; within-batch pairs from the tiny self-join.
+    # Eagerly checkpointed: cand feeds both the estimate join and the
+    # candidate-id restriction below, and an unmaterialized cand would
+    # probe the corpus-side band table once per plan branch. Candidate
+    # sets are band-collision-sized (tiny), so this is a cheap action.
     nb = new_bands.select("band", "bucket", F.col(id_col).alias("_nid"))
     cross = (
         idx_bands.join(F.broadcast(nb), ["band", "bucket"])
@@ -91,11 +189,23 @@ def incremental_near_dup_pairs(spark: SparkSession, new_docs: DataFrame,
         .select(F.col(f"a.{id_col}").alias("id1"),
                 F.col(f"b.{id_col}").alias("id2"))
     )
-    cand = cross.union(within).filter("id1 != id2").distinct()
+    cand = cross.union(within).filter("id1 != id2").distinct() \
+        .localCheckpoint()
 
-    # a doc id present in BOTH (foreachBatch replay, or a re-ingested
-    # edited doc) must resolve deterministically: the NEW batch's
-    # signature wins (latest-write semantics), never an arbitrary row
-    sigs = (idx_sigs.join(new_sig.select(id_col), id_col, "left_anti")
-            .union(new_sig))
+    # signatures for candidate ids only: semi-join the corpus table to
+    # the (broadcast) candidate ids FIRST, then resolve duplicates
+    # latest-batch-wins at candidate scale — a re-ingested doc id keeps
+    # its newest signature without ever shuffling the corpus table
+    cand_ids = (cand.select(F.col("id1").alias(id_col))
+                .union(cand.select(F.col("id2").alias(id_col)))
+                .distinct())
+    idx_needed = (
+        idx_sigs.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.max_by("sig", BATCH_COL).alias("sig"))
+    )
+    # a doc id present in BOTH the index and the current batch
+    # (re-ingested edited doc): the NEW batch's signature wins
+    sigs = (idx_needed.join(new_sig.select(id_col), id_col, "left_anti")
+            .union(new_sig.select(id_col, "sig")))
     return estimate_pairs(cand, sigs, id_col, k, threshold)

@@ -41,9 +41,15 @@ from sunat_rree_demo_spark.operators.text import (
 def curate(docs: DataFrame, probe: DataFrame | None = None,
            id_col: str = "doc_id", text_col: str = "text",
            min_quality: float = 0.25, near_dup_threshold: float = 0.3,
+           contamination_n: int = 8, contamination_min_overlap: int = 1,
            budget: int = 256, shards: int = 16) -> DataFrame:
     """One row per surviving doc: (id, quality, split, shard,
-    n_tokens, first_chunk, n_chunks). Deterministic end to end."""
+    n_tokens, first_chunk, n_chunks). Deterministic end to end.
+
+    ``contamination_n`` / ``contamination_min_overlap`` tune the
+    decontamination gate and default to the operator's own defaults
+    (8-grams, the usual 8-13-gram contamination window — a 3-gram probe
+    would over-flag benign phrase overlaps at corpus scale)."""
     scored = docs.withColumn(
         "quality", quality_score(tokens(F.col(text_col))))
 
@@ -52,8 +58,9 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
 
     # 2. decontamination: drop anything overlapping the probe suite
     if probe is not None:
-        dirty = contamination_overlap(kept, probe, id_col, text_col,
-                                      n=3).select(id_col)
+        dirty = contamination_overlap(
+            kept, probe, id_col, text_col, n=contamination_n,
+            min_overlap=contamination_min_overlap).select(id_col)
         kept = kept.join(dirty, id_col, "left_anti")
 
     # 3. exact dedup (content-hash canonical row)

@@ -12,11 +12,16 @@ batch-global ``minhash_lsh_pairs`` result.
 Scale design: per batch, the corpus-side cost is one broadcast-probe
 join against the stored band rows (no corpus shuffle — see
 dedup_index); state lives in the index parquet, not the state store,
-so it survives restarts and is queryable mid-stream. Exactly-once:
-foreachBatch can replay a batch after a crash between the pairs write
-and the index append — idempotent re-runs would come from writing both
-under one batch-id-keyed commit (e.g. Delta txn or a _batch_id column
-+ dedup on read), noted here rather than hidden.
+so it survives restarts and is queryable mid-stream.
+
+Exactly-once: foreachBatch redelivers a batch (with the SAME batch id)
+after a crash, so every write is keyed by that id and idempotent —
+pairs overwrite ``pairs_path/batch_id=N``, the index absorbs via
+``absorb_batch`` (partition-directory overwrites, bands last), and a
+fully-committed batch (``batch_committed``) is skipped outright. A
+replay therefore rewrites identical files or no files; it can never
+append duplicate pairs or duplicate index rows. Pinned by
+tests/test_dedup_stream.py::test_replay_is_exactly_once.
 """
 
 from __future__ import annotations
@@ -25,7 +30,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from sunat_rree_demo_spark.operators.dedup_index import (
-    append_minhash_index,
+    BATCH_COL,
+    absorb_batch,
+    batch_committed,
     incremental_near_dup_pairs,
 )
 
@@ -49,19 +56,38 @@ def docs_file_stream(spark: SparkSession, directory: str,
     )
 
 
+def process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+                  index_path: str, pairs_path: str,
+                  threshold: float = 0.3) -> None:
+    """One micro-batch commit, idempotent under replay of the same
+    (batch content, batch id) — foreachBatch's crash-recovery contract.
+    Steps, in commit order: near-dup pairs overwrite
+    ``pairs_path/batch_id=N``; ``absorb_batch`` overwrites the index's
+    sigs then bands partitions for N. A replay of a fully-committed
+    batch short-circuits on ``batch_committed``; a replay after a crash
+    anywhere mid-sequence rewrites identical files (the probe result is
+    unchanged because the new batch's own ids are resolved
+    new-batch-wins against whatever partial index state survived)."""
+    if batch_committed(spark, index_path, batch_id):
+        return  # crash-replay of a fully-committed batch: no-op
+    batch = batch_df.localCheckpoint()  # one pass over the source
+    (incremental_near_dup_pairs(spark, batch, index_path,
+                                threshold=threshold)
+     .write.mode("overwrite")
+     .parquet(f"{pairs_path}/{BATCH_COL}={batch_id}"))
+    absorb_batch(batch, index_path, batch_id)
+
+
 def run_dedup_stream(spark: SparkSession, docs_stream: DataFrame,
                      index_path: str, pairs_path: str,
                      threshold: float = 0.3, timeout: int = 300) -> None:
     """Drain the stream: per micro-batch, emit near-dup pairs to
-    ``pairs_path`` (parquet, append) and absorb the batch into the
-    index at ``index_path``."""
+    ``pairs_path/batch_id=N`` (read the root to get all pairs plus a
+    discovered ``batch_id`` column) and absorb the batch into the
+    index at ``index_path`` — ``process_batch`` per micro-batch."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.localCheckpoint()  # one pass over the source
-        (incremental_near_dup_pairs(spark, batch, index_path,
-                                    threshold=threshold)
-         .withColumn("_batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(pairs_path))
-        append_minhash_index(batch, index_path)
+        process_batch(spark, batch_df, batch_id, index_path, pairs_path,
+                      threshold)
 
     q = (
         docs_stream.writeStream.foreachBatch(handle)

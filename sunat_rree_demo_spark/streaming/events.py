@@ -33,21 +33,45 @@ EVENTS_FILE_SCHEMA = _events_schema(T.LongType())
 
 
 def events_file_stream(spark: SparkSession, directory: str,
-                       max_files_per_trigger: int = 1) -> DataFrame:
+                       max_files_per_trigger: int = 1,
+                       ts_variant: str | None = None) -> DataFrame:
     """Replayable file-source stream over event parquet files.
 
     events.parquet has shipped with ts as TIMESTAMP(NANOS) (legacy →
     int64 under nanosAsLong) and as TIMESTAMP(MICROS) without a
     timezone (current → TIMESTAMP_NTZ). A file stream needs an explicit
-    schema, so probe the directory's parquet footer once (batch-side,
-    no job) and normalize either variant to TIMESTAMP_LTZ — identical
-    instants to the batch twin under the UTC session zone."""
+    schema, so probe the directory's parquet footers once (batch-side,
+    no job; ``mergeSchema`` so a directory MIXING the two variants
+    fails loudly instead of silently adopting whichever file the reader
+    sampled) and normalize either variant to TIMESTAMP_LTZ — identical
+    instants to the batch twin under the UTC session zone.
+
+    An EMPTY (or not-yet-created) directory is legal for a file-source
+    stream — it may be started before the first file lands — so the
+    probe falls back to the legacy nanos schema; pass
+    ``ts_variant='nanos' | 'micros'`` to pin the variant explicitly and
+    skip the probe."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    ts_type = dict(spark.read.parquet(directory).dtypes).get("ts")
-    if ts_type == "bigint":
+    if ts_variant is None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            ts_type = dict(spark.read.option("mergeSchema", "true")
+                           .parquet(directory).dtypes).get("ts")
+            ts_variant = "nanos" if ts_type == "bigint" else "micros"
+        except AnalysisException as exc:
+            get_cls = getattr(exc, "getCondition", None) or exc.getErrorClass
+            cls = get_cls() or ""
+            if cls in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND") \
+                    or "UNABLE_TO_INFER_SCHEMA" in str(exc) \
+                    or "PATH_NOT_FOUND" in str(exc):
+                ts_variant = "nanos"  # empty dir: stream starts, files later
+            else:
+                raise  # disagreeing footers / corrupt files stay loud
+    if ts_variant == "nanos":
         raw = (
             spark.readStream.schema(EVENTS_FILE_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -42,7 +42,20 @@ def test_survivors_pass_every_gate(spark, curated):
     assert survivors.select(F.sha2("text", 256)).distinct().count() == n
     # no near-dup pair survives (one representative per component)
     assert minhash_lsh_pairs(survivors, "doc_id", "text").count() == 0
-    # no contamination against the probe suite (3-gram window)
+    # no contamination against the probe suite (default 8-gram window)
+    assert contamination_overlap(survivors, probe, "doc_id", "text",
+                                 n=8).count() == 0
+
+
+def test_contamination_window_is_tunable(spark, curated):
+    """A caller-narrowed 3-gram window must scrub 3-gram overlaps too
+    (the stricter gate the old hardcoded default enforced)."""
+    from sunat_rree_demo_spark.operators.dedup import contamination_overlap
+    from sunat_rree_demo_spark.plans.curate import curate
+
+    _, corpus, probe, _ = curated
+    strict = curate(corpus, probe, contamination_n=3)
+    survivors = corpus.join(strict.select("doc_id"), "doc_id", "left_semi")
     assert contamination_overlap(survivors, probe, "doc_id", "text",
                                  n=3).count() == 0
 

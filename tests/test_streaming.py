@@ -100,3 +100,38 @@ def test_dedup_stream_keeps_one_per_key(spark, events_dir, batch_events):
     n_keys = batch_events.select("user_id", "event_type").distinct().count()
     assert got.count() == n_keys
     assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stream_starts_on_empty_directory(spark, tmp_path, batch_events):
+    """A file-source stream may legally start before the first file
+    lands: the footer probe must fall back to the legacy schema instead
+    of throwing UNABLE_TO_INFER_SCHEMA, and files arriving later must
+    flow through (ts normalized like the batch twin)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sunat_rree_demo_spark.streaming.events import (
+        events_file_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    stream = events_file_stream(spark, str(d))  # empty dir: must not raise
+    assert stream.isStreaming
+
+    # a legacy-layout file lands after the stream was defined: write ts
+    # as int64 nanos (what TIMESTAMP(NANOS) reads as under nanosAsLong)
+    rows = batch_events.limit(50).select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id", "event_type", "value", "props").collect()
+    pq.write_table(pa.Table.from_pylist([r.asDict() for r in rows]),
+                   d / "part1.parquet")
+    # complete mode: count every window, including not-yet-finalized
+    # ones the append-mode sink would hold back behind the watermark
+    run_available_now(tumbling_counts(stream), "late_events_sink",
+                      output_mode="complete")
+    got = spark.sql("SELECT SUM(n_events) AS n FROM late_events_sink").first()
+    assert got.n == 50
