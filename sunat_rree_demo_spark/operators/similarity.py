@@ -390,18 +390,26 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random unit-free hyperplanes (fixed LCG —
-    no RNG state, reproducible across sessions/engines)."""
+    """Deterministic pseudo-random unit-free hyperplanes. Entry (p, d)
+    is a closed form of its flat index i = p·dim + d — the leading 48
+    bits of sha-256("plane:i") mapped to [-1, 1]:
+
+        (int(sha256(f"plane:{i}")[:12], 16) % 2000001) / 1e6 − 1
+
+    Closed-form-by-index (no sequential PRNG state) keeps generation
+    order-free AND engine-independent: the DuckDB oracle of
+    q45/q69 re-derives the identical planes in SQL via
+    ``('0x' || substr(sha256('plane:' || i), 1, 12))::UBIGINT`` — the
+    same sha-256-prefix device as operators.dedup.base_hash_col."""
+    import hashlib
+
     planes = []
-    state = 88172645463325252
-    for _ in range(n_planes):
+    for p in range(n_planes):
         row = []
-        for _ in range(dim):
-            # xorshift64
-            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
-            state ^= state >> 7
-            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
-            row.append(((state % 2000001) / 1000000.0) - 1.0)
+        for d in range(dim):
+            h = int(hashlib.sha256(f"plane:{p * dim + d}".encode())
+                    .hexdigest()[:12], 16)
+            row.append((h % 2000001) / 1000000.0 - 1.0)
         planes.append(row)
     return planes
 
