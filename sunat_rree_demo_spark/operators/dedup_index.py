@@ -153,6 +153,26 @@ def append_minhash_index(docs: DataFrame, path: str, **kw) -> None:
     absorb_batch(docs, path, (max(existing) + 1) if existing else 0, **kw)
 
 
+def write_bucketed_bands(spark: SparkSession, index_path: str,
+                         table_name: str, n_buckets: int = 8) -> None:
+    """Materialize the index's band table as a managed parquet table
+    bucketed (and sorted) by ``bucket`` — the layout for RECURRING
+    index-vs-index joins (cross-shard or cross-epoch candidate
+    generation, where neither side is small enough to broadcast): both
+    sides arrive hash-distributed on the join key, so the join plans
+    with no Exchange at all (pinned by tests/test_scale_contracts.py::
+    test_index_vs_index_join_is_shuffle_free). The per-ingest probe
+    path keeps reading the plain parquet layout; this sink is the
+    amortized-read companion, not a replacement."""
+    from sunat_rree_demo_spark.sources.sinks import write_bucketed_table
+
+    bands = spark.read.parquet(f"{index_path}/bands")
+    # bucket on the FULL (band, bucket) join key: co-partitioned joins
+    # need every cluster key bucketed (requireAllClusterKeysForCoPartition)
+    write_bucketed_table(spark, bands, table_name, ["band", "bucket"],
+                         n_buckets)
+
+
 def incremental_near_dup_pairs(spark: SparkSession, new_docs: DataFrame,
                                path: str, id_col: str = "doc_id",
                                text_col: str = "text", n: int = 5,

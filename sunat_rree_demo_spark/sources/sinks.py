@@ -21,13 +21,19 @@ def write_partitioned(df: DataFrame, path: str, partition_by: str = "year",
 
 
 def write_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
-                         bucket_col: str, n_buckets: int = 8,
+                         bucket_col: str | list[str], n_buckets: int = 8,
                          mode: str = "overwrite") -> None:
-    """S7 scale form — managed table bucketed+sorted by the join key.
-    Joins between tables bucketed identically on the key skip the
-    shuffle entirely (no Exchange in the plan)."""
+    """S7 scale form — managed table bucketed+sorted by the join key
+    (one column or a composite). Joins between tables bucketed
+    identically on the key skip the shuffle entirely (no Exchange in
+    the plan). Bucket on the FULL join key set: since Spark 3.3
+    co-partitioning requires all cluster keys by default
+    (``spark.sql.requireAllClusterKeysForCoPartition``), a table
+    bucketed on a subset of the join keys is planned with the bucketing
+    disabled and shuffles anyway."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     (df.write.mode(mode)
-       .bucketBy(n_buckets, bucket_col)
-       .sortBy(bucket_col)
+       .bucketBy(n_buckets, *cols)
+       .sortBy(*cols)
        .format("parquet")
        .saveAsTable(name))

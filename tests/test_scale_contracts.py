@@ -236,3 +236,54 @@ def test_hash_split_is_two_phase_aggregate(spark):
     plan = plan_of(fresh("q62_hash_split")(spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
     assert "SinglePartition" not in plan.split("Sort")[0]
+
+
+def test_index_vs_index_join_is_shuffle_free(spark, tmp_path):
+    """Two dedup-index band tables written through the bucketed sink
+    must join on (band, bucket) without an Exchange — the cross-shard
+    candidate-generation path operators/dedup_index.py promises for
+    index-vs-index joins too big to broadcast."""
+    import shutil
+
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        write_bucketed_bands,
+        write_minhash_index,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    write_minhash_index(d.filter("doc_id % 2 = 0"), ia)
+    write_minhash_index(d.filter("doc_id % 2 = 1"), ib)
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tname in ("bb_even", "bb_odd"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        shutil.rmtree(f"{warehouse}/{tname}", ignore_errors=True)
+    write_bucketed_bands(spark, ia, "bb_even", 4)
+    write_bucketed_bands(spark, ib, "bb_odd", 4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("bb_even").select("band", "bucket",
+                                          F.col("doc_id").alias("id1"))
+        b = spark.table("bb_odd").select("band", "bucket",
+                                         F.col("doc_id").alias("id2"))
+        joined = a.join(b, ["band", "bucket"])
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+        # same candidate pairs as the plain-parquet join
+        pa = spark.read.parquet(f"{ia}/bands").select(
+            "band", "bucket", F.col("doc_id").alias("id1"))
+        pb = spark.read.parquet(f"{ib}/bands").select(
+            "band", "bucket", F.col("doc_id").alias("id2"))
+        want = pa.join(pb, ["band", "bucket"]).count()
+        assert joined.count() == want and want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bb_even")
+        spark.sql("DROP TABLE IF EXISTS bb_odd")
