@@ -32,15 +32,18 @@ from sunat_rree_demo_spark.queries import llm_pipeline  # noqa: E402,F401
 # this only re-orders the dict.
 # ---------------------------------------------------------------------------
 _ROTATE_TO_TAIL = (
-    "q02_filter_range_membership", "q05_month_name_map", "q09_top_abs",
-    "q10_anti_join", "q11_union_distinct", "q13_argmax_month",
-    "q16_string_funcs", "q17_date_funcs", "q22_monthly_profile",
-    "q29_tail_window",
-    # round 3: more doubly-driver-verified (r01+r02 green) simple
-    # queries rotate out so q61-q68 land inside the 50-entry window
-    "q03_conditional_pivot_agg", "q04_pivot_table", "q06_scalar_stats",
-    "q07_count_distinct", "q08_topn_categories", "q12_having_max_case",
-    "q14_coverage_ratio", "q15_bool_count_surplus",
+    # round 4: the r3 tail (q02-q17, q22, q29 — driver-green r01+r02)
+    # rotates BACK inside the window so every registered query has a
+    # driver-verified round across r01-r04; these TRIPLY-driver-green
+    # (r01+r02+r03) queries take the tail. Full schedule: BASELINE.md
+    # "Driver correctness snapshot cap".
+    "q18_quarterly_rollup", "q19_annual_performance", "q20_region_revenue",
+    "q21_seasonality_matrix", "q23_ytd_vs_prior", "q24_kpi_monthly",
+    "q25_kpi_prod_monthly", "q26_rolling_trend", "q27_sigma_outliers",
+    "q28_ranked_in_group", "q30_tumbling_hourly", "q31_sliding_windows",
+    "q32_sessionization", "q33_event_dedup", "q34_json_extract",
+    "q35_token_stats", "q36_quality_score", "q37_lang_id",
+    "q38_fingerprint",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}
