@@ -105,6 +105,43 @@ def hash_split(id_col: Column, train_pct: int = 80,
     )
 
 
+def sample_bucket(id_col: Column, salt: str = "sample") -> Column:
+    """Uniform bucket in [0, 1e6) from sha-256 of ``salt:id`` — the
+    sampling twin of ``hash_split``'s bucket, with a distinct domain
+    separator so sampling decisions are independent of split
+    assignment (same id, different hash input). 12 leading hex chars
+    (48 bits) keep the modulo bias below 3e-9. DuckDB twin:
+    ``('0x' || substring(sha256('salt:' || CAST(id AS VARCHAR)), 1, 12))
+    ::UBIGINT % 1000000``."""
+    return (
+        F.conv(F.substring(F.sha2(F.concat(F.lit(salt + ":"),
+                                           id_col.cast("string")), 256),
+                           1, 12), 16, 10).cast("bigint") % 1000000
+    )
+
+
+def stratified_sample(df, id_col: str, strata_col: str,
+                      rates_ppm: dict[str, int], default_ppm: int = 0,
+                      salt: str = "sample"):
+    """Deterministic per-stratum downsampling: keep a row iff its
+    ``sample_bucket`` falls under its stratum's rate (parts-per-million
+    integers — exact on any engine, no float thresholds). The
+    training-data mixing op: e.g. downsample the dominant language,
+    keep rare ones whole.
+
+    Scale design: PURE map-side — a CASE over the stratum column plus a
+    hash of the id, no shuffle, no state, and the filter sits directly
+    on the scan so column pruning and predicate pushdown still apply.
+    Content-stable across runs, engines, and partitionings (no RNG —
+    ``df.sample`` is seed-and-partitioning dependent, which a
+    reproducible corpus recipe can't tolerate)."""
+    thresh = F.lit(default_ppm)
+    for stratum in sorted(rates_ppm):  # deterministic CASE order
+        thresh = F.when(F.col(strata_col) == stratum,
+                        F.lit(rates_ppm[stratum])).otherwise(thresh)
+    return df.filter(sample_bucket(F.col(id_col), salt) < thresh)
+
+
 def pack_sequences(df, id_col: str, text_col: str,
                    budget: int = 256, shards: int = 16,
                    partition_by: tuple[str, ...] = ()):

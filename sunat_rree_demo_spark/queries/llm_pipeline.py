@@ -346,3 +346,34 @@ def q65_cluster_representatives(spark, sf_dir):
                 F.col("quality").alias("rep_quality"))
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------- q70
+@register(
+    "q70_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (('0x' || substring(sha256('sample:' || CAST(doc_id AS VARCHAR)),
+                              1, 12))::UBIGINT % 1000000)
+          < CASE lang WHEN 'en' THEN 350000 WHEN 'zh' THEN 800000
+                      WHEN 'de' THEN 1000000 WHEN 'es' THEN 600000
+                      WHEN 'fr' THEN 500000 ELSE 250000 END
+    ORDER BY doc_id
+    """,
+    tags=("llm-pipeline", "sampling"),
+)
+def q70_stratified_sample(spark, sf_dir):
+    """Deterministic language-stratified downsampling — the corpus
+    mixing step of a pretraining pipeline (downsample dominant English,
+    keep rare languages whole). Pure map-side sha-256 thresholding
+    (operators.text.stratified_sample): no RNG, no shuffle, identical
+    keep-set on any engine/partitioning/run."""
+    from sunat_rree_demo_spark.operators.text import stratified_sample
+
+    d = t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "doc_id", "lang",
+        rates_ppm={"en": 350000, "zh": 800000, "de": 1000000,
+                   "es": 600000, "fr": 500000},
+        default_ppm=250000)
+    return kept.select("doc_id", "lang").orderBy("doc_id")

@@ -189,3 +189,30 @@ def test_hash_split_is_deterministic_and_disjoint(spark):
     from sunat_rree_demo_spark.sources.catalog import load_table
     total = load_table(spark, SF_SMOKE, "documents").count()
     assert sum(r.n_docs for r in one) == total
+
+
+def test_stratified_sample_is_partitioning_invariant(spark):
+    """The sampling keep-set is a pure function of (id, stratum, rates)
+    — repartitioning or reordering the input must not change it (the
+    property df.sample(seed=…) does NOT have)."""
+    from sunat_rree_demo_spark.operators.text import stratified_sample
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    rates = {"en": 350000, "zh": 800000}
+    kept = {r.doc_id for r in
+            stratified_sample(d, "doc_id", "lang", rates,
+                              default_ppm=250000).collect()}
+    shuffled = {r.doc_id for r in
+                stratified_sample(d.repartition(13).orderBy(F.rand(7)),
+                                  "doc_id", "lang", rates,
+                                  default_ppm=250000).collect()}
+    assert kept == shuffled and kept
+    # per-stratum rates actually bite: en keeps ~35%, zh keeps ~80%
+    langs = {r.doc_id: r.lang for r in d.select("doc_id", "lang").collect()}
+    en_all = [i for i, l in langs.items() if l == "en"]
+    zh_all = [i for i, l in langs.items() if l == "zh"]
+    en_rate = len([i for i in en_all if i in kept]) / len(en_all)
+    zh_rate = len([i for i in zh_all if i in kept]) / len(zh_all)
+    assert en_rate < zh_rate
