@@ -153,6 +153,33 @@ def append_minhash_index(docs: DataFrame, path: str, **kw) -> None:
     absorb_batch(docs, path, (max(existing) + 1) if existing else 0, **kw)
 
 
+def compact_minhash_index(spark: SparkSession, path: str,
+                          id_col: str = "doc_id", k: int = MINHASH_K,
+                          bands: int = LSH_BANDS) -> None:
+    """Rewrite the index keeping only the latest-batch signature per
+    doc id — reclaims the one-extra-row-per-re-ingest growth the batch
+    layout accrues (module docstring). Band rows REGENERATE from the
+    surviving signatures rather than being deduped independently: they
+    are a pure function of the signature, so the two tables cannot
+    drift. The result lands as a single batch numbered max(existing)
+    (stream epochs only grow, so a resumed stream never collides with
+    it). OFFLINE maintenance: the two full-table overwrites are not
+    transactional against a concurrent absorb_batch."""
+    existing = _existing_batch_ids(spark, path)
+    if not existing:
+        return  # empty index: nothing to compact
+    bid = max(existing)
+    sigs = spark.read.parquet(f"{path}/sigs")
+    latest = (sigs.groupBy(id_col)
+              .agg(F.max_by("sig", BATCH_COL).alias("sig"))
+              .localCheckpoint())  # sever lineage from the files being replaced
+    for df, table in ((latest, "sigs"),
+                      (band_rows(latest, id_col, k, bands), "bands")):
+        (df.withColumn(BATCH_COL, F.lit(bid))
+         .write.partitionBy(BATCH_COL).mode("overwrite")
+         .parquet(f"{path}/{table}"))
+
+
 def write_bucketed_bands(spark: SparkSession, index_path: str,
                          table_name: str, n_buckets: int = 8) -> None:
     """Materialize the index's band table as a managed parquet table

@@ -115,18 +115,43 @@ AUDIO_META_SCHEMA = T.StructType([
 ])
 
 
+def _decode_flac_streaminfo(payload: bytes) \
+        -> tuple[int, int, int, int] | None:
+    """REAL stdlib header parse for FLAC: the mandatory first metadata
+    block is STREAMINFO (type 0) — sample rate (20 bits), channels−1
+    (3), bits−1 (5), total samples (36) packed big-endian at byte 10 of
+    the block body (FLAC format spec §METADATA_BLOCK_STREAMINFO).
+    Returns the same tuple shape as the WAV parse."""
+    if len(payload) < 4 + 4 + 34 or payload[:4] != b"fLaC":
+        return None
+    # block header: 1 byte last-flag|type, 3 bytes big-endian length
+    btype = payload[4] & 0x7F
+    blen = int.from_bytes(payload[5:8], "big")
+    if btype != 0 or blen < 34:
+        return None
+    body = payload[8:8 + 34]
+    packed = int.from_bytes(body[10:18], "big")  # rate|ch|bits|samples
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if not rate:
+        return None
+    return (rate, channels, bits, total_samples * 1000 // rate)
+
+
 def decode_audio_meta(payload: bytes) \
         -> tuple[int, int, int, int] | None:
-    """REAL stdlib header parse for RIFF/WAVE audio: walk the chunk list
-    for ``fmt `` (channels u16, sample rate u32, block align u16, bits
-    u16 — all little-endian) and ``data`` (payload byte length), per the
-    WAVE spec (RIFF registration, multimedia programming interface §4).
-    Returns (sample_rate, n_channels, bits_per_sample, duration_ms), or
-    None for non-WAV payloads — callers treat those as opaque."""
+    """REAL stdlib header parse for audio payloads — RIFF/WAVE (walk
+    the chunk list for ``fmt `` and ``data``, per the WAVE spec: RIFF
+    registration, multimedia programming interface §4) and FLAC
+    (STREAMINFO — see ``_decode_flac_streaminfo``). Returns
+    (sample_rate, n_channels, bits_per_sample, duration_ms), or None
+    for other codecs — callers treat those as opaque."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return None
+        return _decode_flac_streaminfo(payload)
     rate = channels = bits = block_align = None
     data_len = None
     i = 12
@@ -168,6 +193,104 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("byte_len", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("timescale", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """(type, body_start, body_end) over ISO-BMFF boxes in buf[start:end]
+    — u32 big-endian size + fourcc, size 1 = 64-bit largesize follows
+    (ISO/IEC 14496-12 §4.2)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i:i + 4], "big")
+        btype = buf[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(buf[i + 8:i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = end - i  # box extends to end of enclosing scope
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def decode_video_meta(payload: bytes) \
+        -> tuple[int, int, int | None, int | None] | None:
+    """REAL stdlib header parse for ISO-BMFF (MP4/MOV) video: walk the
+    top-level boxes for ``moov``, read ``mvhd`` (timescale u32 +
+    duration u32/u64, version-dependent offsets) and the first
+    ``trak``/``tkhd`` carrying a nonzero 16.16 fixed-point
+    width/height (ISO/IEC 14496-12 §8.2.2, §8.3.2). Returns
+    (duration_ms, timescale, width, height) or None for
+    non-ISO-BMFF payloads."""
+    # sniff: first box must be a known top-level type with 'ftyp' usual
+    if len(payload) < 16 or payload[4:8] not in (b"ftyp", b"moov", b"mdat",
+                                                 b"free", b"wide"):
+        return None
+    duration_ms = timescale = width = height = None
+    for btype, b0, b1 in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ityp, i0, i1 in _iter_boxes(payload, b0, b1):
+            if ityp == b"mvhd" and i1 - i0 >= 20:
+                version = payload[i0]
+                if version == 1 and i1 - i0 >= 28:
+                    timescale = int.from_bytes(payload[i0 + 20:i0 + 24], "big")
+                    dur = int.from_bytes(payload[i0 + 24:i0 + 32], "big")
+                else:
+                    timescale = int.from_bytes(payload[i0 + 12:i0 + 16], "big")
+                    dur = int.from_bytes(payload[i0 + 16:i0 + 20], "big")
+                if timescale:
+                    duration_ms = dur * 1000 // timescale
+            elif ityp == b"trak" and width is None:
+                for ttyp, t0, t1 in _iter_boxes(payload, i0, i1):
+                    if ttyp == b"tkhd" and t1 - t0 >= 8:
+                        # width/height are the LAST 8 bytes, 16.16 fixed
+                        w = int.from_bytes(payload[t1 - 8:t1 - 4], "big") >> 16
+                        h = int.from_bytes(payload[t1 - 4:t1], "big") >> 16
+                        if w and h:
+                            width, height = w, h
+    if duration_ms is None:
+        return None
+    return (duration_ms, timescale, width, height)
+
+
+def extract_video_meta(media: DataFrame) -> DataFrame:
+    """Video metadata extraction — same Arrow-batched mapInPandas shape
+    as ``extract_audio_meta``: ISO-BMFF containers parse for real
+    (stdlib box walk); other containers yield NULL metadata rather
+    than fakes."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf["content"].map(
+                lambda b: decode_video_meta(bytes(b)) if b is not None
+                else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "byte_len": pdf["content"].map(
+                    lambda b: len(b) if b is not None else 0).astype("int64"),
+                "duration_ms": meta.map(lambda m: m[0] if m else None),
+                "timescale": meta.map(lambda m: m[1] if m else None),
+                "width": meta.map(lambda m: m[2] if m else None),
+                "height": meta.map(lambda m: m[3] if m else None),
+            })
+
+    return media.mapInPandas(batches, schema=VIDEO_META_SCHEMA)
 
 
 def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:

@@ -65,3 +65,52 @@ def _short_doc_count(spark, docs, n=5):
     """Docs shorter than n tokens have no signature (operator contract)."""
     return docs.filter(
         F.size(F.split(F.trim("text"), r"\s+")) < n).count()
+
+
+def test_compaction_keeps_latest_and_preserves_probes(spark, tmp_path,
+                                                      split_docs):
+    """Re-ingesting edited docs grows the index by one row per
+    re-ingest; compaction must collapse to one latest-signature row per
+    id, regenerate consistent band rows, and leave probe results
+    unchanged."""
+    from sunat_rree_demo_spark.operators.dedup import minhash_signatures
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        absorb_batch,
+        compact_minhash_index,
+        incremental_near_dup_pairs,
+        write_minhash_index,
+    )
+
+    corpus, batch, full = split_docs
+    idx = str(tmp_path / "idx3")
+    write_minhash_index(corpus, idx)
+
+    # re-ingest a slice of the corpus with EDITED text in a later batch
+    edited = (corpus.filter(F.col("doc_id") % 10 == 1)
+              .withColumn("text", F.concat(F.col("text"),
+                                           F.lit(" edited edited edited"))))
+    absorb_batch(edited, idx, batch_id=7)
+
+    n_edited = edited.count()
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    assert sigs.count() == sigs.select("doc_id").distinct().count() + n_edited
+
+    probe_before = {(r.id1, r.id2): r.jaccard_est
+                    for r in incremental_near_dup_pairs(spark, batch,
+                                                        idx).collect()}
+    compact_minhash_index(spark, idx)
+
+    sigs2 = spark.read.parquet(f"{idx}/sigs")
+    assert sigs2.count() == sigs2.select("doc_id").distinct().count()
+    # surviving signatures for the edited ids are the EDITED ones
+    want = {r.doc_id: list(r.sig) for r in
+            minhash_signatures(edited, "doc_id", "text").collect()}
+    got = {r.doc_id: list(r.sig) for r in
+           sigs2.join(edited.select("doc_id"), "doc_id", "left_semi")
+           .collect()}
+    assert got == want and want
+    # bands regenerated consistently: probe results identical
+    probe_after = {(r.id1, r.id2): r.jaccard_est
+                   for r in incremental_near_dup_pairs(spark, batch,
+                                                       idx).collect()}
+    assert probe_after == probe_before and probe_before

@@ -170,3 +170,64 @@ def test_extract_audio_meta_mapinpandas(spark):
     got = {r.media_id: r for r in extract_audio_meta(df).collect()}
     assert got[1].sample_rate == 8000 and got[1].duration_ms == 500
     assert got[2].sample_rate is None and got[2].byte_len == 20
+
+
+def _flac_payload(rate=44100, channels=2, bits=16, total_samples=441000):
+    """Minimal FLAC: magic + one STREAMINFO metadata block (34 bytes)."""
+    packed = ((rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36)
+              | total_samples)
+    body = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    assert len(body) == 34
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _mp4_payload(timescale=1000, duration=12_500, width=640, height=360):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0))."""
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    mvhd = box(b"mvhd", bytes(4)                 # version+flags
+               + bytes(8)                        # creation+modification
+               + timescale.to_bytes(4, "big")
+               + duration.to_bytes(4, "big")
+               + bytes(80))                      # rate..next_track_id
+    # v0 fixed part is 76 bytes: version+flags(4), times+ids(20),
+    # reserved(8), layer/group/volume/reserved(8), matrix(36)
+    tkhd = box(b"tkhd", bytes(76)
+               + (width << 16).to_bytes(4, "big")
+               + (height << 16).to_bytes(4, "big"))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def test_decode_audio_meta_flac_streaminfo():
+    from sunat_rree_demo_spark.operators.multimodal import decode_audio_meta
+
+    meta = decode_audio_meta(_flac_payload())
+    assert meta == (44100, 2, 16, 441000 * 1000 // 44100)
+    assert decode_audio_meta(b"fLaC garbage") is None
+
+
+def test_decode_video_meta_isobmff():
+    from sunat_rree_demo_spark.operators.multimodal import decode_video_meta
+
+    meta = decode_video_meta(_mp4_payload())
+    assert meta == (12_500, 1000, 640, 360)
+    assert decode_video_meta(b"not a video at all") is None
+
+
+def test_extract_video_meta_mapinpandas(spark):
+    from sunat_rree_demo_spark.operators.multimodal import extract_video_meta
+
+    rows = [(1, _mp4_payload(), "video/mp4"),
+            (2, b"opaque blob", "video/unknown"),
+            (3, _mp4_payload(timescale=600, duration=600 * 7,
+                             width=1920, height=1080), "video/mp4")]
+    media = spark.createDataFrame(rows, "media_id long, content binary, "
+                                        "media_type string")
+    got = {r.media_id: r for r in extract_video_meta(media).collect()}
+    assert (got[1].duration_ms, got[1].width, got[1].height) == (12500, 640, 360)
+    assert got[2].duration_ms is None and got[2].width is None
+    assert (got[3].duration_ms, got[3].timescale,
+            got[3].width, got[3].height) == (7000, 600, 1920, 1080)
