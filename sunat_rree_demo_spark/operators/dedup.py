@@ -373,6 +373,47 @@ def estimate_pairs(cand: DataFrame, sig: DataFrame, id_col: str,
     )
 
 
+def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
+                            n: int = 5, threshold: float = 0.3,
+                            k: int = MINHASH_K,
+                            bands: int = LSH_BANDS) -> DataFrame:
+    """Two-tier near-dup detection — the production pipeline shape:
+    sub-quadratic MinHash+LSH candidate generation, then EXACT n-gram
+    Jaccard computed only over the candidate pairs. Every emitted pair
+    carries the TRUE Jaccard (no estimate error, unlike
+    ``minhash_lsh_pairs``); pairs LSH never surfaces stay missed — the
+    documented recall trade of banding, tested in tests/test_dedup.py.
+
+    Scale design: candidates come from the (band, bucket) collision
+    join (shuffle O(docs × bands), skew-immune); the exact verify then
+    joins the doc-grain shingle ARRAYS for candidate ids only and
+    intersects them with the built-in ``array_intersect`` (JVM
+    collection function, no lambda HOF) — candidate-scale work, never
+    the corpus-wide shingle self-join of ``ngram_jaccard_pairs``."""
+    sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
+    b = band_rows(sig, id_col, k, bands)
+    cand = (
+        b.alias("a").join(b.alias("b"), ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+    # doc-grain arrays checkpointed once: the verify join reads them
+    # from two branches (id1 side, id2 side)
+    arr = doc_shingle_arrays(docs, id_col, text_col, n).localCheckpoint()
+    a1 = arr.select(F.col(id_col).alias("id1"), F.col("shingles").alias("s1"))
+    a2 = arr.select(F.col(id_col).alias("id2"), F.col("shingles").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    jac = F.when(union != 0, inter / union)  # ANSI guard; union ≥ 1 here
+    return (
+        cand.join(a1, "id1").join(a2, "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def simhash(docs: DataFrame, id_col: str, text_col: str,
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint per doc over token base-hashes (bits ≤ 28 are

@@ -44,9 +44,9 @@ _ROTATE_TO_TAIL = (
     "q32_sessionization", "q33_event_dedup", "q34_json_extract",
     "q35_token_stats", "q36_quality_score", "q37_lang_id",
     "q38_fingerprint",
-    # with q70 added the head would hold 51: one more triply-green
-    # query moves out so the new query stays inside the window
-    "q47_rollup_subtotals",
+    # with q70/q71 added the head would hold 51/52: more triply-green
+    # queries move out so the new ones stay inside the window
+    "q47_rollup_subtotals", "q48_trade_roundtrip",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

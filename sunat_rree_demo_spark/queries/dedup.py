@@ -44,9 +44,11 @@ _SHINGLE_CTE = """
 """.format(hexlen=HASH_HEX_LEN)
 
 
-def _minhash_oracle_sql(threshold: float = 0.3) -> str:
-    """The full MinHash+LSH pipeline in DuckDB SQL, generated from the
-    operator's own (a, b) constants and band layout."""
+def _minhash_cand_ctes() -> str:
+    """The LSH candidate derivation (signatures → band buckets →
+    collision pairs) as CTE text appended after ``_SHINGLE_CTE`` —
+    shared by the q41 estimate oracle and the q71 exact-verify oracle
+    so the candidate set cannot drift between them."""
     params = _minhash_params()
     sig_cols = ",\n             ".join(
         f"min(({a} * bh + {b}) % {MERSENNE_P}) AS mh{i}"
@@ -57,11 +59,7 @@ def _minhash_oracle_sql(threshold: float = 0.3) -> str:
         .format(b=bi, cols=", ".join(
             f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)))
         for bi in range(LSH_BANDS))
-    eq_sum = " + ".join(
-        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
-        for i in range(MINHASH_K))
     return f"""
-    WITH {_SHINGLE_CTE},
     sig AS (
       SELECT doc_id,
              {sig_cols}
@@ -75,7 +73,18 @@ def _minhash_oracle_sql(threshold: float = 0.3) -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.3) -> str:
+    """The full MinHash+LSH pipeline in DuckDB SQL, generated from the
+    operator's own (a, b) constants and band layout."""
+    eq_sum = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    return f"""
+    WITH {_SHINGLE_CTE},
+    {_minhash_cand_ctes()}
     SELECT id1, id2,
            round(({eq_sum}) / {float(MINHASH_K)}, 4) AS jaccard_est
     FROM cand
@@ -217,3 +226,43 @@ def q42_simhash(spark, sf_dir):
     hashes); hamming-band pair generation shares the LSH shape."""
     d = t(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------- q71
+@register(
+    "q71_verified_near_dups",
+    memoize=False,  # builder localCheckpoints signatures + shingle arrays
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_minhash_cand_ctes()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id1
+      JOIN sh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id1, id2,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+      FROM inter
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+    )
+    SELECT id1, id2, round(j, 4) AS jaccard FROM jac WHERE j >= 0.3
+    ORDER BY id1, id2
+    """,
+    tags=("dedup", "minhash-lsh", "verified"),
+)
+def q71_verified_near_dups(spark, sf_dir):
+    """Two-tier near-dup pairs: LSH candidates re-scored with EXACT
+    5-gram Jaccard (candidate-scale array_intersect) ≥ 0.3 — the
+    production dedup shape: sub-quadratic generation, no estimate error
+    on emitted pairs. Oracle shares the candidate CTEs with q41 and the
+    shingle/size CTEs with q40, so all three stay consistent."""
+    from sunat_rree_demo_spark.operators.dedup import verified_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return (verified_near_dup_pairs(d, "doc_id", "text", n=5, threshold=0.3)
+            .orderBy("id1", "id2"))

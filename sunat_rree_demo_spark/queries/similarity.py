@@ -189,6 +189,7 @@ def q54_ann_ivf_topk(spark, sf_dir):
 # ---------------------------------------------------------------------- q69
 @register(
     "q69_ann_recall",
+    memoize=False,  # brute-force side fetches the bounded query batch
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {_LSH_CAND_CTES},

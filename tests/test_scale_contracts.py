@@ -154,6 +154,9 @@ _EAGER_BUILDERS = {
     # convergence counts
     "q61_dup_clusters", "q65_cluster_representatives",
     "q68_dup_clusters_two_phase",
+    # r4: recall joins the brute-force side (bounded query-batch fetch,
+    # like q43); the two-tier verify checkpoints signatures + arrays
+    "q69_ann_recall", "q71_verified_near_dups",
 }
 
 
