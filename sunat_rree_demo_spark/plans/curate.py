@@ -29,6 +29,7 @@ from sunat_rree_demo_spark.operators.dedup import (
     contamination_overlap,
     exact_dedup,
     minhash_lsh_pairs,
+    verified_near_dup_pairs,
 )
 from sunat_rree_demo_spark.operators.text import (
     hash_split,
@@ -42,6 +43,7 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
            id_col: str = "doc_id", text_col: str = "text",
            min_quality: float = 0.25, near_dup_threshold: float = 0.3,
            contamination_n: int = 8, contamination_min_overlap: int = 1,
+           exact_verify: bool = False,
            budget: int = 256, shards: int = 16) -> DataFrame:
     """One row per surviving doc: (id, quality, split, shard,
     n_tokens, first_chunk, n_chunks). Deterministic end to end.
@@ -49,7 +51,15 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     ``contamination_n`` / ``contamination_min_overlap`` tune the
     decontamination gate and default to the operator's own defaults
     (8-grams, the usual 8-13-gram contamination window — a 3-gram probe
-    would over-flag benign phrase overlaps at corpus scale)."""
+    would over-flag benign phrase overlaps at corpus scale).
+
+    ``exact_verify=True`` re-scores the LSH near-dup candidates with
+    exact n-gram Jaccard before clustering
+    (operators.dedup.verified_near_dup_pairs): clusters then form only
+    over TRUE ≥-threshold pairs, trading the extra candidate-scale
+    verify join for zero estimate-error evictions. Default False keeps
+    the estimate-based gate (and its invariant that NO estimated pair
+    survives, which the exact path deliberately relaxes)."""
     scored = docs.withColumn(
         "quality", quality_score(tokens(F.col(text_col))))
 
@@ -68,9 +78,9 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
 
     # 4-5. near-dup clustering on the survivors; keep the best-quality
     # doc per cluster (docs in no cluster survive by default)
-    edges = minhash_lsh_pairs(kept, id_col, text_col,
-                              threshold=near_dup_threshold) \
-        .select("id1", "id2")
+    pair_fn = verified_near_dup_pairs if exact_verify else minhash_lsh_pairs
+    edges = pair_fn(kept, id_col, text_col,
+                    threshold=near_dup_threshold).select("id1", "id2")
     labels = connected_components(edges)
     losers = (
         labels.join(kept.select(F.col(id_col).alias("node"), "quality"),

@@ -102,3 +102,19 @@ def test_summary_rolls_up_per_split(spark, curated):
     summary = {r.split: r for r in curate_summary(out).collect()}
     assert sum(r.n_docs for r in summary.values()) == out.count()
     assert all(r.total_tokens > 0 for r in summary.values())
+
+
+def test_exact_verify_path_scrubs_true_near_dups(spark, curated):
+    """curate(exact_verify=True) clusters over TRUE-Jaccard pairs: no
+    exact ≥-threshold pair may survive, and since verified pairs are a
+    subset of the estimated ones, the exact path keeps at least as many
+    docs as the estimate path."""
+    from sunat_rree_demo_spark.operators.dedup import verified_near_dup_pairs
+    from sunat_rree_demo_spark.plans.curate import curate
+
+    _, corpus, probe, est_out = curated
+    out = curate(corpus, probe, exact_verify=True)
+    survivors = corpus.join(out.select("doc_id"), "doc_id", "left_semi")
+    assert verified_near_dup_pairs(survivors, "doc_id", "text",
+                                   threshold=0.3).count() == 0
+    assert out.count() >= est_out.count()
