@@ -187,9 +187,11 @@ def q54_ann_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------- q69
+# q69 stays memoized like q43/q45/q54: its builders fetch only the
+# bounded query batch (plan parameters) — the corpus-side work happens
+# at execution, which the warm number measures
 @register(
     "q69_ann_recall",
-    memoize=False,  # brute-force side fetches the bounded query batch
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {_LSH_CAND_CTES},
