@@ -94,9 +94,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     oracle_total = round(sum(oracle_timings.values()), 3) if oracle_timings else None
-    # ratio over the oracle-covered intersection only: the 3 no-oracle
-    # queries (approximate ANN / HLL) have no DuckDB twin, so counting
-    # their Spark time against a 0-second denominator skews the ratio
+    # ratio over the oracle-covered intersection only: a no-oracle
+    # query (since r4, just q46's HLL estimate) has no DuckDB twin, so
+    # counting its Spark time against a 0-second denominator skews the
+    # ratio
     covered = round(sum(v for k, v in timings.items() if k in oracle_timings), 3)
     # regression tripwire: flag any oracle-covered query whose warm time
     # exceeds RATIO_CAP× its DuckDB twin AND costs real absolute time

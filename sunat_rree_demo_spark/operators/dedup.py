@@ -373,6 +373,45 @@ def estimate_pairs(cand: DataFrame, sig: DataFrame, id_col: str,
     )
 
 
+def _signatures_from_shingle_arrays(arr: DataFrame, id_col: str,
+                                    k: int = MINHASH_K) -> DataFrame:
+    """``minhash_signatures``' exact math over PRECOMPUTED doc-grain
+    shingle arrays (``doc_shingle_arrays`` output) — lets a caller that
+    already materialized the arrays (the two-tier verify) derive
+    signatures without re-running the regex shingler over the corpus.
+    Pinned bit-equal to ``minhash_signatures`` by tests/test_dedup.py."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    params = _minhash_params(k)
+    A = np.array([a for a, _ in params], dtype="int64")[:, None]
+    B = np.array([b for _, b in params], dtype="int64")[:, None]
+    out_schema = T.StructType([
+        T.StructField(id_col, arr.schema[id_col].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            sigs: list = []
+            for i, sh in zip(pdf[id_col], pdf["shingles"]):
+                if not len(sh):
+                    continue
+                h = np.fromiter(
+                    (int(hashlib.sha256(s.encode()).hexdigest()[:HASH_HEX_LEN], 16)
+                     for s in sh), dtype="int64", count=len(sh))
+                sigs.append(((A * h[None, :] + B) % MERSENNE_P).min(axis=1))
+                ids.append(i)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return arr.mapInPandas(gen, schema=out_schema)
+
+
 def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
                             n: int = 5, threshold: float = 0.3,
                             k: int = MINHASH_K,
@@ -389,8 +428,16 @@ def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
     joins the doc-grain shingle ARRAYS for candidate ids only and
     intersects them with the built-in ``array_intersect`` (JVM
     collection function, no lambda HOF) — candidate-scale work, never
-    the corpus-wide shingle self-join of ``ngram_jaccard_pairs``."""
-    sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
+    the corpus-wide shingle self-join of ``ngram_jaccard_pairs``.
+
+    The corpus is Python-shingled exactly ONCE: the doc-grain arrays
+    are checkpointed first and the MinHash signatures derive from them
+    (``_signatures_from_shingle_arrays``) instead of re-shingling
+    inside ``minhash_signatures``."""
+    # doc-grain arrays checkpointed once: they feed the signature
+    # derivation AND the two verify-join branches (id1 side, id2 side)
+    arr = doc_shingle_arrays(docs, id_col, text_col, n).localCheckpoint()
+    sig = _signatures_from_shingle_arrays(arr, id_col, k).localCheckpoint()
     b = band_rows(sig, id_col, k, bands)
     cand = (
         b.alias("a").join(b.alias("b"), ["band", "bucket"])
@@ -399,9 +446,6 @@ def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
                 F.col(f"b.{id_col}").alias("id2"))
         .distinct()
     )
-    # doc-grain arrays checkpointed once: the verify join reads them
-    # from two branches (id1 side, id2 side)
-    arr = doc_shingle_arrays(docs, id_col, text_col, n).localCheckpoint()
     a1 = arr.select(F.col(id_col).alias("id1"), F.col("shingles").alias("s1"))
     a2 = arr.select(F.col(id_col).alias("id2"), F.col("shingles").alias("s2"))
     inter = F.size(F.array_intersect("s1", "s2"))

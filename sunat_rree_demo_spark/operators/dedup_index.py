@@ -114,10 +114,17 @@ def _existing_batch_ids(spark: SparkSession, path: str) -> list[int]:
 def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         k: int = MINHASH_K, bands: int = LSH_BANDS,
-                        batch_id: int = 0) -> None:
+                        batch_id: int = -1) -> None:
     """Materialize the index from scratch (full overwrite) as batch
-    ``batch_id`` (default 0). Incremental growth goes through
-    ``absorb_batch`` (idempotent) or ``append_minhash_index``."""
+    ``batch_id``. Incremental growth goes through ``absorb_batch``
+    (idempotent) or ``append_minhash_index``.
+
+    The default id is **-1**: out-of-band writes (bootstrap,
+    compaction) live in the NEGATIVE id space so they can never collide
+    with foreachBatch epochs, which start at 0 — a bootstrap at
+    batch_id=0 would look uncommitted to ``batch_committed`` and the
+    stream's genuine epoch 0 would absorb-overwrite the whole corpus
+    partition with one micro-batch."""
     spark = docs.sparkSession
     sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
     bnd = band_rows(sig, id_col, k, bands)
@@ -144,13 +151,15 @@ def absorb_batch(docs: DataFrame, path: str, batch_id: int,
 
 
 def append_minhash_index(docs: DataFrame, path: str, **kw) -> None:
-    """Extend the index with an auto-numbered batch (max existing + 1).
-    For replay-safe ingestion use ``absorb_batch`` with the caller's
-    own stable batch id — auto-numbering is only deterministic when
-    nothing ever crashes between numbering and writing."""
+    """Extend the index with an auto-numbered batch
+    (max(existing, -1) + 1 — i.e. the non-negative space shared with
+    stream epochs). For replay-safe ingestion use ``absorb_batch`` with
+    the caller's own stable batch id — auto-numbering is only
+    deterministic when nothing ever crashes between numbering and
+    writing."""
     spark = docs.sparkSession
     existing = _existing_batch_ids(spark, path)
-    absorb_batch(docs, path, (max(existing) + 1) if existing else 0, **kw)
+    absorb_batch(docs, path, max(existing, default=-1) + 1, **kw)
 
 
 def compact_minhash_index(spark: SparkSession, path: str,
@@ -161,14 +170,23 @@ def compact_minhash_index(spark: SparkSession, path: str,
     layout accrues (module docstring). Band rows REGENERATE from the
     surviving signatures rather than being deduped independently: they
     are a pure function of the signature, so the two tables cannot
-    drift. The result lands as a single batch numbered max(existing)
-    (stream epochs only grow, so a resumed stream never collides with
-    it). OFFLINE maintenance: the two full-table overwrites are not
-    transactional against a concurrent absorb_batch."""
+    drift.
+
+    The result lands in the NEGATIVE id space (min(existing, 0) − 1),
+    never at a stream epoch: a compacted partition numbered like a
+    stream batch would make ``batch_committed`` lie to a resumed
+    stream, and a crash-replay of that epoch would absorb-overwrite the
+    whole compacted corpus with one micro-batch. With a negative id,
+    a replayed epoch re-absorbs into its OWN partition and latest-wins
+    resolution keeps probes exact — no data-loss window even if the
+    offline requirement below is violated.
+
+    OFFLINE maintenance: the two full-table overwrites are not
+    transactional against a CONCURRENT absorb_batch."""
     existing = _existing_batch_ids(spark, path)
     if not existing:
         return  # empty index: nothing to compact
-    bid = max(existing)
+    bid = min(min(existing), 0) - 1
     sigs = spark.read.parquet(f"{path}/sigs")
     latest = (sigs.groupBy(id_col)
               .agg(F.max_by("sig", BATCH_COL).alias("sig"))

@@ -247,7 +247,13 @@ def decode_video_meta(payload: bytes) \
         for ityp, i0, i1 in _iter_boxes(payload, b0, b1):
             if ityp == b"mvhd" and i1 - i0 >= 20:
                 version = payload[i0]
-                if version == 1 and i1 - i0 >= 28:
+                if version == 1:
+                    # v1 needs 32 body bytes (8-byte times + u64
+                    # duration); a truncated v1 box yields NULL — it
+                    # must neither read past the box end nor fall into
+                    # the v0 layout, whose offsets hold creation time
+                    if i1 - i0 < 32:
+                        continue
                     timescale = int.from_bytes(payload[i0 + 20:i0 + 24], "big")
                     dur = int.from_bytes(payload[i0 + 24:i0 + 32], "big")
                 else:

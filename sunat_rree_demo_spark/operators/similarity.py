@@ -349,8 +349,13 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
             bids = pdf[id_col].to_numpy(dtype="int64")
             bmat = np.array(list(pdf[vec_col]), dtype="float64")
             d2 = ((bmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # rank by the rounded EUCLIDEAN distance (sqrt, 9dp), the
+            # same quantity the SQL oracle ranks by — cross-engine ULP
+            # noise collapses onto the grid, and argmin's first-index
+            # tie matches the oracle's centroid-id tiebreak
+            d = np.round(np.sqrt(d2), 9)
             yield pd.DataFrame({"vid": bids,
-                                "cell": d2.argmin(axis=1).astype("int32"),
+                                "cell": d.argmin(axis=1).astype("int32"),
                                 "vec": list(bmat)})
 
     probe_schema = T.StructType([
@@ -364,7 +369,10 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
             bids = pdf[id_col].to_numpy(dtype="int64")
             bmat = np.array(list(pdf[vec_col]), dtype="float64")
             d2 = ((bmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            nearest = np.argsort(d2, axis=1)[:, :n_probe]
+            # rounded sqrt + STABLE sort: ties on the 9dp grid resolve
+            # by centroid index, mirroring the oracle's (dist, ci) sort
+            d = np.round(np.sqrt(d2), 9)
+            nearest = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             frames = []
             for p in range(n_probe):
                 frames.append(pd.DataFrame({
@@ -444,7 +452,12 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int,
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype="int64")
             mat = np.array(list(pdf[vec_col]), dtype="float64")
-            bits = (mat @ planes.T) >= 0                     # batch × (T·P)
+            # round the projection BEFORE the sign decision: the DuckDB
+            # oracle sums the dot product in a different order, and a
+            # projection within a few ULPs of 0 must not bucket
+            # differently across engines (same float discipline as
+            # COS_DECIMALS, applied at the decision point)
+            bits = np.round(mat @ planes.T, 9) >= 0          # batch × (T·P)
             frames = []
             for ti in range(n_tables):
                 b = bits[:, ti * n_planes:(ti + 1) * n_planes] @ weights

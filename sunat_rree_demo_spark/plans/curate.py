@@ -57,9 +57,12 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     exact n-gram Jaccard before clustering
     (operators.dedup.verified_near_dup_pairs): clusters then form only
     over TRUE ≥-threshold pairs, trading the extra candidate-scale
-    verify join for zero estimate-error evictions. Default False keeps
-    the estimate-based gate (and its invariant that NO estimated pair
-    survives, which the exact path deliberately relaxes)."""
+    verify join for zero estimate-error evictions. The two paths share
+    the candidate set but MinHash can over- or under-estimate around
+    the threshold, so neither path's edge set contains the other's.
+    Default False keeps the estimate-based gate (and its invariant
+    that NO estimated pair survives, which the exact path deliberately
+    relaxes)."""
     scored = docs.withColumn(
         "quality", quality_score(tokens(F.col(text_col))))
 

@@ -93,7 +93,7 @@ _LSH_CAND_CTES = """
     planes AS (SELECT p, list(val ORDER BY d) AS plane FROM pv GROUP BY p),
     cb AS (
       SELECT e.vec_id, (pl.p // 4) AS tbl,
-             SUM(CASE WHEN list_inner_product(e.v, pl.plane) >= 0
+             SUM(CASE WHEN round(list_inner_product(e.v, pl.plane), 9) >= 0
                       THEN 1 << (pl.p % 4) ELSE 0 END) AS bucket
       FROM e, planes pl GROUP BY e.vec_id, (pl.p // 4)
     ),
@@ -153,14 +153,16 @@ def q45_ann_lsh_topk(spark, sf_dir):
       SELECT vec_id, ci FROM (
         SELECT e.vec_id, c.ci,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY list_distance(e.v, c.v), c.ci) AS rn
+                                  ORDER BY round(list_distance(e.v, c.v), 9),
+                                           c.ci) AS rn
         FROM e, cent c) WHERE rn = 1
     ),
     probe AS (
       SELECT vec_id, ci FROM (
         SELECT q.vec_id, c.ci,
                row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY list_distance(q.v, c.v), c.ci) AS rn
+                                  ORDER BY round(list_distance(q.v, c.v), 9),
+                                           c.ci) AS rn
         FROM (SELECT * FROM e WHERE vec_id < 8) q, cent c) WHERE rn <= 4
     ),
     cand AS (

@@ -106,15 +106,17 @@ def test_summary_rolls_up_per_split(spark, curated):
 
 def test_exact_verify_path_scrubs_true_near_dups(spark, curated):
     """curate(exact_verify=True) clusters over TRUE-Jaccard pairs: no
-    exact ≥-threshold pair may survive, and since verified pairs are a
-    subset of the estimated ones, the exact path keeps at least as many
-    docs as the estimate path."""
+    exact ≥-threshold pair may survive among the survivors. (No
+    relation between the two paths' survivor COUNTS is asserted:
+    verified pairs share the LSH candidate set with estimated pairs but
+    MinHash can over- OR under-estimate around the threshold, so
+    neither edge set contains the other.)"""
     from sunat_rree_demo_spark.operators.dedup import verified_near_dup_pairs
     from sunat_rree_demo_spark.plans.curate import curate
 
-    _, corpus, probe, est_out = curated
+    _, corpus, probe, _ = curated
     out = curate(corpus, probe, exact_verify=True)
+    assert out.count() > 0
     survivors = corpus.join(out.select("doc_id"), "doc_id", "left_semi")
     assert verified_near_dup_pairs(survivors, "doc_id", "text",
                                    threshold=0.3).count() == 0
-    assert out.count() >= est_out.count()

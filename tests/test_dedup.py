@@ -146,3 +146,24 @@ def test_jaccard_df_cutoff_bounds_hot_shingle(spark, caplog):
                                       max_shingle_df=4).collect()
     assert not guarded, "boilerplate-only pairs must vanish under the guard"
     assert any("stop-shingle" in r.message for r in caplog.records)
+
+
+def test_signatures_from_arrays_match_minhash_signatures(spark):
+    """The array-input signature path (used by verified_near_dup_pairs
+    to shingle the corpus once) must be bit-equal to the text-input
+    minhash_signatures it replaces."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        _signatures_from_shingle_arrays,
+        doc_shingle_arrays,
+        minhash_signatures,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    want = {r.doc_id: list(r.sig)
+            for r in minhash_signatures(d, "doc_id", "text").collect()}
+    arr = doc_shingle_arrays(d, "doc_id", "text")
+    got = {r.doc_id: list(r.sig)
+           for r in _signatures_from_shingle_arrays(arr, "doc_id").collect()}
+    assert got == want and want
