@@ -307,6 +307,99 @@ def near_dup_pairs_blocked(emb: DataFrame, threshold: float,
     return tagged.groupBy("b1", "b2").applyInPandas(score_pair, schema=out_schema)
 
 
+def _train_centroids(emb: DataFrame, n_centroids: int, iters: int,
+                     id_col: str, vec_col: str):
+    """Deterministic k-means coarse quantizer shared by the IVF and
+    SemDeDup paths: init = first ``n_centroids`` vectors by id, fixed
+    ``iters`` Lloyd steps on a bounded driver-side sample (no RNG, so
+    centroids are reproducible across runs and — at ``iters=0`` — across
+    engines, which is what lets the SQL oracles re-derive assignment)."""
+    import numpy as np  # noqa: F401 (numpy arrays flow out)
+
+    _ids, mat, _norms = _collect_matrix(
+        emb.orderBy(id_col).limit(max(n_centroids * 64, 1024)), id_col, vec_col)
+    cent = mat[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for ci in range(n_centroids):
+            members = mat[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+    return cent
+
+
+def semantic_dedup(emb: DataFrame, threshold: float,
+                   n_centroids: int = 16, iters: int = 0,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a cheap coarse quantizer, then mark as
+    semantic duplicates the vectors that have a near-identical
+    (rounded cos ≥ ``threshold``) LOWER-ID neighbor **within their own
+    cluster** — the keep-lowest-id rule from the paper, made
+    deterministic. Returns (id, cell, is_dup).
+
+    Unlike exact all-pairs (:func:`near_dup_pairs_blocked`, O(N²/B)),
+    the pairwise work here is confined to cells — O(Σ|cell|²), i.e.
+    O(N²/C) for C balanced cells — and recall is traded at cell
+    boundaries exactly as in the paper.
+
+    100 TB shape: centroids are tiny and ride the task closure; the
+    corpus shuffles ONCE by cell id and each cell's cosine matrix is a
+    numpy matmul inside ``applyInPandas``. Cell count scales with
+    corpus size so per-group memory stays bounded (the same knob as
+    ``n_blocks`` in the blocked all-pairs). ``iters=0`` pins the
+    centroids to the first ``n_centroids`` vectors by id so the DuckDB
+    oracle reproduces the assignment; the Lloyd-trained path keeps its
+    behavior covered in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent = _train_centroids(emb, n_centroids, iters, id_col, vec_col)
+
+    assign_schema = T.StructType([
+        T.StructField("vid", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ])
+
+    def assign_cells(batches):
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy(dtype="int64")
+            bmat = np.array(list(pdf[vec_col]), dtype="float64")
+            d2 = ((bmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # same decision rule as ivf_topk: rounded Euclidean distance
+            # (9dp) with argmin's first-index tie == oracle's (dist, ci)
+            d = np.round(np.sqrt(d2), 9)
+            yield pd.DataFrame({"vid": bids,
+                                "cell": d.argmin(axis=1).astype("int32"),
+                                "vec": list(bmat)})
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("is_dup", T.BooleanType()),
+    ])
+
+    def flag_cell(key, pdf):
+        ids = pdf["vid"].to_numpy(dtype="int64")
+        mat = np.array(list(pdf["vec"]), dtype="float64")
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        un = mat / norms[:, None]
+        scores = np.round(un @ un.T, COS_DECIMALS)
+        dup = ((scores >= threshold)
+               & (ids[None, :] < ids[:, None])).any(axis=1)
+        return pd.DataFrame({id_col: ids, "cell": key[0], "is_dup": dup})
+
+    assigned = (fan_out(emb.select(id_col, as_double(F.col(vec_col))
+                                   .alias(vec_col)))
+                .mapInPandas(assign_cells, schema=assign_schema))
+    return assigned.groupBy("cell").applyInPandas(flag_cell, schema=out_schema)
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
              n_centroids: int = 16, n_probe: int = 4, iters: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -326,17 +419,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
     import pandas as pd
     from pyspark.sql import types as T
 
-    # ---- train (driver-side; sample at real scale) --------------------
-    ids, mat, norms = _collect_matrix(
-        emb.orderBy(id_col).limit(max(n_centroids * 64, 1024)), id_col, vec_col)
-    cent = mat[:n_centroids].copy()
-    for _ in range(iters):
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for ci in range(n_centroids):
-            members = mat[assign == ci]
-            if len(members):
-                cent[ci] = members.mean(axis=0)
+    cent = _train_centroids(emb, n_centroids, iters, id_col, vec_col)
 
     cell_schema = T.StructType([
         T.StructField("vid", T.LongType()),

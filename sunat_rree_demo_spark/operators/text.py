@@ -182,6 +182,110 @@ def pack_sequences(df, id_col: str, text_col: str,
     )
 
 
+def repetition_signals(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 — the "repetition" family of the quality filters used to
+    clean MassiveText/C4): duplicate-token fraction (1 − |distinct|/|n|)
+    and the fraction of adjacent-bigram slots (n−1 of them) occupied by
+    the single most frequent bigram — both in [0, 1]. High values flag
+    boilerplate / spam / degenerate generations.
+
+    Returns (id, n_tokens, dup_token_frac, top_bigram_frac).
+
+    Scale design: the unigram side is pure array expressions on the scan
+    (no shuffle). The bigram side explodes to token grain and shuffles
+    on the document id — a high-cardinality, corpus-proportional key, so
+    it partitions evenly at any size; the adjacent-pair construction is
+    a ``lead`` window inside that same partitioning (no extra exchange)
+    and the two aggregations share the ``id`` shuffle via partial
+    aggregation. No per-doc state ever exceeds one document's tokens.
+    """
+    from pyspark.sql import Window
+
+    tok = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("bigint").alias("_n_distinct"),
+        tok.alias("_toks"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bigram_max = (
+        base.select(id_col, F.posexplode("_toks").alias("_pos", "_tok"))
+        .withColumn("_next", F.lead("_tok").over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(id_col, F.concat_ws(" ", "_tok", "_next").alias("_bigram"))
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_max_bg"))
+    )
+    return (
+        base.drop("_toks")
+        .join(bigram_max, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(1.0 - F.col("_n_distinct").cast("double")
+                    / F.col("n_tokens").cast("double"), 4)
+            .alias("dup_token_frac"),
+            F.when(F.col("n_tokens") > 1,
+                   F.round(F.coalesce(F.col("_max_bg"), F.lit(0))
+                           .cast("double")
+                           / (F.col("n_tokens") - 1).cast("double"), 4))
+            .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def unigram_surprisal(df, id_col: str, text_col: str):
+    """Per-document mean unigram surprisal (bits/token) against the
+    corpus's own unigram LM — the cheap perplexity proxy used to rank
+    documents for quality-based selection (cf. CCNet's LM filtering,
+    Wenzek et al. 2020, with the corpus itself as the model).
+
+    Returns (id, n_tokens, avg_surprisal) where surprisal of token t is
+    −log2(count(t)/Σcounts). Per-token surprisal is quantized to
+    INTEGER micro-bits before summing: a float mean of per-token
+    doubles differs across engines in the last ULP of the SUM (addend
+    order), which flipped a 4dp rounding boundary once per ~500 docs —
+    integer addends make the aggregate exact and order-free. The final
+    4dp mean is ALSO rounded in integer arithmetic
+    (``(2·Σ + d) div 2d``, half-up): a doc whose mean lands exactly on
+    a .00005 decimal boundary (measured: Σ=48896500 over 10 tokens)
+    rounds differently under Spark's BigDecimal-of-string HALF_UP vs
+    DuckDB's binary-double rounding, so neither engine's float
+    ``round`` may touch it.
+
+    Scale design: token grain shuffles twice — once on the token to
+    build the frequency table (vocab-sized output, Zipf-concentrated
+    but map-side combine absorbs the head), once on the doc id for the
+    per-doc mean. The frequency side joins back at token grain; the
+    vocabulary is orders of magnitude smaller than the corpus, so AQE
+    picks a broadcast when it fits and the total-token count rides a
+    broadcast 1-row frame (same shape as q51's document count — no
+    eager ``.count()`` on the driver)."""
+    tk = df.select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("_tok"))
+    freq = tk.groupBy("_tok").agg(F.count("*").alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_n"))
+    return (
+        tk.join(freq, "_tok")
+        .join(F.broadcast(total))
+        .select(id_col,
+                F.round(-F.log2(F.col("_c").cast("double")
+                                / F.col("_n").cast("double"))
+                        * 1000000.0, 0).cast("bigint")
+                .alias("_ubits"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.sum("_ubits").alias("_ub"))
+        # half-up integer rounding of _ub/(100·n) → 1e-4 bit units
+        .select(id_col, "n_tokens",
+                (F.expr("(2 * _ub + 100 * n_tokens) div (200 * n_tokens)")
+                 .cast("double") / 10000.0).alias("avg_surprisal"))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: sha-256 of the normalized text (content-
     addressed identity; the hash both engines share — see also the

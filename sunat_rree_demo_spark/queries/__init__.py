@@ -20,6 +20,8 @@ from sunat_rree_demo_spark.queries import stats  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import temporal  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import arrays  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import llm_pipeline  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import quality  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import marts  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
@@ -47,6 +49,11 @@ _ROTATE_TO_TAIL = (
     # with q70/q71 added the head would hold 51/52: more triply-green
     # queries move out so the new ones stay inside the window
     "q47_rollup_subtotals", "q48_trade_roundtrip",
+    # round 4 (this session): q72-q77 enter the window; six more
+    # doubly-green (r02+r03) dedup/similarity queries take the tail
+    "q39_exact_dedup", "q42_simhash", "q43_cosine_topk",
+    "q40_ngram_jaccard_pairs", "q41_minhash_lsh_pairs",
+    "q44_embedding_near_dup",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

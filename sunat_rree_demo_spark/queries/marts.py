@@ -1,0 +1,147 @@
+"""Star-schema mart queries over the full TPC-H-ish fixture graph
+(SURVEY.md §2 J1/A1 family, stretched to the multi-join shapes a
+warehouse actually runs): a TPC-H Q5-style regional market-share
+rollup and a user-funnel conversion report over the events stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sunat_rree_demo_spark.queries.base import register, t
+
+
+# ---------------------------------------------------------------------- q76
+@register(
+    "q76_regional_market_share",
+    oracle="""
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY 1, 2
+    ORDER BY year, revenue DESC, n_name
+    """,
+    tags=("mart", "multi-join"),
+)
+def q76_regional_market_share(spark, sf_dir):
+    """TPC-H Q5-shaped five-way join: local-supplier revenue by nation
+    and year inside one region (the reference's J1 left-join family at
+    warehouse multiplicity).
+
+    Scale shape: nation/region are constant-size — explicitly
+    broadcast, so the region filter prunes BEFORE the big joins and no
+    exchange carries them. customer⋈orders⋈lineitem⋈supplier are all
+    corpus-proportional: left un-hinted so AQE picks
+    broadcast-vs-shuffle per actual build size (same policy as commit
+    "un-hint corpus-sized size joins"); the l_orderkey join and the
+    final (n_name, year) aggregate each shuffle once with map-side
+    partials. The s_nationkey = c_nationkey local-supplier predicate
+    rides the supplier join as a non-equi conjunct, not a post-filter."""
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    c, s = t(spark, sf_dir, "customer"), t(spark, sf_dir, "supplier")
+    n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    nr = (F.broadcast(n).join(F.broadcast(r),
+                              n["n_regionkey"] == r["r_regionkey"])
+          .filter(F.col("r_name") == "AMERICA")
+          .select("n_nationkey", "n_name"))
+    return (
+        c.join(F.broadcast(nr), c["c_nationkey"] == F.col("n_nationkey"))
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"])
+                 & (s["s_nationkey"] == c["c_nationkey"]))
+        .groupBy("n_name",
+                 F.year("o_orderdate").cast("bigint").alias("year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.countDistinct("o_orderkey").alias("n_orders"))
+        .orderBy("year", F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------- q77
+@register(
+    "q77_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(ts) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > t0 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, count(*) AS n_users,
+           CAST(NULL AS DOUBLE) AS avg_step_sec
+    FROM v
+    UNION ALL
+    SELECT '2_click', count(*),
+           round(avg((epoch_us(t1) - epoch_us(t0)) / 1000000.0), 2)
+    FROM c JOIN v USING (user_id)
+    UNION ALL
+    SELECT '3_purchase', count(*),
+           round(avg((epoch_us(t2) - epoch_us(t1)) / 1000000.0), 2)
+    FROM p JOIN c USING (user_id)
+    ORDER BY stage
+    """,
+    tags=("mart", "funnel", "sequence"),
+)
+def q77_event_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (view → click after it → purchase after
+    that) with per-step conversion counts and mean step latency — the
+    MATCH_RECOGNIZE-ish pattern expressed as min-timestamp semi-stages.
+
+    Scale shape: every stage is a filtered aggregate + join keyed on
+    user_id, so one hash partitioning serves the whole funnel (no
+    windows, no per-user sort) and stage outputs are user-grain —
+    strictly shrinking. All three stages assemble into ONE user-grain
+    frame via left joins and a single aggregate + ``stack`` unpivot
+    emits the report: no union-of-aggregates that would re-run earlier
+    stages once per branch (the shared stage subtrees that do repeat
+    dedupe through Spark's exchange reuse; each event type is scanned
+    with its filter pushed down)."""
+    ev = t(spark, sf_dir, "events")
+    sec = 1_000_000.0
+
+    def first_after(etype, prev, tcol, out):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return (e.groupBy("user_id").agg(F.min("ts").alias(out)))
+        return (e.join(prev.select("user_id", tcol), "user_id")
+                .filter(F.col("ts") > F.col(tcol))
+                .groupBy("user_id").agg(F.min("ts").alias(out)))
+
+    v = first_after("view", None, None, "t0")
+    cl = first_after("click", v, "t0", "t1")
+    p = first_after("purchase", cl, "t1", "t2")
+    funnel = v.join(cl, "user_id", "left").join(p, "user_id", "left")
+    agg = funnel.agg(
+        F.count("t0").alias("_n1"),
+        F.count("t1").alias("_n2"),
+        F.count("t2").alias("_n3"),
+        F.round(F.avg((F.unix_micros("t1") - F.unix_micros("t0")) / sec), 2)
+        .alias("_a2"),
+        F.round(F.avg((F.unix_micros("t2") - F.unix_micros("t1")) / sec), 2)
+        .alias("_a3"),
+    )
+    return (
+        agg.select(F.expr(
+            "stack(3, '1_view', _n1, CAST(NULL AS DOUBLE), "
+            "'2_click', _n2, _a2, '3_purchase', _n3, _a3) "
+            "AS (stage, n_users, avg_step_sec)"))
+        .orderBy("stage")
+    )

@@ -22,6 +22,7 @@ from sunat_rree_demo_spark.operators.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
     near_dup_pairs_blocked,
+    semantic_dedup,
 )
 from sunat_rree_demo_spark.queries.base import register, t
 
@@ -140,11 +141,10 @@ def q45_ann_lsh_topk(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------- q54
-@register(
-    "q54_ann_ivf_topk",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# Shared IVF oracle fragment (q54 + q75): iters=0 centroids (first 16
+# vectors by id) and the ranked-cross-join cell assignment that mirrors
+# the engine's rounded-Euclidean argmin with centroid-id tiebreak.
+_IVF_CENT_ASSIGN = """
     cent AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ci, v
       FROM e ORDER BY vec_id LIMIT 16
@@ -156,7 +156,15 @@ def q45_ann_lsh_topk(spark, sf_dir):
                                   ORDER BY round(list_distance(e.v, c.v), 9),
                                            c.ci) AS rn
         FROM e, cent c) WHERE rn = 1
-    ),
+    )"""
+
+
+# ---------------------------------------------------------------------- q54
+@register(
+    "q54_ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_IVF_CENT_ASSIGN},
     probe AS (
       SELECT vec_id, ci FROM (
         SELECT q.vec_id, c.ci,
@@ -243,3 +251,33 @@ def q69_ann_recall(spark, sf_dir):
                 .alias("recall"))
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------- q75
+@register(
+    "q75_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_IVF_CENT_ASSIGN},
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a
+      JOIN assign b ON a.ci = b.ci AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+    )
+    SELECT a.vec_id, a.ci AS cell, (d.vec_id IS NOT NULL) AS is_dup
+    FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+    tags=("similarity", "semantic-dedup"),
+)
+def q75_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-quantize the embedding
+    space (iters=0 so the oracle re-derives the cells), then flag
+    vectors with a rounded-cos ≥ 0.3 lower-id neighbor in their own
+    cell. Pairwise work is confined to cells — the O(N²/C) middle
+    ground between exact all-pairs (q44) and LSH candidates (q45)."""
+    e = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.3, iters=0).orderBy("vec_id")

@@ -1,0 +1,132 @@
+"""Tests for the corpus-quality operators (q72-q74) and SemDeDup
+(q75): golden values on constructed degenerate documents, the
+approx-percentile scale path against the exact oracled form, and the
+trained (iters>0, non-oracled) SemDeDup path against a local
+recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sunat_rree_demo_spark.operators.similarity import semantic_dedup
+from sunat_rree_demo_spark.operators.text import (
+    repetition_signals,
+    unigram_surprisal,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_repetition_signals_flag_degenerate_docs(spark):
+    df = spark.createDataFrame([
+        Row(id=1, text="spam spam spam spam spam spam"),
+        Row(id=2, text="all these tokens appear exactly once here"),
+        Row(id=3, text="ab cd ab cd ab cd"),
+        Row(id=4, text="solo"),
+    ])
+    out = {r["id"]: r for r in
+           repetition_signals(df, "id", "text").collect()}
+    # 6 copies of one token: 5/6 dup, "spam spam" fills all 5 slots
+    assert out[1]["dup_token_frac"] == round(1 - 1 / 6, 4)
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_token_frac"] == 0.0
+    # each bigram of doc 2 occurs once → 1 of 6 slots
+    assert out[2]["top_bigram_frac"] == round(1 / 6, 4)
+    # "ab cd" ×3 of 5 bigram slots
+    assert out[3]["dup_token_frac"] == round(1 - 2 / 6, 4)
+    assert out[3]["top_bigram_frac"] == round(3 / 5, 4)
+    # single token: no bigram, no dups
+    assert out[4]["dup_token_frac"] == 0.0
+    assert out[4]["top_bigram_frac"] == 0.0
+
+
+def test_unigram_surprisal_ranks_rare_tokens_higher(spark):
+    df = spark.createDataFrame([
+        Row(id=1, text="common common common common"),
+        Row(id=2, text="common common rare1 rare2"),
+    ])
+    out = {r["id"]: r for r in unigram_surprisal(df, "id", "text").collect()}
+    # corpus: common×6, rare×1 each, N=8
+    assert out[1]["n_tokens"] == 4
+    exp_common = -np.log2(6 / 8)
+    assert out[1]["avg_surprisal"] == pytest.approx(exp_common, abs=1e-4)
+    exp_mixed = (2 * -np.log2(6 / 8) + 2 * -np.log2(1 / 8)) / 4
+    assert out[2]["avg_surprisal"] == pytest.approx(exp_mixed, abs=1e-4)
+    assert out[2]["avg_surprisal"] > out[1]["avg_surprisal"]
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The corpus-wide scale path for q73: approx_percentile (GK,
+    mergeable sketch) must sit within its accuracy bound of the exact
+    interpolated percentile. With the default accuracy (1e4) and 500
+    rows the sketch is effectively exact up to interpolation — allow
+    one rank either side."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = (
+        d.groupBy("lang")
+        .agg(F.percentile("n_chars", F.lit(0.5)).alias("exact"),
+             F.percentile_approx("n_chars", F.lit(0.5)).alias("approx"),
+             F.expr("percentile(n_chars, 0.5) - "
+                    "percentile(n_chars, 0.45)").alias("band"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(abs(r["band"]), 1.0)
+
+
+def test_semantic_dedup_trained_path_matches_local_recompute(spark):
+    """iters>0 (Lloyd-trained, not SQL-oracle-able) SemDeDup flags must
+    equal a local numpy recomputation of the same rule on the same
+    cells."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.3, n_centroids=8, iters=3)
+    got = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in out.collect()}
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+    mat = np.array([r["embedding"] for r in rows], dtype="float64")
+    # reproduce training: init = first 8 by id over the bounded sample
+    sample = mat[: max(8 * 64, 1024)]
+    cent = sample[:8].copy()
+    for _ in range(3):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for ci in range(8):
+            m = sample[a == ci]
+            if len(m):
+                cent[ci] = m.mean(axis=0)
+    d = np.round(np.sqrt(
+        ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)), 9)
+    cells = d.argmin(axis=1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    un = mat / norms[:, None]
+    for ci in range(8):
+        members = np.nonzero(cells == ci)[0]
+        if not len(members):
+            continue
+        sub_ids = ids[members]
+        scores = np.round(un[members] @ un[members].T, 6)
+        dup = ((scores >= 0.3)
+               & (sub_ids[None, :] < sub_ids[:, None])).any(axis=1)
+        for vid, isdup in zip(sub_ids, dup):
+            assert got[int(vid)] == (ci, bool(isdup))
+
+
+def test_semantic_dedup_keeps_cell_minimum(spark):
+    """The lowest-id member of every cell can never be flagged — the
+    keep-one guarantee clustering pipelines rely on."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.0, iters=0).collect()
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert not lowest["is_dup"]
+        # threshold 0.0: every non-negative-cosine pair trips — with
+        # ≥2 members at least SOME dup should normally appear, but we
+        # only assert the invariant that holds for any data
+        assert all(isinstance(r["is_dup"], bool) for r in members)

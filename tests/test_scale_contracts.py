@@ -157,6 +157,9 @@ _EAGER_BUILDERS = {
     # r4: recall joins the brute-force side (bounded query-batch fetch,
     # like q43); the two-tier verify checkpoints signatures + arrays
     "q69_ann_recall", "q71_verified_near_dups",
+    # SemDeDup trains its coarse quantizer on a bounded driver-side
+    # sample at build time (same shape as q54's iters=0 centroids)
+    "q75_semantic_dedup",
 }
 
 
@@ -290,3 +293,38 @@ def test_index_vs_index_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bb_even")
         spark.sql("DROP TABLE IF EXISTS bb_odd")
+
+
+def test_repetition_bigram_shares_doc_id_partitioning(spark):
+    """q72's bigram side: the lead window and BOTH aggregations
+    (doc_id×bigram counts, per-doc max) must ride ONE
+    hashpartitioning(doc_id) exchange — hashpartitioning(doc_id)
+    satisfies clustering by (doc_id, bigram) too, so no per-stage
+    reshuffle. No global sort anywhere on the token-grain path."""
+    plan = plan_of(fresh("q72_repetition_signals")(spark, SF_SMOKE))
+    token_side = plan.split("Window")[-1]  # below the window = its input
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    window_input = plan.split("Window")[0]
+    assert "SinglePartition" not in window_input
+
+
+def test_market_share_broadcasts_constant_dims(spark):
+    """q76: the nation⋈region dim block is constant-size and must hit
+    the fact side as a BroadcastHashJoin with the region filter pushed
+    into the dim scan — never a shuffle carrying 100 TB of facts to
+    meet 25 rows."""
+    with big_table_path(spark):
+        plan = plan_of(fresh("q76_regional_market_share")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,AMERICA)" in plan
+
+
+def test_funnel_single_aggregate_no_window(spark):
+    """q77: the funnel must be min-aggregate cascades on user_id — no
+    window (per-user sort) and no union-of-aggregates re-running the
+    view stage once per branch: exactly one scalar-aggregate pair above
+    the user-grain joins (stack unpivots it), every other aggregate
+    keyed on user_id."""
+    plan = plan_of(fresh("q77_event_funnel")(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert plan.count("SinglePartition") == 1, plan
