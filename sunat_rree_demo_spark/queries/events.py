@@ -176,3 +176,39 @@ def q34_json_extract(spark, sf_dir):
              F.sum(F.when(F.col("_k") > 50, 1).otherwise(0)).alias("n_high"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------- q78
+@register(
+    "q78_click_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value,
+           (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS lag_sec
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "interval-join", "attribution"),
+)
+def q78_click_attribution(spark, sf_dir):
+    """Batch twin of the stream-stream interval join
+    (streaming/events.py:click_purchase_attribution): every purchase
+    attributed to same-user clicks in the preceding hour. In batch the
+    watermarks are no-ops and Catalyst plans a plain time-bounded join
+    shuffled once on user_id; in streaming the same expression becomes
+    a watermarked two-stream join with bounded state. lag_sec is exact
+    integer-microsecond arithmetic over one double division — no
+    rounding needed for parity."""
+    from sunat_rree_demo_spark.streaming.events import (
+        click_purchase_attribution,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return (click_purchase_attribution(e)
+            .orderBy("click_id", "purchase_id"))

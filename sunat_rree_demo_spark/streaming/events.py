@@ -212,3 +212,49 @@ def run_available_now(stream_df: DataFrame, sink_table: str,
     q.awaitTermination(timeout)
     if q.isActive:  # pragma: no cover - safety net
         q.stop()
+
+
+def click_purchase_attribution(events: DataFrame,
+                               horizon: str = "1 hour",
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream INTERVAL JOIN: attribute each purchase to every
+    click by the same user in the preceding ``horizon`` — the canonical
+    watermarked two-stream correlation (clicks and purchases arrive on
+    independent schedules; either side may be late).
+
+    The same expression runs in batch (its oracle twin is
+    q78_click_attribution's SQL interval join) and as a true
+    stream-stream join: both sides carry watermarks and the join's time
+    bounds let Spark evict click state older than
+    (purchase watermark − horizon) and purchase state older than the
+    click watermark, so state is O(users × horizon rate), not O(stream).
+    At warehouse scale the join shuffles both sides once on user_id.
+
+    Emits one row per (click, purchase-within-horizon) pair — the
+    multi-touch attribution grain; last-touch/first-touch reductions
+    are a groupBy away (deterministic: min/max by (lag, id))."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    joined = clicks.join(
+        purchases,
+        F.expr(f"""
+            user_id = p_user_id AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+        """),
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id",
+        F.col("purchase_value"),
+        ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+         / 1000000.0).alias("lag_sec"),
+    )

@@ -135,3 +135,27 @@ def test_stream_starts_on_empty_directory(spark, tmp_path, batch_events):
                       output_mode="complete")
     got = spark.sql("SELECT SUM(n_events) AS n FROM late_events_sink").first()
     assert got.n == 50
+
+
+def test_attribution_stream_stream_join_matches_batch(spark, events_dir,
+                                                      batch_events):
+    """True stream-stream interval join: the SAME expression over two
+    watermarked file streams must emit exactly the batch twin's pairs
+    (q78). AvailableNow replay; append mode (stream-stream joins only
+    support append)."""
+    from sunat_rree_demo_spark.streaming.events import (
+        click_purchase_attribution,
+        events_file_stream,
+        run_available_now,
+    )
+
+    sdf = click_purchase_attribution(events_file_stream(spark, events_dir))
+    assert sdf.isStreaming
+    run_available_now(sdf, "t_attr", output_mode="append")
+    got = {(r.click_id, r.purchase_id): (r.user_id, r.purchase_value,
+                                         r.lag_sec)
+           for r in spark.table("t_attr").collect()}
+    expect = {(r.click_id, r.purchase_id): (r.user_id, r.purchase_value,
+                                            r.lag_sec)
+              for r in click_purchase_attribution(batch_events).collect()}
+    assert got == expect and len(got) > 0
