@@ -54,8 +54,9 @@ _ROTATE_TO_TAIL = (
     "q39_exact_dedup", "q42_simhash", "q43_cosine_topk",
     "q40_ngram_jaccard_pairs", "q41_minhash_lsh_pairs",
     "q44_embedding_near_dup",
-    # q78 enters; one more doubly-green (r02+r03) stats query leaves
-    "q49_correlation",
+    # q78-q80 enter; three more doubly-green (r02+r03) stats queries
+    # leave
+    "q49_correlation", "q50_robust_outliers", "q51_tfidf_top_terms",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -145,3 +145,51 @@ def q77_event_funnel(spark, sf_dir):
             "AS (stage, n_users, avg_step_sec)"))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------- q79
+@register(
+    "q79_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa USING (l_partkey)
+    WHERE l_quantity < qty_cut
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("mart", "correlated-subquery"),
+)
+def q79_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity order lines, where
+    'small' is relative to each part's own average quantity — the
+    correlated aggregate subquery DECORRELATED into a per-part
+    aggregate joined back to the facts (what Catalyst's
+    RewriteCorrelatedScalarSubquery does; here stated directly so the
+    plan is explicit).
+
+    Scale shape: the facts are scanned twice (per-part cut, then the
+    filtered join) and both the cut table and the join shuffle on
+    l_partkey — one co-partitioning serves agg and join; part is
+    key+brand only after pruning. The cut is rounded to 6dp on both
+    engines: avg() addend order differs across engines by ULPs, and an
+    unrounded cut could flip the integer-valued quantity comparison."""
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    cuts = (li.groupBy("l_partkey")
+            .agg(F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_cut")))
+    return (
+        li.join(cuts, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .join(p, p["p_partkey"] == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"),
+             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .orderBy("p_brand")
+    )

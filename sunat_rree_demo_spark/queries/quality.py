@@ -130,3 +130,95 @@ def q74_unigram_surprisal(spark, sf_dir):
     and addend-order-free (see operators.text.unigram_surprisal)."""
     d = t(spark, sf_dir, "documents")
     return unigram_surprisal(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------- q80
+@register(
+    "q80_importance_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(sha256('feat:' || tok), 1, 12))::UBIGINT % 256
+               AS b
+      FROM (SELECT doc_id, lang, unnest({_L}) AS tok FROM documents)
+    ),
+    cr AS (SELECT b, count(*) AS crn FROM tk GROUP BY b),
+    ct AS (SELECT b, count(*) AS ctn FROM tk WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT sum(crn) FROM cr) AS nr,
+                   (SELECT sum(ctn) FROM ct) AS nt),
+    wt AS (
+      SELECT cr.b,
+             CAST(round(log2(((coalesce(ct.ctn, 0) + 1.0) / (cr.crn + 1.0))
+                             * ((nr + 256.0) / (nt + 256.0)))
+                        * 1000000, 0) AS BIGINT) AS w
+      FROM cr LEFT JOIN ct USING (b), tot
+    ),
+    doc AS (
+      SELECT doc_id, lang, count(*) AS n_tokens, sum(w) AS ub
+      FROM tk JOIN wt USING (b)
+      GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((2 * (ub + n_tokens * 64000000) + 100 * n_tokens)
+                // (200 * n_tokens) AS DOUBLE) / 10000.0 - 64.0
+             AS avg_log_ratio
+    FROM doc
+    ORDER BY doc_id
+    """,
+    tags=("quality", "data-selection"),
+)
+def q80_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score each document by the mean log-likelihood
+    ratio of its hashed token features under the TARGET distribution
+    (here: the lang='en' slice) vs the RAW corpus, with Laplace
+    smoothing — the data-selection op that decides what to upsample
+    into a pretraining mix.
+
+    Determinism/parity: the feature hash is the sha-256-prefix device
+    shared with hash_split/sample_bucket; per-BUCKET weights (256 of
+    them) are quantized to integer micro-bits once, so the per-doc sum
+    is exact integer arithmetic; the final 4dp mean uses the shifted
+    half-up integer rounding (weights can be negative, and Spark's
+    ``div`` truncates while DuckDB's ``//`` floors — shifting by +64
+    bits keeps the dividend positive where both agree).
+
+    Scale shape: token grain shuffles once to bucket grain (256 keys —
+    map-side combine collapses it) and once on doc_id for the mean;
+    the 256-row weight table is explicitly broadcast back onto the
+    token stream; corpus totals ride broadcast 1-row frames. No
+    driver-side collect anywhere."""
+    d = t(spark, sf_dir, "documents")
+    from sunat_rree_demo_spark.operators.text import tokens
+
+    tk = (
+        d.select("doc_id", "lang",
+                 F.explode(tokens(F.col("text"))).alias("_tok"))
+        .select("doc_id", "lang",
+                (F.conv(F.substring(
+                    F.sha2(F.concat(F.lit("feat:"), F.col("_tok")), 256),
+                    1, 12), 16, 10).cast("bigint") % 256).alias("b"))
+    )
+    cr = tk.groupBy("b").agg(F.count("*").alias("crn"))
+    ct = (tk.filter(F.col("lang") == "en")
+          .groupBy("b").agg(F.count("*").alias("ctn")))
+    nr = cr.agg(F.sum("crn").alias("nr"))
+    nt = ct.agg(F.sum("ctn").alias("nt"))
+    wt = (
+        cr.join(ct, "b", "left").na.fill({"ctn": 0})
+        .join(F.broadcast(nr)).join(F.broadcast(nt))
+        .select("b", F.round(F.log2(
+            ((F.col("ctn") + 1.0) / (F.col("crn") + 1.0))
+            * ((F.col("nr") + 256.0) / (F.col("nt") + 256.0)))
+            * 1000000.0, 0).cast("bigint").alias("w"))
+    )
+    return (
+        tk.join(F.broadcast(wt), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w").alias("_ub"))
+        .select("doc_id", "lang", "n_tokens",
+                (F.expr("(2 * (_ub + n_tokens * 64000000) + 100 * n_tokens)"
+                        " div (200 * n_tokens)").cast("double") / 10000.0
+                 - 64.0).alias("avg_log_ratio"))
+        .orderBy("doc_id")
+    )

@@ -130,3 +130,19 @@ def test_semantic_dedup_keeps_cell_minimum(spark):
         # ≥2 members at least SOME dup should normally appear, but we
         # only assert the invariant that holds for any data
         assert all(isinstance(r["is_dup"], bool) for r in members)
+
+
+def test_importance_weights_favor_target_language(spark):
+    """q80 sanity: with lang='en' as the target distribution, the mean
+    importance weight of en docs must exceed that of every other
+    language (the whole point of DSIR selection)."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    rows = (REGISTRY["q80_importance_weights"].fn(spark, SF_SMOKE)
+            .groupBy("lang")
+            .agg(F.avg("avg_log_ratio").alias("m")).collect())
+    means = {r["lang"]: r["m"] for r in rows}
+    assert len(means) >= 2
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, means
