@@ -222,3 +222,111 @@ def q80_importance_weights(spark, sf_dir):
                  - 64.0).alias("avg_log_ratio"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------- q83
+@register(
+    "q83_winsorized_stats",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.05), 6) AS lo,
+             round(quantile_cont(n_chars, 0.95), 6) AS hi
+      FROM documents GROUP BY lang
+    ),
+    clipped AS (
+      SELECT d.lang,
+             CAST(round(least(greatest(d.n_chars, c.lo), c.hi) * 1000000, 0)
+                  AS BIGINT) AS wu
+      FROM documents d JOIN cuts c USING (lang)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST((2 * sum(wu) + 100 * count(*)) // (200 * count(*))
+                AS DOUBLE) / 10000.0 AS mean_winsorized
+    FROM clipped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("quality", "robust-stats"),
+)
+def q83_winsorized_stats(spark, sf_dir):
+    """Winsorized mean document length per language: clip to the
+    [p05, p95] percentile band, then average — the robust-stats
+    companion to the σ/MAD outlier queries (q27/q50) that tolerates
+    heavy-tailed length distributions instead of discarding rows.
+
+    Two-pass shape: pass 1 computes per-group cuts (exact interpolated
+    percentiles, 6dp-rounded — bounded-cardinality groups; the
+    corpus-wide path swaps in approx_percentile); the tiny cut table
+    broadcasts back onto the scan for the clip. Clipped values are
+    quantized to integer micro-units so the group sum is exact and the
+    4dp mean uses the same integer half-up rounding as q74 (values
+    non-negative, so Spark div == DuckDB //)."""
+    d = t(spark, sf_dir, "documents")
+    cuts = (
+        d.groupBy("lang")
+        .agg(F.round(F.percentile("n_chars", F.lit(0.05)), 6).alias("lo"),
+             F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("hi"))
+    )
+    clipped = (
+        d.join(F.broadcast(cuts), "lang")
+        .select("lang",
+                F.round(F.least(F.greatest(F.col("n_chars").cast("double"),
+                                           F.col("lo")), F.col("hi"))
+                        * 1000000.0, 0).cast("bigint").alias("wu"))
+    )
+    return (
+        clipped.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("wu").alias("_s"))
+        .select("lang", "n_docs",
+                (F.expr("(2 * _s + 100 * n_docs) div (200 * n_docs)")
+                 .cast("double") / 10000.0).alias("mean_winsorized"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------- q84
+@register(
+    "q84_priority_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(sha256('ws:' || CAST(doc_id AS VARCHAR)),
+                                  1, 12))::UBIGINT + 1 AS DOUBLE)
+               / n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, priority
+    FROM pri
+    ORDER BY priority, doc_id
+    LIMIT 50
+    """,
+    tags=("quality", "sampling"),
+)
+def q84_priority_sample(spark, sf_dir):
+    """Weighted sample of 50 documents, weight ∝ length — priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each row draws a
+    deterministic uniform from the sha-256-prefix device (domain
+    'ws:', disjoint from split/sample salts) and takes priority
+    u/weight; the k smallest priorities are the sample. Content-stable
+    across runs/engines/partitionings like every sampling op here — no
+    RNG state. The (48-bit integer + 1)/weight division is ONE IEEE
+    operation, so both engines get bit-identical priorities and the
+    selected set needs no rounding guard; doc_id breaks exact ties.
+
+    Scale shape: priorities are map-side expressions on the scan;
+    top-k plans as TakeOrderedAndProject (per-partition k then merge —
+    no global sort)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    pri = (
+        F.conv(F.substring(
+            F.sha2(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")),
+                   256), 1, 12), 16, 10).cast("bigint") + 1
+    ).cast("double") / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )

@@ -281,3 +281,73 @@ def q75_semantic_dedup(spark, sf_dir):
     ground between exact all-pairs (q44) and LSH candidates (q45)."""
     e = t(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.3, iters=0).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------- q82
+@register(
+    "q82_near_dup_triangles",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pe AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    ),
+    deg AS (
+      SELECT id, count(*) AS d
+      FROM (SELECT id1 AS id FROM pe UNION ALL SELECT id2 FROM pe)
+      GROUP BY id
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM pe e1
+      JOIN pe e2 ON e2.id1 = e1.id2
+      JOIN pe e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
+    )
+    SELECT (SELECT count(*) FROM pe) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           round(3.0 * (SELECT t FROM tri)
+                 / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+             AS transitivity
+    """,
+    memoize=False,
+    tags=("similarity", "graph"),
+)
+def q82_near_dup_triangles(spark, sf_dir):
+    """Triangle census of the embedding near-dup graph (cos ≥ 0.3):
+    edge count, wedge count (Σ d·(d−1)/2), triangle count via the
+    canonical ordered three-way self-join (a<b<c, so each triangle
+    counts exactly once), and global transitivity 3·Δ/wedges — the
+    standard health metric for a near-dup graph before clustering
+    (high transitivity ⇒ clique-like duplicate groups, min-label
+    converges in O(1) rounds; low ⇒ chainy graphs, use two-phase).
+
+    Scale shape: the pair list is localCheckpointed once (documented
+    eager, memoize=False — same policy as q40) because three join
+    branches and the degree aggregate read it; the triangle join
+    shuffles edges on their endpoint keys — the textbook distributed
+    triangle count. Degree sums and counts are 1-row frames
+    cross-joined, never collected."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = (near_dup_pairs_blocked(e, threshold=0.3)
+             .select("id1", "id2").localCheckpoint())
+    sym = pairs.select(F.col("id1").alias("id")).unionAll(
+        pairs.select(F.col("id2").alias("id")))
+    wedges = (sym.groupBy("id").agg(F.count("*").alias("d"))
+              .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")))
+    e1 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    e2 = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+    e3 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+           .agg(F.count("*").alias("n_triangles")))
+    ne = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        ne.crossJoin(wedges).crossJoin(tri)
+        .select("n_edges", "n_wedges", "n_triangles",
+                F.when(F.col("n_wedges") > 0,
+                       F.round(3.0 * F.col("n_triangles")
+                               / F.col("n_wedges"), 6))
+                .alias("transitivity"))
+    )

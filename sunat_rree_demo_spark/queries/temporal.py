@@ -134,3 +134,49 @@ def q57_range_join(spark, sf_dir):
              .alias("avg_ship_delay_days"))
         .orderBy("year")
     )
+
+
+# ---------------------------------------------------------------------- q81
+@register(
+    "q81_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           round(value, 2) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+    tags=("temporal", "scd2"),
+)
+def q81_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: turn a change stream
+    (each purchase sets a user's current value) into effective-dated
+    interval rows — valid_from/valid_to half-open ranges with an
+    is_current flag. The standard warehouse temporal-table
+    materialization, ready for the as-of join (q56) to probe.
+
+    Scale shape: one window partitioned by the high-cardinality
+    user_id (corpus-proportional keys → even partitions, no global
+    sort); the event_id tiebreak makes simultaneous timestamps
+    deterministic on both engines. Timestamps emit as formatted
+    strings for engine-neutral comparison (same device as q30)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        e.select(
+            "user_id", "event_id",
+            F.round("value", 2).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )

@@ -160,6 +160,9 @@ _EAGER_BUILDERS = {
     # SemDeDup trains its coarse quantizer on a bounded driver-side
     # sample at build time (same shape as q54's iters=0 centroids)
     "q75_semantic_dedup",
+    # triangle census checkpoints the near-dup pair list (three join
+    # branches + degree agg read it — same policy as q40)
+    "q82_near_dup_triangles",
 }
 
 
