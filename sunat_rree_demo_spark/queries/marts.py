@@ -193,3 +193,94 @@ def q79_small_qty_revenue(spark, sf_dir):
              F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------- q85
+@register(
+    "q85_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS prev_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT prev_type, next_type, count(*) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("mart", "sequence", "markov"),
+)
+def q85_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) with counts — the behavioral
+    model behind funnels and next-action prediction features.
+
+    Scale shape: one lead window partitioned by the high-cardinality
+    user_id (event_id tiebreak for simultaneous rows), then a
+    (prev, next) aggregate whose row-normalizing window runs over the
+    |types|² aggregate — 25 rows here, bounded by the type vocabulary
+    at any corpus size, never the raw events. The probability is ONE
+    integer→double division on both engines, so 4dp rounding is
+    exact-input deterministic."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select(F.col("event_type").alias("prev_type"),
+                     F.lead("event_type").over(w).alias("next_type"))
+           .filter(F.col("next_type").isNotNull()))
+    norm = Window.partitionBy("prev_type")
+    return (
+        seq.groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("p", F.round(F.col("n") * 1.0
+                                 / F.sum("n").over(norm), 4))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------- q86
+@register(
+    "q86_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(ts::DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           date_diff('day', cohort_day, day) AS offset_days,
+           count(DISTINCT user_id) AS n_users
+    FROM act JOIN firstday USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("mart", "retention"),
+)
+def q86_retention_cohorts(spark, sf_dir):
+    """Retention-cohort triangle: users grouped by first-seen day, with
+    distinct active users at each day offset — the classic warehouse
+    retention report.
+
+    Scale shape: first-seen and the distinct (user, day) activity grid
+    both aggregate on user_id — one partitioning serves the min, the
+    distinct, and the join probe; the final (cohort, offset) aggregate
+    is calendar²-bounded. At warehouse scale the cohort join broadcasts
+    nothing corpus-sized (both sides are user-grain reductions, AQE
+    decides)."""
+    ev = t(spark, sf_dir, "events")
+    firstday = (ev.groupBy("user_id")
+                .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(firstday, "user_id")
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+                 F.datediff("day", "cohort_day").cast("bigint")
+                 .alias("offset_days"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort", "offset_days")
+    )
