@@ -24,6 +24,7 @@ Jaccard shingle key) use ``xxhash64`` — never surfaced in results.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -489,3 +490,70 @@ def hamming64(a, b):
     """Hamming distance between two bigint fingerprints (bit_count of
     xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def contamination_overlap_bloom(corpus: DataFrame, probe: DataFrame,
+                                id_col: str, text_col: str, n: int = 8,
+                                expected_items: int = 1 << 20,
+                                fpp: float = 0.01) -> DataFrame:
+    """Bloom-filter form of :func:`contamination_overlap` — the probe
+    shingle set compressed into a bloom filter instead of a broadcast
+    hash set. Returns candidate (id, n_overlap) rows: a SUPERSET of the
+    exact operator's output (bloom filters have false positives, never
+    false negatives), to be confirmed by the exact join on the
+    candidates only.
+
+    When it matters: the exact path broadcasts the probe's distinct
+    shingles — fine for an eval SUITE (MBs), but decontaminating
+    against another CORPUS (held-out validation shards at TB scale)
+    needs a probe structure whose size is FIXED by (expected_items,
+    fpp) regardless of probe cardinality: ~1.2 MB per million items at
+    1% fpp, vs hundreds of MBs of raw shingles.
+
+    Implementation is pure DataFrame algebra (Spark keeps its
+    BloomFilter aggregate internal to runtime join pruning, and a
+    driver-side ``stat.bloomFilter`` object would put the build on one
+    machine): the filter is a TABLE (word_idx, 64-bit word) built by
+    exploding each probe shingle's k = ln2·m/n hash positions
+    (``xxhash64(shingle, i)`` per hash index) and ``bit_or``-folding
+    masks per word — fully distributed, map-side combined, m/64 rows.
+    Membership is k broadcast hash joins on the corpus scan (one per
+    hash index, each a map-side lookup + bit test, no shuffle, all
+    codegen'd); a shingle is a candidate iff every bit is set. The
+    corpus side still never shuffles except the final per-doc count on
+    its uniform id key."""
+    n_bits = max(64, int(-expected_items * math.log(fpp)
+                         / (math.log(2) ** 2)))
+    n_words = (n_bits + 63) // 64
+    n_bits = n_words * 64
+    k = max(1, round(n_bits / expected_items * math.log(2)))
+
+    def pos(i):
+        return F.pmod(F.xxhash64("shingle", F.lit(i)), F.lit(n_bits))
+
+    bitmap = (
+        shingle_rows(probe, id_col, text_col, n)
+        .select(F.explode(F.array(*[pos(i) for i in range(k)])).alias("_p"))
+        .select(F.expr("_p div 64").alias("_w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(_p % 64 AS INT))").alias("_m"))
+        .groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
+    )
+    cand = shingle_rows(corpus, id_col, text_col, n)
+    hit = F.lit(True)
+    for i in range(k):
+        bm = bitmap.select(F.col("_w").alias(f"_w{i}"),
+                           F.col("_bits").alias(f"_b{i}"))
+        cand = (cand.withColumn(f"_p{i}", pos(i))
+                .withColumn(f"_w{i}", F.expr(f"_p{i} div 64"))
+                .join(F.broadcast(bm), f"_w{i}", "left"))
+        # & 1, NOT % 2: a word with bit 63 set is negative, and after a
+        # zero shift `% 2` follows the dividend's sign (-1) — a false
+        # negative on exactly the bit-0-of-a-negative-word case
+        bit_set = F.expr(f"(shiftrightunsigned(_b{i}, "
+                         f"CAST(_p{i} % 64 AS INT)) & 1) = 1")
+        hit = hit & F.col(f"_b{i}").isNotNull() & bit_set
+    return (
+        cand.filter(hit)
+        .groupBy(id_col).agg(F.count("*").alias("n_overlap"))
+    )

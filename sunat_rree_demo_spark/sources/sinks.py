@@ -37,3 +37,50 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
        .sortBy(*cols)
        .format("parquet")
        .saveAsTable(name))
+
+
+def upsert_partitioned(spark: SparkSession, updates: DataFrame, path: str,
+                       key_cols: list[str], ts_col: str,
+                       partition_by: str) -> None:
+    """CDC MERGE (SCD1, latest-wins) into a partitioned parquet table:
+    apply ``updates`` so each key keeps the row with the greatest
+    (``ts_col``, update-wins) — the warehouse upsert the reference's
+    overwrite-only sinks (S7/S8) can't express.
+
+    Scale design: only partitions TOUCHED by the batch are read and
+    rewritten — the update batch's distinct partition values broadcast
+    as a semi-join filter onto the base scan (partition pruning turns
+    it into a directory-level skip), and the write uses DYNAMIC
+    partition overwrite so untouched partitions' files are never
+    replaced. The merge itself is one window per key within touched
+    partitions (high-cardinality keys → even shuffle). Update-wins on
+    ts ties via a source-rank column, so replaying the same batch is
+    idempotent (same winner), and updates deduplicate internally by
+    the same rule."""
+    from pyspark.sql import Window, functions as F
+
+    touched = updates.select(partition_by).distinct()
+    try:
+        base = (spark.read.parquet(path)
+                .join(F.broadcast(touched), partition_by, "left_semi")
+                .withColumn("_src", F.lit(0)))
+    except Exception as exc:  # first batch: nothing to merge into
+        from pyspark.errors import AnalysisException
+
+        if not isinstance(exc, AnalysisException) or \
+                "PATH_NOT_FOUND" not in (str(exc) or ""):
+            raise
+        base = None
+    up = updates.withColumn("_src", F.lit(1))
+    merged = up if base is None else base.unionByName(up)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc(),
+                                              F.col("_src").desc())
+    latest = (merged.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn", "_src"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (latest.write.mode("overwrite").partitionBy(partition_by)
+         .parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

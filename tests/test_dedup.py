@@ -167,3 +167,73 @@ def test_signatures_from_arrays_match_minhash_signatures(spark):
     got = {r.doc_id: list(r.sig)
            for r in _signatures_from_shingle_arrays(arr, "doc_id").collect()}
     assert got == want and want
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom-filter decontamination must flag every exactly-contaminated
+    doc (no false negatives) and keep its false-positive surplus under
+    a loose bound; overlap counts agree on true positives."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        contamination_overlap,
+        contamination_overlap_bloom,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    probe = d.filter("doc_id % 17 = 0").selectExpr("doc_id + 100000 AS doc_id",
+                                                   "text")
+    exact = {r["doc_id"]: r["n_overlap"]
+             for r in contamination_overlap(d, probe, "doc_id", "text",
+                                            n=3).collect()}
+    bloom = {r["doc_id"]: r["n_overlap"]
+             for r in contamination_overlap_bloom(
+                 d, probe, "doc_id", "text", n=3,
+                 expected_items=1 << 16).collect()}
+    assert set(exact) <= set(bloom)
+    for k, v in exact.items():
+        assert bloom[k] >= v  # fp can only add candidate overlaps
+    # surplus bounded: with fpp=1% the candidate set stays close
+    assert len(bloom) <= max(2 * len(exact), len(exact) + 25), (
+        len(exact), len(bloom))
+
+
+def test_upsert_partitioned_latest_wins(spark, tmp_path):
+    """CDC MERGE sink: latest-(ts, update-wins) per key; untouched
+    partitions' files are not rewritten; replay is idempotent."""
+    import os
+
+    from pyspark.sql import Row, functions as F
+
+    from sunat_rree_demo_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "state")
+    base = spark.createDataFrame([
+        Row(user_id=1, day="2024-01-01", value=10.0, ts=100),
+        Row(user_id=2, day="2024-01-01", value=20.0, ts=100),
+        Row(user_id=3, day="2024-01-02", value=30.0, ts=100),
+    ])
+    # bootstrap through the same code path (no base yet)
+    upsert_partitioned(spark, base, path, ["user_id"], "ts", "day")
+    day2_files = {f: os.path.getmtime(f"{path}/day=2024-01-02/{f}")
+                  for f in os.listdir(f"{path}/day=2024-01-02")}
+
+    updates = spark.createDataFrame([
+        Row(user_id=1, day="2024-01-01", value=11.0, ts=200),  # newer: wins
+        Row(user_id=2, day="2024-01-01", value=99.0, ts=50),   # older: loses
+        Row(user_id=4, day="2024-01-01", value=40.0, ts=100),  # new key
+    ])
+    upsert_partitioned(spark, updates, path, ["user_id"], "ts", "day")
+    got = {r["user_id"]: (r["value"], r["ts"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: (11.0, 200), 2: (20.0, 100),
+                   3: (30.0, 100), 4: (40.0, 100)}
+    # untouched partition untouched on disk
+    assert day2_files == {
+        f: os.path.getmtime(f"{path}/day=2024-01-02/{f}")
+        for f in os.listdir(f"{path}/day=2024-01-02")}
+    # replaying the same batch changes nothing (idempotent merge)
+    upsert_partitioned(spark, updates, path, ["user_id"], "ts", "day")
+    again = {r["user_id"]: (r["value"], r["ts"])
+             for r in spark.read.parquet(path).collect()}
+    assert again == got
