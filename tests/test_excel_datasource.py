@@ -1,0 +1,64 @@
+"""The Python-DataSource (Spark 4) form of the Excel ingest: must plan
+one partition per (workbook, year sheet) and emit exactly the rows of
+the driver-side adapter path on the reference's real workbooks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+REF = "/root/reference"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF}/data/cdro_G6.xlsx"),
+    reason="reference workbook not present")
+def test_datasource_matches_adapter_rows(spark):
+    from sunat_rree_demo_spark.sources.excel_adapter import (
+        load_workbook_sheets,
+        trade_from_workbooks,
+    )
+    from sunat_rree_demo_spark.sources.excel_datasource import (
+        TradeXlsxDataSource,
+        list_year_sheets,
+    )
+
+    path = f"{REF}/data/cdro_G6.xlsx"
+    spark.dataSource.register(TradeXlsxDataSource)
+    df = (spark.read.format("trade_xlsx")
+          .option("export", path).option("table", "national").load())
+    got = sorted(map(tuple, df.collect()))
+
+    want = sorted(map(tuple, trade_from_workbooks(
+        spark, {"export": load_workbook_sheets(path)}).collect()))
+    assert got == want and len(got) > 0
+
+    # distributed plan contract: one partition per year sheet
+    sheets = list_year_sheets(path)
+    assert df.rdd.getNumPartitions() == len(sheets) > 1
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF}/data/cdro_F1.xlsx"),
+    reason="reference workbook not present")
+def test_datasource_products_both_flows(spark):
+    from sunat_rree_demo_spark.sources.excel_adapter import (
+        load_workbook_sheets,
+        trade_prod_from_workbooks,
+    )
+    from sunat_rree_demo_spark.sources.excel_datasource import (
+        TradeXlsxDataSource,
+    )
+
+    spark.dataSource.register(TradeXlsxDataSource)
+    df = (spark.read.format("trade_xlsx")
+          .option("import", f"{REF}/data/cdro_F1.xlsx")
+          .option("export", f"{REF}/data/cdro_G1.xlsx")
+          .option("table", "products").load())
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, trade_prod_from_workbooks(spark, {
+        "import": load_workbook_sheets(f"{REF}/data/cdro_F1.xlsx"),
+        "export": load_workbook_sheets(f"{REF}/data/cdro_G1.xlsx"),
+    }).collect()))
+    assert got == want and len(got) > 0
