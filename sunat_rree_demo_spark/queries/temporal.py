@@ -180,3 +180,81 @@ def q81_scd2_intervals(spark, sf_dir):
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+# ---------------------------------------------------------------------- q87
+@register(
+    "q87_gap_fill",
+    oracle="""
+    WITH bounds AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi
+                    FROM events),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+               AS day FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id, ts::DATE AS day, value,
+               row_number() OVER (PARTITION BY user_id, ts::DATE
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    ),
+    grid AS (
+      SELECT g.user_id, g.day, daily.value
+      FROM (SELECT u.user_id, d.day FROM users u, days d) g
+      LEFT JOIN daily USING (user_id, day)
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           round(last_value(value IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS value,
+           (value IS NULL AND last_value(value IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              IS NOT NULL) AS filled
+    FROM grid
+    ORDER BY user_id, day
+    """,
+    tags=("temporal", "gap-fill"),
+)
+def q87_gap_fill(spark, sf_dir):
+    """Calendar gap-fill + forward-fill (time-series densification):
+    build the complete user × day spine and carry each user's last
+    purchase value forward across days with no activity, flagging the
+    filled rows — the densify/LOCF op every monitoring warehouse runs.
+
+    Scale shape: the spine derives from a broadcast 1-row min/max
+    frame (no eager aggregation on the driver) crossed with the
+    distinct-user reduction; the last-wins pick and the forward-fill
+    window both partition on the high-cardinality user_id. Day grain
+    is calendar-bounded, so the spine is |users| × |days| — linear in
+    users, never events²."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("lo"),
+                    F.max(F.to_date("ts")).alias("hi"))
+    days = (F.broadcast(bounds)
+            .select(F.explode(F.sequence("lo", "hi")).alias("day")))
+    users = ev.select("user_id").distinct()
+    w_pick = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .withColumn("day", F.to_date("ts"))
+             .withColumn("_rn", F.row_number().over(w_pick))
+             .filter(F.col("_rn") == 1)
+             .select("user_id", "day", "value"))
+    grid = users.crossJoin(days).join(daily, ["user_id", "day"], "left")
+    w_fill = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    carried = F.last("value", ignorenulls=True).over(w_fill)
+    return (
+        grid.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(carried, 2).alias("value"),
+            (F.col("value").isNull() & carried.isNotNull()).alias("filled"),
+        )
+        .orderBy("user_id", "day")
+    )

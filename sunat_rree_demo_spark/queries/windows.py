@@ -298,3 +298,59 @@ def q29_tail_window(spark, sf_dir):
     m = monthly_flows(spark, sf_dir)
     return tail_k(m.select("year", "month_num", "export_usd", "import_usd"),
                   ["year", "month_num"], 6)
+
+
+# ---------------------------------------------------------------------- q88
+@register(
+    "q88_rank_distribution",
+    oracle="""
+    WITH cat AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+             p_type AS category,
+             round(sum(l_extendedprice), 2) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT year, category, revenue,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM cat
+    WINDOW w AS (PARTITION BY year ORDER BY revenue, category)
+    ORDER BY year, revenue, category
+    """,
+    tags=("windows", "rank-distribution"),
+)
+def q88_rank_distribution(spark, sf_dir):
+    """Distribution-rank window family over per-year category revenue:
+    percent_rank, cume_dist, and quartile (ntile) — the W-family
+    completeness row the suite lacked. The window orders by
+    (revenue, category) so every key is unique: no peer groups, which
+    makes percent_rank/cume_dist single-valued and deterministic on
+    both engines (revenue is pre-rounded to 2dp; rank ratios are
+    integer-quotient doubles rounded at 6dp).
+
+    Scale shape: the category×year aggregate is vocabulary-bounded, so
+    the per-year window sorts bounded partitions — never raw facts.
+    ntile over an aggregate this size is fine; corpus-grain quantile
+    bucketing would use the two-pass percentile-cut pattern (q83)
+    instead."""
+    from pyspark.sql import Window
+
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    cat = (
+        li.join(p, p["p_partkey"] == li["l_partkey"])
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("year"),
+                 F.col("p_type").alias("category"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("year").orderBy("revenue", "category")
+    return (
+        cat.select(
+            "year", "category", "revenue",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("year", "revenue", "category")
+    )
