@@ -159,3 +159,64 @@ def test_attribution_stream_stream_join_matches_batch(spark, events_dir,
                                             r.lag_sec)
               for r in click_purchase_attribution(batch_events).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_streaming_upsert_maintains_latest_state(spark, tmp_path):
+    """Streaming view maintenance: events replayed in MULTIPLE
+    micro-batches through foreachBatch + the CDC upsert sink must leave
+    exactly the batch-computed latest-(ts, event_id) value per
+    (user, day) — the incremental state-table pattern (same merge
+    semantics as dedup_stream's index absorb, but over a keyed value
+    table)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.sources.sinks import upsert_partitioned
+    from sunat_rree_demo_spark.streaming.events import events_file_stream
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        "event_type = 'purchase'")
+    # two FILES at the dir root (write.parquet emits a directory; the
+    # file source lists plain files) → two micro-batches at
+    # maxFilesPerTrigger=1
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, pred in (("a", "event_id % 2 = 0"),
+                       ("b", "event_id % 2 = 1")):
+        out = tmp_path / f"_{name}"
+        ev.filter(pred).coalesce(1).write.parquet(str(out))
+        shutil.move(str(next(out.glob("part-*.parquet"))),
+                    str(src / f"{name}.parquet"))
+    state = str(tmp_path / "state")
+
+    def absorb(batch_df, batch_id):
+        latest = (batch_df
+                  .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+                  .withColumn("tk", F.struct("ts", "event_id"))
+                  .groupBy("user_id", "day")
+                  .agg(F.max_by("value", "tk").alias("value"),
+                       F.max("tk").alias("tk"))
+                  .select("user_id", "day", "value",
+                          F.col("tk.ts").cast("long").alias("ver")))
+        upsert_partitioned(batch_df.sparkSession, latest, state,
+                           ["user_id", "day"], "ver", "day")
+
+    stream = (events_file_stream(spark, str(src), max_files_per_trigger=1)
+              .filter("event_type = 'purchase'"))
+    q = (stream.writeStream.foreachBatch(absorb)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # the partition column reads back type-inferred (DATE) — normalize
+    got = {(r["user_id"], str(r["day"])): r["value"]
+           for r in spark.read.parquet(state).collect()}
+    want = {(r["user_id"], r["day"]): r["value"]
+            for r in (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+                      .groupBy("user_id", "day")
+                      .agg(F.max_by("value",
+                                    F.struct("ts", "event_id")).alias("value"))
+                      .collect())}
+    assert got == want and len(got) > 0
