@@ -189,3 +189,41 @@ def q23_ytd_vs_prior(spark, sf_dir):
     in-plan (broadcast scalar), no driver round-trip."""
     m = monthly_flows(spark, sf_dir)
     return ytd_vs_prior(m, value_cols=("export_usd", "import_usd")).orderBy("year")
+
+
+# ---------------------------------------------------------------------- q90
+@register(
+    "q90_grouping_sets",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL})
+    SELECT coalesce(CAST(year AS VARCHAR), 'ALL') AS year_label,
+           coalesce(CAST(month_num AS VARCHAR), 'ALL') AS month_label,
+           round(sum(export_usd), 2) AS exports,
+           count(*) AS n_cells
+    FROM monthly
+    GROUP BY GROUPING SETS ((year), (month_num), ())
+    ORDER BY year_label, month_label
+    """,
+    tags=("rollups", "grouping-sets"),
+)
+def q90_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the lattice slices ROLLUP (q47) and
+    CUBE (q53) can't express: per-year totals, per-calendar-month
+    totals (the seasonality margin), and the grand total in ONE pass.
+    Spark plans a single Expand + hash aggregate, exactly like its
+    rollup/cube cousins; labels are coalesced strings so the oracle
+    needs no grouping_id() compatibility. Input is the monthly base
+    relation — a calendar-bounded reduction at any corpus size."""
+    m = monthly_flows(spark, sf_dir)
+    return (
+        m.groupingSets([["year"], ["month_num"], []], "year", "month_num")
+        .agg(F.round(F.sum("export_usd"), 2).alias("exports"),
+             F.count("*").alias("n_cells"))
+        .select(
+            F.coalesce(F.col("year").cast("string"), F.lit("ALL"))
+            .alias("year_label"),
+            F.coalesce(F.col("month_num").cast("string"), F.lit("ALL"))
+            .alias("month_label"),
+            "exports", "n_cells")
+        .orderBy("year_label", "month_label")
+    )

@@ -139,3 +139,48 @@ def q48_trade_roundtrip(spark, sf_dir):
         .select("year", "month_num", "export", "import_usd")
         .orderBy("year", "month_num")
     )
+
+
+# ---------------------------------------------------------------------- q89
+@register(
+    "q89_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("scale", "skew"),
+)
+def q89_salted_skew_agg(spark, sf_dir):
+    """Skew-mitigated aggregation over the WORST key distribution in
+    the schema — l_returnflag has 3 values across the whole fact table,
+    so a naive groupBy lands ~N/3 rows on three reducers. The engine
+    path is the two-phase salted form (operators/skew.py): partial
+    aggregate on (key, salt) — uniform, map-side combined — then a
+    3-row final reduce; distinct supplier counting salts by the VALUE
+    hash so equal suppliers collapse inside their salt before the
+    per-key count. The oracle computes the plain aggregation — hash
+    equality IS the proof that salting preserves values. Revenue is
+    quantized to integer cents before summing, so the two-phase float
+    order can't drift a cent."""
+    from sunat_rree_demo_spark.operators.skew import (
+        salted_count_distinct,
+        salted_sum,
+    )
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "_cents", F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+    rev = salted_sum(li, ["l_returnflag"], "_cents", alias="_c")
+    nd = salted_count_distinct(li, ["l_returnflag"], "l_suppkey",
+                               alias="n_suppliers")
+    return (
+        rev.join(nd, "l_returnflag")
+        .select("l_returnflag",
+                (F.col("_c").cast("double") / 100.0).alias("revenue"),
+                "n_suppliers")
+        .orderBy("l_returnflag")
+    )
