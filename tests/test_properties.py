@@ -100,3 +100,39 @@ def test_trend_emoji_is_total_function(yoy):
     from sunat_rree_demo_spark.plans.insights import trend_emoji
 
     assert trend_emoji(yoy) in ("🚀", "📈", "📉", "⚠️")
+
+
+# ------------------------------------------------- integer rounding device
+
+@given(st.integers(min_value=0, max_value=10**15),
+       st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_half_up_integer_rounding_matches_decimal(total_micro, n):
+    """The `(2Σ + d) div (2d)` device used by q74/q80/q83 must equal
+    decimal HALF_UP rounding of Σ/d for every non-negative Σ — the
+    regime the queries guarantee (q80 shifts by +64 bits first)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = 100 * n
+    got = (2 * total_micro + d) // (2 * d)
+    want = int((Decimal(total_micro) / d)
+               .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=10**15),
+       st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_rounding_device_identical_in_duckdb(total_micro, n):
+    """DuckDB's `//` (floor) must agree with Python's `//` on the
+    device's always-non-negative dividends — the cross-engine half the
+    oracles rely on. (On NEGATIVE dividends they would not: DuckDB
+    floors, Spark's `div` truncates — hence q80's +64-bit shift.)"""
+    import duckdb
+
+    # cast like the oracles do (their operands are BIGINT/HUGEINT
+    # columns; bare literals here would parse INT32 and overflow)
+    got = duckdb.execute(
+        f"SELECT (2*CAST({total_micro} AS BIGINT) + CAST({100*n} AS BIGINT))"
+        f" // CAST({200*n} AS BIGINT)").fetchone()[0]
+    assert got == (2 * total_micro + 100 * n) // (200 * n)
