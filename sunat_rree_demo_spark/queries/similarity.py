@@ -308,9 +308,10 @@ def q75_semantic_dedup(spark, sf_dir):
            (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
              AS n_wedges,
            (SELECT t FROM tri) AS n_triangles,
-           round(3.0 * (SELECT t FROM tri)
-                 / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
-             AS transitivity
+           CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+                THEN round(3.0 * (SELECT t FROM tri)
+                           / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+                END AS transitivity
     """,
     memoize=False,
     tags=("similarity", "graph"),
