@@ -225,9 +225,12 @@ def repetition_signals(df, id_col: str, text_col: str):
         .select(
             id_col,
             "n_tokens",
-            F.round(1.0 - F.col("_n_distinct").cast("double")
-                    / F.col("n_tokens").cast("double"), 4)
-            .alias("dup_token_frac"),
+            # n_tokens >= 1 today (split('') yields ['']), but the
+            # ANSI guard must not depend on that tokenizer quirk
+            F.when(F.col("n_tokens") > 0,
+                   F.round(1.0 - F.col("_n_distinct").cast("double")
+                           / F.col("n_tokens").cast("double"), 4))
+            .otherwise(F.lit(0.0)).alias("dup_token_frac"),
             F.when(F.col("n_tokens") > 1,
                    F.round(F.coalesce(F.col("_max_bg"), F.lit(0))
                            .cast("double")

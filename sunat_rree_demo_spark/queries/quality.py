@@ -37,8 +37,10 @@ _L = "string_split_regex(trim(text), '\\s+')"
     )
     SELECT tt.doc_id,
            CAST(len(l) AS BIGINT) AS n_tokens,
-           round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 4)
-             AS dup_token_frac,
+           CASE WHEN len(l) > 0
+                THEN round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE)
+                           / len(l), 4)
+                ELSE 0.0 END AS dup_token_frac,
            CASE WHEN len(l) > 1
                 THEN round(coalesce(mx.max_bg, 0) * 1.0 / (len(l) - 1), 4)
                 ELSE 0.0 END AS top_bigram_frac

@@ -54,11 +54,24 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame, path: str,
     partition overwrite so untouched partitions' files are never
     replaced. The merge itself is one window per key within touched
     partitions (high-cardinality keys → even shuffle). Update-wins on
-    ts ties via a source-rank column, so replaying the same batch is
-    idempotent (same winner), and updates deduplicate internally by
-    the same rule."""
+    ts ties via a source-rank column, then a content-hash tiebreak so
+    the winner is deterministic under any partitioning/scan order —
+    replaying the same batch is idempotent (same winner), and updates
+    deduplicate internally by the same rule.
+
+    ``partition_by`` MUST be one of ``key_cols`` (enforced): the
+    touched-partition optimization never re-reads other partitions, so
+    a key that could MOVE between partitions would leave its stale row
+    behind in the old partition. With the partition column in the key,
+    'same key' implies 'same partition' and per-key latest-wins holds
+    table-wide."""
     from pyspark.sql import Window, functions as F
 
+    if partition_by not in key_cols:
+        raise ValueError(
+            f"partition column {partition_by!r} must be part of key_cols "
+            f"{key_cols!r}: upsert only rewrites touched partitions, so a "
+            "cross-partition key move would strand its old row")
     touched = updates.select(partition_by).distinct()
     try:
         base = (spark.read.parquet(path)
@@ -73,8 +86,14 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame, path: str,
         base = None
     up = updates.withColumn("_src", F.lit(1))
     merged = up if base is None else base.unionByName(up)
+    # final tiebreak: content hash — two same-(key, ts, src) rows with
+    # different payloads would otherwise pick a scan-order-dependent
+    # winner (identical payloads hash equal, and then any winner is the
+    # same row)
+    content = F.xxhash64(*[c for c in updates.columns])
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc(),
-                                              F.col("_src").desc())
+                                              F.col("_src").desc(),
+                                              content.desc())
     latest = (merged.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn", "_src"))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")

@@ -214,7 +214,8 @@ def test_upsert_partitioned_latest_wins(spark, tmp_path):
         Row(user_id=3, day="2024-01-02", value=30.0, ts=100),
     ])
     # bootstrap through the same code path (no base yet)
-    upsert_partitioned(spark, base, path, ["user_id"], "ts", "day")
+    upsert_partitioned(spark, base, path, ["user_id", "day"], "ts",
+                       "day")
     day2_files = {f: os.path.getmtime(f"{path}/day=2024-01-02/{f}")
                   for f in os.listdir(f"{path}/day=2024-01-02")}
 
@@ -223,7 +224,8 @@ def test_upsert_partitioned_latest_wins(spark, tmp_path):
         Row(user_id=2, day="2024-01-01", value=99.0, ts=50),   # older: loses
         Row(user_id=4, day="2024-01-01", value=40.0, ts=100),  # new key
     ])
-    upsert_partitioned(spark, updates, path, ["user_id"], "ts", "day")
+    upsert_partitioned(spark, updates, path, ["user_id", "day"], "ts",
+                       "day")
     got = {r["user_id"]: (r["value"], r["ts"])
            for r in spark.read.parquet(path).collect()}
     assert got == {1: (11.0, 200), 2: (20.0, 100),
@@ -233,7 +235,8 @@ def test_upsert_partitioned_latest_wins(spark, tmp_path):
         f: os.path.getmtime(f"{path}/day=2024-01-02/{f}")
         for f in os.listdir(f"{path}/day=2024-01-02")}
     # replaying the same batch changes nothing (idempotent merge)
-    upsert_partitioned(spark, updates, path, ["user_id"], "ts", "day")
+    upsert_partitioned(spark, updates, path, ["user_id", "day"], "ts",
+                       "day")
     again = {r["user_id"]: (r["value"], r["ts"])
              for r in spark.read.parquet(path).collect()}
     assert again == got

@@ -305,10 +305,10 @@ def test_repetition_bigram_shares_doc_id_partitioning(spark):
     satisfies clustering by (doc_id, bigram) too, so no per-stage
     reshuffle. No global sort anywhere on the token-grain path."""
     plan = plan_of(fresh("q72_repetition_signals")(spark, SF_SMOKE))
-    token_side = plan.split("Window")[-1]  # below the window = its input
     assert plan.count("hashpartitioning(doc_id") == 1, plan
-    window_input = plan.split("Window")[0]
-    assert "SinglePartition" not in window_input
+    # no single-partition exchange anywhere: the only sorts are the
+    # doc_id window sort and the final rangepartitioned orderBy
+    assert "SinglePartition" not in plan
 
 
 def test_market_share_broadcasts_constant_dims(spark):

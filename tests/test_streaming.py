@@ -199,7 +199,10 @@ def test_streaming_upsert_maintains_latest_state(spark, tmp_path):
                   .agg(F.max_by("value", "tk").alias("value"),
                        F.max("tk").alias("tk"))
                   .select("user_id", "day", "value",
-                          F.col("tk.ts").cast("long").alias("ver")))
+                          # microsecond version (a whole-second cast
+                          # collides for same-second events and would
+                          # lose the (ts, event_id) tiebreak)
+                          F.unix_micros(F.col("tk.ts")).alias("ver")))
         upsert_partitioned(batch_df.sparkSession, latest, state,
                            ["user_id", "day"], "ver", "day")
 
