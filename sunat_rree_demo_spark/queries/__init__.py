@@ -57,11 +57,11 @@ _ROTATE_TO_TAIL = (
     # q78-q80 enter; three more doubly-green (r02+r03) stats queries
     # leave
     "q49_correlation", "q50_robust_outliers", "q51_tfidf_top_terms",
-    # q81-q90 enter; ten r03-driver-green queries leave
+    # q81-q91 enter; eleven r03-driver-green queries leave
     "q52_json_map_explode", "q53_cube", "q55_calendar_yoy",
     "q56_asof_join", "q57_range_join", "q58_embedding_norms",
     "q59_quality_ranked_docs", "q60_range_frame_window",
-    "q66_pack_sequences", "q67_label_centroids",
+    "q66_pack_sequences", "q67_label_centroids", "q64_redact_scrub",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -184,3 +184,76 @@ def q89_salted_skew_agg(spark, sf_dir):
                 "n_suppliers")
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------- q91
+_KMV_K = 8
+_TWO48 = 281474976710656.0  # 2^48; (k-1)*2^48 has 3 significant bits -> exact
+
+
+@register(
+    "q91_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag AS flag,
+             ('0x' || substr(sha256('kmv:' || CAST(l_suppkey AS VARCHAR)),
+                             1, 12))::UBIGINT AS hv
+      FROM lineitem
+    ),
+    kth AS (
+      SELECT flag, hv AS kmin FROM (
+        SELECT flag, hv,
+               row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn
+        FROM h) WHERE rn = {_KMV_K}
+    ),
+    exact AS (
+      SELECT l_returnflag AS flag, count(DISTINCT l_suppkey) AS n_exact
+      FROM lineitem GROUP BY 1
+    )
+    SELECT flag, n_exact,
+           round({_KMV_K - 1}.0 * {_TWO48} / kmin, 4) AS n_kmv
+    FROM exact JOIN kth USING (flag)
+    ORDER BY flag
+    """,
+    tags=("scale", "sketch"),
+)
+def q91_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch next to the exact
+    count — the ORACLE-CHECKED approximate-distinct the rows-only HLL
+    (q46) can't be: with the sha-256-prefix hash the k-th smallest
+    value, and therefore the estimate (k−1)/h_k, is bit-identical on
+    both engines (Bar-Yossef et al. 2002; the estimator Theta sketches
+    build on). (k−1)·2⁴⁸ has 3 significant bits so the one division is
+    exact-input IEEE.
+
+    Scale shape: the sketch consumes the DISTINCT (group, hash) table —
+    suppliers, not fact rows. The k-th min here is a per-group window
+    over that reduction; when group members themselves outgrow a
+    partition, the mergeable form is q89's salted two-phase (per-salt
+    k minima, then merge k·salts candidates) — KMV's union-mergeability
+    is exactly why warehouses use it. Exactness of the estimate is
+    pinned by the oracle; its ACCURACY (vs n_exact) is visible in the
+    output."""
+    li = t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    h = (li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.conv(F.substring(
+            F.sha2(F.concat(F.lit("kmv:"),
+                            F.col("l_suppkey").cast("string")), 256),
+            1, 12), 16, 10).cast("bigint").alias("hv"))
+        .distinct())
+    w = Window.partitionBy("flag").orderBy("hv")
+    kth = (h.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == _KMV_K)
+           .select("flag", F.col("hv").alias("kmin")))
+    exact = (li.groupBy(F.col("l_returnflag").alias("flag"))
+             .agg(F.countDistinct("l_suppkey").alias("n_exact")))
+    return (
+        exact.join(kth, "flag")
+        .select("flag", "n_exact",
+                F.round(F.lit(float(_KMV_K - 1)) * _TWO48
+                        / F.col("kmin"), 4).alias("n_kmv"))
+        .orderBy("flag")
+    )
