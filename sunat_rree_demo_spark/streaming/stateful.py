@@ -84,3 +84,59 @@ def anomaly_flags(events: DataFrame, sigma: float = 3.0,
         .applyInPandasWithState(fn, out_schema, state_schema, "update",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+def heavy_hitters(events: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming heavy hitters per event_type: which users dominate a
+    stream, maintained in O(k) state per key via the Misra-Gries
+    summary (Misra & Gries 1982; the "frequent" algorithm behind
+    space-saving sketches). Guarantees after N items: every user with
+    true count > N/(k+1) is IN the summary, and each kept counter c
+    satisfies true − N/(k+1) ≤ c ≤ true — an underestimate with a
+    bounded gap, the right trade for alerting on dominant keys without
+    per-user state.
+
+    State is exactly (k user ids, k counters, N) per event_type —
+    independent of user cardinality, the whole point at 100 TB/day:
+    per-user running counts (running_user_stats) keep state linear in
+    users; this keeps it constant. Emits the current summary each
+    batch (output mode 'update')."""
+    import pandas as pd
+
+    out_schema = ("event_type string, user_id bigint, est_count bigint, "
+                  "n_total bigint")
+    state_schema = "ids array<bigint>, counts array<bigint>, n bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, counts, n = state.get
+            summary = dict(zip(ids, counts))
+        else:
+            summary, n = {}, 0
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                n += 1
+                if uid in summary:
+                    summary[uid] += 1
+                elif len(summary) < k:
+                    summary[uid] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    summary = {u: c - 1 for u, c in summary.items()
+                               if c > 1}
+        state.update((list(summary), [summary[u] for u in summary], n))
+        out = sorted(summary.items(), key=lambda uc: (-uc[1], uc[0]))
+        yield pd.DataFrame({
+            "event_type": [key[0]] * len(out),
+            "user_id": [u for u, _ in out],
+            "est_count": [c for _, c in out],
+            "n_total": [n] * len(out),
+        })
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                GroupStateTimeout.NoTimeout)
+    )

@@ -194,3 +194,54 @@ def test_anomaly_flags_zscores_sane(spark, split_events_dir):
     rows = spark.table("t_anomaly").collect()
     for r in rows:
         assert abs(r.zscore) > 2.0
+
+
+def test_heavy_hitters_misra_gries_guarantees(spark, tmp_path):
+    """Replaying the events stream through the Misra-Gries operator
+    must satisfy the sketch's guarantees against exact batch counts:
+    every user with true count > N/(k+1) appears, and every kept
+    counter underestimates by at most N/(k+1)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.streaming.events import (
+        events_file_stream,
+        run_available_now,
+    )
+    from sunat_rree_demo_spark.streaming.stateful import heavy_hitters
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "hh_events"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "events.parquet")
+    k = 8
+    sdf = heavy_hitters(events_file_stream(spark, str(d)), k=k)
+    run_available_now(sdf, "t_hh", output_mode="update")
+    # last emitted summary per event_type (single batch here, but the
+    # dedup keeps the assertion valid under any batch split)
+    rows = spark.table("t_hh").collect()
+    summary: dict = {}
+    for r in rows:
+        summary.setdefault(r.event_type, {})[r.user_id] = (
+            r.est_count, r.n_total)
+
+    truth = {(r.event_type, r.user_id): r.c
+             for r in (load_table(spark, SF_SMOKE, "events")
+                       .groupBy("event_type", "user_id")
+                       .agg(F.count("*").alias("c")).collect())}
+    n_per_type: dict = {}
+    for (et, _), c in truth.items():
+        n_per_type[et] = n_per_type.get(et, 0) + c
+
+    assert summary
+    for et, kept in summary.items():
+        bound = n_per_type[et] / (k + 1)
+        for (t_et, uid), c in truth.items():
+            if t_et == et and c > bound:
+                assert uid in kept, (et, uid, c, bound)
+        for uid, (est, n_tot) in kept.items():
+            true_c = truth[(et, uid)]
+            assert est <= true_c <= est + bound, (et, uid, est, true_c)
+            assert n_tot == n_per_type[et]
