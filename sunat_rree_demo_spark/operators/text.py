@@ -289,6 +289,63 @@ def unigram_surprisal(df, id_col: str, text_col: str):
     )
 
 
+def importance_weights(df, id_col: str, text_col: str, target: Column,
+                       n_buckets: int = 256,
+                       keep_cols: tuple[str, ...] = ()):
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): mean log₂-likelihood ratio of each document's
+    hashed token features under the TARGET distribution (rows where
+    ``target`` is true) vs the RAW corpus, Laplace-smoothed. The
+    data-selection score that decides what to upsample into a
+    pretraining mix; positive ⇒ looks like the target.
+
+    Returns (id, *keep_cols, n_tokens, avg_log_ratio).
+
+    Determinism/parity (q80's oracle re-derives all of it in SQL): the
+    feature hash is the sha-256-prefix device; per-BUCKET weights are
+    quantized to integer micro-bits once so per-doc sums are exact;
+    the 4dp mean uses shifted half-up integer rounding (+64 bits keeps
+    the dividend positive, where Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree).
+
+    Scale shape: token grain shuffles once to bucket grain (n_buckets
+    keys, map-side combined) and once on the doc id; the bucket weight
+    table broadcasts back onto the token stream; totals ride broadcast
+    1-row frames. No driver collect."""
+    tk = (
+        df.select(F.col(id_col), *keep_cols, target.alias("_is_target"),
+                  F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .select(id_col, *keep_cols, "_is_target",
+                (F.conv(F.substring(
+                    F.sha2(F.concat(F.lit("feat:"), F.col("_tok")), 256),
+                    1, 12), 16, 10).cast("bigint")
+                 % n_buckets).alias("b"))
+    )
+    cr = tk.groupBy("b").agg(F.count("*").alias("crn"))
+    ct = (tk.filter(F.col("_is_target"))
+          .groupBy("b").agg(F.count("*").alias("ctn")))
+    nr = cr.agg(F.sum("crn").alias("nr"))
+    nt = ct.agg(F.sum("ctn").alias("nt"))
+    nb = float(n_buckets)
+    wt = (
+        cr.join(ct, "b", "left").na.fill({"ctn": 0})
+        .join(F.broadcast(nr)).join(F.broadcast(nt))
+        .select("b", F.round(F.log2(
+            ((F.col("ctn") + 1.0) / (F.col("crn") + 1.0))
+            * ((F.col("nr") + nb) / (F.col("nt") + nb)))
+            * 1000000.0, 0).cast("bigint").alias("w"))
+    )
+    return (
+        tk.join(F.broadcast(wt), "b")
+        .groupBy(id_col, *keep_cols)
+        .agg(F.count("*").alias("n_tokens"), F.sum("w").alias("_ub"))
+        .select(id_col, *keep_cols, "n_tokens",
+                (F.expr("(2 * (_ub + n_tokens * 64000000) + 100 * n_tokens)"
+                        " div (200 * n_tokens)").cast("double") / 10000.0
+                 - 64.0).alias("avg_log_ratio"))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: sha-256 of the normalized text (content-
     addressed identity; the hash both engines share — see also the

@@ -3,6 +3,8 @@ pretraining-data pipeline runs, wired from the engine's own operators
 (no reference counterpart; driver-mandate extension surface):
 
     1. language/quality gate      (operators.text.quality_score)
+    1b. DSIR target selection     (operators.text.importance_weights,
+                                   optional)
     2. benchmark decontamination  (operators.dedup.contamination_overlap)
     3. exact dedup                (operators.dedup.exact_dedup)
     4. near-dup clustering        (minhash_lsh_pairs → connected_components)
@@ -33,6 +35,7 @@ from sunat_rree_demo_spark.operators.dedup import (
 )
 from sunat_rree_demo_spark.operators.text import (
     hash_split,
+    importance_weights,
     pack_sequences,
     quality_score,
     tokens,
@@ -44,6 +47,8 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
            min_quality: float = 0.25, near_dup_threshold: float = 0.3,
            contamination_n: int = 8, contamination_min_overlap: int = 1,
            exact_verify: bool = False,
+           target: "F.Column | None" = None,
+           min_log_ratio: float | None = None,
            budget: int = 256, shards: int = 16) -> DataFrame:
     """One row per surviving doc: (id, quality, split, shard,
     n_tokens, first_chunk, n_chunks). Deterministic end to end.
@@ -68,6 +73,18 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
 
     # 1. quality gate
     kept = scored.filter(F.col("quality") >= min_quality)
+
+    # 1b. DSIR target selection (optional): keep docs whose hashed
+    # token features look at least ``min_log_ratio`` bits/token more
+    # like the ``target`` slice than the raw corpus. Runs on the
+    # quality survivors so junk can't distort the raw distribution.
+    if target is not None and min_log_ratio is not None:
+        selected = (
+            importance_weights(kept, id_col, text_col, target)
+            .filter(F.col("avg_log_ratio") >= min_log_ratio)
+            .select(id_col)
+        )
+        kept = kept.join(selected, id_col, "left_semi")
 
     # 2. decontamination: drop anything overlapping the probe suite
     if probe is not None:

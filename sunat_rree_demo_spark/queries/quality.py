@@ -185,43 +185,15 @@ def q80_importance_weights(spark, sf_dir):
     ``div`` truncates while DuckDB's ``//`` floors — shifting by +64
     bits keeps the dividend positive where both agree).
 
-    Scale shape: token grain shuffles once to bucket grain (256 keys —
-    map-side combine collapses it) and once on doc_id for the mean;
-    the 256-row weight table is explicitly broadcast back onto the
-    token stream; corpus totals ride broadcast 1-row frames. No
-    driver-side collect anywhere."""
-    d = t(spark, sf_dir, "documents")
-    from sunat_rree_demo_spark.operators.text import tokens
+    Scale shape: see operators.text.importance_weights (one bucket
+    shuffle + one doc shuffle, weight table and totals broadcast)."""
+    from sunat_rree_demo_spark.operators.text import importance_weights
 
-    tk = (
-        d.select("doc_id", "lang",
-                 F.explode(tokens(F.col("text"))).alias("_tok"))
-        .select("doc_id", "lang",
-                (F.conv(F.substring(
-                    F.sha2(F.concat(F.lit("feat:"), F.col("_tok")), 256),
-                    1, 12), 16, 10).cast("bigint") % 256).alias("b"))
-    )
-    cr = tk.groupBy("b").agg(F.count("*").alias("crn"))
-    ct = (tk.filter(F.col("lang") == "en")
-          .groupBy("b").agg(F.count("*").alias("ctn")))
-    nr = cr.agg(F.sum("crn").alias("nr"))
-    nt = ct.agg(F.sum("ctn").alias("nt"))
-    wt = (
-        cr.join(ct, "b", "left").na.fill({"ctn": 0})
-        .join(F.broadcast(nr)).join(F.broadcast(nt))
-        .select("b", F.round(F.log2(
-            ((F.col("ctn") + 1.0) / (F.col("crn") + 1.0))
-            * ((F.col("nr") + 256.0) / (F.col("nt") + 256.0)))
-            * 1000000.0, 0).cast("bigint").alias("w"))
-    )
+    d = t(spark, sf_dir, "documents")
     return (
-        tk.join(F.broadcast(wt), "b")
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("n_tokens"), F.sum("w").alias("_ub"))
-        .select("doc_id", "lang", "n_tokens",
-                (F.expr("(2 * (_ub + n_tokens * 64000000) + 100 * n_tokens)"
-                        " div (200 * n_tokens)").cast("double") / 10000.0
-                 - 64.0).alias("avg_log_ratio"))
+        importance_weights(d, "doc_id", "text",
+                           target=F.col("lang") == "en",
+                           keep_cols=("lang",))
         .orderBy("doc_id")
     )
 

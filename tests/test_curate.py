@@ -120,3 +120,50 @@ def test_exact_verify_path_scrubs_true_near_dups(spark, curated):
     survivors = corpus.join(out.select("doc_id"), "doc_id", "left_semi")
     assert verified_near_dup_pairs(survivors, "doc_id", "text",
                                    threshold=0.3).count() == 0
+
+
+def test_curate_dsir_selection_stage(spark):
+    """The optional DSIR stage must keep exactly the quality-survivor
+    docs whose importance weight clears the threshold, and compose
+    with the rest of the pipeline (output schema unchanged,
+    deterministic)."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.operators.text import (
+        importance_weights,
+        quality_score,
+        tokens,
+    )
+    from sunat_rree_demo_spark.plans.curate import curate
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    target = F.col("lang") == "en"
+    base = curate(docs, min_quality=0.25)
+    picky = curate(docs, min_quality=0.25, target=target, min_log_ratio=0.0)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    picky_ids = {r["doc_id"] for r in picky.select("doc_id").collect()}
+    assert picky_ids and picky_ids != base_ids
+
+    # the selection set equals the operator's own verdict on the
+    # quality survivors
+    survivors = docs.withColumn(
+        "quality", quality_score(tokens(F.col("text")))
+    ).filter(F.col("quality") >= 0.25)
+    wanted = {r["doc_id"] for r in
+              importance_weights(survivors, "doc_id", "text", target)
+              .filter(F.col("avg_log_ratio") >= 0.0)
+              .select("doc_id").collect()}
+    # picky's survivors are the dedup/clustering survivors of `wanted`
+    assert picky_ids <= wanted
+    # en docs should dominate the selected set
+    langs = dict(docs.join(
+        spark.createDataFrame([(i,) for i in picky_ids], ["doc_id"]),
+        "doc_id").groupBy("lang").count().collect())
+    assert langs.get("en", 0) == max(langs.values())
+    # determinism
+    again = {r["doc_id"] for r in
+             curate(docs, min_quality=0.25, target=target,
+                    min_log_ratio=0.0).select("doc_id").collect()}
+    assert again == picky_ids
