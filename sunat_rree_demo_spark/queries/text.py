@@ -150,3 +150,47 @@ def q38_fingerprint(spark, sf_dir):
              F.countDistinct("_fp").alias("n_unique"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------- q92
+@register(
+    "q92_fuzzy_name_pairs",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM n a JOIN n b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY name1, name2
+    """,
+    tags=("text", "fuzzy-join"),
+)
+def q92_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy string-similarity self-join: near-identical part names
+    within edit distance 4 — the blocked join shape every
+    entity-resolution pipeline uses. Blocking key = first token, so
+    the O(N²) levenshtein verify runs only INSIDE blocks (an equi-join
+    the planner hashes normally), never across the full cross
+    product; the edit distance itself is exact integer arithmetic,
+    identical on both engines.
+
+    Scale notes: candidate volume is Σ|block|² — blocking-key choice is
+    the knob (length bands or q-gram buckets refine hot blocks; a
+    skewed block hits AQE's skew-join split). The name dimension is
+    vocabulary-sized, deduplicated before pairing."""
+    n = t(spark, sf_dir, "part").select("p_name").distinct()
+    a = n.select(F.col("p_name").alias("name1"),
+                 F.split("p_name", " ")[0].alias("_blk"))
+    b = n.select(F.col("p_name").alias("name2"),
+                 F.split("p_name", " ")[0].alias("_blk"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("name1") < F.col("name2"))
+        .withColumn("edit_dist",
+                    F.levenshtein("name1", "name2").cast("bigint"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("name1", "name2", "edit_dist")
+        .orderBy("name1", "name2")
+    )
