@@ -284,3 +284,53 @@ def q86_retention_cohorts(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort", "offset_days")
     )
+
+
+# ---------------------------------------------------------------------- q93
+@register(
+    "q93_dormant_high_value",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT round(avg(c_acctbal), 6) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("mart", "anti-join", "scalar-subquery"),
+)
+def q93_dormant_high_value(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    order, per segment — the scalar-aggregate subquery + NOT EXISTS
+    combination, decorrelated explicitly: the average enters as a
+    broadcast 1-row frame (never an eager .first() literal) and the
+    NOT EXISTS is a left-anti join against the pre-filtered orders
+    side. The cut is rounded to 6dp so avg() addend order can't flip a
+    balance comparison.
+
+    Scale shape: one anti-join shuffle on the customer key (both sides
+    key-grain; urgent orders pre-filtered at the scan with pushdown)
+    plus the bounded-cardinality segment aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.round(F.avg("c_acctbal"), 6).alias("_ab")))
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )
