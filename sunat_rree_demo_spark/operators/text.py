@@ -330,9 +330,15 @@ def importance_weights(df, id_col: str, text_col: str, target: Column,
     wt = (
         cr.join(ct, "b", "left").na.fill({"ctn": 0})
         .join(F.broadcast(nr)).join(F.broadcast(nt))
+        # coalesce nt: a target predicate matching ZERO rows aggregates
+        # to one NULL, which would cascade into NULL weights and turn a
+        # downstream >= filter into a silent drop-everything; with 0 the
+        # math stays total (uniformly negative weights for common
+        # tokens — visibly "nothing looks like the target", not NULL)
         .select("b", F.round(F.log2(
             ((F.col("ctn") + 1.0) / (F.col("crn") + 1.0))
-            * ((F.col("nr") + nb) / (F.col("nt") + nb)))
+            * ((F.col("nr") + nb)
+               / (F.coalesce(F.col("nt"), F.lit(0)) + nb)))
             * 1000000.0, 0).cast("bigint").alias("w"))
     )
     return (

@@ -78,6 +78,10 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     # token features look at least ``min_log_ratio`` bits/token more
     # like the ``target`` slice than the raw corpus. Runs on the
     # quality survivors so junk can't distort the raw distribution.
+    if (target is None) != (min_log_ratio is None):
+        raise ValueError(
+            "target and min_log_ratio go together: passing only one "
+            "would silently skip the DSIR selection stage")
     if target is not None and min_log_ratio is not None:
         selected = (
             importance_weights(kept, id_col, text_col, target)

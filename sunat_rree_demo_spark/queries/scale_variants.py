@@ -237,13 +237,18 @@ def q91_kmv_distinct(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
-    h = (li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.conv(F.substring(
-            F.sha2(F.concat(F.lit("kmv:"),
-                            F.col("l_suppkey").cast("string")), 256),
-            1, 12), 16, 10).cast("bigint").alias("hv"))
-        .distinct())
+    # dedup to supplier grain BEFORE hashing (hash runs once per
+    # distinct member, not per fact row); the second distinct keeps
+    # the oracle's exact set semantics under a hash collision
+    h = (li.select(F.col("l_returnflag").alias("flag"), "l_suppkey")
+         .distinct()
+         .select(
+             "flag",
+             F.conv(F.substring(
+                 F.sha2(F.concat(F.lit("kmv:"),
+                                 F.col("l_suppkey").cast("string")), 256),
+                 1, 12), 16, 10).cast("bigint").alias("hv"))
+         .distinct())
     w = Window.partitionBy("flag").orderBy("hv")
     kth = (h.withColumn("_rn", F.row_number().over(w))
            .filter(F.col("_rn") == _KMV_K)

@@ -219,13 +219,19 @@ def test_heavy_hitters_misra_gries_guarantees(spark, tmp_path):
     k = 8
     sdf = heavy_hitters(events_file_stream(spark, str(d)), k=k)
     run_available_now(sdf, "t_hh", output_mode="update")
-    # last emitted summary per event_type (single batch here, but the
-    # dedup keeps the assertion valid under any batch split)
+    # keep only the FINAL summary per event_type: under a multi-batch
+    # split the update-mode sink holds every batch's emission, and
+    # earlier ones carry stale counters; the final batch is the one
+    # with the maximal n_total for its type
     rows = spark.table("t_hh").collect()
+    final_n = {}
+    for r in rows:
+        final_n[r.event_type] = max(final_n.get(r.event_type, 0), r.n_total)
     summary: dict = {}
     for r in rows:
-        summary.setdefault(r.event_type, {})[r.user_id] = (
-            r.est_count, r.n_total)
+        if r.n_total == final_n[r.event_type]:
+            summary.setdefault(r.event_type, {})[r.user_id] = (
+                r.est_count, r.n_total)
 
     truth = {(r.event_type, r.user_id): r.c
              for r in (load_table(spark, SF_SMOKE, "events")
