@@ -98,3 +98,27 @@ def run_invariants(trade: DataFrame, trade_prod: DataFrame,
                                 only_base + only_kpi,
                                 f"base-only={only_base} kpi-only={only_kpi}"))
     return results
+
+
+def observe_qa(df: DataFrame, value_col: str, id_col: str):
+    """Attach single-pass QA metrics to ``df`` via Spark's Observation
+    API: row count, null-value count, id-duplication signal (count vs
+    approx distinct), and the value sum — collected AS A SIDE EFFECT of
+    whatever action the caller already runs, so QA costs ZERO extra
+    scans (the reductions above re-scan per invariant; at 100 TB a
+    write job observes its own QA for free).
+
+    Returns (df_with_observation, observation); read
+    ``observation.get`` AFTER the first action on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("qa")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).isNull().cast("long")).alias("n_null_value"),
+        F.approx_count_distinct(id_col).alias("n_ids_approx"),
+        F.round(F.sum(value_col), 2).alias("value_total"),
+    )
+    return observed, obs

@@ -201,3 +201,30 @@ def test_insights_rank_by_abs_yoy(spark):
     ])
     recs = top_insight_records(df, top_n=2)
     assert [r["category"] for r in recs] == ["B", "C"]  # latest year, |YoY| desc
+
+
+def test_observe_qa_rides_the_action(spark):
+    """Observation metrics must match direct aggregation and cost no
+    extra job: they materialize with the caller's own action."""
+    from sunat_rree_demo_spark.plans.qa import observe_qa
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    observed, obs = observe_qa(ev, "value", "event_id")
+
+    n = observed.count()  # the caller's action; metrics ride it
+    jobs_before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    got = obs.get  # reading the observation must launch NO job
+    jobs_after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    assert jobs_after == jobs_before
+
+    from pyspark.sql import functions as F
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.round(F.sum("value"), 2).alias("value_total")).first()
+    assert got["n_rows"] == n == direct["n_rows"]
+    assert got["n_null_value"] == direct["n_null_value"]
+    assert abs(got["value_total"] - direct["value_total"]) < 0.01
+    assert got["n_ids_approx"] > 0
