@@ -62,3 +62,44 @@ def test_datasource_products_both_flows(spark):
         "export": load_workbook_sheets(f"{REF}/data/cdro_G1.xlsx"),
     }).collect()))
     assert got == want and len(got) > 0
+
+
+def test_jsonl_report_writer_commit_protocol(spark, tmp_path):
+    """The Python DataSource WRITER: executor-side shard writes, only
+    acknowledged shards published, _SUCCESS carries the row count, and
+    content equals the source frame."""
+    import json
+    import os
+
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.sources.report_sink import (
+        JsonlReportDataSource,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark.dataSource.register(JsonlReportDataSource)
+    out = str(tmp_path / "report")
+    df = (load_table(spark, SF_SMOKE, "documents")
+          .select("doc_id", "lang", "n_chars").repartition(3))
+    # plant a stale temp shard: commit must clean it, not publish it
+    os.makedirs(out)
+    with open(f"{out}/_tmp-stale.jsonl", "w") as fh:
+        fh.write('{"doc_id": -1}\n')
+    (df.write.format("jsonl_report").mode("overwrite")
+       .option("path", out).save())
+
+    files = sorted(os.listdir(out))
+    shards = [f for f in files if f.startswith("part-")]
+    assert "_SUCCESS" in files and len(shards) == 3
+    assert not [f for f in files if f.startswith("_tmp-")]
+
+    rows = []
+    for s in shards:
+        with open(f"{out}/{s}") as fh:
+            rows += [json.loads(line) for line in fh]
+    want = sorted((r["doc_id"], r["lang"], r["n_chars"])
+                  for r in df.collect())
+    assert sorted((r["doc_id"], r["lang"], r["n_chars"])
+                  for r in rows) == want
+    meta = json.load(open(f"{out}/_SUCCESS"))
+    assert meta == {"shards": 3, "rows": len(want)}
