@@ -212,3 +212,42 @@ def q78_click_attribution(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     return (click_purchase_attribution(e)
             .orderBy("click_id", "purchase_id"))
+
+
+# ---------------------------------------------------------------------- q94
+@register(
+    "q94_rolling_active_users",
+    oracle="""
+    WITH act AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM act)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT a.user_id) AS wau
+    FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("events", "rolling-distinct"),
+)
+def q94_rolling_active_users(spark, sf_dir):
+    """7-day rolling distinct active users (WAU) — the rolling-DISTINCT
+    aggregate that window frames cannot express (COUNT(DISTINCT) is not
+    a frameable function on either engine): each anchor day range-joins
+    the preceding week of the deduped (day, user) activity grid and
+    dedups users inside the group.
+
+    Scale shape: activity is a (day, user) reduction of the events —
+    the join fans each activity row out to ≤7 anchor days (bounded by
+    the window width, not data size), and the distinct-count aggregate
+    shuffles on the calendar-bounded anchor day. For windows too wide
+    to fan out, the sketch path is per-day HLL/KMV merged across the
+    window (mergeability is exactly why q91's KMV matters)."""
+    ev = t(spark, sf_dir, "events")
+    act = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = act.select("day").distinct().withColumnRenamed("day", "anchor")
+    return (
+        days.join(act, (F.col("day") >= F.date_sub("anchor", 6))
+                  & (F.col("day") <= F.col("anchor")))
+        .groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
