@@ -235,18 +235,25 @@ def q94_rolling_active_users(spark, sf_dir):
     the preceding week of the deduped (day, user) activity grid and
     dedups users inside the group.
 
-    Scale shape: activity is a (day, user) reduction of the events —
-    the join fans each activity row out to ≤7 anchor days (bounded by
-    the window width, not data size), and the distinct-count aggregate
-    shuffles on the calendar-bounded anchor day. For windows too wide
-    to fan out, the sketch path is per-day HLL/KMV merged across the
-    window (mergeability is exactly why q91's KMV matters)."""
+    Scale shape: activity is a (day, user) reduction of the events.
+    The window membership is stated as an EXPLODED equi-join, not a
+    range predicate: each activity row generates its ≤7 anchor days
+    (sequence + explode — fan-out exactly the window width) and
+    equi-joins the broadcast calendar of observed days, so the plan is
+    a BroadcastHashJoin; the range-predicate formulation planned as a
+    BroadcastNestedLoopJoin whose compare cost is |activity|×|days|.
+    The distinct-count aggregate shuffles on the calendar-bounded
+    anchor. For windows too wide to fan out, the sketch path is
+    per-day HLL/KMV merged across the window (mergeability is exactly
+    why q91's KMV matters)."""
     ev = t(spark, sf_dir, "events")
     act = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    days = act.select("day").distinct().withColumnRenamed("day", "anchor")
+    days = act.select(F.col("day").alias("anchor")).distinct()
+    fanned = act.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("anchor"))
     return (
-        days.join(act, (F.col("day") >= F.date_sub("anchor", 6))
-                  & (F.col("day") <= F.col("anchor")))
+        fanned.join(F.broadcast(days), "anchor")
         .groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
         .orderBy("day")
