@@ -103,3 +103,34 @@ def test_jsonl_report_writer_commit_protocol(spark, tmp_path):
                   for r in rows) == want
     meta = json.load(open(f"{out}/_SUCCESS"))
     assert meta == {"shards": 3, "rows": len(want)}
+
+
+def test_jsonl_report_overwrite_clears_previous_run(spark, tmp_path):
+    """mode('overwrite') must not leave stale shards from a wider
+    previous run; mode('append') must number after the existing ones."""
+    import json
+    import os
+
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.sources.report_sink import (
+        JsonlReportDataSource,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark.dataSource.register(JsonlReportDataSource)
+    out = str(tmp_path / "report2")
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    (d.repartition(5).write.format("jsonl_report").mode("overwrite")
+     .option("path", out).save())
+    (d.repartition(2).write.format("jsonl_report").mode("overwrite")
+     .option("path", out).save())
+    shards = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(shards) == 2  # the 5-shard run is fully gone
+    n = sum(1 for s in shards for _ in open(f"{out}/{s}"))
+    assert n == d.count()
+    (d.repartition(3).write.format("jsonl_report").mode("append")
+     .option("path", out).save())
+    shards = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(shards) == 5 and shards[-1] == "part-00004.jsonl"
+    meta = json.load(open(f"{out}/_SUCCESS"))
+    assert meta["shards"] == 5
