@@ -80,8 +80,14 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame, path: str,
     except Exception as exc:  # first batch: nothing to merge into
         from pyspark.errors import AnalysisException
 
-        if not isinstance(exc, AnalysisException) or \
-                "PATH_NOT_FOUND" not in (str(exc) or ""):
+        if not isinstance(exc, AnalysisException):
+            raise
+        # error-class check first (Spark 4: getCondition; fall back to
+        # the deprecated accessor, then substring) — same device as
+        # dedup_index._read_or_empty; anything else stays loud
+        get_cls = getattr(exc, "getCondition", None) or exc.getErrorClass
+        if (get_cls() or "") != "PATH_NOT_FOUND" \
+                and "PATH_NOT_FOUND" not in str(exc):
             raise
         base = None
     up = updates.withColumn("_src", F.lit(1))
