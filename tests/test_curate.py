@@ -167,3 +167,36 @@ def test_curate_dsir_selection_stage(spark):
              curate(docs, min_quality=0.25, target=target,
                     min_log_ratio=0.0).select("doc_id").collect()}
     assert again == picky_ids
+
+
+def test_curate_all_stages_compose(spark):
+    """Every optional stage on at once (probe decontamination, DSIR
+    target selection, exact-verified near-dup eviction): the pipeline
+    must still produce the contracted schema, a subset of the
+    gated corpus, every split represented, and bit-identical reruns."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.plans.curate import curate, curate_summary
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    probe = docs.filter("doc_id % 31 = 0").selectExpr(
+        "doc_id + 500000 AS doc_id", "text")
+    kwargs = dict(probe=probe, min_quality=0.25,
+                  target=F.col("lang") == "en", min_log_ratio=-1.0,
+                  exact_verify=True)
+    out = curate(docs, **kwargs)
+    rows = out.collect()
+    assert rows
+    assert out.columns == ["doc_id", "quality", "split", "shard",
+                           "n_tokens", "first_chunk", "n_chunks"]
+    ids = {r["doc_id"] for r in rows}
+    assert ids <= {r["doc_id"] for r in docs.select("doc_id").collect()}
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "validation", "test"} and "train" in splits
+    summary = {r["split"]: r["n_docs"] for r in
+               curate_summary(out).collect()}
+    assert sum(summary.values()) == len(rows)
+    again = {r["doc_id"] for r in curate(docs, **kwargs).collect()}
+    assert again == ids
