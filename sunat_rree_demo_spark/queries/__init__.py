@@ -62,8 +62,9 @@ _ROTATE_TO_TAIL = (
     "q56_asof_join", "q57_range_join", "q58_embedding_norms",
     "q59_quality_ranked_docs", "q60_range_frame_window",
     "q66_pack_sequences", "q67_label_centroids", "q64_redact_scrub",
-    # q92-q94 enter; three more r03-green dedup queries leave
+    # q92-q95 enter; four more r03-green queries leave
     "q63_decontaminate", "q62_hash_split", "q61_dup_clusters",
+    "q65_cluster_representatives",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -262,3 +262,40 @@ def q91_kmv_distinct(spark, sf_dir):
                         / F.col("kmin"), 4).alias("n_kmv"))
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------- q95
+@register(
+    "q95_native_unpivot",
+    oracle=f"""
+    WITH monthly AS ({MONTHLY_SQL})
+    SELECT year, month_num, 'export_usd' AS flow,
+           round(export_usd, 2) AS usd
+    FROM monthly WHERE export_usd IS NOT NULL
+    UNION ALL
+    SELECT year, month_num, 'import_usd', round(import_usd, 2)
+    FROM monthly WHERE import_usd IS NOT NULL
+    ORDER BY year, month_num, flow
+    """,
+    tags=("scale", "unpivot"),
+)
+def q95_native_unpivot(spark, sf_dir):
+    """Wide→long via the NATIVE ``DataFrame.unpivot`` (melt) API —
+    the S6 operator family expressed through Spark's dedicated
+    Expand-based operator rather than the stack()/union composition
+    (q48 exercises the consumer path; this pins the API surface). One
+    Expand node, no join, null measures dropped like the reference's
+    melt; values re-rounded at 2dp only to pin the emitted type."""
+    m = monthly_flows(spark, sf_dir)
+    return (
+        m.unpivot(
+            ids=["year", "month_num"],
+            values=["export_usd", "import_usd"],
+            variableColumnName="flow",
+            valueColumnName="_usd",
+        )
+        .filter(F.col("_usd").isNotNull())
+        .select("year", "month_num", "flow",
+                F.round("_usd", 2).alias("usd"))
+        .orderBy("year", "month_num", "flow")
+    )
