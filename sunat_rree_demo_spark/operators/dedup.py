@@ -459,6 +459,70 @@ def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def prefix_filter_jaccard_pairs(docs: DataFrame, id_col: str,
+                                text_col: str, n: int = 5,
+                                threshold: float = 0.8) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs via prefix filtering (PPJoin-lite;
+    Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07) — a third,
+    independent plan for the same answer as ``ngram_jaccard_pairs``,
+    built for HIGH thresholds where it prunes hardest.
+
+    Principle: order every doc's shingle set by one global total order
+    (document frequency ascending, hash tiebreak — rarest first) and
+    keep only the first ``p = |s| − ⌈t·|s|⌉ + 1`` shingles (the
+    *prefix*). Any pair with Jaccard ≥ t must share at least one prefix
+    shingle under a common order, so joining on prefix shingles alone
+    is LOSSLESS — at t = 0.8 the join touches ~20% of shingle rows, and
+    rare-first ordering makes the join key maximally selective (the
+    exact inverse of the hot-shingle problem the q40 df-cutoff guards).
+
+    Plan: doc-grain shingle arrays (one Python pass, checkpointed) →
+    exploded 64-bit keys → df counts (one uniform-key shuffle, map-side
+    combined) → per-doc rank-and-slice (one groupBy; the sort is over
+    ONE doc's shingles, never a global order-by) → prefix self-join →
+    exact ``array_intersect`` verify on candidates only. Like
+    ``verified_near_dup_pairs`` the verify is candidate-scale; unlike
+    LSH there is no recall loss and no estimate error. The 64-bit
+    collision caveat of ``ngram_jaccard_pairs`` applies identically
+    (candidate generation in hash space can only widen the candidate
+    set; the string-array verify makes the final answer exact)."""
+    arr = (doc_shingle_arrays(docs, id_col, text_col, n)
+           .localCheckpoint(eager=False))
+    sh = (arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+          .select(F.col(id_col), F.xxhash64("shingle").alias("_sh")))
+    dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+    # rank each doc's shingles rare-first and keep the prefix: the
+    # (df, hash) struct sort is per-doc (bounded by doc length); the
+    # slice length comes from the doc's own set size
+    ranked = (sh.join(dfreq, "_sh")
+              .groupBy(id_col)
+              .agg(F.array_sort(F.collect_list(
+                  F.struct(F.col("_df"), F.col("_sh")))).alias("_rk")))
+    plen = (F.size("_rk")
+            - F.ceil(F.size("_rk") * F.lit(float(threshold))).cast("int")
+            + F.lit(1))
+    prefix = (ranked.select(F.col(id_col),
+                            F.explode(F.slice("_rk", 1, plen)).alias("_p"))
+              .select(F.col(id_col), F.col("_p._sh").alias("_sh")))
+    cand = (
+        prefix.alias("a").join(prefix.alias("b"), "_sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+    a1 = arr.select(F.col(id_col).alias("id1"), F.col("shingles").alias("s1"))
+    a2 = arr.select(F.col(id_col).alias("id2"), F.col("shingles").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    jac = F.when(union != 0, inter / union)  # ANSI guard; union ≥ 1 here
+    return (
+        cand.join(a1, "id1").join(a2, "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def simhash(docs: DataFrame, id_col: str, text_col: str,
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint per doc over token base-hashes (bits ≤ 28 are

@@ -22,6 +22,9 @@ from sunat_rree_demo_spark.queries import arrays  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import llm_pipeline  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import quality  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import marts  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import corpus  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import econ  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import audit  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
@@ -65,6 +68,15 @@ _ROTATE_TO_TAIL = (
     # q92-q95 enter; four more r03-green queries leave
     "q63_decontaminate", "q62_hash_split", "q61_dup_clusters",
     "q65_cluster_representatives",
+    # q96-q103 enter: the last r03-green head members leave (q01, q68,
+    # and the rows-only q45/q46/q54), plus three of this round's own
+    # additions with the strongest independent pytest coverage
+    # (q69 recall tests, q70 partitioning-invariance, q71 golden dedup
+    # tier) defer their first driver check to r5 — the 50-slot window
+    # can't hold all 35 round-4 additions at once
+    "q01_annual_balance", "q68_dup_clusters_two_phase",
+    "q45_ann_lsh_topk", "q46_approx_distinct", "q54_ann_ivf_topk",
+    "q69_ann_recall", "q70_stratified_sample", "q71_verified_near_dups",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -1,0 +1,219 @@
+"""Corpus-processing queries beyond the q39-q42 dedup core: exact
+substring-chunk dedup (Lee et al. 2021), prefix-filtered set-similarity
+join (PPJoin family), and BM25 relevance scoring — the retrieval /
+data-cleaning operations a training-data pipeline runs between dedup
+and packing. All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sunat_rree_demo_spark.operators.dedup import prefix_filter_jaccard_pairs
+from sunat_rree_demo_spark.operators.text import tokens
+from sunat_rree_demo_spark.queries.base import register, t
+from sunat_rree_demo_spark.queries.dedup import _SHINGLE_CTE
+
+#: non-overlapping chunk width for q96 (tokens per chunk)
+CHUNK_N = 8
+
+#: BM25 constants (Robertson-Spärck Jones defaults) + a fixed query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "dup", "stream")
+
+
+# ---------------------------------------------------------------------- q96
+@register(
+    "q96_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, len(tk) // {CHUNK_N}),
+               i -> array_to_string(
+                 tk[{CHUNK_N}*i+1 : {CHUNK_N}*i+{CHUNK_N}], ' ')))) AS chunk
+      FROM toks WHERE len(tk) >= {CHUNK_N}
+    ),
+    cd AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM ch JOIN cd USING (chunk) GROUP BY 1
+    )
+    SELECT doc_id, n_chunks, n_dup AS n_dup_chunks,
+           CAST((2*10000*n_dup + n_chunks) // (2*n_chunks) AS DOUBLE)
+             / 10000.0 AS dup_frac
+    FROM per ORDER BY doc_id
+    """,
+    tags=("dedup", "substring"),
+)
+def q96_chunk_dedup(spark, sf_dir):
+    """Exact substring-chunk dedup signal (Lee et al. 2021, 'Deduplicating
+    Training Data Makes Language Models Better', at non-overlapping
+    {n}-token chunk grain): per doc, how many of its distinct chunks
+    also appear in ANOTHER document — the cross-doc boilerplate measure
+    that drives substring-level dedup decisions.
+
+    Scale shape: chunking is a pure Column HOF over each doc (bounded
+    by doc length; at most len/{n} chunks per doc — far lighter than
+    shingling), then ONE uniform-key shuffle on the chunk string for the
+    document-frequency aggregate and one back-join + doc-grain count.
+    The dup fraction is integer half-up arithmetic ((2·10⁴·d + c) div 2c)
+    so no float sum or round can drift between engines."""
+    n = CHUNK_N
+    d = t(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    chunks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), (F.size(tok) / n).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(tok, i * n + 1, n)),
+        )
+    )
+    ch = (d.select(
+            F.col("doc_id"),
+            F.explode(F.when(F.size(tok) >= n, chunks)
+                      .otherwise(F.array().cast("array<string>")))
+            .alias("chunk")))
+    cd = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        ch.join(cd, "chunk")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_chunks"),
+             F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+             .cast("bigint").alias("n_dup"))
+        .select("doc_id", "n_chunks",
+                F.col("n_dup").alias("n_dup_chunks"),
+                (F.expr("(2*10000*n_dup + n_chunks) div (2*n_chunks)")
+                 .cast("double") / 10000.0).alias("dup_frac"))
+        .orderBy("doc_id")
+    )
+
+
+q96_chunk_dedup.__doc__ = q96_chunk_dedup.__doc__.format(n=CHUNK_N)
+
+
+# ---------------------------------------------------------------------- q97
+@register(
+    "q97_prefix_filter_pairs",
+    memoize=False,  # builder localCheckpoints shingle arrays (eager-ish)
+    oracle=f"""
+      WITH {_SHINGLE_CTE},
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      jac AS (
+        SELECT id1, id2,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+        FROM inter
+        JOIN sizes sa ON id1 = sa.doc_id
+        JOIN sizes sb ON id2 = sb.doc_id
+      )
+      SELECT id1, id2, round(j, 4) AS jaccard FROM jac WHERE j >= 0.8
+      ORDER BY id1, id2
+    """,
+    tags=("dedup", "prefix-filter"),
+)
+def q97_prefix_filter_pairs(spark, sf_dir):
+    """Exact 5-gram Jaccard pairs ≥ 0.8 via PREFIX FILTERING — the third
+    independent plan for exact set-similarity (vs q40's grouped
+    combinations and q71's LSH-verified tier): rare-first prefix join +
+    candidate-scale exact verify, lossless at any threshold, sharpest
+    at high ones. The oracle is q40's exhaustive SQL at the 0.8 cut, so
+    the prefix pruning is proven to drop nothing."""
+    d = t(spark, sf_dir, "documents")
+    return (prefix_filter_jaccard_pairs(d, "doc_id", "text",
+                                        n=5, threshold=0.8)
+            .orderBy("id1", "id2"))
+
+
+# ---------------------------------------------------------------------- q98
+@register(
+    "q98_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    st AS (SELECT round(avg(dl), 6) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    idf AS (
+      SELECT term,
+             CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                        * 1000000.0) AS BIGINT) AS idf_u
+      FROM dfq, nd
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(round(idf_u * ((tf * {BM25_K1 + 1.0}) /
+                  (tf + {BM25_K1} * ({1.0 - BM25_B} +
+                   {BM25_B} * (dl / avgdl))))) AS BIGINT) AS u
+      FROM tf JOIN dl USING (doc_id) JOIN idf USING (term), st
+    )
+    SELECT doc_id, CAST(sum(u) AS BIGINT) AS score_micro,
+           round(CAST(sum(u) AS BIGINT) / 1000000.0, 6) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 15
+    """,
+    tags=("retrieval", "bm25"),
+)
+def q98_bm25_topk(spark, sf_dir):
+    """BM25 top-15 documents for a fixed 3-term query (k1=1.2, b=0.75,
+    Lucene's +1 idf smoothing) — the retrieval scoring pass a corpus
+    pipeline runs for quality probes and eval-set mining.
+
+    Scale shape: term frequencies shuffle once on the (doc, term) key
+    FILTERED to the query terms (pushdown makes the scan emit only
+    matching tokens); document length is a doc-grain aggregate reused
+    from the same exploded scan; N, avgdl and the per-term idf table
+    ride broadcast 1-row/|q|-row frames — no driver collect. Per-term
+    scores quantize to integer micro-units before the per-doc sum (the
+    q74 discipline) so addend order can't move the 6dp result, and the
+    top-k carries (score_micro, doc_id) as a total tiebreak."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(F.col("doc_id"),
+                  F.explode(tokens(F.col("text"))).alias("term"))
+    dl = tk.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    nd = d.agg(F.count("*").cast("bigint").alias("n"))
+    st = dl.agg(F.round(F.avg("dl"), 6).alias("avgdl"))
+    tf = (tk.filter(F.col("term").isin(*BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("bigint").alias("tf")))
+    dfq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = (dfq.join(F.broadcast(nd))
+           .select("term",
+                   F.round(F.log((F.col("n") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5) + 1.0)
+                           * 1000000.0, 0).cast("bigint").alias("idf_u")))
+    u = F.round(
+        F.col("idf_u")
+        * ((F.col("tf") * (BM25_K1 + 1.0))
+           / (F.col("tf") + BM25_K1
+              * ((1.0 - BM25_B)
+                 + BM25_B * (F.col("dl") / F.col("avgdl"))))), 0) \
+        .cast("bigint")
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .join(F.broadcast(st))
+        .select("doc_id", u.alias("u"))
+        .groupBy("doc_id").agg(F.sum("u").cast("bigint").alias("score_micro"))
+        .withColumn("bm25", F.round(F.col("score_micro") / 1000000.0, 6))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(15)
+    )

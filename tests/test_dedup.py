@@ -240,3 +240,53 @@ def test_upsert_partitioned_latest_wins(spark, tmp_path):
     again = {r["user_id"]: (r["value"], r["ts"])
              for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_prefix_filter_pairs_lossless_vs_ground_truth(spark):
+    """Prefix filtering must drop NOTHING: at any threshold its output
+    equals the exhaustive ground-truth operator filtered to the same
+    cut (the lossless-prefix property of Chaudhuri et al. / Bayardo
+    et al. the operator relies on)."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    for thr in (0.5, 0.8):
+        want = {(r.id1, r.id2, r.jaccard)
+                for r in ngram_jaccard_pairs(
+                    d, "doc_id", "text", n=5, threshold=thr).collect()}
+        got = {(r.id1, r.id2, r.jaccard)
+               for r in prefix_filter_jaccard_pairs(
+                   d, "doc_id", "text", n=5, threshold=thr).collect()}
+        assert got == want
+        assert want, f"degenerate test: no pairs at threshold {thr}"
+
+
+def test_snapshot_diff_classes(spark):
+    """All four change classes, including the all-NULL-compare-row
+    presence edge that a null-check-based classifier would misread."""
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([
+        Row(k=1, a=10, b="x"),   # unchanged
+        Row(k=2, a=20, b="y"),   # changed (a)
+        Row(k=3, a=30, b="z"),   # removed
+        Row(k=5, a=None, b=None),  # all-NULL compare, present both sides
+        Row(k=6, a=None, b="q"),   # NULL -> value = changed
+    ])
+    new = spark.createDataFrame([
+        Row(k=1, a=10, b="x"),
+        Row(k=2, a=21, b="y"),
+        Row(k=4, a=40, b="w"),   # added
+        Row(k=5, a=None, b=None),
+        Row(k=6, a=7, b="q"),
+    ])
+    got = {r.k: r.change_type
+           for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged", 6: "changed"}
