@@ -155,8 +155,12 @@ _EAGER_BUILDERS = {
     "q61_dup_clusters", "q65_cluster_representatives",
     "q68_dup_clusters_two_phase",
     # r4: recall joins the brute-force side (bounded query-batch fetch,
-    # like q43); the two-tier verify checkpoints signatures + arrays
+    # like q43); the two-tier verify checkpoints signatures + arrays;
+    # q97 checkpoints the doc-grain shingle arrays (its three consumers
+    # must not re-run the Python shingler), and the lazy localCheckpoint
+    # call itself submits a planning job
     "q69_ann_recall", "q71_verified_near_dups",
+    "q97_prefix_filter_pairs",
     # SemDeDup trains its coarse quantizer on a bounded driver-side
     # sample at build time (same shape as q54's iters=0 centroids)
     "q75_semantic_dedup",
@@ -331,3 +335,45 @@ def test_funnel_single_aggregate_no_window(spark):
     plan = plan_of(fresh("q77_event_funnel")(spark, SF_SMOKE))
     assert "Window" not in plan
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_rca_broadcasts_nation_and_bounds_windows(spark):
+    """q99: the nation dim must hit the facts as a BroadcastHashJoin,
+    and every window must run over the (nation, mfgr) AGGREGATE grain —
+    the plan's windows sit above the one fact aggregate, so no window
+    sort ever touches corpus-sized data."""
+    with big_table_path(spark):
+        plan = plan_of(fresh("q99_rca_matrix")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the windows must sit ABOVE the fact aggregate (they run on the
+    # (nation, mfgr) grain, never corpus rows). Formatted explain prints
+    # the tree root-first, so every Window line precedes the first
+    # HashAggregate line exactly when the aggregate is the windows'
+    # child.
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    assert win_pos < agg_pos, "windows must consume the fact aggregate"
+
+
+def test_prefix_filter_no_cartesian(spark):
+    """q97: prefix filtering must plan as equi-joins on the prefix
+    shingle hash and candidate ids — a CartesianProduct or
+    BroadcastNestedLoopJoin anywhere means the all-pairs explosion the
+    operator exists to avoid."""
+    with big_table_path(spark):
+        plan = plan_of(fresh("q97_prefix_filter_pairs")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_benford_is_digit_grain_after_one_aggregate(spark):
+    """q102: one partial+final aggregate pair collapses the fact scan
+    to ≤9 digit rows; the expected/χ² math and the total join happen on
+    that constant-size frame (broadcast, no shuffle of the facts)."""
+    with big_table_path(spark):
+        plan = plan_of(fresh("q102_benford_digits")(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan  # 1-row total meets digit rows
+    # exactly one shuffle of fact-derived rows: the digit-key exchange
+    # (plus the broadcast + possibly the tiny final sort)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan[:2000]
