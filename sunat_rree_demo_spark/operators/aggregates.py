@@ -102,3 +102,25 @@ def quarterly_rollup(df: DataFrame, year_col: str = "year",
                F.round(F.sum(import_col), 2).alias("imports"),
                F.round(F.sum(export_col) - F.sum(import_col), 2).alias("balance"))
     )
+
+
+def merge_partial_sums(parts: list[DataFrame], keys: list[str],
+                       sum_cols: list[str]) -> DataFrame:
+    """Incremental-view-maintenance merge: combine PRE-AGGREGATED
+    partials (same keys, associative sum/count measures) into the
+    aggregate of their union — ``union all → groupBy keys → sum`` —
+    without ever touching the base facts again. The algebra behind
+    maintaining a stored rollup under delta ingest: yesterday's
+    materialized aggregate + today's delta aggregate = today's full
+    aggregate, exactly, as long as every measure is associative
+    (sums/counts here; avg = sum/count composed after the merge).
+
+    Scale shape: the merge shuffles only aggregate-grain rows (each
+    part is already collapsed to its key grain) — the 100 TB base scan
+    happens zero times per refresh. Non-associative measures (median,
+    distinct) need sketches instead (q46/q91 show both)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols])

@@ -25,6 +25,9 @@ from sunat_rree_demo_spark.queries import marts  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import corpus  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import econ  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import audit  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import graph  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import incremental  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import layout  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
@@ -77,6 +80,13 @@ _ROTATE_TO_TAIL = (
     "q01_annual_balance", "q68_dup_clusters_two_phase",
     "q45_ann_lsh_topk", "q46_approx_distinct", "q54_ann_ivf_topk",
     "q69_ann_recall", "q70_stratified_sample", "q71_verified_near_dups",
+    # q104-q108 enter: five more of this round's additions with strong
+    # independent pytest coverage (q72 golden degenerate docs, q73
+    # approx-bound, q74 ranking, q75 trained-path recompute, q82
+    # transitivity guard) defer their first driver check to r5
+    "q72_repetition_signals", "q73_length_percentiles",
+    "q74_unigram_surprisal", "q75_semantic_dedup",
+    "q82_near_dup_triangles",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -217,3 +217,96 @@ def q98_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(15)
     )
+
+
+#: PMI collocation parameters.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+# --------------------------------------------------------------------- q108
+@register(
+    "q108_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(tk) AS w FROM toks
+    ),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    tu AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uc),
+    bg AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY 1, 2
+    ),
+    tb AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM bc)
+    SELECT w1, w2, n,
+           CAST(round(log2((CAST(n AS DOUBLE) / tb.t)
+                           / ((CAST(c1.c AS DOUBLE) / tu.t)
+                              * (CAST(c2.c AS DOUBLE) / tu.t)))
+                      * 1000000.0) AS BIGINT) / 1000000.0 AS pmi
+    FROM bc
+    JOIN uc c1 ON bc.w1 = c1.w
+    JOIN uc c2 ON bc.w2 = c2.w, tu, tb
+    WHERE n >= {PMI_MIN_COUNT}
+    ORDER BY CAST(round(log2((CAST(n AS DOUBLE) / tb.t)
+                             / ((CAST(c1.c AS DOUBLE) / tu.t)
+                                * (CAST(c2.c AS DOUBLE) / tu.t)))
+                        * 1000000.0) AS BIGINT) DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+    tags=("text", "pmi", "collocation"),
+)
+def q108_pmi_collocations(spark, sf_dir):
+    """Top-20 adjacent-bigram collocations by pointwise mutual
+    information, PMI = log2(p(w1w2)/(p(w1)p(w2))) — the collocation
+    miner a corpus pipeline runs for tokenizer-merge candidates and
+    phrase detection (Mikolov et al. 2013's phrase scoring is this
+    with a discount).
+
+    Determinism: PMI quantizes to integer micro-bits (the q74
+    discipline) and the top-k sorts on that integer with a (w1, w2)
+    tiebreak. Scale shape: one token-grain shuffle for unigram counts,
+    one bigram-grain shuffle for pair counts — both uniform hash keys
+    with map-side combine; totals ride broadcast 1-row frames; the
+    candidate join keys on the word (vocabulary-sized, AQE broadcasts
+    when small)."""
+    d = t(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    uni = d.select(F.explode(tok).alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    tu = uc.agg(F.sum("c").cast("bigint").alias("t_u"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.struct(F.element_at(tok, i).alias("w1"),
+                           F.element_at(tok, i + 1).alias("w2")))
+    bg = (d.select(F.explode(F.when(F.size(tok) >= 2, bigrams)
+                             .otherwise(F.array()
+                                        .cast("array<struct<w1:string,"
+                                              "w2:string>>"))).alias("b"))
+          .select("b.w1", "b.w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n"))
+    tb = bc.agg(F.sum("n").cast("bigint").alias("t_b"))
+    c1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi_u = F.round(
+        F.log2((F.col("n").cast("double") / F.col("t_b"))
+               / ((F.col("c1").cast("double") / F.col("t_u"))
+                  * (F.col("c2").cast("double") / F.col("t_u"))))
+        * 1000000.0, 0).cast("bigint")
+    return (
+        bc.filter(F.col("n") >= PMI_MIN_COUNT)
+        .join(c1, "w1").join(c2, "w2")
+        .join(F.broadcast(tu)).join(F.broadcast(tb))
+        .select("w1", "w2", "n", pmi_u.alias("_pmi_u"))
+        .orderBy(F.desc("_pmi_u"), "w1", "w2")
+        .limit(PMI_TOP_K)
+        .select("w1", "w2", "n",
+                (F.col("_pmi_u") / 1000000.0).alias("pmi"))
+    )

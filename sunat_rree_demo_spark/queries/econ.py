@@ -235,3 +235,83 @@ def q101_cusum_drift(spark, sf_dir):
                 (F.abs(s) > 3.0).alias("drift_flag"))
         .orderBy("year", "month_num")
     )
+
+
+# --------------------------------------------------------------------- q106
+@register(
+    "q106_rolling_correlation",
+    oracle=f"""
+    WITH m AS (
+      SELECT year, month_num,
+             CAST(round(export_usd * 100) AS BIGINT) AS x,
+             CAST(round(import_usd * 100) AS BIGINT) AS y
+      FROM ({MONTHLY_SQL})
+      WHERE export_usd IS NOT NULL AND import_usd IS NOT NULL
+    ),
+    w AS (
+      SELECT year, month_num,
+             count(*) OVER win AS c,
+             sum(x) OVER win AS sx,
+             sum(y) OVER win AS sy,
+             sum(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+             sum(CAST(y AS HUGEINT) * y) OVER win AS syy,
+             sum(CAST(x AS HUGEINT) * y) OVER win AS sxy
+      FROM m
+      WINDOW win AS (ORDER BY year, month_num
+                     ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    )
+    SELECT year, month_num,
+           round((12.0 * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((12.0 * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (12.0 * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 4) AS corr_12m
+    FROM w WHERE c = 12
+    ORDER BY year, month_num
+    """,
+    tags=("econ", "rolling", "correlation"),
+)
+def q106_rolling_correlation(spark, sf_dir):
+    """Rolling 12-month Pearson correlation between the export and
+    import series — the co-movement indicator behind terms-of-trade
+    dashboards (the windowed sibling of q49's global correlation).
+
+    Determinism: all five window sums run on exact integer cents (the
+    squares/cross-products as decimal/hugeint so a 100 TB-scale month
+    can't overflow int64), and the Pearson formula consumes those exact
+    integers as doubles — both engines produce bit-identical r. Only
+    full 12-month windows emit (c = 12).
+
+    Scale shape: calendar-grain input (the monthly base aggregate), so
+    the ordered window is bounded by the calendar; one window frame
+    computes all five sums in a single pass."""
+    m = (monthly_flows(spark, sf_dir)
+         .filter(F.col("export_usd").isNotNull()
+                 & F.col("import_usd").isNotNull())
+         .select("year", "month_num",
+                 F.round(F.col("export_usd") * 100, 0)
+                 .cast("bigint").alias("x"),
+                 F.round(F.col("import_usd") * 100, 0)
+                 .cast("bigint").alias("y")))
+    win = (Window.orderBy("year", "month_num")
+           .rowsBetween(-11, Window.currentRow))
+    dec = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
+    w = m.select(
+        "year", "month_num",
+        F.count("*").over(win).alias("c"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(dec("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(dec("x") * F.col("y")).over(win).alias("sxy"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = 12.0 * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt((12.0 * d("sxx") - d("sx") * d("sx"))
+                 * (12.0 * d("syy") - d("sy") * d("sy")))
+    return (
+        w.filter(F.col("c") == 12)
+        .select("year", "month_num", F.round(num / den, 4).alias("corr_12m"))
+        .orderBy("year", "month_num")
+    )
