@@ -87,6 +87,10 @@ _ROTATE_TO_TAIL = (
     "q72_repetition_signals", "q73_length_percentiles",
     "q74_unigram_surprisal", "q75_semantic_dedup",
     "q82_near_dup_triangles",
+    # q109-q111 enter; three mart queries (q76-q78, plain SQL-twin
+    # shapes the local gate mirrors exactly) defer to r5
+    "q76_regional_market_share", "q77_event_funnel",
+    "q78_click_attribution",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -299,3 +299,118 @@ def q95_native_unpivot(spark, sf_dir):
                 F.round("_usd", 2).alias("usd"))
         .orderBy("year", "month_num", "flow")
     )
+
+
+# --------------------------------------------------------------------- q110
+_KMV_SET_K = 16
+
+
+@register(
+    "q110_kmv_set_ops",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1994),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE year(o_orderdate) = 1995),
+    ha AS (
+      SELECT DISTINCT
+             ('0x' || substr(sha256('kmv:' || CAST(o_custkey AS VARCHAR)),
+                             1, 12))::UBIGINT AS hv
+      FROM a
+    ),
+    hb AS (
+      SELECT DISTINCT
+             ('0x' || substr(sha256('kmv:' || CAST(o_custkey AS VARCHAR)),
+                             1, 12))::UBIGINT AS hv
+      FROM b
+    ),
+    hu AS (SELECT DISTINCT hv FROM (SELECT hv FROM ha
+                                    UNION ALL SELECT hv FROM hb)),
+    topk AS (
+      SELECT hv FROM (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hu)
+      WHERE rn <= {_KMV_SET_K}
+    ),
+    kth AS (
+      SELECT max(hv) AS kmin, CAST(count(*) AS BIGINT) AS kn FROM topk
+    ),
+    inboth AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM topk JOIN ha USING (hv) JOIN hb USING (hv)
+    ),
+    ex AS (
+      SELECT CAST((SELECT count(*) FROM (SELECT o_custkey FROM a
+                   UNION SELECT o_custkey FROM b)) AS BIGINT) AS n_union,
+             CAST((SELECT count(*) FROM a JOIN b USING (o_custkey))
+                  AS BIGINT) AS n_inter
+    )
+    SELECT n_union, n_inter,
+           round({_KMV_SET_K - 1}.0 * 281474976710656.0 / kmin, 4)
+             AS est_union,
+           round(CAST(c AS DOUBLE) / {_KMV_SET_K}.0, 4) AS jaccard_est,
+           round((CAST(c AS DOUBLE) / {_KMV_SET_K}.0)
+                 * ({_KMV_SET_K - 1}.0 * 281474976710656.0 / kmin), 4)
+             AS est_inter
+    FROM ex, kth, inboth
+    """,
+    tags=("scale", "sketch", "set-ops"),
+)
+def q110_kmv_set_ops(spark, sf_dir):
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007): estimate the union
+    size, Jaccard, and intersection size of two customer cohorts (1994
+    vs 1995 buyers) from k-minimum-value sketches, next to the exact
+    answers — the mergeable-summary operation behind cross-partition
+    COUNT DISTINCT and audience-overlap queries at warehouse scale.
+
+    The union sketch is the k smallest hashes of A∪B, the Jaccard
+    estimate the fraction of those present in both sets; everything
+    derives from the q91 sha-48 hash device, so both engines compute
+    the identical kth-min, membership count, and 4dp estimates.
+
+    Scale shape: per-set distinct reductions feed the hash table; the
+    global k-th min is a window over the distinct-hash reduction
+    (mergeable per-partition top-k + merge is the cluster form —
+    sketches compose by union, which is the point); membership checks
+    join the k-row topk frame (broadcast) against the per-set hash
+    tables."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+
+    def cohort(year):
+        return (o.filter(F.year("o_orderdate") == year)
+                .select("o_custkey").distinct())
+
+    def hashes(c):
+        return c.select(
+            F.conv(F.substring(
+                F.sha2(F.concat(F.lit("kmv:"),
+                                F.col("o_custkey").cast("string")), 256),
+                1, 12), 16, 10).cast("bigint").alias("hv")).distinct()
+
+    a, b = cohort(1994), cohort(1995)
+    ha, hb = hashes(a), hashes(b)
+    hu = ha.unionByName(hb).distinct()
+    topk = (hu.withColumn("_rn", F.row_number()
+                          .over(Window.orderBy("hv")))
+            .filter(F.col("_rn") <= _KMV_SET_K).select("hv"))
+    kth = topk.agg(F.max("hv").alias("kmin"),
+                   F.count("*").cast("bigint").alias("kn"))
+    inboth = (topk.join(ha, "hv").join(hb, "hv")
+              .agg(F.count("*").cast("bigint").alias("c")))
+    n_union = (a.unionByName(b).distinct()
+               .agg(F.count("*").cast("bigint").alias("n_union")))
+    n_inter = (a.join(b, "o_custkey")
+               .agg(F.count("*").cast("bigint").alias("n_inter")))
+    two48 = 281474976710656.0
+    est_u = F.lit(float(_KMV_SET_K - 1)) * two48 / F.col("kmin")
+    jacc = F.col("c").cast("double") / float(_KMV_SET_K)
+    return (
+        n_union.join(F.broadcast(n_inter))
+        .join(F.broadcast(kth)).join(F.broadcast(inboth))
+        .select("n_union", "n_inter",
+                F.round(est_u, 4).alias("est_union"),
+                F.round(jacc, 4).alias("jaccard_est"),
+                F.round(jacc * (F.lit(float(_KMV_SET_K - 1)) * two48
+                                / F.col("kmin")), 4).alias("est_inter"))
+    )

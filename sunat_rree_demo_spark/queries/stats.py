@@ -6,7 +6,7 @@ explosion, and the CUBE generalization of the pivot family.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from sunat_rree_demo_spark.queries.base import MONTHLY_SQL, monthly_flows, register, t
 
@@ -288,4 +288,64 @@ def q53_cube(spark, sf_dir):
              F.grouping("year").cast("int").alias("g_year"),
              F.grouping("quarter").cast("int").alias("g_quarter"))
         .orderBy("g_year", "g_quarter", "year", "quarter")
+    )
+
+
+# --------------------------------------------------------------------- q109
+@register(
+    "q109_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, cents, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM g
+    )
+    SELECT flag,
+           CAST(min(cents) AS BIGINT) / 100.0 AS median_usd,
+           CAST(min(tot) AS BIGINT) AS total_qty
+    FROM c WHERE 2 * cumw >= tot
+    GROUP BY flag ORDER BY flag
+    """,
+    tags=("stats", "weighted-median"),
+)
+def q109_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the total (lower
+    weighted median — a pure integer definition, so both engines pick
+    the identical value with no interpolation ambiguity).
+
+    Scale shape: the facts first collapse to the (flag, cents)
+    VALUE-HISTOGRAM grain — bounded by the price domain (≤ ~10⁷
+    distinct cent values regardless of row count) — and the cumulative
+    window runs over that histogram, not the facts. For value domains
+    too large even for that, the two-pass percentile refinement
+    (q49/q73/q83) is the documented alternative; for weights the
+    histogram is the standard exact form."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    g = (li.groupBy(F.col("l_returnflag").alias("flag"),
+                    cents.alias("cents"))
+         .agg(F.sum(F.col("l_quantity").cast("bigint"))
+              .cast("bigint").alias("w")))
+    wf = Window.partitionBy("flag")
+    c = g.select(
+        "flag", "cents",
+        F.sum("w").over(wf.orderBy("cents")
+                        .rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").alias("cumw"),
+        F.sum("w").over(wf).cast("bigint").alias("tot"))
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg((F.min("cents").cast("bigint") / 100.0).alias("median_usd"),
+             F.min("tot").cast("bigint").alias("total_qty"))
+        .orderBy("flag")
     )

@@ -258,3 +258,116 @@ def q87_gap_fill(spark, sf_dir):
         )
         .orderBy("user_id", "day")
     )
+
+
+# --------------------------------------------------------------------- q111
+@register(
+    "q111_linear_interpolation",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id % 25 = 0
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM ev GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS ts
+      FROM bounds
+    ),
+    merged AS (
+      SELECT user_id, ts, CAST(0 AS BIGINT) AS src, value FROM ev
+      UNION ALL
+      SELECT user_id, ts, CAST(1 AS BIGINT) AS src,
+             CAST(NULL AS DOUBLE) AS value
+      FROM spine
+    ),
+    w AS (
+      SELECT user_id, ts, src, value,
+             last_value(value IGNORE NULLS) OVER wp AS vp,
+             last_value(CASE WHEN src = 0 THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER wp AS tp,
+             first_value(value IGNORE NULLS) OVER wn AS vn,
+             first_value(CASE WHEN src = 0 THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER wn AS tn
+      FROM merged
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, src
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY ts, src
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_hour,
+           round(vp + (vn - vp)
+                 * (CAST(epoch_us(ts) - tp AS DOUBLE)
+                    / CAST(tn - tp AS DOUBLE)), 4) AS value_interp
+    FROM w
+    WHERE src = 1 AND vp IS NOT NULL AND vn IS NOT NULL
+    ORDER BY user_id, ts_hour
+    """,
+    tags=("temporal", "interpolation"),
+)
+def q111_linear_interpolation(spark, sf_dir):
+    """Time-weighted LINEAR interpolation onto an hourly spine (the
+    IoT/finance densification q87's LOCF only approximates): for each
+    sampled user, every spine hour strictly inside the observation
+    range gets vp + (vn−vp)·(t−tp)/(tn−tp) from the bracketing
+    purchase events.
+
+    Determinism: prev/next picks are IGNORE NULLS window extrema over
+    the (ts, src) total order — events sort before spine points at the
+    same timestamp, so a spine hour landing exactly on an event
+    interpolates to that event's value; the ratio divides exact
+    microsecond integers and the surrounding doubles are
+    parquet-identical, so both engines emit the same 4dp value.
+
+    Scale shape: the spine derives from per-user min/max bounds (one
+    user-grain aggregate, no driver work) and everything else is two
+    frames of ONE user-partitioned window — the spine explode is
+    user-bounded (hours in range), and the user sample (%25) bounds
+    output volume; production would densify per shard with the same
+    plan."""
+    from pyspark.sql import Window
+
+    ev = (t(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull()
+                  & (F.col("user_id") % 25 == 0))
+          .select("user_id", "ts", "value"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("ts"))
+    merged = (
+        ev.select("user_id", "ts", F.lit(0).cast("bigint").alias("src"),
+                  "value")
+        .unionByName(spine.select(
+            "user_id", "ts", F.lit(1).cast("bigint").alias("src"),
+            F.lit(None).cast("double").alias("value"))))
+    base = Window.partitionBy("user_id").orderBy("ts", "src")
+    wp = base.rowsBetween(Window.unboundedPreceding, 0)
+    wn = base.rowsBetween(1, Window.unboundedFollowing)
+    ev_us = F.when(F.col("src") == 0, F.unix_micros("ts"))
+    w = merged.select(
+        "user_id", "ts", "src",
+        F.last("value", ignorenulls=True).over(wp).alias("vp"),
+        F.last(ev_us, ignorenulls=True).over(wp).alias("tp"),
+        F.first("value", ignorenulls=True).over(wn).alias("vn"),
+        F.first(ev_us, ignorenulls=True).over(wn).alias("tn"))
+    interp = (F.col("vp") + (F.col("vn") - F.col("vp"))
+              * ((F.unix_micros("ts") - F.col("tp")).cast("double")
+                 / (F.col("tn") - F.col("tp")).cast("double")))
+    return (
+        w.filter((F.col("src") == 1) & F.col("vp").isNotNull()
+                 & F.col("vn").isNotNull())
+        .select("user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_hour"),
+                F.round(interp, 4).alias("value_interp"))
+        .orderBy("user_id", "ts_hour")
+    )
