@@ -225,6 +225,50 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,
+                    n: int = 8) -> DataFrame:
+    """Substring-chunk duplication signal (Lee et al. 2021,
+    'Deduplicating Training Data Makes Language Models Better', at
+    non-overlapping n-token chunk grain): per doc, its distinct chunk
+    count, how many of those chunks appear in at least one OTHER doc,
+    and the duplicated fraction — the cross-doc boilerplate measure
+    behind substring-level dedup and quality filtering.
+
+    Returns (id, n_chunks, n_dup_chunks, dup_frac) for docs with ≥ n
+    tokens. ``dup_frac`` is integer half-up arithmetic
+    ((2·10⁴·d + c) div 2c / 10⁴) so no float sum can drift between
+    engines.
+
+    Scale shape: chunking is per-doc Column math (≤ len/n chunks per
+    doc — an order lighter than shingling, and no Python), then ONE
+    uniform chunk-key shuffle for the document-frequency aggregate and
+    a doc-grain count."""
+    tok = tokenize(F.col(text_col))
+    chunks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), (F.size(tok) / n).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(tok, i * n + 1, n)),
+        )
+    )
+    ch = docs.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(tok) >= n, chunks)
+                  .otherwise(F.array().cast("array<string>")))
+        .alias("chunk"))
+    cd = ch.groupBy("chunk").agg(F.countDistinct(id_col).alias("_nd"))
+    return (
+        ch.join(cd, "chunk")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_chunks"),
+             F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+             .cast("bigint").alias("n_dup"))
+        .select(F.col(id_col), "n_chunks",
+                F.col("n_dup").alias("n_dup_chunks"),
+                (F.expr("(2*10000*n_dup + n_chunks) div (2*n_chunks)")
+                 .cast("double") / 10000.0).alias("dup_frac"))
+    )
+
+
 def contamination_overlap(corpus: DataFrame, probe: DataFrame,
                           id_col: str, text_col: str, n: int = 8,
                           min_overlap: int = 1) -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from sunat_rree_demo_spark.operators.components import connected_components
 from sunat_rree_demo_spark.operators.dedup import (
+    chunk_dup_stats,
     contamination_overlap,
     exact_dedup,
     minhash_lsh_pairs,
@@ -49,6 +50,8 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
            exact_verify: bool = False,
            target: "F.Column | None" = None,
            min_log_ratio: float | None = None,
+           max_chunk_dup_frac: float | None = None,
+           chunk_n: int = 8,
            budget: int = 256, shards: int = 16) -> DataFrame:
     """One row per surviving doc: (id, quality, split, shard,
     n_tokens, first_chunk, n_chunks). Deterministic end to end.
@@ -89,6 +92,18 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
             .select(id_col)
         )
         kept = kept.join(selected, id_col, "left_semi")
+
+    # 1c. substring-boilerplate gate (optional): drop docs whose
+    # duplicated-chunk fraction (Lee et al. 2021 signal,
+    # operators.dedup.chunk_dup_stats) exceeds the cutoff — catches
+    # template/boilerplate docs whose WHOLE text is not a near-dup of
+    # any single other doc (so the LSH stage below would keep them).
+    # Cross-doc frequency is measured over the current survivor set.
+    if max_chunk_dup_frac is not None:
+        boiler = (chunk_dup_stats(kept, id_col, text_col, n=chunk_n)
+                  .filter(F.col("dup_frac") > max_chunk_dup_frac)
+                  .select(id_col))
+        kept = kept.join(boiler, id_col, "left_anti")
 
     # 2. decontamination: drop anything overlapping the probe suite
     if probe is not None:

@@ -65,34 +65,13 @@ def q96_chunk_dedup(spark, sf_dir):
     shingling), then ONE uniform-key shuffle on the chunk string for the
     document-frequency aggregate and one back-join + doc-grain count.
     The dup fraction is integer half-up arithmetic ((2·10⁴·d + c) div 2c)
-    so no float sum or round can drift between engines."""
-    n = CHUNK_N
+    so no float sum or round can drift between engines. (Operator:
+    operators.dedup.chunk_dup_stats, also the curate plan's optional
+    boilerplate gate.)"""
+    from sunat_rree_demo_spark.operators.dedup import chunk_dup_stats
+
     d = t(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    chunks = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), (F.size(tok) / n).cast("int") - 1),
-            lambda i: F.concat_ws(" ", F.slice(tok, i * n + 1, n)),
-        )
-    )
-    ch = (d.select(
-            F.col("doc_id"),
-            F.explode(F.when(F.size(tok) >= n, chunks)
-                      .otherwise(F.array().cast("array<string>")))
-            .alias("chunk")))
-    cd = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
-    return (
-        ch.join(cd, "chunk")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_chunks"),
-             F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-             .cast("bigint").alias("n_dup"))
-        .select("doc_id", "n_chunks",
-                F.col("n_dup").alias("n_dup_chunks"),
-                (F.expr("(2*10000*n_dup + n_chunks) div (2*n_chunks)")
-                 .cast("double") / 10000.0).alias("dup_frac"))
-        .orderBy("doc_id")
-    )
+    return chunk_dup_stats(d, "doc_id", "text", CHUNK_N).orderBy("doc_id")
 
 
 q96_chunk_dedup.__doc__ = q96_chunk_dedup.__doc__.format(n=CHUNK_N)

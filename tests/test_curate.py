@@ -185,7 +185,7 @@ def test_curate_all_stages_compose(spark):
         "doc_id + 500000 AS doc_id", "text")
     kwargs = dict(probe=probe, min_quality=0.25,
                   target=F.col("lang") == "en", min_log_ratio=-1.0,
-                  exact_verify=True)
+                  exact_verify=True, max_chunk_dup_frac=0.9)
     out = curate(docs, **kwargs)
     rows = out.collect()
     assert rows
@@ -200,3 +200,33 @@ def test_curate_all_stages_compose(spark):
     assert sum(summary.values()) == len(rows)
     again = {r["doc_id"] for r in curate(docs, **kwargs).collect()}
     assert again == ids
+
+
+def test_chunk_dup_gate_drops_boilerplate(spark):
+    """The optional substring-boilerplate gate must drop a synthetic
+    doc assembled ENTIRELY from other docs' chunks (which exact dedup
+    and whole-doc near-dup both miss when the sources differ), and
+    keep ordinary docs."""
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.plans.curate import curate
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    two = docs.orderBy("doc_id").limit(2).collect()
+    # frankendoc: first 8 tokens of doc A + first 8 tokens of doc B,
+    # repeated — every 8-token chunk duplicates a source chunk
+    a = " ".join(two[0]["text"].split()[:8])
+    b = " ".join(two[1]["text"].split()[:8])
+    franken = spark.createDataFrame(
+        [Row(doc_id=999999, text=f"{a} {b} {a} {b}",
+             lang="en", source="synthetic",
+             n_chars=len(f"{a} {b} {a} {b}"))])
+    corpus = docs.unionByName(franken)
+    kept_with = {r["doc_id"] for r in
+                 curate(corpus, max_chunk_dup_frac=0.5,
+                        near_dup_threshold=0.9).collect()}
+    kept_without = {r["doc_id"] for r in
+                    curate(corpus, near_dup_threshold=0.9).collect()}
+    assert 999999 not in kept_with
+    assert 999999 in kept_without  # whole-doc near-dup at 0.9 missed it
