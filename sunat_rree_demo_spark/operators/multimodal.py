@@ -355,3 +355,87 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         )
         .withColumn("offset", F.col("frame_no") * every_n_bytes)
     )
+
+
+def _wav_pcm16_data(payload: bytes) -> tuple[int, int, bytes] | None:
+    """(sample_rate, n_channels, data-chunk bytes) for a 16-bit PCM
+    RIFF/WAVE payload, walking the chunk list like
+    ``decode_audio_meta``; None for anything else."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
+        if cid == b"fmt " and clen >= 16 and i + 24 <= len(payload):
+            channels, rate = struct.unpack("<HI", payload[i + 10:i + 16])
+            (bits,) = struct.unpack("<H", payload[i + 22:i + 24])
+        elif cid == b"data":
+            data = payload[i + 8:i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if not rate or not channels or bits != 16 or data is None:
+        return None
+    return rate, channels, data
+
+
+def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
+    """REAL audio feature extraction — per-frame RMS energy over 16-bit
+    PCM WAV payloads: the first step of voice-activity detection /
+    silence trimming in an audio-training-data pipeline. Non-WAV or
+    non-PCM16 payloads yield no rows (opaque, like the other decoders).
+
+    Returns (media_id, frame_no, n_samples, rms): frames are
+    ``frame_ms`` windows of mono-mixed samples (channel mean), RMS is
+    sqrt of the mean square. All accumulation is int64 (samples are
+    int16, squares ≤ 2³⁰ · frame length — exact), so the one sqrt per
+    frame is the only float op and is IEEE-identical everywhere; the
+    golden test pins values against a pure-Python reference.
+
+    Scale shape: Arrow-batched mapInPandas over the payload column —
+    each task decodes only its own rows with numpy (vectorized,
+    ~memory-bandwidth bound); output is frame-grain, bounded by audio
+    duration, with no shuffle at all."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            ids, frames, counts, rmss = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                parsed = _wav_pcm16_data(bytes(payload))
+                if parsed is None:
+                    continue
+                rate, channels, data = parsed
+                usable = len(data) - (len(data) % (2 * channels))
+                if usable <= 0:
+                    continue
+                pcm = (np.frombuffer(data[:usable], dtype="<i2")
+                       .reshape(-1, channels).astype("int64"))
+                # mono mix as an exact integer: floor of the channel
+                # mean (sum div channels keeps everything in int64)
+                mono = pcm.sum(axis=1) // channels
+                spf = max(1, rate * frame_ms // 1000)
+                n_frames = (len(mono) + spf - 1) // spf
+                for fi in range(n_frames):
+                    w = mono[fi * spf:(fi + 1) * spf]
+                    ids.append(mid)
+                    frames.append(fi)
+                    counts.append(len(w))
+                    rmss.append(float(np.sqrt((w * w).sum() / len(w))))
+            yield pd.DataFrame({"media_id": ids, "frame_no": frames,
+                                "n_samples": counts, "rms": rmss})
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=out_schema)

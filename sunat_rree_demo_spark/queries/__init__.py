@@ -91,6 +91,8 @@ _ROTATE_TO_TAIL = (
     # shapes the local gate mirrors exactly) defer to r5
     "q76_regional_market_share", "q77_event_funnel",
     "q78_click_attribution",
+    # q112 enters; one more SQL-twin mart query defers to r5
+    "q79_small_qty_revenue",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

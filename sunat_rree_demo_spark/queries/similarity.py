@@ -352,3 +352,102 @@ def q82_near_dup_triangles(spark, sf_dir):
                                / F.col("n_wedges"), 6))
                 .alias("transitivity"))
     )
+
+
+# --------------------------------------------------------------------- q112
+@register(
+    "q112_embedding_covariance",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    p AS (
+      SELECT a.i AS i, b.i AS j, a.q * b.q AS pq
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    ),
+    s AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n, sum(pq) AS spq
+      FROM p GROUP BY 1, 2
+    ),
+    m AS (SELECT i, sum(q) AS sq FROM u GROUP BY 1)
+    SELECT s.i AS i, s.j AS j,
+           round(CAST(n * spq - ma.sq * mb.sq AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / 1000000000000.0, 10) AS cov
+    FROM s JOIN m ma ON s.i = ma.i JOIN m mb ON s.j = mb.i
+    ORDER BY s.i, s.j
+    """,
+    tags=("similarity", "covariance", "vectorized"),
+)
+def q112_embedding_covariance(spark, sf_dir):
+    """Upper-triangular covariance matrix of the embedding dimensions —
+    the statistics pass feeding PCA/whitening in an embedding pipeline.
+
+    This is the canonical VECTORIZED-PARTIALS pattern: each Arrow batch
+    computes its int64 Gram partial with ONE numpy matmul (XᵀX over
+    1e-6-quantized values — exact integer arithmetic, no float sums),
+    emitting d(d+1)/2 partial rows; a single d²-key aggregate merges
+    them. The SQL oracle pays the honest row-based price (|vecs|·d²
+    exploded pair rows) for the identical integers — at sf0.1 that is
+    ~10⁸ rows vs a few matmuls, which is exactly why the Arrow path is
+    the 100 TB design. The final covariance combines exact integer
+    sums as decimals (n·Σxy − Σx·Σy overflows int64 past ~50k vectors)
+    and casts to double once.
+
+    Scale shape: no shuffle until the d(d+1)/2-key reduce; per-task
+    output is constant (one partial triangle per batch)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    e = t(spark, sf_dir, "embeddings")
+    part_schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("j", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("spq", T.LongType()),
+    ])
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = (np.stack(pdf["embedding"].to_numpy())
+                 .astype("float64") * 1000000.0)
+            # half-AWAY-from-zero to match Spark round()/DuckDB round()
+            # (np.rint is half-to-even and drifts on exact .5 values)
+            X = np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64")
+            G = X.T @ X
+            d = G.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": iu.astype("int64"), "j": ju.astype("int64"),
+                "n": np.full(len(iu), len(X), dtype="int64"),
+                "spq": G[iu, ju]})
+
+    partials = fan_out(e.select("embedding")).mapInPandas(
+        gram, schema=part_schema)
+    s = (partials.groupBy("i", "j")
+         .agg(F.sum("n").cast("bigint").alias("n"),
+              F.sum("spq").cast("bigint").alias("spq")))
+    # per-dimension sums stay JVM-side: posexplode + one 64-key reduce
+    u = e.select(F.posexplode("embedding").alias("i", "v")) \
+        .select(F.col("i").cast("bigint").alias("i"),
+                F.round(F.col("v").cast("double") * 1000000.0, 0)
+                .cast("bigint").alias("q"))
+    m = u.groupBy("i").agg(F.sum("q").cast("bigint").alias("sq"))
+    ma = m.select(F.col("i"), F.col("sq").alias("_sqa"))
+    mb = m.select(F.col("i").alias("j"), F.col("sq").alias("_sqb"))
+    nd = F.col("n").cast("double")
+    cov = ((F.col("n").cast("decimal(38,0)") * F.col("spq")
+            - F.col("_sqa").cast("decimal(38,0)") * F.col("_sqb"))
+           .cast("double") / (nd * nd) / 1000000000000.0)
+    return (
+        s.join(F.broadcast(ma), "i").join(F.broadcast(mb), "j")
+        .select("i", "j", F.round(cov, 10).alias("cov"))
+        .orderBy("i", "j")
+    )

@@ -11,7 +11,7 @@ tests/test_scale_contracts.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_partitioned(df: DataFrame, path: str, partition_by: str = "year",
@@ -109,3 +109,21 @@ def upsert_partitioned(spark: SparkSession, updates: DataFrame, path: str,
          .parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_zordered(df: DataFrame, path: str, zcol: str,
+                   n_files: int = 8) -> None:
+    """Write parquet laid out along a precomputed Z-order column
+    (operators.layout.morton_code): range-partition on the curve so
+    each output file owns one contiguous curve segment, then sort
+    within files — after this, per-file min/max statistics are tight
+    on BOTH interleaved dimensions, which is what lets a 100 TB scan
+    filtered on EITHER column prune most files (the OPTIMIZE ZORDER BY
+    rewrite of Delta/Iceberg, expressed in plain Spark).
+
+    ``repartitionByRange`` samples the z distribution so files get
+    balanced row counts even when the curve is skewed; the within-file
+    sort is the only per-partition work."""
+    (df.repartitionByRange(n_files, F.col(zcol))
+       .sortWithinPartitions(zcol)
+       .write.mode("overwrite").parquet(path))

@@ -231,3 +231,48 @@ def test_extract_video_meta_mapinpandas(spark):
     assert got[2].duration_ms is None and got[2].width is None
     assert (got[3].duration_ms, got[3].timescale,
             got[3].width, got[3].height) == (7000, 600, 1920, 1080)
+
+
+def _make_wav(rate, channels, samples):
+    """Minimal PCM16 WAV: RIFF + fmt + data chunks."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for frame in samples
+                   for s in (frame if isinstance(frame, (list, tuple))
+                             else [frame] * channels))
+    block_align = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align,
+                      block_align, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_pcm_frame_energy_golden(spark):
+    """RMS frames must match a pure-Python reference on a synthetic
+    stereo WAV, and non-WAV payloads must yield no rows."""
+    import math
+
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.operators.multimodal import pcm_frame_energy
+
+    rate, frame_ms = 1000, 20  # 20 samples per frame
+    # stereo: L ramps 0..99, R constant 100 -> mono = (L+R)//2
+    samples = [(i, 100) for i in range(100)]
+    wav = _make_wav(rate, 2, samples)
+    media = spark.createDataFrame([
+        Row(media_id=1, content=bytearray(wav)),
+        Row(media_id=2, content=bytearray(b"not audio at all")),
+    ])
+    got = {(r["frame_no"]): (r["n_samples"], r["rms"])
+           for r in pcm_frame_energy(media, frame_ms).collect()}
+    mono = [(i + 100) // 2 for i in range(100)]
+    want = {}
+    for fi in range(5):
+        w = mono[fi * 20:(fi + 1) * 20]
+        want[fi] = (20, math.sqrt(sum(x * x for x in w) / len(w)))
+    assert set(got) == set(want)
+    for fi in want:
+        assert got[fi][0] == want[fi][0]
+        assert abs(got[fi][1] - want[fi][1]) < 1e-12

@@ -377,3 +377,53 @@ def test_benford_is_digit_grain_after_one_aggregate(spark):
     # (plus the broadcast + possibly the tiny final sort)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan[:2000]
+
+
+def test_zordered_write_bounds_both_dimensions(spark, tmp_path):
+    """write_zordered must produce files whose per-file spans are tight
+    on BOTH interleaved dimensions — the file-skipping property the
+    layout exists for. Contract: z-ordered files bound each dimension
+    to well under the full domain, while a round-robin write leaves
+    near-full-domain spans in every file."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.operators.layout import (
+        morton_code,
+        with_scaled_bits,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.sources.sinks import write_zordered
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.datediff("o_orderdate", F.lit("1992-01-01")).cast("bigint")
+        .alias("yday"))
+    stats = o.agg(F.min("o_custkey").cast("bigint").alias("xmin"),
+                  F.max("o_custkey").cast("bigint").alias("xmax"),
+                  F.min("yday").alias("ymin"), F.max("yday").alias("ymax"))
+    row = stats.first()
+    xdom, ydom = row["xmax"] - row["xmin"], row["ymax"] - row["ymin"]
+    d = o.join(F.broadcast(stats))
+    d = with_scaled_bits(d, "o_custkey", "xmin", "xmax", "xb", 16)
+    d = with_scaled_bits(d, "yday", "ymin", "ymax", "yb", 16)
+    d = d.withColumn("z", morton_code(F.col("xb"), F.col("yb"), 16))
+
+    def spans(path):
+        got = (spark.read.parquet(path)
+               .groupBy(F.input_file_name().alias("f"))
+               .agg((F.max("o_custkey") - F.min("o_custkey")).alias("xs"),
+                    (F.max("yday") - F.min("yday")).alias("ys"))
+               .collect())
+        assert len(got) > 1
+        return (sum(r["xs"] for r in got) / len(got),
+                sum(r["ys"] for r in got) / len(got))
+
+    write_zordered(d, str(tmp_path / "z"), "z", n_files=8)
+    zx, zy = spans(str(tmp_path / "z"))
+    (d.repartition(8).write.mode("overwrite")
+     .parquet(str(tmp_path / "rr")))
+    rx, ry = spans(str(tmp_path / "rr"))
+    # round-robin files see ~the whole domain on both axes; z-ordered
+    # files must do strictly better on both, and ~2x on at least one
+    assert zx < rx and zy < ry
+    assert zx < 0.6 * xdom or zy < 0.6 * ydom
