@@ -93,6 +93,8 @@ _ROTATE_TO_TAIL = (
     "q78_click_attribution",
     # q112 enters; one more SQL-twin mart query defers to r5
     "q79_small_qty_revenue",
+    # q113 enters; one more SQL-twin query defers to r5
+    "q80_importance_weights",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

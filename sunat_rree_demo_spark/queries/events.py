@@ -258,3 +258,36 @@ def q94_rolling_active_users(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------- q113
+@register(
+    "q113_click_attribution_outer",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value,
+           (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "interval-join", "attribution", "outer"),
+)
+def q113_click_attribution_outer(spark, sf_dir):
+    """Batch twin of the LEFT-OUTER stream-stream interval join
+    (streaming/events.py:click_purchase_attribution_outer): every
+    click, attributed or not — the funnel-loss grain. In batch the
+    outer join emits NULL purchase rows immediately; in streaming the
+    same expression holds them until the watermark closes the click's
+    horizon (documented on the operator, pinned by the e2e test)."""
+    from sunat_rree_demo_spark.streaming.events import (
+        click_purchase_attribution_outer,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return (click_purchase_attribution_outer(e)
+            .orderBy("click_id", "purchase_id"))

@@ -258,3 +258,48 @@ def click_purchase_attribution(events: DataFrame,
         ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
          / 1000000.0).alias("lag_sec"),
     )
+
+
+def click_purchase_attribution_outer(events: DataFrame,
+                                     horizon: str = "1 hour",
+                                     watermark: str = "2 hours") -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: like
+    ``click_purchase_attribution`` but every click is emitted — clicks
+    with no purchase inside the horizon surface with NULL purchase
+    columns, which is the row a funnel-loss report needs (the inner
+    join can only say what converted).
+
+    Streaming semantics: an unmatched click is emitted ONLY once the
+    watermark passes ``click_ts + horizon`` (before that, a matching
+    purchase could still arrive), so a replay whose final watermark
+    stops short of the tail holds back the last clicks' NULL rows —
+    the documented outer-join/watermark interaction, pinned by the e2e
+    test. State bounds are identical to the inner form.
+
+    Batch twin: q113's LEFT JOIN, where no watermark applies and every
+    unmatched click appears."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    joined = clicks.join(
+        purchases,
+        F.expr(f"""
+            user_id = p_user_id AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+        """),
+        "left_outer",
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id", "purchase_value",
+        ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+         / 1000000.0).alias("lag_sec"),
+    )

@@ -223,3 +223,78 @@ def test_streaming_upsert_maintains_latest_state(spark, tmp_path):
                                     F.struct("ts", "event_id")).alias("value"))
                       .collect())}
     assert got == want and len(got) > 0
+
+
+def test_attribution_outer_join_emits_unmatched_after_watermark(
+        spark, batch_events, tmp_path):
+    """LEFT-OUTER stream-stream join: matched pairs must equal the
+    batch twin's exactly; NULL (unmatched) rows surface only once the
+    watermark closes a click's horizon. Null emission happens in the
+    micro-batch AFTER the watermark advances, so the replay appends a
+    far-future sentinel file as its own second batch — that makes the
+    main file's unmatched clicks deterministically evictable, while
+    the sentinel-era tail stays held back (the documented
+    outer-join/watermark interaction)."""
+    import datetime
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.streaming.events import (
+        click_purchase_attribution_outer,
+        events_file_stream,
+        run_available_now,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "events.parquet")
+    max_ts = batch_events.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + datetime.timedelta(days=1)
+    (batch_events.limit(1)
+     .select(F.lit(10**9).alias("event_id"),
+             F.lit(sentinel_ts).alias("ts"),
+             F.lit(-1).alias("user_id"),
+             F.lit("view").alias("event_type"),
+             F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+     .coalesce(1).write.mode("overwrite").parquet(str(d / "_s")))
+    part = next(f for f in os.listdir(d / "_s") if f.endswith(".parquet"))
+    shutil.move(str(d / "_s" / part), str(d / "zz_sentinel.parquet"))
+    shutil.rmtree(d / "_s")
+    # file source orders batches by modification time: main file first
+    now = os.path.getmtime(d / "zz_sentinel.parquet")
+    os.utime(d / "events.parquet", (now - 100, now - 100))
+
+    sdf = click_purchase_attribution_outer(
+        events_file_stream(spark, str(d), ts_variant="micros"))
+    assert sdf.isStreaming
+    run_available_now(sdf, "t_attr_outer", output_mode="append")
+    got = spark.table("t_attr_outer").collect()
+    matched = {(r.click_id, r.purchase_id) for r in got
+               if r.purchase_id is not None}
+    nulls = {r.click_id for r in got if r.purchase_id is None}
+
+    batch = click_purchase_attribution_outer(batch_events).collect()
+    want_matched = {(r.click_id, r.purchase_id) for r in batch
+                    if r.purchase_id is not None}
+    want_nulls = {r.click_id for r in batch if r.purchase_id is None}
+
+    assert matched == want_matched and matched
+    # streaming nulls ⊆ batch nulls, and no click resolves both ways
+    assert nulls <= want_nulls
+    assert not (nulls & {c for c, _ in matched})
+    # every unmatched click whose horizon the FIRST batch's watermark
+    # closed (click + horizon + watermark < main-file max ts) must have
+    # been evicted as a null during the sentinel batch
+    click_ts = {r.event_id: r.ts for r in batch_events
+                .filter(F.col("event_type") == "click").collect()}
+    # the join's watermark is the MIN of the two per-stream watermarks
+    # (max click ts, max purchase ts — each − 2h); a click evicts when
+    # click_ts + horizon(1h) < that, i.e. click_ts < min(maxes) − 3h
+    maxes = (batch_events.filter(F.col("event_type").isin("click",
+                                                          "purchase"))
+             .groupBy("event_type").agg(F.max("ts").alias("m")).collect())
+    cutoff = min(r["m"] for r in maxes) - datetime.timedelta(hours=3)
+    early_unmatched = {c for c in want_nulls if click_ts[c] < cutoff}
+    assert early_unmatched and early_unmatched <= nulls
