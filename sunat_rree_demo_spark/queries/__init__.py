@@ -28,6 +28,8 @@ from sunat_rree_demo_spark.queries import audit  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import graph  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import incremental  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import layout  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import mining  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import dq  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
@@ -95,6 +97,9 @@ _ROTATE_TO_TAIL = (
     "q79_small_qty_revenue",
     # q113 enters; one more SQL-twin query defers to r5
     "q80_importance_weights",
+    # q114-q117 enter; four more r4-local-green SQL-twin queries defer
+    "q81_scd2_intervals", "q83_winsorized_stats", "q84_priority_sample",
+    "q85_transition_matrix",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}
