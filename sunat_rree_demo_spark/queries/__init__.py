@@ -100,6 +100,8 @@ _ROTATE_TO_TAIL = (
     # q114-q117 enter; four more r4-local-green SQL-twin queries defer
     "q81_scd2_intervals", "q83_winsorized_stats", "q84_priority_sample",
     "q85_transition_matrix",
+    # q118-q120 enter; three more defer
+    "q86_retention_cohorts", "q87_gap_fill", "q88_rank_distribution",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -334,3 +334,160 @@ def q93_dormant_high_value(spark, sf_dir):
              F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------- q118
+@register(
+    "q118_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("mart", "tpch-q3"),
+)
+def q118_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped high-revenue orders for one
+    market segment as of a cutoff date — the classic
+    filter-join-aggregate-topk mart query.
+
+    Scale shape: both date predicates and the segment filter push into
+    their scans (the segment prunes customers BEFORE the join); the
+    two joins shuffle on their keys with AQE sizing, the aggregate is
+    order-grain, and the top-10 plans as TakeOrderedAndProject with
+    the l_orderkey tiebreak."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd")
+                 .alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- q119
+@register(
+    "q119_returned_item_losses",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue,
+           round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1994-01-01'
+      AND o_orderdate < DATE '1994-07-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("mart", "tpch-q10"),
+)
+def q119_returned_item_losses(spark, sf_dir):
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    half-year window — the churn-risk report.
+
+    Scale shape: the return flag and the order-date range push into
+    the scans; nation broadcasts; the customer-grain aggregate and
+    TakeOrdered top-20 carry a full tiebreak."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1994-07-01"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("lost_revenue"))
+        .select("c_custkey", "c_name", "n_name", "lost_revenue",
+                F.round(F.col("c_acctbal").cast("double"), 2)
+                .alias("acctbal"))
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------- q120
+@register(
+    "q120_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN big USING (l_orderkey)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("mart", "tpch-q18"),
+)
+def q120_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers with orders above a total-quantity
+    threshold — the semi-join-on-aggregate pattern (HAVING subquery
+    feeding the main join).
+
+    Scale shape: the qualifying-order set is an order-grain aggregate
+    (integer quantities) reused as a semi-join filter BEFORE the wide
+    join — Spark shares the l_orderkey partitioning between the
+    HAVING aggregate, the semi-join, and the final aggregate, so one
+    co-partitioning serves all three."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("_q"))
+           .filter(F.col("_q") > 150).select("l_orderkey"))
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(big, "l_orderkey", "left_semi")
+        .groupBy("c_custkey", "c_name",
+                 F.col("o_orderkey"),
+                 F.date_format("o_orderdate", "yyyy-MM-dd")
+                 .alias("orderdate"),
+                 "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+             .alias("total_qty"))
+        .select("c_custkey", "c_name", "o_orderkey", "orderdate",
+                F.round(F.col("o_totalprice").cast("double"), 2)
+                .alias("totalprice"), "total_qty")
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
