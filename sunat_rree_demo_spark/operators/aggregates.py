@@ -119,6 +119,9 @@ def merge_partial_sums(parts: list[DataFrame], keys: list[str],
     part is already collapsed to its key grain) — the 100 TB base scan
     happens zero times per refresh. Non-associative measures (median,
     distinct) need sketches instead (q46/q91 show both)."""
+    if not parts:
+        raise ValueError("merge_partial_sums needs at least one partial "
+                         "(an empty refresh cycle has nothing to merge)")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

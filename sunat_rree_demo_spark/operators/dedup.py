@@ -239,22 +239,37 @@ def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,
     ((2·10⁴·d + c) div 2c / 10⁴) so no float sum can drift between
     engines.
 
-    Scale shape: chunking is per-doc Column math (≤ len/n chunks per
-    doc — an order lighter than shingling, and no Python), then ONE
+    Scale shape: chunking runs in the same Arrow-batched Python pass as
+    the shinglers (the keep-string-hot-loops-in-mapInPandas rule —
+    ≤ len/n chunks per doc, an order lighter than shingling), then ONE
     uniform chunk-key shuffle for the document-frequency aggregate and
     a doc-grain count."""
-    tok = tokenize(F.col(text_col))
-    chunks = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), (F.size(tok) / n).cast("int") - 1),
-            lambda i: F.concat_ws(" ", F.slice(tok, i * n + 1, n)),
-        )
-    )
-    ch = docs.select(
-        F.col(id_col),
-        F.explode(F.when(F.size(tok) >= n, chunks)
-                  .otherwise(F.array().cast("array<string>")))
-        .alias("chunk"))
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("chunks", T.ArrayType(T.StringType())),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            chs: list[list[str]] = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                tk = re.split(r"\s+", str(txt).strip())
+                if len(tk) < n:
+                    continue
+                ids.append(i)
+                chs.append(sorted({" ".join(tk[j * n:(j + 1) * n])
+                                   for j in range(len(tk) // n)}))
+            yield pd.DataFrame({id_col: ids, "chunks": chs})
+
+    ch = (fan_out(docs.select(id_col, text_col))
+          .mapInPandas(gen, schema=out_schema)
+          .select(F.col(id_col), F.explode("chunks").alias("chunk")))
     cd = ch.groupBy("chunk").agg(F.countDistinct(id_col).alias("_nd"))
     return (
         ch.join(cd, "chunk")

@@ -22,8 +22,10 @@ BENFORD_P = tuple(math.log10(1.0 + 1.0 / d) for d in range(1, 10))
     "q102_benford_digits",
     oracle=f"""
     WITH v AS (
-      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-      FROM lineitem WHERE l_extendedprice > 0
+      SELECT cents FROM (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_extendedprice > 0)
+      WHERE cents >= 1
     ),
     d AS (
       SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
@@ -60,8 +62,11 @@ def q102_benford_digits(spark, sf_dir):
     constant-size forever after."""
     li = t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    # cents >= 1: a sub-half-cent price would yield digit 0, which has
+    # no Benford expectation (and would crash the 1-based element_at)
     g = (li.filter(F.col("l_extendedprice") > 0)
-         .select(F.substring(cents.cast("string"), 1, 1)
+         .select(cents.alias("cents")).filter(F.col("cents") >= 1)
+         .select(F.substring(F.col("cents").cast("string"), 1, 1)
                  .cast("bigint").alias("digit"))
          .groupBy("digit").agg(F.count("*").cast("bigint").alias("n")))
     tot = g.agg(F.sum("n").cast("bigint").alias("total"))

@@ -56,12 +56,12 @@ BM25_TERMS = ("spark", "dup", "stream")
 def q96_chunk_dedup(spark, sf_dir):
     """Exact substring-chunk dedup signal (Lee et al. 2021, 'Deduplicating
     Training Data Makes Language Models Better', at non-overlapping
-    {n}-token chunk grain): per doc, how many of its distinct chunks
+    8-token chunk grain): per doc, how many of its distinct chunks
     also appear in ANOTHER document — the cross-doc boilerplate measure
     that drives substring-level dedup decisions.
 
-    Scale shape: chunking is a pure Column HOF over each doc (bounded
-    by doc length; at most len/{n} chunks per doc — far lighter than
+    Scale shape: chunking rides the same Arrow-batched Python pass as
+    the shinglers (at most len/8 chunks per doc — far lighter than
     shingling), then ONE uniform-key shuffle on the chunk string for the
     document-frequency aggregate and one back-join + doc-grain count.
     The dup fraction is integer half-up arithmetic ((2·10⁴·d + c) div 2c)
@@ -73,8 +73,6 @@ def q96_chunk_dedup(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return chunk_dup_stats(d, "doc_id", "text", CHUNK_N).orderBy("doc_id")
 
-
-q96_chunk_dedup.__doc__ = q96_chunk_dedup.__doc__.format(n=CHUNK_N)
 
 
 # ---------------------------------------------------------------------- q97

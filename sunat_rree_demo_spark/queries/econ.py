@@ -171,17 +171,17 @@ def q100_hhi_concentration(spark, sf_dir):
            round(CAST(cents AS DOUBLE) / 100.0, 2) AS export_usd,
            round((CAST(n AS DOUBLE) * CAST(cum AS DOUBLE)
                   - CAST(i AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / (CAST(n AS DOUBLE)
+                 / NULLIF(CAST(n AS DOUBLE)
                     * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))),
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 0.0),
                  4) AS cusum,
            abs((CAST(n AS DOUBLE) * CAST(cum AS DOUBLE)
                 - CAST(i AS DOUBLE) * CAST(sx AS DOUBLE))
-               / (CAST(n AS DOUBLE)
+               / NULLIF(CAST(n AS DOUBLE)
                   * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 0.0))
              > 3.0 AS drift_flag
     FROM c, st
     ORDER BY year, month_num
@@ -225,7 +225,9 @@ def q101_cusum_drift(spark, sf_dir):
     var = (nd * F.col("sxx").cast("double")
            - F.col("sx").cast("double") * F.col("sx").cast("double")) \
         / (nd * nd)
-    s = num / (nd * F.sqrt(var))
+    # ANSI/NULL guard: a constant series has σ = 0 → NULL, not NaN
+    den = nd * F.sqrt(var)
+    s = F.when(den != 0.0, num / den)
     return (
         c.join(F.broadcast(stats))
         .select("year", "month_num",
@@ -263,10 +265,10 @@ def q101_cusum_drift(spark, sf_dir):
     SELECT year, month_num,
            round((12.0 * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / sqrt((12.0 * CAST(sxx AS DOUBLE)
+                 / NULLIF(sqrt((12.0 * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (12.0 * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0),
                  4) AS corr_12m
     FROM w WHERE c = 12
     ORDER BY year, month_num
@@ -310,8 +312,10 @@ def q106_rolling_correlation(spark, sf_dir):
     num = 12.0 * d("sxy") - d("sx") * d("sy")
     den = F.sqrt((12.0 * d("sxx") - d("sx") * d("sx"))
                  * (12.0 * d("syy") - d("sy") * d("sy")))
+    # ANSI/NULL guard: a constant window makes either variance 0
+    corr = F.when(den != 0.0, num / den)
     return (
         w.filter(F.col("c") == 12)
-        .select("year", "month_num", F.round(num / den, 4).alias("corr_12m"))
+        .select("year", "month_num", F.round(corr, 4).alias("corr_12m"))
         .orderBy("year", "month_num")
     )

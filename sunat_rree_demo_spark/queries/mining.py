@@ -96,7 +96,7 @@ def q114_token_entropy(spark, sf_dir):
 )
 def q115_copurchase_pairs(spark, sf_dir):
     """Pairwise frequent itemsets over order baskets: part pairs
-    bought together in ≥ {s} orders, top-20 by support — the
+    bought together in ≥ 3 orders, top-20 by support — the
     market-basket / co-occurrence mining staple (the 2-itemset pass of
     Apriori; higher orders iterate the same join shape on the
     survivors).
@@ -122,6 +122,3 @@ def q115_copurchase_pairs(spark, sf_dir):
         .limit(20)
     )
 
-
-q115_copurchase_pairs.__doc__ = q115_copurchase_pairs.__doc__.format(
-    s=MIN_SUPPORT)

@@ -345,12 +345,16 @@ _KMV_SET_K = 16
                   AS BIGINT) AS n_inter
     )
     SELECT n_union, n_inter,
-           round({_KMV_SET_K - 1}.0 * 281474976710656.0 / kmin, 4)
-             AS est_union,
-           round(CAST(c AS DOUBLE) / {_KMV_SET_K}.0, 4) AS jaccard_est,
-           round((CAST(c AS DOUBLE) / {_KMV_SET_K}.0)
-                 * ({_KMV_SET_K - 1}.0 * 281474976710656.0 / kmin), 4)
-             AS est_inter
+           round(CASE WHEN kn < {_KMV_SET_K}
+                      THEN CAST(kn AS DOUBLE)
+                      ELSE {_KMV_SET_K - 1}.0 * 281474976710656.0 / kmin
+                 END, 4) AS est_union,
+           round(CAST(c AS DOUBLE) / kn, 4) AS jaccard_est,
+           round((CAST(c AS DOUBLE) / kn)
+                 * (CASE WHEN kn < {_KMV_SET_K}
+                         THEN CAST(kn AS DOUBLE)
+                         ELSE {_KMV_SET_K - 1}.0 * 281474976710656.0 / kmin
+                    END), 4) AS est_inter
     FROM ex, kth, inboth
     """,
     tags=("scale", "sketch", "set-ops"),
@@ -403,14 +407,17 @@ def q110_kmv_set_ops(spark, sf_dir):
     n_inter = (a.join(b, "o_custkey")
                .agg(F.count("*").cast("bigint").alias("n_inter")))
     two48 = 281474976710656.0
-    est_u = F.lit(float(_KMV_SET_K - 1)) * two48 / F.col("kmin")
-    jacc = F.col("c").cast("double") / float(_KMV_SET_K)
+    # Beyer et al.: a NON-FULL sketch (union distinct < k) IS the set —
+    # return the exact count; Jaccard divides by the sketch size either
+    # way (kn == k when full)
+    est_u = F.when(F.col("kn") < _KMV_SET_K, F.col("kn").cast("double")) \
+        .otherwise(F.lit(float(_KMV_SET_K - 1)) * two48 / F.col("kmin"))
+    jacc = F.col("c").cast("double") / F.col("kn")
     return (
         n_union.join(F.broadcast(n_inter))
         .join(F.broadcast(kth)).join(F.broadcast(inboth))
         .select("n_union", "n_inter",
                 F.round(est_u, 4).alias("est_union"),
                 F.round(jacc, 4).alias("jaccard_est"),
-                F.round(jacc * (F.lit(float(_KMV_SET_K - 1)) * two48
-                                / F.col("kmin")), 4).alias("est_inter"))
+                F.round(jacc * est_u, 4).alias("est_inter"))
     )

@@ -431,9 +431,11 @@ def q112_embedding_covariance(spark, sf_dir):
 
     partials = fan_out(e.select("embedding")).mapInPandas(
         gram, schema=part_schema)
+    # decimal merge: per-batch partials are exact int64, but the GLOBAL
+    # Σ crosses int64 near ~6e8 unit-norm vectors (oracle sums HUGEINT)
     s = (partials.groupBy("i", "j")
          .agg(F.sum("n").cast("bigint").alias("n"),
-              F.sum("spq").cast("bigint").alias("spq")))
+              F.sum(F.col("spq").cast("decimal(38,0)")).alias("spq")))
     # per-dimension sums stay JVM-side: posexplode + one 64-key reduce
     u = e.select(F.posexplode("embedding").alias("i", "v")) \
         .select(F.col("i").cast("bigint").alias("i"),

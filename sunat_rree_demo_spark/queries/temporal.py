@@ -265,7 +265,7 @@ def q87_gap_fill(spark, sf_dir):
     "q111_linear_interpolation",
     oracle="""
     WITH ev AS (
-      SELECT user_id, ts, value FROM events
+      SELECT user_id, ts, event_id, value FROM events
       WHERE event_type = 'purchase' AND value IS NOT NULL
         AND user_id % 25 = 0
     ),
@@ -280,10 +280,11 @@ def q87_gap_fill(spark, sf_dir):
       FROM bounds
     ),
     merged AS (
-      SELECT user_id, ts, CAST(0 AS BIGINT) AS src, value FROM ev
+      SELECT user_id, ts, CAST(0 AS BIGINT) AS src, event_id, value
+      FROM ev
       UNION ALL
       SELECT user_id, ts, CAST(1 AS BIGINT) AS src,
-             CAST(NULL AS DOUBLE) AS value
+             CAST(0 AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
       FROM spine
     ),
     w AS (
@@ -295,9 +296,9 @@ def q87_gap_fill(spark, sf_dir):
              first_value(CASE WHEN src = 0 THEN epoch_us(ts) END
                          IGNORE NULLS) OVER wn AS tn
       FROM merged
-      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, src
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, src, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-           wn AS (PARTITION BY user_id ORDER BY ts, src
+           wn AS (PARTITION BY user_id ORDER BY ts, src, event_id
                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_hour,
@@ -336,7 +337,7 @@ def q111_linear_interpolation(spark, sf_dir):
           .filter((F.col("event_type") == "purchase")
                   & F.col("value").isNotNull()
                   & (F.col("user_id") % 25 == 0))
-          .select("user_id", "ts", "value"))
+          .select("user_id", "ts", "event_id", "value"))
     bounds = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"))
@@ -346,11 +347,16 @@ def q111_linear_interpolation(spark, sf_dir):
         .alias("ts"))
     merged = (
         ev.select("user_id", "ts", F.lit(0).cast("bigint").alias("src"),
+                  F.col("event_id").cast("bigint").alias("event_id"),
                   "value")
         .unionByName(spine.select(
             "user_id", "ts", F.lit(1).cast("bigint").alias("src"),
+            F.lit(0).cast("bigint").alias("event_id"),
             F.lit(None).cast("double").alias("value"))))
-    base = Window.partitionBy("user_id").orderBy("ts", "src")
+    # (ts, src, event_id) is a TOTAL order: same-ts purchases are
+    # disambiguated by event_id (the q85/q81 convention), so the
+    # bracketing extrema can't flip between runs or engines
+    base = Window.partitionBy("user_id").orderBy("ts", "src", "event_id")
     wp = base.rowsBetween(Window.unboundedPreceding, 0)
     wn = base.rowsBetween(1, Window.unboundedFollowing)
     ev_us = F.when(F.col("src") == 0, F.unix_micros("ts"))
