@@ -102,6 +102,8 @@ _ROTATE_TO_TAIL = (
     "q85_transition_matrix",
     # q118-q120 enter; three more defer
     "q86_retention_cohorts", "q87_gap_fill", "q88_rank_distribution",
+    # q121-q123 enter; three more defer
+    "q89_salted_skew_agg", "q90_grouping_sets", "q91_kmv_distinct",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

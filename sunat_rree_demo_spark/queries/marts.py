@@ -491,3 +491,175 @@ def q120_large_volume_customers(spark, sf_dir):
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------- q121
+@register(
+    "q121_cheapest_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost
+      FROM cost GROUP BY 1
+    )
+    SELECT c.l_partkey AS partkey, p_name,
+           min(s_name) AS supplier, min(c.unit_cost) AS unit_cost
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey
+               AND c.unit_cost = b.min_cost
+    JOIN supplier ON s_suppkey = c.l_suppkey
+    JOIN part ON p_partkey = c.l_partkey
+    GROUP BY c.l_partkey, p_name
+    ORDER BY partkey
+    LIMIT 25
+    """,
+    tags=("mart", "tpch-q2"),
+)
+def q121_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted to the fixture's schema — no partsupp
+    table, so observed unit cost = avg price/qty per (part, supplier)):
+    for each part, the supplier offering the minimum unit cost — the
+    correlated-MIN subquery decorrelated into a per-part aggregate
+    joined back on (part, cost).
+
+    Determinism: the unit cost rounds to 6dp at the aggregate (both
+    engines average the same per-(part,supplier) doubles — avg addend
+    order differs, hence the early round), and cost ties collapse via
+    min(supplier name) so the selected SET is stable.
+
+    Scale shape: both the cost table and the per-part min shuffle on
+    l_partkey — one co-partitioning serves aggregate, min, and join;
+    supplier/part joins are AQE-decided; top-25 with a key order."""
+    li = t(spark, sf_dir, "lineitem")
+    s, p = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "part")
+    cost = (li.filter(F.col("l_quantity") > 0)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.round(F.avg(F.col("l_extendedprice")
+                               / F.col("l_quantity")), 6)
+                 .alias("unit_cost")))
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        cost.join(best, ["l_partkey"])
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(s, cost["l_suppkey"] == s["s_suppkey"])
+        .join(p, cost["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("l_partkey").alias("partkey"), "p_name")
+        .agg(F.min("s_name").alias("supplier"),
+             F.min("unit_cost").alias("unit_cost"))
+        .orderBy("partkey")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------- q122
+@register(
+    "q122_bottleneck_suppliers",
+    oracle="""
+    WITH lastship AS (
+      SELECT l_orderkey, max(l_shipdate) AS last_date,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS n_waiting
+    FROM lineitem l1
+    JOIN lastship ls ON l1.l_orderkey = ls.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE ls.n_supp >= 2
+      AND l1.l_shipdate = ls.last_date
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+          AND l2.l_shipdate = ls.last_date
+      )
+    GROUP BY s_name
+    ORDER BY n_waiting DESC, s_name
+    LIMIT 15
+    """,
+    tags=("mart", "tpch-q21"),
+)
+def q122_bottleneck_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no receipt/commit dates in the
+    fixture, so 'kept the order waiting' = SOLE supplier shipping on a
+    multi-supplier order's final ship date): suppliers most often the
+    last one out the door, with the EXISTS (another supplier
+    participated) and NOT EXISTS (nobody else shipped that late)
+    pair expressed as an order-grain aggregate + anti-join.
+
+    Scale shape: the per-order last-date/supplier-count aggregate, the
+    late-line filter, and the sole-supplier anti-join all key on
+    l_orderkey — one co-partitioning end to end; the supplier name
+    join is AQE-decided and the result is supplier-grain."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    lastship = (li.groupBy("l_orderkey")
+                .agg(F.max("l_shipdate").alias("last_date"),
+                     F.countDistinct("l_suppkey").alias("n_supp")))
+    late = (li.join(lastship, "l_orderkey")
+            .filter((F.col("n_supp") >= 2)
+                    & (F.col("l_shipdate") == F.col("last_date"))))
+    # NOT EXISTS other-supplier-on-last-date == the late set restricted
+    # to orders with exactly ONE distinct late supplier
+    sole = (late.groupBy("l_orderkey")
+            .agg(F.countDistinct("l_suppkey").alias("_nlate"))
+            .filter(F.col("_nlate") == 1)
+            .select("l_orderkey"))
+    return (
+        late.join(sole, "l_orderkey", "left_semi")
+        .join(s, late["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("n_waiting"))
+        .orderBy(F.desc("n_waiting"), "s_name")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------- q123
+@register(
+    "q123_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY n_suppliers DESC, p_brand, p_size
+    LIMIT 20
+    """,
+    tags=("mart", "tpch-q16"),
+)
+def q123_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand, size),
+    excluding one brand and a NOT-IN supplier blocklist (adapted:
+    negative account balance stands in for the complaints predicate).
+
+    Scale shape: the blocklist is a filtered dim reduction —
+    broadcast anti-join against the facts BEFORE the wide part join;
+    the distinct count shuffles once on the bounded (brand, size)
+    grain with a partial distinct; top-20 carries the full
+    tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    blocked = (s.filter(F.col("s_acctbal") < 0)
+               .select(F.col("s_suppkey").alias("l_suppkey")))
+    return (
+        li.join(F.broadcast(blocked), "l_suppkey", "left_anti")
+        .join(p, p["p_partkey"] == li["l_partkey"])
+        .filter(F.col("p_brand") != "Brand#45")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint")
+             .alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), "p_brand", "p_size")
+        .limit(20)
+    )
