@@ -104,6 +104,8 @@ _ROTATE_TO_TAIL = (
     "q86_retention_cohorts", "q87_gap_fill", "q88_rank_distribution",
     # q121-q123 enter; three more defer
     "q89_salted_skew_agg", "q90_grouping_sets", "q91_kmv_distinct",
+    # q124 enters; one more defers
+    "q92_fuzzy_name_pairs",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -377,3 +377,57 @@ def q70_stratified_sample(spark, sf_dir):
                    "es": 600000, "fr": 500000},
         default_ppm=250000)
     return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- q124
+@register(
+    "q124_source_mixture",
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(round(pow(CAST(n_docs AS DOUBLE), 0.7) * 1000000.0)
+                  AS BIGINT) AS wu
+      FROM g
+    )
+    SELECT source, n_docs,
+           round(CAST(wu AS DOUBLE)
+                 / CAST(sum(wu) OVER () AS DOUBLE), 6) AS weight,
+           CAST(round(10000.0 * wu
+                      / CAST(sum(wu) OVER () AS DOUBLE)) AS BIGINT)
+             AS planned_docs
+    FROM w
+    ORDER BY source
+    """,
+    tags=("llm", "mixture", "sampling"),
+)
+def q124_source_mixture(spark, sf_dir):
+    """Temperature-scaled source mixture weights (the multinomial
+    sampling recipe of multilingual/multi-source LLM training, e.g.
+    the α=0.7 temperature of XLM-R / mT5): per source, weight ∝
+    n_docs^0.7 normalized, plus the planned document count for a
+    10k-doc epoch.
+
+    Determinism: the single pow() per SOURCE quantizes to an integer
+    micro-unit (libm pow may differ in the last ULP across engines —
+    the q74 discipline bounds it); weights and planned counts then
+    derive from exact integer sums. Scale shape: one source-grain
+    aggregate; the normalizing window runs over |sources| rows."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    wu = F.round(F.pow(F.col("n_docs").cast("double"), 0.7)
+                 * 1000000.0, 0).cast("bigint")
+    tot = F.sum("wu").over(Window.partitionBy()).cast("double")
+    return (
+        g.select("source", "n_docs", wu.alias("wu"))
+        .select("source", "n_docs",
+                F.round(F.col("wu").cast("double") / tot, 6).alias("weight"),
+                F.round(10000.0 * F.col("wu") / tot, 0).cast("bigint")
+                .alias("planned_docs"))
+        .orderBy("source")
+    )

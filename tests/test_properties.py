@@ -136,3 +136,64 @@ def test_rounding_device_identical_in_duckdb(total_micro, n):
         f"SELECT (2*CAST({total_micro} AS BIGINT) + CAST({100*n} AS BIGINT))"
         f" // CAST({200*n} AS BIGINT)").fetchone()[0]
     assert got == (2 * total_micro + 100 * n) // (200 * n)
+
+
+def test_morton_interleave_is_bijective_and_monotone_per_axis():
+    """Morton code properties (pure-Python twin of the Column expr):
+    interleaving is a bijection on 16-bit pairs (decode inverts), and
+    fixing one axis makes the code strictly monotone in the other."""
+    from hypothesis import given, strategies as st
+
+    def py_morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    def py_demorton(z, bits=16):
+        x = y = 0
+        for i in range(bits):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    @given(st.integers(0, 65535), st.integers(0, 65535))
+    def check(x, y):
+        z = py_morton(x, y)
+        assert py_demorton(z) == (x, y)
+        if x < 65535:
+            assert py_morton(x + 1, y) != z
+
+    check()
+
+
+def test_morton_column_matches_python_twin(spark):
+    """The Spark Column rendering and the SQL rendering must equal the
+    pure-Python interleave on a grid of edge values."""
+    from pyspark.sql import Row, functions as F
+
+    from sunat_rree_demo_spark.operators.layout import morton_code, morton_sql
+
+    def py_morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [0, 1, 2, 3, 255, 256, 32767, 32768, 65534, 65535]
+    rows = [Row(x=x, y=y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows)
+    got_col = {(r["x"], r["y"]): r["z"] for r in
+               df.select("x", "y",
+                         morton_code(F.col("x"), F.col("y")).alias("z"))
+               .collect()}
+    got_sql = {(r["x"], r["y"]): r["z"] for r in
+               df.selectExpr("x", "y", f"({morton_sql('x', 'y')}) AS z")
+               .collect()}
+    for x in vals:
+        for y in vals:
+            want = py_morton(x, y)
+            assert got_col[(x, y)] == want
+            assert got_sql[(x, y)] == want
