@@ -1,0 +1,91 @@
+"""Streaming Python DataSource (trade_ticker): deterministic emission,
+gap-free offsets, and exactly-once checkpoint recovery."""
+
+from __future__ import annotations
+
+import time
+
+from tests.conftest import SF_SMOKE  # noqa: F401  (fixture session)
+
+
+def _drain(spark, query, table, min_rows, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        n = spark.sql(f"SELECT count(*) c FROM {table}").first()["c"]
+        if n >= min_rows:
+            break
+        time.sleep(0.3)
+    query.stop()
+    query.awaitTermination(30)
+
+
+def test_ticker_emits_deterministic_gapless_rows(spark, tmp_path):
+    from sunat_rree_demo_spark.sources.ticker_source import (
+        TradeTickerDataSource,
+        expected_ticks,
+    )
+
+    spark.dataSource.register(TradeTickerDataSource)
+    s = (spark.readStream.format("trade_ticker")
+         .option("rows_per_batch", 40).load())
+    q = (s.writeStream.format("memory").queryName("tick_a")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="0 seconds").start())
+    _drain(spark, q, "tick_a", 120)
+    rows = {r["tick_id"]: (r["flow"], r["category"], r["usd"])
+            for r in spark.table("tick_a").collect()}
+    n = len(rows)
+    assert n >= 120
+    # gap-free: exactly the first n indices, each exactly once
+    assert set(rows) == set(range(n))
+    # content is the pure function of the index
+    assert rows == {i: (f, c, u) for i, f, c, u in expected_ticks(n)}
+
+
+def test_ticker_checkpoint_recovery_is_exactly_once(spark, tmp_path):
+    """Stop mid-stream, restart from the SAME checkpoint into the SAME
+    file sink (the memory sink can't recover; the parquet sink's
+    commit log is the exactly-once boundary): the final output must be
+    gap-free and duplicate-free across both runs — the
+    readBetweenOffsets replay contract end to end."""
+    import time
+
+    from sunat_rree_demo_spark.sources.ticker_source import (
+        TradeTickerDataSource,
+        expected_ticks,
+    )
+
+    spark.dataSource.register(TradeTickerDataSource)
+    ck = str(tmp_path / "ck2")
+    out = str(tmp_path / "out")
+
+    def run(min_rows):
+        s = (spark.readStream.format("trade_ticker")
+             .option("rows_per_batch", 25).load())
+        q = (s.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(processingTime="0 seconds").start())
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= min_rows:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(30)
+        return [r["tick_id"] for r in spark.read.parquet(out).collect()]
+
+    first = run(75)
+    combined = run(len(first) + 25)
+    assert len(combined) > len(first)
+    # exactly-once across the restart: every index once, no gaps
+    assert sorted(combined) == list(range(len(combined)))
+    # and replayed content is bit-identical to the pure function
+    got = {r["tick_id"]: (r["flow"], r["category"], r["usd"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {i: (f, c, u)
+                   for i, f, c, u in expected_ticks(len(combined))}
