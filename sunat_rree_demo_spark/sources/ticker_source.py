@@ -32,27 +32,38 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 TICKER_SCHEMA = StructType([
     StructField("tick_id", LongType()),
+    StructField("ts", TimestampType()),
     StructField("flow", StringType()),
     StructField("category", StringType()),
     StructField("usd", DoubleType()),
 ])
 
+#: event-time epoch: tick i carries ts = _EPOCH + i seconds — a
+#: deterministic clock, so watermarked windows over the stream have a
+#: batch-computable expectation.
+_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
 _CATEGORIES = ("minerals", "agro", "textiles", "chemicals", "machinery")
 
 
-def tick_row(i: int) -> tuple[int, str, str, float]:
+def tick_row(i: int):
     """Deterministic tick for global row index i (pure function of i —
     the replay guarantee). Engine-neutral: sha-256 of the decimal
     index, like the engine's other content hashes."""
+    import datetime
+
     h = hashlib.sha256(f"tick:{i}".encode()).digest()
+    ts = datetime.datetime.fromtimestamp(_EPOCH + i,
+                                         tz=datetime.timezone.utc)
     flow = "export" if h[0] % 2 == 0 else "import"
     cat = _CATEGORIES[h[1] % len(_CATEGORIES)]
     usd = round(int.from_bytes(h[2:6], "big") / 100.0, 2)
-    return (i, flow, cat, usd)
+    return (i, ts, flow, cat, usd)
 
 
 class TickerStreamReader(SimpleDataSourceStreamReader):
@@ -90,7 +101,7 @@ class TradeTickerDataSource(DataSource):
         return TickerStreamReader(self.options)
 
 
-def expected_ticks(n: int) -> list[tuple[int, str, str, float]]:
+def expected_ticks(n: int) -> list:
     """First n rows the source will ever emit (test golden)."""
     return [tick_row(i) for i in range(n)]
 

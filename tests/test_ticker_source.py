@@ -32,14 +32,16 @@ def test_ticker_emits_deterministic_gapless_rows(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(processingTime="0 seconds").start())
     _drain(spark, q, "tick_a", 120)
-    rows = {r["tick_id"]: (r["flow"], r["category"], r["usd"])
+    rows = {r["tick_id"]: (r["ts"], r["flow"], r["category"], r["usd"])
             for r in spark.table("tick_a").collect()}
     n = len(rows)
     assert n >= 120
     # gap-free: exactly the first n indices, each exactly once
     assert set(rows) == set(range(n))
-    # content is the pure function of the index
-    assert rows == {i: (f, c, u) for i, f, c, u in expected_ticks(n)}
+    # content (incl. the deterministic event-time clock) is the pure
+    # function of the index
+    assert rows == {i: (ts.replace(tzinfo=None), f, c, u)
+                    for i, ts, f, c, u in expected_ticks(n)}
 
 
 def test_ticker_checkpoint_recovery_is_exactly_once(spark, tmp_path):
@@ -88,4 +90,50 @@ def test_ticker_checkpoint_recovery_is_exactly_once(spark, tmp_path):
     got = {r["tick_id"]: (r["flow"], r["category"], r["usd"])
            for r in spark.read.parquet(out).collect()}
     assert got == {i: (f, c, u)
-                   for i, f, c, u in expected_ticks(len(combined))}
+                   for i, _ts, f, c, u in expected_ticks(len(combined))}
+
+
+def test_ticker_feeds_watermarked_windows(spark, tmp_path):
+    """The custom stream composes with the built-in watermark/window
+    machinery: a 1-minute tumbling sum over the ticker must equal the
+    batch aggregation of the deterministic rows that were emitted."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.sources.ticker_source import (
+        TradeTickerDataSource,
+    )
+
+    spark.dataSource.register(TradeTickerDataSource)
+    s = (spark.readStream.format("trade_ticker")
+         .option("rows_per_batch", 60).load())
+    agg = (s.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 minute").alias("w"), "flow")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("usd"), 2).alias("usd")))
+    q = (agg.writeStream.format("memory").queryName("tick_w")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckw"))
+         .trigger(processingTime="0 seconds").start())
+    import time
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        n = spark.sql("SELECT coalesce(sum(n), 0) c FROM tick_w").first()["c"]
+        if n >= 120:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    got = {(r["w"]["start"], r["flow"]): (r["n"], r["usd"])
+           for r in spark.table("tick_w").collect()}
+    n_emitted = int(sum(v[0] for v in got.values()))
+    from sunat_rree_demo_spark.sources.ticker_source import expected_ticks
+    rows = expected_ticks(n_emitted)
+    batch = spark.createDataFrame(rows, "tick_id long, ts timestamp, "
+                                        "flow string, category string, "
+                                        "usd double")
+    want = {(r["w"]["start"], r["flow"]): (r["n"], r["usd"])
+            for r in batch.groupBy(F.window("ts", "1 minute").alias("w"),
+                                   "flow")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("usd"), 2).alias("usd")).collect()}
+    assert got == want and got
