@@ -106,6 +106,8 @@ _ROTATE_TO_TAIL = (
     "q89_salted_skew_agg", "q90_grouping_sets", "q91_kmv_distinct",
     # q124 enters; one more defers
     "q92_fuzzy_name_pairs",
+    # q125 enters; one more defers
+    "q93_dormant_high_value",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -291,3 +291,85 @@ def q113_click_attribution_outer(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     return (click_purchase_attribution_outer(e)
             .orderBy("click_id", "purchase_id"))
+
+
+# --------------------------------------------------------------------- q125
+@register(
+    "q125_cohort_ltv",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    fm AS (
+      SELECT user_id, min(date_trunc('month', ts)) AS m0
+      FROM p GROUP BY 1
+    ),
+    sz AS (SELECT m0, CAST(count(*) AS BIGINT) AS n_users FROM fm
+           GROUP BY 1),
+    r AS (
+      SELECT f.m0,
+             CAST((year(ts) * 12 + month(ts))
+                  - (year(f.m0) * 12 + month(f.m0)) AS BIGINT) AS age,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM p JOIN fm f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT m0, age,
+             CAST(sum(cents) OVER (PARTITION BY m0 ORDER BY age
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM r
+    )
+    SELECT strftime(c.m0, '%Y-%m') AS cohort, age, n_users,
+           round(CAST(cum AS DOUBLE) / 100.0, 2) AS cum_revenue,
+           CAST((2 * cum + n_users) // (2 * n_users) AS BIGINT) / 100.0
+             AS ltv_per_user
+    FROM c JOIN sz USING (m0)
+    ORDER BY cohort, age
+    """,
+    tags=("events", "cohort", "ltv"),
+)
+def q125_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: users grouped by first-purchase
+    month, cumulative revenue per cohort at each month age, and LTV
+    per user — the unit-economics report behind every retention deck
+    (q86's counting triangle with money on it).
+
+    Determinism: revenue is integer cents end to end, the cumulative
+    window sums integers in a fixed order, and LTV-per-user is the
+    integer half-up division. Scale shape: first-purchase and per-user
+    revenue share the user_id partitioning; the (cohort, age) frame is
+    calendar²-bounded, so its cumulative window costs nothing at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    p = (ev.filter((F.col("event_type") == "purchase")
+                   & F.col("value").isNotNull())
+         .select("user_id", "ts",
+                 F.round(F.col("value") * 100, 0).cast("bigint")
+                 .alias("cents")))
+    fm = p.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("m0"))
+    sz = fm.groupBy("m0").agg(F.count("*").cast("bigint").alias("n_users"))
+    mon = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    r = (p.join(fm, "user_id")
+         .groupBy("m0", (mon(F.col("ts")) - mon(F.col("m0")))
+                  .cast("bigint").alias("age"))
+         .agg(F.sum("cents").cast("bigint").alias("cents")))
+    cum = (F.sum("cents")
+           .over(Window.partitionBy("m0").orderBy("age")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+           .cast("bigint"))
+    return (
+        r.select("m0", "age", cum.alias("cum"))
+        .join(sz, "m0")
+        .select(F.date_format("m0", "yyyy-MM").alias("cohort"), "age",
+                "n_users",
+                F.round(F.col("cum").cast("double") / 100.0, 2)
+                .alias("cum_revenue"),
+                (F.expr("(2 * cum + n_users) div (2 * n_users)")
+                 .cast("bigint") / 100.0).alias("ltv_per_user"))
+        .orderBy("cohort", "age")
+    )
