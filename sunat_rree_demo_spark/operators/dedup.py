@@ -82,6 +82,38 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return df.join(canon.select(id_col), on=id_col, how="left_semi")
 
 
+#: ASCII whitespace splitter — ONE tokenizer for every Python batch
+#: loop in this module, matching the DuckDB oracle contract exactly:
+#: RE2's ``\s`` is ASCII-only and ``trim()`` strips spaces only, so the
+#: Python side must not strip/split Unicode whitespace (``str.strip()``
+#: + Unicode ``\s`` would shift token boundaries on \xa0 etc.).
+_WS = __import__("re").compile(r"\s+", __import__("re").ASCII)
+
+
+def _py_tokens(txt) -> list[str] | None:
+    """Tokenize one document for the Arrow-batched loops: None/NaN text
+    yields None (the row vanishes, like the Column path's null
+    propagation — NOT the literal token 'None')."""
+    if txt is None or (isinstance(txt, float) and txt != txt):
+        return None
+    return _WS.split(str(txt).strip(" "))
+
+
+def _doc_token_batches(batches, id_col: str, text_col: str, n: int):
+    """Shared frame of the three mapInPandas loops (shingles, MinHash,
+    chunks): yield (pdf, [(id, tokens), ...]) per Arrow batch, skipping
+    docs with fewer than n tokens. Keeping tokenization in ONE place
+    means the operators cannot silently disagree."""
+    for pdf in batches:
+        out = []
+        for i, txt in zip(pdf[id_col], pdf[text_col]):
+            tk = _py_tokens(txt)
+            if tk is None or len(tk) < n:
+                continue
+            out.append((i, tk))
+        yield pdf, out
+
+
 def doc_shingle_arrays(docs: DataFrame, id_col: str, text_col: str,
                        n: int = 5) -> DataFrame:
     """(id, shingles: array<string>) — the distinct word n-gram set per
@@ -95,8 +127,6 @@ def doc_shingle_arrays(docs: DataFrame, id_col: str, text_col: str,
     per-doc shingle-set SIZE available as a zero-shuffle projection
     (``F.size``) — ``ngram_jaccard_pairs`` reads it directly instead of
     re-aggregating exploded rows."""
-    import re
-
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -106,16 +136,11 @@ def doc_shingle_arrays(docs: DataFrame, id_col: str, text_col: str,
     ])
 
     def gen(batches):
-        for pdf in batches:
-            ids: list = []
-            shs: list[list[str]] = []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                tk = re.split(r"\s+", str(txt).strip())
-                if len(tk) < n:
-                    continue
-                ids.append(i)
-                shs.append(sorted({" ".join(tk[j:j + n])
-                                   for j in range(len(tk) - n + 1)}))
+        for _pdf, toks in _doc_token_batches(batches, id_col, text_col, n):
+            ids = [i for i, _ in toks]
+            shs = [sorted({" ".join(tk[j:j + n])
+                           for j in range(len(tk) - n + 1)})
+                   for _, tk in toks]
             yield pd.DataFrame({id_col: ids, "shingles": shs})
 
     return fan_out(docs.select(id_col, text_col)).mapInPandas(
@@ -243,9 +268,11 @@ def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,
     the shinglers (the keep-string-hot-loops-in-mapInPandas rule —
     ≤ len/n chunks per doc, an order lighter than shingling), then ONE
     uniform chunk-key shuffle for the document-frequency aggregate and
-    a doc-grain count."""
-    import re
-
+    a doc-grain count. The exploded chunk rows are lazily
+    localCheckpoint-ed because TWO plan branches consume them (the
+    frequency aggregate and the back-join) — without it the Python
+    chunking pass would run twice per action (the q97 policy; callers
+    that build this plan submit the checkpoint's planning job)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -255,21 +282,17 @@ def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,
     ])
 
     def gen(batches):
-        for pdf in batches:
-            ids: list = []
-            chs: list[list[str]] = []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                tk = re.split(r"\s+", str(txt).strip())
-                if len(tk) < n:
-                    continue
-                ids.append(i)
-                chs.append(sorted({" ".join(tk[j * n:(j + 1) * n])
-                                   for j in range(len(tk) // n)}))
+        for _pdf, toks in _doc_token_batches(batches, id_col, text_col, n):
+            ids = [i for i, _ in toks]
+            chs = [sorted({" ".join(tk[j * n:(j + 1) * n])
+                           for j in range(len(tk) // n)})
+                   for _, tk in toks]
             yield pd.DataFrame({id_col: ids, "chunks": chs})
 
     ch = (fan_out(docs.select(id_col, text_col))
           .mapInPandas(gen, schema=out_schema)
-          .select(F.col(id_col), F.explode("chunks").alias("chunk")))
+          .select(F.col(id_col), F.explode("chunks").alias("chunk"))
+          .localCheckpoint(eager=False))
     cd = ch.groupBy("chunk").agg(F.countDistinct(id_col).alias("_nd"))
     return (
         ch.join(cd, "chunk")
@@ -340,13 +363,10 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
     ])
 
     def gen(batches):
-        for pdf in batches:
+        for _pdf, toks in _doc_token_batches(batches, id_col, text_col, n):
             ids: list = []
             sigs: list = []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                tk = re.split(r"\s+", str(txt).strip())
-                if len(tk) < n:
-                    continue  # same as shingle_rows: short docs vanish
+            for i, tk in toks:
                 sh = {" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)}
                 h = np.fromiter(
                     (int(hashlib.sha256(s.encode()).hexdigest()[:HASH_HEX_LEN], 16)

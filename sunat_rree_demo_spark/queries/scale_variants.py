@@ -349,8 +349,8 @@ _KMV_SET_K = 16
                       THEN CAST(kn AS DOUBLE)
                       ELSE {_KMV_SET_K - 1}.0 * 281474976710656.0 / kmin
                  END, 4) AS est_union,
-           round(CAST(c AS DOUBLE) / kn, 4) AS jaccard_est,
-           round((CAST(c AS DOUBLE) / kn)
+           round(CAST(c AS DOUBLE) / NULLIF(kn, 0), 4) AS jaccard_est,
+           round((CAST(c AS DOUBLE) / NULLIF(kn, 0))
                  * (CASE WHEN kn < {_KMV_SET_K}
                          THEN CAST(kn AS DOUBLE)
                          ELSE {_KMV_SET_K - 1}.0 * 281474976710656.0 / kmin
@@ -412,7 +412,9 @@ def q110_kmv_set_ops(spark, sf_dir):
     # way (kn == k when full)
     est_u = F.when(F.col("kn") < _KMV_SET_K, F.col("kn").cast("double")) \
         .otherwise(F.lit(float(_KMV_SET_K - 1)) * two48 / F.col("kmin"))
-    jacc = F.col("c").cast("double") / F.col("kn")
+    # ANSI guard (kn = 0 only for an empty cohort union)
+    jacc = F.when(F.col("kn") != 0,
+                  F.col("c").cast("double") / F.col("kn"))
     return (
         n_union.join(F.broadcast(n_inter))
         .join(F.broadcast(kth)).join(F.broadcast(inboth))

@@ -162,8 +162,11 @@ def test_morton_interleave_is_bijective_and_monotone_per_axis():
     def check(x, y):
         z = py_morton(x, y)
         assert py_demorton(z) == (x, y)
+        # STRICT per-axis monotonicity, not mere injectivity
         if x < 65535:
-            assert py_morton(x + 1, y) != z
+            assert py_morton(x + 1, y) > z
+        if y < 65535:
+            assert py_morton(x, y + 1) > z
 
     check()
 

@@ -8,15 +8,21 @@ import time
 from tests.conftest import SF_SMOKE  # noqa: F401  (fixture session)
 
 
-def _drain(spark, query, table, min_rows, timeout=60):
+def _drain(spark, query, count_fn, min_rows, timeout=60):
+    """Poll ``count_fn()`` until it reaches ``min_rows`` (or timeout),
+    then stop the query — the one replay-drain loop all three tests
+    share."""
     deadline = time.time() + timeout
     while time.time() < deadline:
-        n = spark.sql(f"SELECT count(*) c FROM {table}").first()["c"]
-        if n >= min_rows:
+        if count_fn() >= min_rows:
             break
         time.sleep(0.3)
     query.stop()
     query.awaitTermination(30)
+
+
+def _table_count(spark, table):
+    return lambda: spark.sql(f"SELECT count(*) c FROM {table}").first()["c"]
 
 
 def test_ticker_emits_deterministic_gapless_rows(spark, tmp_path):
@@ -31,12 +37,16 @@ def test_ticker_emits_deterministic_gapless_rows(spark, tmp_path):
     q = (s.writeStream.format("memory").queryName("tick_a")
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(processingTime="0 seconds").start())
-    _drain(spark, q, "tick_a", 120)
+    _drain(spark, q, _table_count(spark, "tick_a"), 120)
+    collected = spark.table("tick_a").collect()
     rows = {r["tick_id"]: (r["ts"], r["flow"], r["category"], r["usd"])
-            for r in spark.table("tick_a").collect()}
+            for r in collected}
     n = len(rows)
     assert n >= 120
-    # gap-free: exactly the first n indices, each exactly once
+    # each index exactly once: the physical row count must equal the
+    # distinct-id count (a dict alone would silently collapse dups)
+    assert len(collected) == n
+    # gap-free: exactly the first n indices
     assert set(rows) == set(range(n))
     # content (incl. the deterministic event-time clock) is the pure
     # function of the index
@@ -68,17 +78,14 @@ def test_ticker_checkpoint_recovery_is_exactly_once(spark, tmp_path):
              .option("path", out)
              .option("checkpointLocation", ck)
              .trigger(processingTime="0 seconds").start())
-        deadline = time.time() + 60
-        while time.time() < deadline:
+
+        def count():
             try:
-                n = spark.read.parquet(out).count()
+                return spark.read.parquet(out).count()
             except Exception:
-                n = 0
-            if n >= min_rows:
-                break
-            time.sleep(0.3)
-        q.stop()
-        q.awaitTermination(30)
+                return 0
+
+        _drain(spark, q, count, min_rows)
         return [r["tick_id"] for r in spark.read.parquet(out).collect()]
 
     first = run(75)
@@ -114,15 +121,9 @@ def test_ticker_feeds_watermarked_windows(spark, tmp_path):
          .outputMode("complete")
          .option("checkpointLocation", str(tmp_path / "ckw"))
          .trigger(processingTime="0 seconds").start())
-    import time
-    deadline = time.time() + 60
-    while time.time() < deadline:
-        n = spark.sql("SELECT coalesce(sum(n), 0) c FROM tick_w").first()["c"]
-        if n >= 120:
-            break
-        time.sleep(0.3)
-    q.stop()
-    q.awaitTermination(30)
+    _drain(spark, q,
+           lambda: spark.sql("SELECT coalesce(sum(n), 0) c FROM tick_w")
+           .first()["c"], 120)
     got = {(r["w"]["start"], r["flow"]): (r["n"], r["usd"])
            for r in spark.table("tick_w").collect()}
     n_emitted = int(sum(v[0] for v in got.values()))
