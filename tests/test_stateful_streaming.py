@@ -251,3 +251,87 @@ def test_heavy_hitters_misra_gries_guarantees(spark, tmp_path):
             true_c = truth[(et, uid)]
             assert est <= true_c <= est + bound, (et, uid, est, true_c)
             assert n_tot == n_per_type[et]
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-category running totals
+    over the deterministic ticker stream must converge to the batch
+    aggregation of exactly the rows that were emitted (exact integer
+    cents under any micro-batch split). Requires the RocksDB state
+    store; conf is set for the query and restored after.
+
+    Environment gate: transformWithState's driver-side runner imports
+    google.protobuf (Spark Connect wire format); this container ships
+    without it, so the test SKIPS there — the operator is the real
+    API usage either way (same policy as the codec-gated multimodal
+    paths)."""
+    import time
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState's "
+                    "streaming runner cannot start in this container")
+
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.sources.ticker_source import (
+        TradeTickerDataSource,
+        expected_ticks,
+    )
+    from sunat_rree_demo_spark.streaming.stateful import (
+        category_running_totals,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        spark.dataSource.register(TradeTickerDataSource)
+        s = (spark.readStream.format("trade_ticker")
+             .option("rows_per_batch", 50).load())
+        out = category_running_totals(s)
+        q = (out.writeStream.format("memory").queryName("tws_totals")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(processingTime="0 seconds").start())
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = (spark.sql("SELECT coalesce(sum(n_ticks), 0) c FROM "
+                           "(SELECT max_by(n_ticks, n_ticks) AS n_ticks "
+                           " FROM tws_totals GROUP BY category)")
+                 .first()["c"])
+            if n >= 150:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+        # update mode emits one row per (category, batch); the LAST row
+        # per category is the running state — max n_ticks wins
+        final = {r["category"]: (r["n_ticks"], r["total_usd"])
+                 for r in spark.sql(
+                     "SELECT category, max_by(n_ticks, n_ticks) AS n_ticks,"
+                     " max_by(total_usd, n_ticks) AS total_usd"
+                     " FROM tws_totals GROUP BY category").collect()}
+        n_emitted = int(sum(v[0] for v in final.values()))
+        rows = expected_ticks(n_emitted)
+        batch = spark.createDataFrame(
+            rows, "tick_id long, ts timestamp, flow string, "
+                  "category string, usd double")
+        want = {r["category"]: (r["n"], r["usd"]) for r in
+                batch.groupBy("category")
+                .agg(F.count("*").alias("n"),
+                     (F.sum(F.round(F.col("usd") * 100, 0).cast("bigint"))
+                      .cast("double") / 100.0).alias("usd")).collect()}
+        assert final == want and final
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
