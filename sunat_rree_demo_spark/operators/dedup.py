@@ -26,7 +26,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from sunat_rree_demo_spark.operators.skew import fan_out
 from sunat_rree_demo_spark.operators.text import tokens as tokenize
@@ -267,12 +267,14 @@ def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,
     Scale shape: chunking runs in the same Arrow-batched Python pass as
     the shinglers (the keep-string-hot-loops-in-mapInPandas rule —
     ≤ len/n chunks per doc, an order lighter than shingling), then ONE
-    uniform chunk-key shuffle for the document-frequency aggregate and
-    a doc-grain count. The exploded chunk rows are lazily
-    localCheckpoint-ed because TWO plan branches consume them (the
-    frequency aggregate and the back-join) — without it the Python
-    chunking pass would run twice per action (the q97 policy; callers
-    that build this plan submit the checkpoint's planning job)."""
+    uniform chunk-key shuffle where a ``count() OVER (PARTITION BY
+    chunk)`` window computes each chunk's document frequency IN PLACE
+    (per-doc chunks are distinct by construction, so the plain row
+    count equals the distinct-doc count), and a doc-grain aggregate
+    finishes. The window replaces the r3 aggregate + self-join pair:
+    one linear plan, the Python pass consumed exactly once per action —
+    no localCheckpoint, no second shuffle of chunk strings, and the
+    builder is pure again (memoizable)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -291,11 +293,10 @@ def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,
 
     ch = (fan_out(docs.select(id_col, text_col))
           .mapInPandas(gen, schema=out_schema)
-          .select(F.col(id_col), F.explode("chunks").alias("chunk"))
-          .localCheckpoint(eager=False))
-    cd = ch.groupBy("chunk").agg(F.countDistinct(id_col).alias("_nd"))
+          .select(F.col(id_col), F.explode("chunks").alias("chunk")))
+    nd = F.count("*").over(Window.partitionBy("chunk"))
     return (
-        ch.join(cd, "chunk")
+        ch.withColumn("_nd", nd)
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_chunks"),
              F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))

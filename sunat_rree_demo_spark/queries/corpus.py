@@ -26,7 +26,6 @@ BM25_TERMS = ("spark", "dup", "stream")
 # ---------------------------------------------------------------------- q96
 @register(
     "q96_chunk_dedup",
-    memoize=False,  # builder localCheckpoints the exploded chunk rows
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk

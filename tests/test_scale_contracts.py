@@ -161,9 +161,6 @@ _EAGER_BUILDERS = {
     # call itself submits a planning job
     "q69_ann_recall", "q71_verified_near_dups",
     "q97_prefix_filter_pairs",
-    # q96 checkpoints the exploded chunk rows (two consumers: the
-    # frequency aggregate and the back-join)
-    "q96_chunk_dedup",
     # SemDeDup trains its coarse quantizer on a bounded driver-side
     # sample at build time (same shape as q54's iters=0 centroids)
     "q75_semantic_dedup",
