@@ -308,6 +308,81 @@ def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def chunk_dedup_rewrite(docs: DataFrame, id_col: str, text_col: str,
+                        n: int = 8) -> DataFrame:
+    """Exact substring-chunk dedup as a corpus REWRITE (Lee et al. 2021
+    applied, not just measured — the companion of ``chunk_dup_stats``):
+    cut each doc into non-overlapping n-token chunks, keep only each
+    distinct chunk's FIRST occurrence corpus-wide (global keep-first by
+    (doc id, chunk position) — removes both cross-doc boilerplate and
+    within-doc repetition under one rule), and reassemble every doc's
+    text from its surviving chunks plus the always-kept <n-token tail.
+
+    Returns (id, n_chunks, n_removed, new_text) for EVERY input doc —
+    short docs (< n tokens) pass through with 0 chunks.
+
+    Scale shape: positional chunk rows come from the same Arrow-batched
+    Python pass as the other chunkers; first-occurrence election is ONE
+    row_number window over the uniform chunk key (the same shuffle
+    chunk_dup_stats pays); reassembly is a doc-grain aggregate whose
+    per-doc state is the doc's own chunk list — never corpus-sized.
+    The tail is a zero-shuffle JVM projection on the base table."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("j", T.LongType()),
+        T.StructField("chunk", T.StringType()),
+    ])
+
+    def gen(batches):
+        for _pdf, toks in _doc_token_batches(batches, id_col, text_col, n):
+            ids, js, chs = [], [], []
+            for i, tk in toks:
+                for j in range(len(tk) // n):
+                    ids.append(i)
+                    js.append(j)
+                    chs.append(" ".join(tk[j * n:(j + 1) * n]))
+            yield pd.DataFrame({id_col: ids, "j": js, "chunk": chs})
+
+    ch = (fan_out(docs.select(id_col, text_col))
+          .mapInPandas(gen, schema=out_schema))
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy(id_col, "j"))
+    per_doc = (
+        ch.withColumn("_rn", rn)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_chunks"),
+             F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0))
+             .cast("bigint").alias("n_removed"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("_rn") == 1,
+                                F.struct(F.col("j"), F.col("chunk"))))),
+                     lambda s: s["chunk"]),
+                 " ").alias("_kept"))
+    )
+    tok = tokenize(F.col(text_col))
+    n_tail = F.size(tok) % n
+    base = docs.select(
+        F.col(id_col),
+        F.when(n_tail > 0,
+               F.array_join(F.slice(tok, (F.size(tok) / n).cast("int") * n + 1,
+                                    n - 1), " ")).alias("_tail"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+                F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                F.concat_ws(
+                    " ",
+                    F.when(F.col("_kept") != "", F.col("_kept")),
+                    F.col("_tail")).alias("new_text"))
+    )
+
+
 def contamination_overlap(corpus: DataFrame, probe: DataFrame,
                           id_col: str, text_col: str, n: int = 8,
                           min_overlap: int = 1) -> DataFrame:

@@ -564,3 +564,67 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int,
     )
 
     return _score_candidates(cand, k)
+
+
+def hard_negative_topk(emb: DataFrame, queries: DataFrame, k: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining (contrastive-training data prep, e.g. DPR /
+    Contriever recipes): per query, the exact top-k most cosine-similar
+    corpus vectors whose ``label_col`` DIFFERS from the query's — the
+    confusable negatives that make contrastive batches informative.
+
+    Same 100 TB shape as :func:`brute_force_topk` — the small query
+    batch rides the task closure (ids + matrix + labels), each corpus
+    Arrow batch is one BLAS matmul, and a per-batch label mask + top-k
+    prune bounds task output at k·Q rows; a final window rank merges
+    batch winners. The label filter happens INSIDE the batch, before
+    pruning, so negatives beyond rank k of the unfiltered ranking are
+    still found (a post-filter of plain top-k would lose them)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col, label_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    q_mat = np.array([r[1] for r in q_rows], dtype="float64")
+    q_labels = np.array([r[2] for r in q_rows], dtype="int64")
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_norms[q_norms == 0] = 1.0
+    qn = (q_mat / q_norms[:, None]).T
+
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            n_ids = pdf[id_col].to_numpy(dtype="int64")
+            n_labels = pdf[label_col].to_numpy(dtype="int64")
+            mat = np.array(list(pdf[vec_col]), dtype="float64")
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0] = 1.0
+            scores = np.round((mat / norms[:, None]) @ qn, COS_DECIMALS)
+            frames = []
+            for qi in range(len(q_ids)):
+                col = scores[:, qi]
+                mask = n_labels != q_labels[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                order = np.lexsort((n_ids[cand_idx], -col[cand_idx]))[:k]
+                keep = cand_idx[order]
+                frames.append(pd.DataFrame({
+                    "q_id": q_ids[qi], "n_id": n_ids[keep], "cos": col[keep]}))
+            if frames:
+                yield pd.concat(frames)
+
+    scored = fan_out(emb.select(id_col, vec_col, label_col)).mapInPandas(
+        score, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

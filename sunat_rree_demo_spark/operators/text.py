@@ -357,3 +357,73 @@ def fingerprint(text: Column) -> Column:
     addressed identity; the hash both engines share — see also the
     rolling/simhash fingerprints in operators.dedup for near-dup use)."""
     return F.sha2(normalize_text(text), 256)
+
+
+def bpe_merge_rounds(docs, id_col: str, text_col: str,
+                     rounds: int = 3):
+    """Distributed BPE merge mining (Sennrich et al. 2016, 'Neural
+    Machine Translation of Rare Words with Subword Units'): run the
+    first ``rounds`` byte-pair-encoding training steps over the corpus
+    and emit one row per learned merge — (merge_round, left_sym,
+    right_sym, merged, pair_count). Each round counts adjacent symbol
+    pairs across the word vocabulary (weighted by word frequency),
+    picks the most frequent pair with a (count DESC, left, right)
+    total-order tiebreak, and merges every occurrence of that pair —
+    leftmost-first within a word, the textbook BPE semantics.
+
+    Representation trick shared verbatim with the SQL oracle: a word's
+    symbol sequence is one string with TWO spaces between symbols and
+    two at each boundary (``'  a  b  c  '``). A merge is then plain
+    non-regex ``replace(s, ' L  R ', ' LR ')``: each match consumes one
+    space from either side of the pair, leaving single spaces that
+    keep neighbouring candidates intact, while the shared middle spaces
+    make overlapping occurrences (``a a a`` under merge ``a+a``)
+    resolve leftmost-first in both engines — no lookarounds, so the
+    same semantics hold for Java regex-free replace and DuckDB.
+
+    Scale shape: the corpus reduces ONCE to the word-frequency
+    vocabulary (one uniform-key shuffle on the word, map-side
+    combined); every round then operates at VOCAB grain — a pair-count
+    shuffle over distinct symbol pairs plus a 1-row TakeOrdered for the
+    argmax, broadcast back onto the vocab for the merge. Corpus size
+    only enters the first aggregate; rounds cost O(|vocab|) each. The
+    whole plan is lazily composed — no driver-side collect between
+    rounds."""
+    sep = "  "
+    words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").cast("bigint").alias("c")))
+    rep = words.select(
+        F.concat(F.lit(sep), F.regexp_replace(F.col("w"), "(.)", f"$1{sep}"))
+        .alias("s"),
+        "c")
+
+    out = None
+    for r in range(1, rounds + 1):
+        sym = F.split(F.trim(F.col("s")), sep)
+        adj = F.transform(
+            F.sequence(F.lit(1), F.size(sym) - 1),
+            lambda i: F.struct(F.element_at(sym, i).alias("l"),
+                               F.element_at(sym, i + 1).alias("r")))
+        pairs = rep.select(
+            F.explode(F.when(F.size(sym) >= 2, adj)
+                      .otherwise(F.array().cast(
+                          "array<struct<l:string,r:string>>"))).alias("p"),
+            "c")
+        pc = (pairs.groupBy("p.l", "p.r")
+              .agg(F.sum("c").cast("bigint").alias("n")))
+        top = pc.orderBy(F.desc("n"), "l", "r").limit(1)
+        row = top.select(
+            F.lit(r).cast("bigint").alias("merge_round"),
+            F.col("l").alias("left_sym"), F.col("r").alias("right_sym"),
+            F.concat("l", "r").alias("merged"),
+            F.col("n").alias("pair_count"))
+        out = row if out is None else out.unionAll(row)
+        rep = rep.crossJoin(F.broadcast(top)).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("l"), F.lit(sep), F.col("r"),
+                         F.lit(" ")),
+                F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")))
+            .alias("s"),
+            "c")
+    return out.orderBy("merge_round")

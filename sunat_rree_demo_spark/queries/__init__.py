@@ -30,6 +30,8 @@ from sunat_rree_demo_spark.queries import incremental  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import layout  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import mining  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import dq  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import tokenizer  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import retrieval  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
@@ -108,6 +110,11 @@ _ROTATE_TO_TAIL = (
     "q92_fuzzy_name_pairs",
     # q125 enters; one more defers
     "q93_dormant_high_value",
+    # q126/q128/q129/q130 (late round-4 session: BPE merges, retrieval
+    # eval, inverted index, hard negatives) enter; four SQL-twin shapes
+    # whose local gate mirrors the driver exactly defer to r5
+    "q103_snapshot_diff", "q105_incremental_agg", "q107_zorder_stats",
+    "q114_token_entropy", "q104_trade_pagerank", "q115_copurchase_pairs",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

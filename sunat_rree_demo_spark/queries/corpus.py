@@ -287,3 +287,63 @@ def q108_pmi_collocations(spark, sf_dir):
         .select("w1", "w2", "n",
                 (F.col("_pmi_u") / 1000000.0).alias("pmi"))
     )
+
+
+# --------------------------------------------------------------------- q127
+@register(
+    "q127_chunk_dedup_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i AS j,
+             array_to_string(tk[{CHUNK_N}*i+1 : {CHUNK_N}*i+{CHUNK_N}], ' ')
+               AS chunk
+      FROM toks, unnest(range(0, len(tk) // {CHUNK_N})) AS u(i)
+    ),
+    keep AS (
+      SELECT doc_id, j, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, j) AS rn
+      FROM ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY j)
+               AS kept
+      FROM keep GROUP BY 1
+    ),
+    tails AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) % {CHUNK_N} > 0 THEN
+               array_to_string(tk[(len(tk) // {CHUNK_N}) * {CHUNK_N} + 1
+                                  : len(tk)], ' ')
+             END AS tail
+      FROM toks
+    )
+    SELECT t.doc_id,
+           coalesce(a.n_chunks, 0) AS n_chunks,
+           coalesce(a.n_removed, 0) AS n_removed,
+           concat_ws(' ', CASE WHEN a.kept <> '' THEN a.kept END, t.tail)
+             AS new_text
+    FROM tails t LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "substring", "rewrite"),
+)
+def q127_chunk_dedup_rewrite(spark, sf_dir):
+    """Exact substring-chunk dedup APPLIED (Lee et al. 2021): keep each
+    distinct 8-token chunk's first corpus-wide occurrence (by doc id,
+    then position), drop every other occurrence, and emit each doc's
+    rewritten text — the corpus a substring-level dedup pass actually
+    ships, where q96 only measures the duplication. The oracle rebuilds
+    the same keep-first election and ordered reassembly in SQL, so the
+    rewritten strings themselves are hash-checked."""
+    from sunat_rree_demo_spark.operators.dedup import chunk_dedup_rewrite
+
+    d = t(spark, sf_dir, "documents")
+    return chunk_dedup_rewrite(d, "doc_id", "text", CHUNK_N).orderBy("doc_id")

@@ -663,3 +663,56 @@ def q123_supplier_diversity(spark, sf_dir):
         .orderBy(F.desc("n_suppliers"), "p_brand", "p_size")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------- q131
+@register(
+    "q131_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT p_brand, p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             p_size
+      FROM part
+    )
+    SELECT p_brand, p_partkey, price_c, p_size
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p_brand = a.p_brand
+        AND b.price_c <= a.price_c AND b.p_size >= a.p_size
+        AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+    ORDER BY p_brand, p_partkey
+    """,
+    tags=("analytics", "skyline"),
+)
+def q131_pareto_frontier(spark, sf_dir):
+    """Per-brand Pareto frontier (skyline) of parts on (price low, size
+    high): a part survives iff no same-brand part is at least as cheap
+    AND at least as large with one strict. The oracle is the textbook
+    quadratic NOT-EXISTS; the engine plans the O(n log n) sweep
+    instead — sort each brand by price and take two window maxima
+    (max size over strictly-cheaper rows via a RANGE frame ending at
+    1 PRECEDING, and max size within the same price tick), so dominance
+    is a per-row comparison, not a self-join. One shuffle on the brand
+    partition key; brands sweep in parallel; no O(n²) anywhere.
+    Prices quantize to integer cents before comparison on both sides."""
+    from pyspark.sql import Window
+
+    p = t(spark, sf_dir, "part")
+    pts = p.select(
+        "p_brand", "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+        .alias("price_c"),
+        "p_size")
+    w_cheaper = (Window.partitionBy("p_brand").orderBy("price_c")
+                 .rangeBetween(Window.unboundedPreceding, -1))
+    w_same = Window.partitionBy("p_brand", "price_c")
+    dominated = ((F.max("p_size").over(w_cheaper) >= F.col("p_size"))
+                 | (F.max("p_size").over(w_same) > F.col("p_size")))
+    return (
+        pts.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
+        .filter(~F.col("_dom"))
+        .drop("_dom")
+        .orderBy("p_brand", "p_partkey")
+    )

@@ -167,6 +167,10 @@ _EAGER_BUILDERS = {
     # triangle census checkpoints the near-dup pair list (three join
     # branches + degree agg read it — same policy as q40)
     "q82_near_dup_triangles",
+    # r4 late session: retrieval eval and hard-negative mining fetch the
+    # same bounded 8-row query batch as q43 (plan parameters, not
+    # corpus work)
+    "q128_retrieval_eval", "q130_hard_negatives",
 }
 
 
