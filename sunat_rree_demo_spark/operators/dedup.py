@@ -227,8 +227,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
             # dropped shingles leave BOTH the intersections and the
             # sizes: recount per doc over the filtered rows
             sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
-    grp = sh.groupBy("_sh").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids"))
+    grp = (sh.groupBy("_sh")
+           .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+           # singleton shingles (the vast majority in a mostly-unique
+           # corpus) emit no pairs — drop them BEFORE the interpreted
+           # combination HOF ever sees them
+           .filter(F.size("ids") >= 2))
     # sorted-id combinations per shingle group: ids is ascending, so
     # (ids[i], ids[j>i]) gives id1 < id2 without a filter; interpreted
     # HOF, but bounded by the df cutoff (≤ f(f−1)/2 structs per row)
