@@ -427,3 +427,87 @@ def bpe_merge_rounds(docs, id_col: str, text_col: str,
             .alias("s"),
             "c")
     return out.orderBy("merge_round")
+
+
+def bigram_surprisal(df, id_col: str, text_col: str):
+    """Mean ADD-ONE-smoothed bigram surprisal per document against the
+    corpus's own bigram LM — one LM order up from
+    :func:`unigram_surprisal`, the interpolation step toward the
+    KenLM-style perplexity filters CCNet used (Wenzek et al. 2020):
+    -log2 P(w2|w1) with P = (c(w1,w2)+1) / (c(w1)+V).
+
+    Per-bigram surprisal quantizes to integer micro-bits BEFORE the
+    per-doc sum (the q74 discipline) and the per-doc mean is the
+    half-up integer device, so the 4dp result is addend-order-free.
+
+    Scale shape: bigram extraction is the q108 JVM array trick (no
+    Python); the bigram-count model is one (w1,w2)-grain shuffle with
+    map-side combine, joined back to the SAME exploded rows; unigram
+    counts join on w1 (vocabulary-grain, AQE broadcasts when small);
+    the vocabulary size rides a broadcast 1-row frame. Docs with < 2
+    tokens surface with n_bigrams = 0, surprisal 0."""
+    tok = tokens(F.col(text_col))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.struct(F.element_at(tok, i).alias("w1"),
+                           F.element_at(tok, i + 1).alias("w2")))
+    bg = (df.select(F.col(id_col),
+                    F.explode(F.when(F.size(tok) >= 2, bigrams)
+                              .otherwise(F.array().cast(
+                                  "array<struct<w1:string,w2:string>>")))
+                    .alias("b"))
+          .select(id_col, "b.w1", "b.w2"))
+    uc = (df.select(F.explode(tok).alias("w1"))
+          .groupBy("w1").agg(F.count("*").cast("bigint").alias("_c1")))
+    vs = uc.agg(F.count("*").cast("bigint").alias("_v"))
+    bc = (bg.groupBy("w1", "w2")
+          .agg(F.count("*").cast("bigint").alias("_cb")))
+    ub = F.round(
+        F.log2((F.col("_c1") + F.col("_v")).cast("double")
+               / (F.col("_cb") + 1)) * 1000000.0, 0).cast("bigint")
+    sc = (bg.join(bc, ["w1", "w2"])
+          .join(uc, "w1")
+          .join(F.broadcast(vs))
+          .select(id_col, ub.alias("_ubits"))
+          .groupBy(id_col)
+          .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+               F.sum("_ubits").alias("_ub")))
+    return (
+        df.select(id_col).join(sc, id_col, "left")
+        .select(id_col,
+                F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                .alias("n_bigrams"),
+                F.when(F.col("n_bigrams").isNotNull(),
+                       F.expr("(2 * _ub + 100 * n_bigrams)"
+                              " div (200 * n_bigrams)")
+                       .cast("double") / 10000.0)
+                .otherwise(0.0).alias("avg_surprisal"))
+    )
+
+
+def oov_stats(df, id_col: str, text_col: str, vocab_size: int = 100):
+    """Vocabulary-coverage / OOV profile per document: token count,
+    tokens outside the corpus's own top-``vocab_size`` vocabulary
+    (count DESC, token ASC tiebreak), and the half-up 4dp OOV rate —
+    the tokenizer-coverage check run before committing a vocab.
+
+    Scale shape: one token-grain shuffle for corpus counts; the
+    vocabulary is a bounded TakeOrdered result joined BROADCAST onto
+    the exploded token rows (corpus never reshuffles); one doc-grain
+    aggregate finishes."""
+    tk = df.select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("_tok"))
+    uc = tk.groupBy("_tok").agg(F.count("*").alias("_c"))
+    vocab = (uc.orderBy(F.desc("_c"), "_tok").limit(vocab_size)
+             .select("_tok", F.lit(True).alias("_in_v")))
+    return (
+        tk.join(F.broadcast(vocab), "_tok", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_oov"))
+        .select(id_col, "n_tokens", "n_oov",
+                (F.expr("(2 * 10000 * n_oov + n_tokens)"
+                        " div (2 * n_tokens)")
+                 .cast("double") / 10000.0).alias("oov_rate"))
+    )

@@ -115,6 +115,9 @@ _ROTATE_TO_TAIL = (
     # whose local gate mirrors the driver exactly defer to r5
     "q103_snapshot_diff", "q105_incremental_agg", "q107_zorder_stats",
     "q114_token_entropy", "q104_trade_pagerank", "q115_copurchase_pairs",
+    # q132/q133 (bigram surprisal, vocab coverage) enter; two more
+    # session-3 SQL-twin shapes defer to r5
+    "q116_dq_report", "q117_chi2_independence",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

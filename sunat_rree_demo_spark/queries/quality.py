@@ -304,3 +304,85 @@ def q84_priority_sample(spark, sf_dir):
         .orderBy("priority", "doc_id")
         .limit(50)
     )
+
+
+#: q133 vocabulary size.
+VOCAB_V = 100
+
+
+# --------------------------------------------------------------------- q132
+@register(
+    "q132_bigram_surprisal",
+    oracle=f"""
+    WITH tt AS (SELECT doc_id, {_L} AS l FROM documents),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(l) AS tok FROM tt) GROUP BY 1),
+    vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+    bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+           FROM tt, unnest(range(1, len(l))) AS u(i)),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+           FROM bg GROUP BY 1, 2),
+    sc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS nb,
+             sum(CAST(round(log2(CAST(c1.c + vs.v AS DOUBLE) / (bc.cb + 1))
+                            * 1000000, 0) AS BIGINT)) AS ub
+      FROM bg JOIN bc USING (w1, w2) JOIN uc c1 ON bg.w1 = c1.tok, vs
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(sc.nb, 0) AS n_bigrams,
+           CASE WHEN sc.nb IS NOT NULL THEN
+             CAST((2 * ub + 100 * nb) // (200 * nb) AS DOUBLE) / 10000.0
+           ELSE 0.0 END AS avg_surprisal
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("quality", "lm-score", "bigram"),
+)
+def q132_bigram_surprisal(spark, sf_dir):
+    """Mean add-one-smoothed bigram surprisal per doc against the
+    corpus's own bigram LM — the next LM order up from q74's unigram
+    proxy and the shape of the KenLM perplexity filters CCNet used for
+    quality-based selection. Micro-bit integer quantization before the
+    per-doc sum keeps both engines bit-identical at 4dp (see
+    operators.text.bigram_surprisal)."""
+    from sunat_rree_demo_spark.operators.text import bigram_surprisal
+
+    d = t(spark, sf_dir, "documents")
+    return bigram_surprisal(d, "doc_id", "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- q133
+@register(
+    "q133_vocab_coverage",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_L}) AS tok FROM documents),
+    uc AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+    vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT {VOCAB_V}),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tk LEFT JOIN vocab v USING (tok)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           CAST((2 * 10000 * n_oov + n_tokens) // (2 * n_tokens) AS DOUBLE)
+             / 10000.0 AS oov_rate
+    FROM per ORDER BY doc_id
+    """,
+    tags=("quality", "vocab", "oov"),
+)
+def q133_vocab_coverage(spark, sf_dir):
+    """Per-doc OOV rate against the corpus's own top-100 vocabulary
+    (count DESC, token ASC tiebreak) — the tokenizer-coverage audit run
+    before committing a vocab (high OOV docs are either noise or
+    domains the vocab underserves). The rate is the half-up integer
+    device at 4dp; the vocabulary is a bounded TakeOrdered broadcast,
+    so the corpus shuffles only for its own token counts."""
+    from sunat_rree_demo_spark.operators.text import oov_stats
+
+    d = t(spark, sf_dir, "documents")
+    return oov_stats(d, "doc_id", "text", VOCAB_V).orderBy("doc_id")

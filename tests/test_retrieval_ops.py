@@ -131,3 +131,32 @@ def test_pareto_window_plan_matches_bruteforce(spark):
                   if not any(dominates(o, (k, c, s))
                              for o in pts if o[0] != k))
     assert got == want
+
+
+# ---------------------------------------------------- LM surprisal / OOV
+def test_bigram_surprisal_short_docs_zero(spark):
+    """Docs with < 2 tokens surface with n_bigrams=0 and surprisal 0;
+    a repeated bigram is LESS surprising than a unique one."""
+    from sunat_rree_demo_spark.operators.text import bigram_surprisal
+
+    rows = [(1, "x"), (2, "a b a b a b"), (3, "q r")]
+    out = {r["doc_id"]: r for r in
+           bigram_surprisal(_docs(spark, rows), "doc_id", "text").collect()}
+    assert (out[1]["n_bigrams"], out[1]["avg_surprisal"]) == (0, 0.0)
+    assert out[2]["n_bigrams"] == 5
+    assert out[3]["n_bigrams"] == 1
+    # 'a b' occurs 3x, 'q r' once -> doc 2's mean surprisal is lower
+    assert out[2]["avg_surprisal"] < out[3]["avg_surprisal"]
+
+
+def test_oov_rate_against_tiny_vocab(spark):
+    from sunat_rree_demo_spark.operators.text import oov_stats
+
+    # vocab_size=2 -> vocab = {'a', 'b'} (counts 3/3 vs z's 2)
+    rows = [(1, "a a a b z"), (2, "b b z")]
+    out = {r["doc_id"]: r for r in
+           oov_stats(_docs(spark, rows), "doc_id", "text", 2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (5, 1)
+    assert out[1]["oov_rate"] == 0.2
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (3, 1)
+    assert out[2]["oov_rate"] == 0.3333
