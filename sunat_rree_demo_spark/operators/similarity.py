@@ -628,3 +628,65 @@ def hard_negative_topk(emb: DataFrame, queries: DataFrame, k: int,
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_encode(emb: DataFrame, n_centroids: int = 8, m_subspaces: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011, 'Product
+    Quantization for Nearest Neighbor Search'): split each vector into
+    ``m_subspaces`` contiguous sub-vectors and snap each to the nearest
+    of ``n_centroids`` codebook entries — emitting the per-subspace
+    codes plus the total reconstruction error. The memory-compression
+    step under IVF-PQ indexes (q54's IVF is the coarse half; this is
+    the fine half).
+
+    The codebook is DETERMINISTIC, the q54/q75 iters=0 device: the
+    sub-vectors of the first ``n_centroids`` corpus vectors (by id), so
+    the SQL oracle re-derives it exactly. Sub-distances quantize to
+    integer micro-units before the argmin, with the centroid index as
+    tiebreak, so code assignment is total-ordered on both engines.
+
+    Scale shape: the codebook (k·m sub-vectors) rides the task closure;
+    encoding is ONE corpus pass — one numpy broadcast-subtract matmul
+    batch per Arrow batch, zero shuffles, output one row per vector.
+    Exactly the shape a 100 TB PQ index build wants (codebook training
+    would sample; assignment is embarrassingly parallel)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = (emb.filter(F.col(id_col) < n_centroids).orderBy(id_col)
+            .select(vec_col).collect())
+    cent = np.array([r[0] for r in rows], dtype="float64")  # K × dim
+    k, dim = cent.shape
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces}")
+    sub = dim // m_subspaces
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(f"code_{m}", T.LongType())
+           for m in range(m_subspaces)]
+        + [T.StructField("err_micro", T.LongType()),
+           T.StructField("err", T.DoubleType())])
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.array(list(pdf[vec_col]), dtype="float64")
+            total_u = np.zeros(len(ids), dtype="int64")
+            out = {id_col: ids}
+            for m in range(m_subspaces):
+                a = mat[:, m * sub:(m + 1) * sub]
+                c = cent[:, m * sub:(m + 1) * sub]
+                d2 = ((a[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                d2u = np.round(d2 * 1e6).astype("int64")
+                code = np.argmin(d2u, axis=1)  # ties → lowest index
+                out[f"code_{m}"] = code.astype("int64")
+                total_u += d2u[np.arange(len(ids)), code]
+            out["err_micro"] = total_u
+            out["err"] = total_u / 1e6
+            yield pd.DataFrame(out)
+
+    return fan_out(emb.select(id_col, vec_col)).mapInPandas(
+        enc, schema=out_schema)

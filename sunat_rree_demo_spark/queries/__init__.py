@@ -32,6 +32,7 @@ from sunat_rree_demo_spark.queries import mining  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import dq  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import tokenizer  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import retrieval  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import sketches  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
@@ -118,6 +119,10 @@ _ROTATE_TO_TAIL = (
     # q132/q133 (bigram surprisal, vocab coverage) enter; two more
     # session-3 SQL-twin shapes defer to r5
     "q116_dq_report", "q117_chi2_independence",
+    # q134-q136 (PQ encode, count-min sketch, event paths) enter; three
+    # more session-3 SQL-twin marts defer to r5
+    "q118_shipping_priority", "q119_returned_item_losses",
+    "q120_large_volume_customers",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -373,3 +373,60 @@ def q125_cohort_ltv(spark, sf_dir):
                  .cast("bigint") / 100.0).alias("ltv_per_user"))
         .orderBy("cohort", "age")
     )
+
+
+#: q136 path prefix length and result size.
+PATH_LEN = 5
+TOP_PATHS = 10
+
+
+# --------------------------------------------------------------------- q136
+@register(
+    "q136_top_event_paths",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {PATH_LEN} GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY 1
+    ORDER BY n_users DESC, path LIMIT {TOP_PATHS}
+    """,
+    tags=("events", "sequence-mining"),
+)
+def q136_top_event_paths(spark, sf_dir):
+    """Top-10 most common 5-event opening paths across users — the
+    sequential-pattern view of the event log (the funnel query q77
+    checks ONE fixed path; this mines which paths actually happen).
+    Event order is total: (ts, event_id) breaks timestamp ties
+    identically in both engines, and the path top-k tiebreaks on the
+    path string.
+
+    Scale shape: one shuffle on user_id for the ordering window (the
+    same partitioning q32/q77/q85 use — user-grain, uniform), the
+    prefix filter drops everything past rank 5 BEFORE the path
+    aggregate, and the path count is a second uniform-key shuffle whose
+    cardinality is bounded by |event_type|^5, with map-side combine."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (e.select("user_id", "event_type", "ts", "event_id")
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") <= PATH_LEN))
+    p = (r.groupBy("user_id")
+         .agg(F.array_join(
+             F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("rn", F.col("event_type").alias("et")))),
+                 lambda s: s["et"]),
+             ">").alias("path")))
+    return (
+        p.groupBy("path").agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(TOP_PATHS)
+    )

@@ -232,3 +232,57 @@ def q130_hard_negatives(spark, sf_dir):
     return (hard_negative_topk(e, qs, k=NEG_K)
             .select("q_id", "n_id", "cos", "rank")
             .orderBy("q_id", "rank"))
+
+
+#: PQ constants (q134): 4 subspaces × 16 dims, 8 codebook entries.
+PQ_M = 4
+PQ_K = 8
+_PQ_SUB = 16
+
+
+# --------------------------------------------------------------------- q134
+@register(
+    "q134_pq_encode",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c, v FROM e WHERE vec_id < {PQ_K}),
+    d AS (
+      SELECT e.vec_id, ms.m, cent.c,
+             CAST(round(
+               list_distance(e.v[ms.m * {_PQ_SUB} + 1
+                                 : (ms.m + 1) * {_PQ_SUB}],
+                             cent.v[ms.m * {_PQ_SUB} + 1
+                                    : (ms.m + 1) * {_PQ_SUB}]) ** 2
+               * 1000000) AS BIGINT) AS d2u
+      FROM e, (SELECT unnest(range(0, {PQ_M})) AS m) ms, cent
+    ),
+    best AS (
+      SELECT vec_id, m, c, d2u,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2u, c) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           MAX(CASE WHEN m = 0 THEN c END) AS code_0,
+           MAX(CASE WHEN m = 1 THEN c END) AS code_1,
+           MAX(CASE WHEN m = 2 THEN c END) AS code_2,
+           MAX(CASE WHEN m = 3 THEN c END) AS code_3,
+           CAST(sum(d2u) AS BIGINT) AS err_micro,
+           CAST(sum(d2u) AS BIGINT) / 1000000.0 AS err
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "pq", "quantization"),
+)
+def q134_pq_encode(spark, sf_dir):
+    """Product-quantization codes for every corpus vector (Jégou et al.
+    2011): 4 subspaces × 16 dims, 8-entry deterministic codebook (the
+    first 8 vectors, the q54/q75 iters=0 device), plus the integer
+    micro-unit reconstruction error. The oracle re-derives codebook,
+    assignment (d2u, centroid-id tiebreak) and error in SQL — so the
+    compression itself is hash-checked, not just row counts."""
+    from sunat_rree_demo_spark.operators.similarity import pq_encode
+
+    e = t(spark, sf_dir, "embeddings")
+    return pq_encode(e, PQ_K, PQ_M).orderBy("vec_id")

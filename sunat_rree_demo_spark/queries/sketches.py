@@ -1,0 +1,103 @@
+"""Frequency-sketch queries: the count-min sketch (Cormode &
+Muthukrishnan 2005) built and probed in-engine with the repo's shared
+sha-48 hash device, so the whole sketch — counters AND estimates — is
+oracle-checked. Complements the KMV (q91/q110) and HLL (q46)
+cardinality sketches and the streaming Misra-Gries heavy hitters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sunat_rree_demo_spark.queries.base import register, t
+
+#: count-min geometry: 4 hash rows × 64 counters.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+#: probe set size (top exact terms).
+CMS_PROBES = 20
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _bucket_sql(term_expr: str, j: int) -> str:
+    return (f"('0x' || substring(sha256('cms{j}:' || {term_expr}), 1, 12))"
+            f"::BIGINT % {CMS_WIDTH}")
+
+
+def _cms_rows_sql(src: str, term: str) -> str:
+    """UNION ALL of the depth rows — (j, bucket[, …]) per term row."""
+    return " UNION ALL ".join(
+        f"SELECT {j} AS j, {_bucket_sql(term, j)} AS bucket, * FROM {src}"
+        for j in range(CMS_DEPTH))
+
+
+# --------------------------------------------------------------------- q135
+@register(
+    "q135_count_min_sketch",
+    oracle=f"""
+    WITH tk AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    rows_ AS ({_cms_rows_sql('tk', 'term')}),
+    cms AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+            FROM rows_ GROUP BY 1, 2),
+    ex AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+           FROM tk GROUP BY 1),
+    probes AS (SELECT term, n_exact FROM ex
+               ORDER BY n_exact DESC, term LIMIT {CMS_PROBES}),
+    pb AS ({_cms_rows_sql('probes', 'term')}),
+    est AS (
+      SELECT pb.term, pb.n_exact, min(cms.c) AS cms_est
+      FROM pb JOIN cms USING (j, bucket)
+      GROUP BY 1, 2
+    )
+    SELECT term, n_exact, cms_est,
+           cms_est - n_exact AS overestimate
+    FROM est ORDER BY n_exact DESC, term
+    """,
+    tags=("sketch", "count-min"),
+)
+def q135_count_min_sketch(spark, sf_dir):
+    """Count-min sketch (4 × 64) over the corpus token stream, probed
+    at the 20 highest-frequency terms: per probe, the exact count, the
+    sketch estimate (min over the 4 hash rows), and the one-sided
+    overestimate — the sketch guarantee (est ≥ exact) that
+    test_retrieval_ops also pins. Hash rows use the shared sha-48
+    device with a ``cms{{j}}:`` domain separator, so both engines place
+    every counter identically.
+
+    Scale shape: the sketch build is ONE shuffle of (j, bucket) keys —
+    4·W = 256 distinct keys regardless of corpus size, with map-side
+    combine doing almost all the work (this is why CMS exists: fixed
+    memory at any scale). The probe set is a bounded TakeOrdered
+    broadcast; estimates join on the 256-key sketch."""
+    d = t(spark, sf_dir, "documents")
+    from sunat_rree_demo_spark.operators.text import tokens
+
+    def bucket(term_col, j: int):
+        return (F.conv(F.substring(
+            F.sha2(F.concat(F.lit(f"cms{j}:"), term_col), 256), 1, 12),
+            16, 10).cast("bigint") % CMS_WIDTH)
+
+    def with_rows(df, term_col):
+        jb = F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("j"),
+                     bucket(term_col, j).alias("bucket"))
+            for j in range(CMS_DEPTH)])).alias("_jb")
+        return df.select("*", jb).select(
+            *df.columns, F.col("_jb.j").alias("j"),
+            F.col("_jb.bucket").alias("bucket"))
+
+    tk = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    cms = (with_rows(tk, F.col("term"))
+           .groupBy("j", "bucket")
+           .agg(F.count("*").cast("bigint").alias("_c")))
+    ex = tk.groupBy("term").agg(F.count("*").cast("bigint").alias("n_exact"))
+    probes = ex.orderBy(F.desc("n_exact"), "term").limit(CMS_PROBES)
+    pb = with_rows(probes, F.col("term"))
+    return (
+        F.broadcast(pb).join(cms, ["j", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("_c").alias("cms_est"))
+        .select("term", "n_exact", "cms_est",
+                (F.col("cms_est") - F.col("n_exact")).alias("overestimate"))
+        .orderBy(F.desc("n_exact"), "term")
+    )

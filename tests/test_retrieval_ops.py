@@ -160,3 +160,30 @@ def test_oov_rate_against_tiny_vocab(spark):
     assert out[1]["oov_rate"] == 0.2
     assert (out[2]["n_tokens"], out[2]["n_oov"]) == (3, 1)
     assert out[2]["oov_rate"] == 0.3333
+
+
+# --------------------------------------------------------- CMS / PQ / paths
+def test_cms_estimate_never_underestimates(spark):
+    """The count-min guarantee: est >= exact for every probe (at sf0.001
+    via the registered query)."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q135_count_min_sketch"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["n_exact"] for r in rows)
+
+
+def test_pq_codes_reconstruct_seeds_exactly(spark):
+    """Codebook seed vectors (vec_id < 8) must encode to THEMSELVES in
+    every subspace with zero reconstruction error."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["vec_id"]: r for r in
+            REGISTRY["q134_pq_encode"].fn(spark, SF_SMOKE).collect()}
+    for vid in range(8):
+        r = rows[vid]
+        assert [r[f"code_{m}"] for m in range(4)] == [vid] * 4
+        assert r["err_micro"] == 0

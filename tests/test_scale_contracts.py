@@ -169,8 +169,8 @@ _EAGER_BUILDERS = {
     "q82_near_dup_triangles",
     # r4 late session: retrieval eval and hard-negative mining fetch the
     # same bounded 8-row query batch as q43 (plan parameters, not
-    # corpus work)
-    "q128_retrieval_eval", "q130_hard_negatives",
+    # corpus work); PQ fetches its 8 codebook seed vectors the same way
+    "q128_retrieval_eval", "q130_hard_negatives", "q134_pq_encode",
 }
 
 
