@@ -389,10 +389,29 @@ def bpe_merge_rounds(docs, id_col: str, text_col: str,
     only enters the first aggregate; rounds cost O(|vocab|) each. The
     whole plan is lazily composed — no driver-side collect between
     rounds."""
-    sep = "  "
-    words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-             .groupBy("w").agg(F.count("*").cast("bigint").alias("c")))
+    words = _corpus_vocab(docs, text_col)
+    merges, _rep = _bpe_train(words, rounds)
+    return merges.orderBy("merge_round")
+
+
+def _corpus_vocab(docs, text_col: str):
+    """(w, c) word-frequency vocabulary — the ONE corpus-grain reduce
+    the BPE family pays."""
+    return (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .groupBy("w").agg(F.count("*").cast("bigint").alias("c")))
+
+
+_BPE_SEP = "  "
+
+
+def _bpe_train(words, rounds: int):
+    """Shared BPE merge loop over a (w, c) vocabulary. Returns
+    (merges, rep): the per-round merge table and the final vocabulary
+    representation (w, s, c) with ``s`` the double-space symbol string
+    after all ``rounds`` merges — the input to :func:`bpe_apply`."""
+    sep = _BPE_SEP
     rep = words.select(
+        "w",
         F.concat(F.lit(sep), F.regexp_replace(F.col("w"), "(.)", f"$1{sep}"))
         .alias("s"),
         "c")
@@ -419,6 +438,7 @@ def bpe_merge_rounds(docs, id_col: str, text_col: str,
             F.col("n").alias("pair_count"))
         out = row if out is None else out.unionAll(row)
         rep = rep.crossJoin(F.broadcast(top)).select(
+            "w",
             F.replace(
                 F.col("s"),
                 F.concat(F.lit(" "), F.col("l"), F.lit(sep), F.col("r"),
@@ -426,7 +446,42 @@ def bpe_merge_rounds(docs, id_col: str, text_col: str,
                 F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")))
             .alias("s"),
             "c")
-    return out.orderBy("merge_round")
+    return out, rep
+
+
+def bpe_apply(docs, id_col: str, text_col: str, rounds: int = 3):
+    """Apply the ``rounds`` BPE merges LEARNED FROM THIS CORPUS
+    (:func:`bpe_merge_rounds`'s loop, shared verbatim) to every
+    document: per doc, word count, character count, subword count
+    after the merges, and the half-up 4dp subwords-per-char
+    compression — the tokenizer-apply pass that turns the learned
+    vocabulary into the token budget packing/pricing actually uses.
+
+    Scale shape: merges apply once per DISTINCT word (the vocab-grain
+    loop — exactly how real tokenizers cache word→pieces), then each
+    doc is a join of its token rows against that vocabulary
+    (vocabulary-sized side, AQE broadcasts when small) and one
+    doc-grain aggregate. The corpus is never re-scanned per round."""
+    words = _corpus_vocab(docs, text_col)
+    _merges, rep = _bpe_train(words, rounds)
+    vocab = rep.select(
+        "w",
+        F.size(F.split(F.trim(F.col("s")), _BPE_SEP)).cast("bigint")
+        .alias("_n_sym"))
+    tk = docs.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("w"))
+    return (
+        tk.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_words"),
+             F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+             F.sum("_n_sym").cast("bigint").alias("n_subwords"))
+        .select(F.col(id_col), "n_words", "n_chars", "n_subwords",
+                F.when(F.col("n_chars") > 0,
+                       F.expr("(2 * 10000 * n_subwords + n_chars)"
+                              " div (2 * n_chars)").cast("double")
+                       / 10000.0).otherwise(0.0).alias("compression"))
+    )
 
 
 def bigram_surprisal(df, id_col: str, text_col: str):

@@ -123,6 +123,8 @@ _ROTATE_TO_TAIL = (
     # more session-3 SQL-twin marts defer to r5
     "q118_shipping_priority", "q119_returned_item_losses",
     "q120_large_volume_customers",
+    # q137/q138 (BPE apply, n-gram novelty) enter; two more defer
+    "q121_cheapest_supplier", "q122_bottleneck_suppliers",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

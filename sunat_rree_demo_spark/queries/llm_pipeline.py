@@ -431,3 +431,79 @@ def q124_source_mixture(spark, sf_dir):
                 .alias("planned_docs"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------- q138
+@register(
+    "q138_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 7))
+               ::BIGINT % 100 AS bucket,
+             string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 6, 1)),
+               i -> array_to_string(tk[i:i+7], ' ')))) AS g
+      FROM toks WHERE len(tk) >= 8
+    ),
+    train AS (SELECT DISTINCT g FROM sh WHERE bucket < 80),
+    val AS (SELECT doc_id, g FROM sh WHERE bucket >= 80 AND bucket < 90),
+    per AS (
+      SELECT v.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN t.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM val v LEFT JOIN train t USING (g)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST((2 * 10000 * n_novel + n_grams) // (2 * n_grams) AS DOUBLE)
+             / 10000.0 AS novelty
+    FROM per ORDER BY doc_id
+    """,
+    tags=("llm-pipeline", "novelty", "split"),
+)
+def q138_ngram_novelty(spark, sf_dir):
+    """Per-doc 8-gram NOVELTY of the validation split against the train
+    split (q62's hash-split boundaries, shared device): the fraction of
+    a val doc's distinct 8-grams never seen in training — the
+    leakage-vs-freshness audit run on a held-out split before eval
+    (novelty ~0 means the split leaks; decontamination q63 is this
+    check's enforcement arm, the Bloom variant its broadcast-side scale
+    path). Docs shorter than 8 tokens carry no 8-grams and are out of
+    scope by construction.
+
+    Scale shape: ONE shingle-key shuffle for the anti-probe (both
+    sides are corpus-grain, so the join shuffles rather than
+    broadcasting — the honest shape; use
+    operators.dedup.contamination_overlap_bloom when the train side
+    must stay unshuffled), then a doc-grain aggregate. Split
+    assignment is a pure projection of the doc id — no join against a
+    split table."""
+    from sunat_rree_demo_spark.operators.dedup import shingle_rows
+    from sunat_rree_demo_spark.operators.text import hash_split
+
+    d = t(spark, sf_dir, "documents")
+    sh = (shingle_rows(d, "doc_id", "text", 8)
+          .withColumn("_split", hash_split(F.col("doc_id"))))
+    train = (sh.filter(F.col("_split") == "train")
+             .select("shingle").distinct()
+             .withColumn("_hit", F.lit(True)))
+    val = sh.filter(F.col("_split") == "validation")
+    return (
+        val.join(train, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_grams"),
+             F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_novel"))
+        .select("doc_id", "n_grams", "n_novel",
+                (F.expr("(2 * 10000 * n_novel + n_grams)"
+                        " div (2 * n_grams)").cast("double") / 10000.0)
+                .alias("novelty"))
+        .orderBy("doc_id")
+    )

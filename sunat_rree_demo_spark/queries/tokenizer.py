@@ -31,13 +31,16 @@ def _round_ctes(r: int) -> str:
     ),
     m{r} AS (SELECT l, r, n FROM p{r} ORDER BY n DESC, l, r LIMIT 1),
     v{r} AS (
-      SELECT replace(s, ' ' || l || '{_SEP}' || r || ' ',
-                     ' ' || l || r || ' ') AS s, c
+      SELECT w, replace(s, ' ' || l || '{_SEP}' || r || ' ',
+                        ' ' || l || r || ' ') AS s, c
       FROM v{r - 1}, m{r}
     )"""
 
 
-_BPE_SQL = (
+#: shared SQL prefix: corpus → word counts → spaced vocab → the merge
+#: round CTEs (v0..v{BPE_ROUNDS}, m1..m{BPE_ROUNDS}); `w` rides every
+#: vocab CTE so the apply query (q137) can join the final vocabulary.
+_BPE_PREFIX = (
     """
     WITH toks AS (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
@@ -45,13 +48,17 @@ _BPE_SQL = (
     ),
     wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
     v0 AS (
-      SELECT '"""
+      SELECT w, '"""
     + _SEP
     + r"""' || regexp_replace(w, '(.)', '\1"""
     + _SEP
     + """', 'g') AS s, c FROM wc
     ),"""
     + ",".join(_round_ctes(r) for r in range(1, BPE_ROUNDS + 1))
+)
+
+_BPE_SQL = (
+    _BPE_PREFIX
     + "\n    "
     + "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, l AS left_sym,"
@@ -79,3 +86,49 @@ def q126_bpe_merges(spark, sf_dir):
     (see operators.text.bpe_merge_rounds)."""
     d = t(spark, sf_dir, "documents")
     return bpe_merge_rounds(d, "doc_id", "text", rounds=BPE_ROUNDS)
+
+
+_APPLY_SQL = (
+    _BPE_PREFIX
+    + f""",
+    vocab AS (
+      SELECT w, CAST(len(string_split(trim(s), '{_SEP}')) AS BIGINT)
+               AS n_sym
+      FROM v{BPE_ROUNDS}
+    ),
+    tk AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(n_sym) AS BIGINT) AS n_subwords,
+           CASE WHEN sum(length(w)) > 0 THEN
+             CAST((2 * 10000 * sum(n_sym) + sum(length(w)))
+                  // (2 * sum(length(w))) AS DOUBLE) / 10000.0
+           ELSE 0.0 END AS compression
+    FROM tk JOIN vocab USING (w)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+)
+
+
+# --------------------------------------------------------------------- q137
+@register(
+    "q137_bpe_apply",
+    oracle=_APPLY_SQL,
+    tags=("tokenizer", "bpe", "apply"),
+)
+def q137_bpe_apply(spark, sf_dir):
+    """Apply q126's learned merges to the whole corpus: per doc, word /
+    char / subword counts and the 4dp half-up subwords-per-char
+    compression — train (q126) and apply under ONE shared merge loop,
+    the way a real tokenizer caches word→pieces at vocab grain and
+    joins docs against it. The oracle replays the identical chained-CTE
+    pipeline and per-doc aggregation."""
+    from sunat_rree_demo_spark.operators.text import bpe_apply
+
+    d = t(spark, sf_dir, "documents")
+    return bpe_apply(d, "doc_id", "text", BPE_ROUNDS).orderBy("doc_id")
