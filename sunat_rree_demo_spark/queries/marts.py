@@ -707,7 +707,11 @@ def q131_pareto_frontier(spark, sf_dir):
         "p_size")
     w_cheaper = (Window.partitionBy("p_brand").orderBy("price_c")
                  .rangeBetween(Window.unboundedPreceding, -1))
-    w_same = Window.partitionBy("p_brand", "price_c")
+    # same-price max rides the SAME (brand, price-sorted) window as a
+    # RANGE CURRENT ROW..CURRENT ROW frame (peers = equal price), so
+    # both maxima share one shuffle + sort instead of two partitionings
+    w_same = (Window.partitionBy("p_brand").orderBy("price_c")
+              .rangeBetween(Window.currentRow, Window.currentRow))
     dominated = ((F.max("p_size").over(w_cheaper) >= F.col("p_size"))
                  | (F.max("p_size").over(w_same) > F.col("p_size")))
     return (
