@@ -431,3 +431,42 @@ def test_zordered_write_bounds_both_dimensions(spark, tmp_path):
     # files must do strictly better on both, and ~2x on at least one
     assert zx < rx and zy < ry
     assert zx < 0.6 * xdom or zy < 0.6 * ydom
+
+
+def test_skyline_single_window_partitioning(spark):
+    """q131's two dominance maxima must share ONE Window node over one
+    (brand) hash partitioning — the O(n log n) sweep's contract; a
+    second partitioning (e.g. by (brand, price)) would double the
+    shuffle for no semantic gain."""
+    plan = plan_of(fresh("q131_pareto_frontier")(spark, SF_SMOKE))
+    head = plan.split("\n\n")[0]
+    n_windows = sum(1 for s in head.splitlines()
+                    if "Window" in s and "WindowGroupLimit" not in s)
+    n_exchanges = sum(1 for s in head.splitlines() if "Exchange" in s)
+    assert n_windows == 1, plan
+    # window hash partitioning + the final presentation sort only
+    assert n_exchanges <= 2, plan
+
+
+def test_cms_probe_side_broadcasts(spark):
+    """q135's estimate join must broadcast the bounded probe rows onto
+    the 256-key sketch — never sort-merge (both sides are tiny by
+    construction; the corpus cost is the map-side-combined build)."""
+    plan = plan_of(fresh("q135_count_min_sketch")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_encode_has_no_shuffle(spark):
+    """PQ encoding is one corpus pass: codebook in the task closure,
+    mapInPandas assignment, zero exchanges before the presentation
+    sort (q134 minus its orderBy)."""
+    from sunat_rree_demo_spark.operators.similarity import pq_encode
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    plan = plan_of(pq_encode(e, 8, 4))
+    head = plan.split("\n\n")[0]
+    # fan_out's round-robin spread of the single small split is the one
+    # allowed exchange; no hashpartitioning anywhere
+    assert "Exchange hashpartitioning" not in head, plan
