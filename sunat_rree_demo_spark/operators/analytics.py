@@ -87,3 +87,27 @@ def ytd_vs_prior(df: DataFrame, year_col: str = "year",
             F.when(prev.isNotNull() & (prev != 0),
                    F.round((F.col(f"ytd_{c}") / prev - 1) * 100, 2)))
     return out
+
+
+def pareto_frontier_2d(df: DataFrame, group_col: str,
+                       min_col: str, max_col: str) -> DataFrame:
+    """Per-group 2-D Pareto frontier (skyline): keep a row iff no
+    same-group row has ``min_col`` ≤ it AND ``max_col`` ≥ it with one
+    strict. The O(n log n) window sweep — sort each group by the
+    minimized column, then two maxima over the SAME window spec: the
+    strictly-cheaper frame (RANGE … 1 PRECEDING) and the equal-value
+    peer frame (RANGE CURRENT ROW), so Catalyst plans ONE Window node
+    over one shuffle; dominance is a per-row comparison, never a
+    self-join. Columns must be exactly comparable (quantize floats to
+    integer units first — the q131 cents discipline)."""
+    from pyspark.sql import Window
+
+    w_cheaper = (Window.partitionBy(group_col).orderBy(min_col)
+                 .rangeBetween(Window.unboundedPreceding, -1))
+    w_same = (Window.partitionBy(group_col).orderBy(min_col)
+              .rangeBetween(Window.currentRow, Window.currentRow))
+    dominated = ((F.max(max_col).over(w_cheaper) >= F.col(max_col))
+                 | (F.max(max_col).over(w_same) > F.col(max_col)))
+    return (df.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
+            .filter(~F.col("_dom"))
+            .drop("_dom"))

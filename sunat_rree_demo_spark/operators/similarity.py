@@ -120,32 +120,34 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids, mat, norms
 
 
-def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k — Arrow-batched numpy block products.
-
-    The query batch (small) rides the task closure as a dense matrix;
-    each Arrow batch of the corpus becomes one BLAS matmul
-    (batch × dim) @ (dim × Q), with per-batch top-k pruning so each task
-    emits ≤ k·Q rows no matter the corpus size; a final window rank
-    merges batch winners. This is the 100 TB shape: one corpus pass, no
-    pairwise shuffle, vectorized math, bounded task output."""
+def _blockwise_topk(emb: DataFrame, k: int, id_col: str, vec_col: str,
+                    q_ids, qn, label_col: str | None = None,
+                    q_labels=None) -> DataFrame:
+    """Shared Arrow-batched block-matmul top-k core (the q43 device):
+    the query matrix rides the task closure; each corpus Arrow batch is
+    one BLAS matmul with a per-batch k-prune (lexsort on (-cos, n_id)
+    for determinism) so tasks emit ≤ k·Q rows at any corpus size; a
+    final window rank merges batch winners. Candidate eligibility is
+    the one variation point: by default the query's own id is excluded;
+    with ``label_col``/``q_labels`` set, SAME-LABEL rows are excluded
+    instead (hard-negative mining) — the mask applies INSIDE the batch,
+    before pruning."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-
-    q_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
-    qn = (q_mat / q_norms[:, None]).T  # dim × Q
 
     out_schema = T.StructType([
         T.StructField("q_id", T.LongType()),
         T.StructField("n_id", T.LongType()),
         T.StructField("cos", T.DoubleType()),
     ])
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
 
     def score(batches):
         for pdf in batches:
             n_ids = pdf[id_col].to_numpy(dtype="int64")
+            n_labels = (pdf[label_col].to_numpy(dtype="int64")
+                        if label_col else None)
             mat = np.array(list(pdf[vec_col]), dtype="float64")
             norms = np.sqrt((mat * mat).sum(axis=1))
             norms[norms == 0] = 1.0
@@ -153,7 +155,10 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
             frames = []
             for qi in range(len(q_ids)):
                 col = scores[:, qi]
-                mask = n_ids != q_ids[qi]
+                if label_col:
+                    mask = n_labels != q_labels[qi]
+                else:
+                    mask = n_ids != q_ids[qi]
                 cand_idx = np.nonzero(mask)[0]
                 if not len(cand_idx):
                     continue
@@ -166,13 +171,28 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
             if frames:
                 yield pd.concat(frames)
 
-    scored = fan_out(emb.select(id_col, vec_col)).mapInPandas(
+    scored = fan_out(emb.select(*cols)).mapInPandas(
         score, schema=out_schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k — Arrow-batched numpy block products.
+
+    The query batch (small) rides the task closure as a dense matrix;
+    each Arrow batch of the corpus becomes one BLAS matmul
+    (batch × dim) @ (dim × Q), with per-batch top-k pruning so each task
+    emits ≤ k·Q rows no matter the corpus size; a final window rank
+    merges batch winners. This is the 100 TB shape: one corpus pass, no
+    pairwise shuffle, vectorized math, bounded task output."""
+    q_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
+    qn = (q_mat / q_norms[:, None]).T  # dim × Q
+    return _blockwise_topk(emb, k, id_col, vec_col, q_ids, qn)
 
 
 def near_dup_pairs(emb: DataFrame, threshold: float,
@@ -582,9 +602,8 @@ def hard_negative_topk(emb: DataFrame, queries: DataFrame, k: int,
     pruning, so negatives beyond rank k of the unfiltered ranking are
     still found (a post-filter of plain top-k would lose them)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
 
+    # one collect keeps ids / vectors / labels row-aligned
     q_rows = queries.select(id_col, vec_col, label_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     q_mat = np.array([r[1] for r in q_rows], dtype="float64")
@@ -592,42 +611,8 @@ def hard_negative_topk(emb: DataFrame, queries: DataFrame, k: int,
     q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
     q_norms[q_norms == 0] = 1.0
     qn = (q_mat / q_norms[:, None]).T
-
-    out_schema = T.StructType([
-        T.StructField("q_id", T.LongType()),
-        T.StructField("n_id", T.LongType()),
-        T.StructField("cos", T.DoubleType()),
-    ])
-
-    def score(batches):
-        for pdf in batches:
-            n_ids = pdf[id_col].to_numpy(dtype="int64")
-            n_labels = pdf[label_col].to_numpy(dtype="int64")
-            mat = np.array(list(pdf[vec_col]), dtype="float64")
-            norms = np.sqrt((mat * mat).sum(axis=1))
-            norms[norms == 0] = 1.0
-            scores = np.round((mat / norms[:, None]) @ qn, COS_DECIMALS)
-            frames = []
-            for qi in range(len(q_ids)):
-                col = scores[:, qi]
-                mask = n_labels != q_labels[qi]
-                cand_idx = np.nonzero(mask)[0]
-                if not len(cand_idx):
-                    continue
-                order = np.lexsort((n_ids[cand_idx], -col[cand_idx]))[:k]
-                keep = cand_idx[order]
-                frames.append(pd.DataFrame({
-                    "q_id": q_ids[qi], "n_id": n_ids[keep], "cos": col[keep]}))
-            if frames:
-                yield pd.concat(frames)
-
-    scored = fan_out(emb.select(id_col, vec_col, label_col)).mapInPandas(
-        score, schema=out_schema)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _blockwise_topk(emb, k, id_col, vec_col, q_ids, qn,
+                           label_col=label_col, q_labels=q_labels)
 
 
 def pq_encode(emb: DataFrame, n_centroids: int = 8, m_subspaces: int = 4,
@@ -655,9 +640,9 @@ def pq_encode(emb: DataFrame, n_centroids: int = 8, m_subspaces: int = 4,
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = (emb.filter(F.col(id_col) < n_centroids).orderBy(id_col)
-            .select(vec_col).collect())
-    cent = np.array([r[0] for r in rows], dtype="float64")  # K × dim
+    # the shared q54/q75 codebook device: first K vectors by id,
+    # iters=0 → no Lloyd steps, so the SQL oracle re-derives it
+    cent = _train_centroids(emb, n_centroids, 0, id_col, vec_col)
     k, dim = cent.shape
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by {m_subspaces}")

@@ -446,6 +446,12 @@ def _bpe_train(words, rounds: int):
                 F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")))
             .alias("s"),
             "c")
+    if out is None:  # rounds=0: empty merge table with the right schema
+        out = words.limit(0).select(
+            F.lit(0).cast("bigint").alias("merge_round"),
+            F.lit("").alias("left_sym"), F.lit("").alias("right_sym"),
+            F.lit("").alias("merged"),
+            F.lit(0).cast("bigint").alias("pair_count"))
     return out, rep
 
 

@@ -483,18 +483,19 @@ def q138_ngram_novelty(spark, sf_dir):
     broadcasting — the honest shape; use
     operators.dedup.contamination_overlap_bloom when the train side
     must stay unshuffled), then a doc-grain aggregate. Split
-    assignment is a pure projection of the doc id — no join against a
-    split table."""
+    assignment is a pure projection of the doc id, applied BELOW the
+    shingler: each branch shingles only its own (disjoint) subset, so
+    the corpus pays the Python shingling pass exactly once in total —
+    no checkpoint, pure builder."""
     from sunat_rree_demo_spark.operators.dedup import shingle_rows
     from sunat_rree_demo_spark.operators.text import hash_split
 
     d = t(spark, sf_dir, "documents")
-    sh = (shingle_rows(d, "doc_id", "text", 8)
-          .withColumn("_split", hash_split(F.col("doc_id"))))
-    train = (sh.filter(F.col("_split") == "train")
+    split = hash_split(F.col("doc_id"))
+    train = (shingle_rows(d.filter(split == "train"), "doc_id", "text", 8)
              .select("shingle").distinct()
              .withColumn("_hit", F.lit(True)))
-    val = sh.filter(F.col("_split") == "validation")
+    val = shingle_rows(d.filter(split == "validation"), "doc_id", "text", 8)
     return (
         val.join(train, "shingle", "left")
         .groupBy("doc_id")

@@ -696,8 +696,10 @@ def q131_pareto_frontier(spark, sf_dir):
     1 PRECEDING, and max size within the same price tick), so dominance
     is a per-row comparison, not a self-join. One shuffle on the brand
     partition key; brands sweep in parallel; no O(n²) anywhere.
-    Prices quantize to integer cents before comparison on both sides."""
-    from pyspark.sql import Window
+    Prices quantize to integer cents before comparison on both sides.
+    (Operator: operators.analytics.pareto_frontier_2d — also the unit
+    under tests/test_retrieval_ops' brute-force equivalence check.)"""
+    from sunat_rree_demo_spark.operators.analytics import pareto_frontier_2d
 
     p = t(spark, sf_dir, "part")
     pts = p.select(
@@ -705,18 +707,5 @@ def q131_pareto_frontier(spark, sf_dir):
         F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
         .alias("price_c"),
         "p_size")
-    w_cheaper = (Window.partitionBy("p_brand").orderBy("price_c")
-                 .rangeBetween(Window.unboundedPreceding, -1))
-    # same-price max rides the SAME (brand, price-sorted) window as a
-    # RANGE CURRENT ROW..CURRENT ROW frame (peers = equal price), so
-    # both maxima share one shuffle + sort instead of two partitionings
-    w_same = (Window.partitionBy("p_brand").orderBy("price_c")
-              .rangeBetween(Window.currentRow, Window.currentRow))
-    dominated = ((F.max("p_size").over(w_cheaper) >= F.col("p_size"))
-                 | (F.max("p_size").over(w_same) > F.col("p_size")))
-    return (
-        pts.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
-        .filter(~F.col("_dom"))
-        .drop("_dom")
-        .orderBy("p_brand", "p_partkey")
-    )
+    return (pareto_frontier_2d(pts, "p_brand", "price_c", "p_size")
+            .orderBy("p_brand", "p_partkey"))

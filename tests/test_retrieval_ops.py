@@ -105,23 +105,21 @@ def test_hard_negatives_exclude_query_label(spark):
 
 # ------------------------------------------------------------------ skyline
 def test_pareto_window_plan_matches_bruteforce(spark):
-    """The two-window sweep equals the quadratic dominance definition on
-    a case with price ties, size ties, and duplicate points."""
+    """The PRODUCTION sweep (operators.analytics.pareto_frontier_2d —
+    the exact expression q131 runs) equals the quadratic dominance
+    definition on a case with price ties, size ties, and duplicate
+    points."""
+    from sunat_rree_demo_spark.operators.analytics import pareto_frontier_2d
+
     pts = [(1, 100, 5), (2, 100, 5), (3, 100, 7), (4, 90, 3),
            (5, 120, 9), (6, 80, 3), (7, 80, 2), (8, 130, 9)]
     df = spark.createDataFrame(
         [("B", k, c, s) for k, c, s in pts],
         "p_brand string, p_partkey bigint, price_c bigint, p_size int")
 
-    from pyspark.sql import Window
-    w_cheaper = (Window.partitionBy("p_brand").orderBy("price_c")
-                 .rangeBetween(Window.unboundedPreceding, -1))
-    w_same = Window.partitionBy("p_brand", "price_c")
-    dominated = ((F.max("p_size").over(w_cheaper) >= F.col("p_size"))
-                 | (F.max("p_size").over(w_same) > F.col("p_size")))
     got = sorted(r["p_partkey"] for r in
-                 df.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
-                 .filter(~F.col("_dom")).collect())
+                 pareto_frontier_2d(df, "p_brand", "price_c", "p_size")
+                 .collect())
 
     def dominates(a, b):
         return (a[1] <= b[1] and a[2] >= b[2]
@@ -187,3 +185,14 @@ def test_pq_codes_reconstruct_seeds_exactly(spark):
         r = rows[vid]
         assert [r[f"code_{m}"] for m in range(4)] == [vid] * 4
         assert r["err_micro"] == 0
+
+
+def test_bpe_zero_rounds_returns_empty_merges(spark):
+    """rounds=0 must yield an empty merge table, not crash."""
+    from sunat_rree_demo_spark.operators.text import bpe_merge_rounds
+
+    d = _docs(spark, [(1, "ab ab")])
+    out = bpe_merge_rounds(d, "doc_id", "text", rounds=0)
+    assert out.columns == ["merge_round", "left_sym", "right_sym",
+                           "merged", "pair_count"]
+    assert out.count() == 0
