@@ -125,6 +125,8 @@ _ROTATE_TO_TAIL = (
     "q120_large_volume_customers",
     # q137/q138 (BPE apply, n-gram novelty) enter; two more defer
     "q121_cheapest_supplier", "q122_bottleneck_suppliers",
+    # q139/q140 (share-of-parent, PSI drift) enter; two more defer
+    "q123_supplier_diversity", "q124_source_mixture",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -149,3 +149,111 @@ def q103_snapshot_diff(spark, sf_dir):
              .alias("usd_delta"))
         .orderBy("change_type")
     )
+
+
+#: q140 PSI quantization (1e-8 units) and Laplace smoothing constant.
+_PSI_U = 100000000
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+# --------------------------------------------------------------------- q140
+@register(
+    "q140_psi_drift",
+    oracle=f"""
+    WITH o2 AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    by_ AS (SELECT min(y) AS by FROM o2),
+    bs AS (
+      SELECT quantile_cont(cents, {_DECILES!r}) AS b
+      FROM o2, by_ WHERE y = by
+    ),
+    rows_ AS (
+      SELECT y, len(list_filter(b, x -> cents >= x)) AS bucket
+      FROM o2, bs
+    ),
+    cnts AS (SELECT y, bucket, CAST(count(*) AS BIGINT) AS c
+             FROM rows_ GROUP BY 1, 2),
+    ny AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM o2 GROUP BY 1),
+    spine AS (
+      SELECT y, i AS bucket
+      FROM (SELECT DISTINCT y FROM o2), unnest(range(0, 10)) AS u(i)
+    ),
+    p AS (
+      SELECT s.y, s.bucket,
+             (coalesce(c.c, 0) + 1.0) / (ny.n + 10.0) AS p
+      FROM spine s
+      LEFT JOIN cnts c ON s.y = c.y AND s.bucket = c.bucket
+      JOIN ny ON s.y = ny.y
+    ),
+    pa AS (SELECT bucket, p AS pa FROM p, by_ WHERE y = by),
+    t AS (
+      SELECT p.y,
+             CAST(round((p.p - pa.pa) * ln(p.p / pa.pa) * {_PSI_U})
+                  AS BIGINT) AS tu
+      FROM p JOIN pa USING (bucket)
+    )
+    SELECT y AS year, CAST(sum(tu) AS BIGINT) AS psi_u,
+           CAST(sum(tu) AS BIGINT) / {_PSI_U}.0 AS psi
+    FROM t GROUP BY 1 ORDER BY year
+    """,
+    tags=("audit", "drift", "psi"),
+)
+def q140_psi_drift(spark, sf_dir):
+    """Population Stability Index of the order-value distribution per
+    year against the FIRST year's decile buckets — the standard ML-ops
+    drift monitor (PSI = Σ (p_b − p_a)·ln(p_b/p_a) over baseline-decile
+    bins; >0.25 conventionally flags retraining). Exact-cents values,
+    q73's percentile≡quantile_cont interpolation for the boundaries,
+    add-one Laplace smoothing so no bin is empty, and per-bin terms
+    quantized to 1e-8 integer units before the per-year sum. The
+    baseline year audits itself to PSI 0 — a built-in sanity row.
+
+    Scale shape: boundaries are a 1-row broadcast frame (no driver
+    collect — the builder stays pure); bucket assignment is a 9-element
+    fold per row against that broadcast array; counts are one
+    (year, bucket)-grain shuffle with map-side combine; the spine,
+    smoothing, and baseline join all run on ~|years|×10 rows."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    o2 = o.select(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        .alias("cents"))
+    by = o2.agg(F.min("y").alias("_by"))
+    base = o2.join(F.broadcast(by), o2.y == F.col("_by")).drop("_by")
+    bounds = base.agg(F.percentile(
+        "cents", F.array(*[F.lit(p) for p in _DECILES])).alias("_bs"))
+    bucket = F.aggregate(
+        F.col("_bs"), F.lit(0),
+        lambda acc, b: acc + F.when(F.col("cents") >= b, 1).otherwise(0))
+    rows = (o2.join(F.broadcast(bounds))
+            .select("y", bucket.alias("bucket")))
+    cnts = (rows.groupBy("y", "bucket")
+            .agg(F.count("*").cast("bigint").alias("_c")))
+    ny = o2.groupBy("y").agg(F.count("*").cast("bigint").alias("_n"))
+    spine = (o2.select("y").distinct()
+             .select("y", F.explode(F.sequence(F.lit(0), F.lit(9)))
+                     .alias("bucket")))
+    p = (spine.join(cnts, ["y", "bucket"], "left")
+         .join(ny, "y")
+         .select("y", "bucket",
+                 ((F.coalesce("_c", F.lit(0)) + 1.0)
+                  / (F.col("_n") + 10.0)).alias("p")))
+    pa = (p.join(F.broadcast(by), p.y == F.col("_by"))
+          .select("bucket", F.col("p").alias("_pa")))
+    tu = F.round((F.col("p") - F.col("_pa"))
+                 * F.log(F.col("p") / F.col("_pa")) * _PSI_U, 0) \
+        .cast("bigint")
+    return (
+        p.join(F.broadcast(pa), "bucket")
+        .select("y", tu.alias("_tu"))
+        .groupBy("y")
+        .agg(F.sum("_tu").cast("bigint").alias("psi_u"))
+        .select(F.col("y").alias("year"), "psi_u",
+                (F.col("psi_u") / float(_PSI_U)).alias("psi"))
+        .orderBy("year")
+    )

@@ -227,3 +227,75 @@ def q90_grouping_sets(spark, sf_dir):
             "exports", "n_cells")
         .orderBy("year_label", "month_label")
     )
+
+
+# --------------------------------------------------------------------- q139
+@register(
+    "q139_share_of_parent",
+    oracle="""
+    WITH f AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT region, nation, rev_c,
+             sum(rev_c) OVER (PARTITION BY region) AS region_c,
+             sum(rev_c) OVER () AS world_c
+      FROM f
+    )
+    SELECT region, nation, rev_c,
+           CAST((2 * 10000 * rev_c + region_c) // (2 * region_c)
+                AS DOUBLE) / 10000.0 AS share_of_region,
+           CAST((2 * 10000 * region_c + world_c) // (2 * world_c)
+                AS DOUBLE) / 10000.0 AS region_share_of_world
+    FROM w ORDER BY region, nation
+    """,
+    tags=("rollup", "share-of-parent"),
+)
+def q139_share_of_parent(spark, sf_dir):
+    """Hierarchical share-of-parent rollup (nation→region→world): each
+    nation's revenue share of its region and each region's share of the
+    world, on EXACT integer cents with the half-up 4dp device — the
+    drill-down percentage view every OLAP dashboard layers over a
+    geography dimension (A12's rollup gives subtotals; this gives each
+    level as a fraction of its parent).
+
+    Scale shape: one fact aggregate down to nation grain (the q20 join
+    chain — dims broadcast, facts co-shuffle on the order key once),
+    then two window sums OVER THE 25-ROW AGGREGATE — the W7
+    window-over-aggregate pattern, where the unpartitioned world total
+    runs on an already-tiny frame, never the fact table."""
+    from pyspark.sql import Window
+
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    c, n, r = (t(spark, sf_dir, x) for x in ("customer", "nation", "region"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).cast("bigint").alias("rev_c"))
+    )
+    w = (f.withColumn("region_c",
+                      F.sum("rev_c").over(Window.partitionBy("region")))
+         .withColumn("world_c", F.sum("rev_c").over(Window.partitionBy())))
+    return (
+        w.select("region", "nation", "rev_c",
+                 (F.expr("(2 * 10000 * rev_c + region_c)"
+                         " div (2 * region_c)").cast("double") / 10000.0)
+                 .alias("share_of_region"),
+                 (F.expr("(2 * 10000 * region_c + world_c)"
+                         " div (2 * world_c)").cast("double") / 10000.0)
+                 .alias("region_share_of_world"))
+        .orderBy("region", "nation")
+    )

@@ -196,3 +196,16 @@ def test_bpe_zero_rounds_returns_empty_merges(spark):
     assert out.columns == ["merge_round", "left_sym", "right_sym",
                            "merged", "pair_count"]
     assert out.count() == 0
+
+
+def test_psi_baseline_year_is_zero(spark):
+    """PSI of the baseline year against itself must be exactly 0 (every
+    per-bin term is (p-p)*ln(1) -> 0 before quantization)."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["year"]: r for r in
+            REGISTRY["q140_psi_drift"].fn(spark, SF_SMOKE).collect()}
+    base = min(rows)
+    assert rows[base]["psi_u"] == 0
+    assert all(r["psi_u"] >= 0 for r in rows.values())
