@@ -200,3 +200,112 @@ def test_morton_column_matches_python_twin(spark):
             want = py_morton(x, y)
             assert got_col[(x, y)] == want
             assert got_sql[(x, y)] == want
+
+
+# -------------------------------------------------- BPE replace device
+
+def _merge_ref(syms: list[str], left: str, right: str) -> list[str]:
+    """Textbook BPE merge on a symbol list: scan left-to-right, fuse
+    each non-overlapping (left, right) adjacency."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _merge_via_replace(syms: list[str], left: str, right: str) -> list[str]:
+    """The engines' double-space string device (operators.text._bpe_train
+    / the q126 oracle): plain non-regex replace on '  '-separated
+    symbols — str.replace is leftmost-first non-overlapping, the same
+    contract as Spark's replace and DuckDB's replace."""
+    s = "  " + "  ".join(syms) + "  "
+    s = s.replace(f" {left}  {right} ", f" {left}{right} ")
+    return s.strip().split("  ")
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=3),
+                min_size=1, max_size=12),
+       st.integers(0, 10))
+@settings(max_examples=500, deadline=None)
+def test_bpe_replace_device_equals_textbook_merge(syms, pick):
+    """For ANY symbol sequence and any adjacent pair present in it, the
+    double-space replace produces exactly the textbook leftmost-first
+    merge — including overlapping runs (a a a under (a, a)) and pairs
+    whose symbols are prefixes/suffixes of each other."""
+    pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+    if not pairs:
+        return
+    left, right = pairs[pick % len(pairs)]
+    assert _merge_via_replace(syms, left, right) == \
+        _merge_ref(syms, left, right)
+
+
+# ------------------------------------------------------ skyline sweep
+
+def _sweep_frontier(pts: list[tuple[int, int]]) -> set[int]:
+    """Pure-Python mirror of operators.analytics.pareto_frontier_2d's
+    window semantics: sorted by the minimized column, dominance =
+    (max of maxcol over strictly-smaller values) >= v  OR  (max of
+    maxcol among equal values) > v. Returns surviving indices."""
+    import collections
+    by_price = collections.defaultdict(list)
+    for i, (c, s) in enumerate(pts):
+        by_price[c].append((i, s))
+    keep = set()
+    cummax = None
+    for price in sorted(by_price):
+        group = by_price[price]
+        group_max = max(s for _, s in group)
+        for i, s in group:
+            dominated = ((cummax is not None and cummax >= s)
+                         or group_max > s)
+            if not dominated:
+                keep.add(i)
+        cummax = group_max if cummax is None else max(cummax, group_max)
+    return keep
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=40))
+@settings(max_examples=500, deadline=None)
+def test_skyline_sweep_equals_quadratic_dominance(pts):
+    """The window-sweep algorithm equals the O(n²) dominance definition
+    on arbitrary multisets (ties and duplicates included)."""
+    def dominates(a, b):
+        return a[0] <= b[0] and a[1] >= b[1] and (a[0] < b[0] or a[1] > b[1])
+
+    brute = {i for i, p in enumerate(pts)
+             if not any(dominates(q, p)
+                        for j, q in enumerate(pts) if j != i)}
+    assert _sweep_frontier(pts) == brute
+
+
+# ------------------------------------------------- count-min guarantee
+
+@given(st.lists(st.text(alphabet="xyz", min_size=1, max_size=4),
+                min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_cms_sha48_device_never_underestimates(stream):
+    """The q135 hash device (sha-256 'cms{j}:' domains, 12 hex chars,
+    mod 64), replayed in pure Python over an arbitrary token stream,
+    keeps the count-min guarantee: min-over-rows >= true count."""
+    import collections
+    import hashlib
+
+    def bucket(term: str, j: int) -> int:
+        h = hashlib.sha256(f"cms{j}:{term}".encode()).hexdigest()
+        return int(h[:12], 16) % 64
+
+    cms = [collections.Counter() for _ in range(4)]
+    exact = collections.Counter(stream)
+    for term in stream:
+        for j in range(4):
+            cms[j][bucket(term, j)] += 1
+    for term, n in exact.items():
+        est = min(cms[j][bucket(term, j)] for j in range(4))
+        assert est >= n
