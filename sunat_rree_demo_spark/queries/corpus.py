@@ -162,6 +162,8 @@ def q98_bm25_topk(spark, sf_dir):
     scores quantize to integer micro-units before the per-doc sum (the
     q74 discipline) so addend order can't move the 6dp result, and the
     top-k carries (score_micro, doc_id) as a total tiebreak."""
+    from sunat_rree_demo_spark.operators.retrieval import bm25_doc_scores
+
     d = t(spark, sf_dir, "documents")
     tk = d.select(F.col("doc_id"),
                   F.explode(tokens(F.col("text"))).alias("term"))
@@ -171,26 +173,8 @@ def q98_bm25_topk(spark, sf_dir):
     tf = (tk.filter(F.col("term").isin(*BM25_TERMS))
           .groupBy("doc_id", "term")
           .agg(F.count("*").cast("bigint").alias("tf")))
-    dfq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    idf = (dfq.join(F.broadcast(nd))
-           .select("term",
-                   F.round(F.log((F.col("n") - F.col("df") + 0.5)
-                                 / (F.col("df") + 0.5) + 1.0)
-                           * 1000000.0, 0).cast("bigint").alias("idf_u")))
-    u = F.round(
-        F.col("idf_u")
-        * ((F.col("tf") * (BM25_K1 + 1.0))
-           / (F.col("tf") + BM25_K1
-              * ((1.0 - BM25_B)
-                 + BM25_B * (F.col("dl") / F.col("avgdl"))))), 0) \
-        .cast("bigint")
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
-        .join(F.broadcast(st))
-        .select("doc_id", u.alias("u"))
-        .groupBy("doc_id").agg(F.sum("u").cast("bigint").alias("score_micro"))
-        .withColumn("bm25", F.round(F.col("score_micro") / 1000000.0, 6))
+        bm25_doc_scores(tf, dl, nd, st, BM25_K1, BM25_B)
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(15)
     )
