@@ -8,11 +8,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from sunat_rree_demo_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_estimates,
+    cms_partial_counts,
+)
 from sunat_rree_demo_spark.queries.base import register, t
 
-#: count-min geometry: 4 hash rows × 64 counters.
-CMS_DEPTH = 4
-CMS_WIDTH = 64
 #: probe set size (top exact terms).
 CMS_PROBES = 20
 
@@ -69,34 +72,15 @@ def q135_count_min_sketch(spark, sf_dir):
     combine doing almost all the work (this is why CMS exists: fixed
     memory at any scale). The probe set is a bounded TakeOrdered
     broadcast; estimates join on the 256-key sketch."""
-    d = t(spark, sf_dir, "documents")
     from sunat_rree_demo_spark.operators.text import tokens
 
-    def bucket(term_col, j: int):
-        return (F.conv(F.substring(
-            F.sha2(F.concat(F.lit(f"cms{j}:"), term_col), 256), 1, 12),
-            16, 10).cast("bigint") % CMS_WIDTH)
-
-    def with_rows(df, term_col):
-        jb = F.explode(F.array(*[
-            F.struct(F.lit(j).cast("int").alias("j"),
-                     bucket(term_col, j).alias("bucket"))
-            for j in range(CMS_DEPTH)])).alias("_jb")
-        return df.select("*", jb).select(
-            *df.columns, F.col("_jb.j").alias("j"),
-            F.col("_jb.bucket").alias("bucket"))
-
+    d = t(spark, sf_dir, "documents")
     tk = d.select(F.explode(tokens(F.col("text"))).alias("term"))
-    cms = (with_rows(tk, F.col("term"))
-           .groupBy("j", "bucket")
-           .agg(F.count("*").cast("bigint").alias("_c")))
+    cms = cms_partial_counts(tk)
     ex = tk.groupBy("term").agg(F.count("*").cast("bigint").alias("n_exact"))
     probes = ex.orderBy(F.desc("n_exact"), "term").limit(CMS_PROBES)
-    pb = with_rows(probes, F.col("term"))
     return (
-        F.broadcast(pb).join(cms, ["j", "bucket"])
-        .groupBy("term", "n_exact")
-        .agg(F.min("_c").alias("cms_est"))
+        cms_estimates(cms, probes)
         .select("term", "n_exact", "cms_est",
                 (F.col("cms_est") - F.col("n_exact")).alias("overestimate"))
         .orderBy(F.desc("n_exact"), "term")

@@ -1,0 +1,87 @@
+"""Streaming CMS = batch CMS: drain the documents corpus through the
+micro-batch sketch ingest in two files and compare the merged counters
+(and probe estimates) against the one-shot batch sketch — counter
+addition makes the split invisible. Replays must not double-count."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_two_files(spark, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("docs_cms_stream")
+    tbl = pq.read_table(f"{SF_SMOKE}/documents.parquet")
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), d / "part1.parquet")
+    pq.write_table(tbl.slice(half), d / "part2.parquet")
+    return str(d)
+
+
+def _drain(spark, src_dir: str, cms_path: str) -> None:
+    from sunat_rree_demo_spark.streaming.cms_stream import cms_ingest_handler
+    from sunat_rree_demo_spark.streaming.dedup_stream import docs_file_stream
+
+    q = (docs_file_stream(spark, src_dir)
+         .writeStream.foreachBatch(cms_ingest_handler(spark, cms_path))
+         .option("checkpointLocation", f"{cms_path}/_stream_checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    assert q.awaitTermination(300)
+
+
+def test_streamed_sketch_equals_batch_sketch(spark, tmp_path,
+                                             docs_two_files):
+    from sunat_rree_demo_spark.operators.sketches import cms_partial_counts
+    from sunat_rree_demo_spark.operators.text import tokens
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.streaming.cms_stream import (
+        load_cms,
+        probe_cms,
+    )
+
+    cms_path = str(tmp_path / "cms")
+    _drain(spark, docs_two_files, cms_path)
+
+    got = {(r.j, r.bucket): r.c for r in
+           load_cms(spark, cms_path).collect()}
+    full = load_table(spark, SF_SMOKE, "documents")
+    tk = full.select(F.explode(tokens(F.col("text"))).alias("term"))
+    want = {(r.j, r.bucket): r.c for r in
+            cms_partial_counts(tk).collect()}
+    assert got == want
+
+    # probe estimates obey the sketch guarantee against exact counts
+    exact = {r.term: r.n
+             for r in tk.groupBy("term")
+             .agg(F.count("*").alias("n")).collect()}
+    some_terms = tuple(sorted(exact)[:5])
+    for r in probe_cms(spark, cms_path, some_terms).collect():
+        assert r.cms_est >= exact[r.term]
+
+
+def test_batch_replay_does_not_double_count(spark, tmp_path,
+                                            docs_two_files):
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.streaming.cms_stream import (
+        absorb_tokens_batch,
+        load_cms,
+    )
+
+    cms_path = str(tmp_path / "cms")
+    batch = load_table(spark, SF_SMOKE, "documents").limit(20)
+    absorb_tokens_batch(spark, batch, 0, cms_path)
+    before = {(r.j, r.bucket): r.c for r in
+              load_cms(spark, cms_path).collect()}
+    # crash-replay of the SAME batch id — even with different content,
+    # the committed marker wins and nothing changes
+    absorb_tokens_batch(spark, batch, 0, cms_path)
+    absorb_tokens_batch(spark, batch.limit(3), 0, cms_path)
+    after = {(r.j, r.bucket): r.c for r in
+             load_cms(spark, cms_path).collect()}
+    assert before == after
