@@ -127,6 +127,8 @@ _ROTATE_TO_TAIL = (
     "q121_cheapest_supplier", "q122_bottleneck_suppliers",
     # q139/q140 (share-of-parent, PSI drift) enter; two more defer
     "q123_supplier_diversity", "q124_source_mixture",
+    # q141 (multi-touch attribution) enters; one more defers
+    "q125_cohort_ltv",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

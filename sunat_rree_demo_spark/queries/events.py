@@ -430,3 +430,75 @@ def q136_top_event_paths(spark, sf_dir):
         .orderBy(F.desc("n_users"), "path")
         .limit(TOP_PATHS)
     )
+
+
+#: q141 attribution lookback (24 h in ms).
+ATTR_WINDOW_MS = 86400000
+
+
+# --------------------------------------------------------------------- q141
+@register(
+    "q141_multi_touch_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms
+      FROM events
+    ),
+    p AS (SELECT event_id AS purchase_id, user_id, tms FROM e
+          WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, tms FROM e
+          WHERE event_type = 'click'),
+    j AS (
+      SELECT p.purchase_id, c.click_id, c.tms
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.tms >= p.tms - {ATTR_WINDOW_MS} AND c.tms < p.tms
+    ),
+    f AS (SELECT purchase_id, click_id AS first_click FROM (
+            SELECT purchase_id, click_id,
+                   row_number() OVER (PARTITION BY purchase_id
+                                      ORDER BY tms, click_id) AS rn
+            FROM j) WHERE rn = 1),
+    l AS (SELECT purchase_id, click_id AS last_click FROM (
+            SELECT purchase_id, click_id,
+                   row_number() OVER (PARTITION BY purchase_id
+                                      ORDER BY tms DESC, click_id DESC)
+                     AS rn
+            FROM j) WHERE rn = 1)
+    SELECT p.purchase_id, p.user_id, f.first_click, l.last_click
+    FROM p LEFT JOIN f USING (purchase_id) LEFT JOIN l USING (purchase_id)
+    ORDER BY purchase_id
+    """,
+    tags=("events", "attribution"),
+)
+def q141_multi_touch_attribution(spark, sf_dir):
+    """First-touch AND last-touch click attribution for every purchase:
+    the user's earliest and latest click in the strictly-preceding 24 h
+    — the two canonical marketing attribution models, emitted side by
+    side ((tms, event_id) total order; purchases with no prior click
+    surface with NULLs).
+
+    Scale shape: the oracle (and the naive plan) joins purchases ×
+    clicks and ranks per purchase — a fan-out join. The engine instead
+    uses ONE user-partitioned window with a millisecond RANGE frame
+    [-24h, -1ms): min/max over a click-only struct computes both models
+    in a single pass over the unified event stream — no join, no
+    fan-out, one shuffle on user_id; the same restatement that turned
+    q131's NOT-EXISTS into a sweep. Struct (tms, event_id) min/max
+    gives the identical lexicographic tiebreak the oracle's
+    row_number uses."""
+    e = t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id", "event_type",
+                  F.unix_millis("ts").alias("tms"))
+    click = F.when(F.col("event_type") == "click",
+                   F.struct("tms", "event_id"))
+    w = (Window.partitionBy("user_id").orderBy("tms")
+         .rangeBetween(-ATTR_WINDOW_MS, -1))
+    return (
+        ev.withColumn("_first", F.min(click).over(w))
+        .withColumn("_last", F.max(click).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("_first.event_id").alias("first_click"),
+                F.col("_last.event_id").alias("last_click"))
+        .orderBy("purchase_id")
+    )
