@@ -52,11 +52,18 @@ def cms_estimates(cms: DataFrame, probes: DataFrame,
                   term_col: str = "term") -> DataFrame:
     """Per-probe estimate = min over hash rows of the probed counter.
     ``probes`` is bounded (broadcast); ``cms`` holds ≤ DEPTH×WIDTH
-    rows. Extra probe columns pass through."""
+    rows. Extra probe columns pass through.
+
+    The join is LEFT from the probe rows: a counter nothing hashed to
+    has no sketch row, and its value is 0 — an inner join would
+    silently drop it, making an unseen term disappear from the output
+    (or worse, report the min over only its COLLIDED buckets). With
+    the 0-coalesce, a never-seen term correctly estimates 0."""
     pb = with_cms_rows(probes, F.col(term_col))
     keys = [c for c in probes.columns]
     return (
-        F.broadcast(pb).join(cms, ["j", "bucket"])
+        F.broadcast(pb).join(cms, ["j", "bucket"], "left")
         .groupBy(*keys)
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce("c", F.lit(0).cast("bigint")))
+             .alias("cms_est"))
     )

@@ -32,9 +32,8 @@ from sunat_rree_demo_spark.operators.text import tokens
 from sunat_rree_demo_spark.queries.corpus import BM25_B, BM25_K1
 
 
-def build_search_index(spark: SparkSession, docs: DataFrame,
-                       out_dir: str, id_col: str = "doc_id",
-                       text_col: str = "text",
+def build_search_index(docs: DataFrame, out_dir: str,
+                       id_col: str = "doc_id", text_col: str = "text",
                        n_shards: int = 8) -> None:
     """Materialize the BM25 index artifacts for ``docs`` to
     ``out_dir`` (overwrites)."""

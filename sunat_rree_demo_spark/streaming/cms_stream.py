@@ -63,10 +63,24 @@ def cms_ingest_handler(spark: SparkSession, cms_path: str,
     return handle
 
 
+_CMS_SCHEMA = "j int, bucket bigint, c bigint"
+
+
 def load_cms(spark: SparkSession, cms_path: str) -> DataFrame:
     """The live merged sketch: sum of every committed batch's partials
     (≤ DEPTH×WIDTH result rows; the scan is the partial files, bounded
-    by 256 rows per batch)."""
+    by 256 rows per batch). Before the FIRST batch commits the path
+    holds no partials (or only the ``_stream_checkpoint`` dir, which
+    parquet discovery ignores) — probing then must mean "all counters
+    0", not an AnalysisException, so an empty sketch frame is returned
+    for a missing/partial-free path."""
+    fs, jroot = _hadoop_fs(spark, cms_path)
+    has_partials = fs.exists(jroot) and any(
+        st.isDirectory()
+        and st.getPath().getName().startswith(f"{BATCH_COL}=")
+        for st in fs.listStatus(jroot))
+    if not has_partials:
+        return spark.createDataFrame([], _CMS_SCHEMA)
     return (spark.read.parquet(cms_path)
             .groupBy("j", "bucket")
             .agg(F.sum("c").cast("bigint").alias("c")))

@@ -85,3 +85,30 @@ def test_batch_replay_does_not_double_count(spark, tmp_path,
     after = {(r.j, r.bucket): r.c for r in
              load_cms(spark, cms_path).collect()}
     assert before == after
+
+
+def test_probe_unseen_term_estimates_zero(spark, tmp_path):
+    """A term whose buckets were never hit estimates 0 (the left-join
+    + coalesce path), and probing before ANY batch commits returns 0
+    for everything instead of crashing."""
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.streaming.cms_stream import (
+        absorb_tokens_batch,
+        probe_cms,
+    )
+
+    cms_path = str(tmp_path / "cms")
+    # pre-ingest: path does not exist yet
+    pre = {r.term: r.cms_est
+           for r in probe_cms(spark, cms_path, ("anything",)).collect()}
+    assert pre == {"anything": 0}
+
+    batch = load_table(spark, SF_SMOKE, "documents").limit(5)
+    absorb_tokens_batch(spark, batch, 0, cms_path)
+    got = {r.term: r.cms_est for r in
+           probe_cms(spark, cms_path,
+                     ("zq-never-seen-term-!!", "table")).collect()}
+    assert set(got) == {"zq-never-seen-term-!!", "table"}
+    # with only 5 docs the sketch is sparse: an absent term's buckets
+    # may be empty -> estimate must come back (possibly 0), never drop
+    assert got["zq-never-seen-term-!!"] >= 0

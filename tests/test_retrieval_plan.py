@@ -16,7 +16,7 @@ def test_index_search_equals_direct_bm25(spark, tmp_path):
     from sunat_rree_demo_spark.sources.catalog import load_table
 
     idx = str(tmp_path / "idx")
-    build_search_index(spark, load_table(spark, SF_SMOKE, "documents"), idx)
+    build_search_index(load_table(spark, SF_SMOKE, "documents"), idx)
 
     got = [tuple(r) for r in
            bm25_search(spark, idx, BM25_TERMS, k=15).collect()]
@@ -34,7 +34,7 @@ def test_index_term_filter_reaches_scan(spark, tmp_path):
     from sunat_rree_demo_spark.sources.catalog import load_table
 
     idx = str(tmp_path / "idx")
-    build_search_index(spark, load_table(spark, SF_SMOKE, "documents"), idx)
+    build_search_index(load_table(spark, SF_SMOKE, "documents"), idx)
     df = (spark.read.parquet(f"{idx}/postings")
           .filter(F.col("term").isin("spark", "dup")))
     mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode \
@@ -49,5 +49,5 @@ def test_index_search_unknown_terms_empty(spark, tmp_path):
     from sunat_rree_demo_spark.sources.catalog import load_table
 
     idx = str(tmp_path / "idx")
-    build_search_index(spark, load_table(spark, SF_SMOKE, "documents"), idx)
+    build_search_index(load_table(spark, SF_SMOKE, "documents"), idx)
     assert bm25_search(spark, idx, ("zzz-not-a-term",), k=5).count() == 0
