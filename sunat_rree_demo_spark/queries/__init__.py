@@ -129,6 +129,8 @@ _ROTATE_TO_TAIL = (
     "q123_supplier_diversity", "q124_source_mixture",
     # q141 (multi-touch attribution) enters; one more defers
     "q125_cohort_ltv",
+    # q142 (customer set ops) enters; one more defers
+    "q113_click_attribution_outer",
 )
 _head = {n: q for n, q in REGISTRY.items() if n not in _ROTATE_TO_TAIL}
 _tail = {n: REGISTRY[n] for n in _ROTATE_TO_TAIL}

@@ -709,3 +709,51 @@ def q131_pareto_frontier(spark, sf_dir):
         "p_size")
     return (pareto_frontier_2d(pts, "p_brand", "price_c", "p_size")
             .orderBy("p_brand", "p_partkey"))
+
+
+# --------------------------------------------------------------------- q142
+@register(
+    "q142_customer_set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1995),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE year(o_orderdate) = 1996)
+    SELECT 'churned' AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'new', CAST(count(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    UNION ALL
+    SELECT 'retained', CAST(count(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    ORDER BY segment
+    """,
+    tags=("set-ops", "U-family"),
+)
+def q142_customer_set_ops(spark, sf_dir):
+    """Year-over-year customer movement as native set algebra: buyers
+    of 1995 vs 1996 split into churned (EXCEPT), new (reverse EXCEPT)
+    and retained (INTERSECT) — the U2 set-difference operator under a
+    real oracle instead of only the QA plan's pytest (its driver-
+    checkable upgrade). Spark's intersect/exceptAll plan as left-semi /
+    left-anti joins over the distinct key sets — two scans of the same
+    year-pruned aggregate, each shuffling the bounded distinct-customer
+    key set, never raw orders twice per side."""
+    o = t(spark, sf_dir, "orders")
+    a = (o.filter(F.year("o_orderdate") == 1995)
+         .select("o_custkey").distinct())
+    b = (o.filter(F.year("o_orderdate") == 1996)
+         .select("o_custkey").distinct())
+
+    def seg(name, df):
+        return df.agg(F.count("*").cast("bigint").alias("n_customers")) \
+            .select(F.lit(name).alias("segment"), "n_customers")
+
+    return (
+        seg("churned", a.exceptAll(b).distinct())
+        .unionAll(seg("new", b.exceptAll(a).distinct()))
+        .unionAll(seg("retained", a.intersect(b)))
+        .orderBy("segment")
+    )
