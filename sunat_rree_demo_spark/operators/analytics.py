@@ -101,6 +101,17 @@ def pareto_frontier_2d(df: DataFrame, group_col: str,
     self-join. Columns must be exactly comparable (quantize floats to
     integer units first — the q131 cents discipline)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import IntegralType
+
+    # the strictly-cheaper frame (RANGE … -1 PRECEDING) means
+    # "min_col ≤ current − 1", which equals "strictly smaller" ONLY for
+    # integer-quantized values; raw doubles would silently miss
+    # dominances (10.5 vs 10.2), so make the contract loud
+    if not isinstance(df.schema[min_col].dataType, IntegralType):
+        raise TypeError(
+            f"pareto_frontier_2d: {min_col!r} must be an integral type "
+            f"(got {df.schema[min_col].dataType.simpleString()}); quantize "
+            "floats to integer units (e.g. cents) before calling")
 
     w_cheaper = (Window.partitionBy(group_col).orderBy(min_col)
                  .rangeBetween(Window.unboundedPreceding, -1))

@@ -146,7 +146,9 @@ def _blockwise_topk(emb: DataFrame, k: int, id_col: str, vec_col: str,
     def score(batches):
         for pdf in batches:
             n_ids = pdf[id_col].to_numpy(dtype="int64")
-            n_labels = (pdf[label_col].to_numpy(dtype="int64")
+            # labels compare generically (!=) — int, string, or
+            # categorical all work; no int64 hard-cast
+            n_labels = (pdf[label_col].to_numpy()
                         if label_col else None)
             mat = np.array(list(pdf[vec_col]), dtype="float64")
             norms = np.sqrt((mat * mat).sum(axis=1))
@@ -600,14 +602,18 @@ def hard_negative_topk(emb: DataFrame, queries: DataFrame, k: int,
     prune bounds task output at k·Q rows; a final window rank merges
     batch winners. The label filter happens INSIDE the batch, before
     pruning, so negatives beyond rank k of the unfiltered ranking are
-    still found (a post-filter of plain top-k would lose them)."""
+    still found (a post-filter of plain top-k would lose them).
+
+    ``label_col`` may be any equality-comparable type (int, string,
+    …) — labels ride the closure uncast and the mask is a generic
+    elementwise ``!=``."""
     import numpy as np
 
     # one collect keeps ids / vectors / labels row-aligned
     q_rows = queries.select(id_col, vec_col, label_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     q_mat = np.array([r[1] for r in q_rows], dtype="float64")
-    q_labels = np.array([r[2] for r in q_rows], dtype="int64")
+    q_labels = np.array([r[2] for r in q_rows])  # any ==-comparable type
     q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
     q_norms[q_norms == 0] = 1.0
     qn = (q_mat / q_norms[:, None]).T
@@ -665,7 +671,9 @@ def pq_encode(emb: DataFrame, n_centroids: int = 8, m_subspaces: int = 4,
                 a = mat[:, m * sub:(m + 1) * sub]
                 c = cent[:, m * sub:(m + 1) * sub]
                 d2 = ((a[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                d2u = np.round(d2 * 1e6).astype("int64")
+                # half-up to match DuckDB round() — np.round's
+                # half-to-even could flip a code on an exact .5 micro
+                d2u = np.floor(d2 * 1e6 + 0.5).astype("int64")
                 code = np.argmin(d2u, axis=1)  # ties → lowest index
                 out[f"code_{m}"] = code.astype("int64")
                 total_u += d2u[np.arange(len(ids)), code]

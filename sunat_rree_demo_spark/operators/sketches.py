@@ -51,8 +51,8 @@ def cms_partial_counts(terms: DataFrame, term_col: str = "term") -> DataFrame:
 def cms_estimates(cms: DataFrame, probes: DataFrame,
                   term_col: str = "term") -> DataFrame:
     """Per-probe estimate = min over hash rows of the probed counter.
-    ``probes`` is bounded (broadcast); ``cms`` holds ≤ DEPTH×WIDTH
-    rows. Extra probe columns pass through.
+    ``cms`` holds ≤ DEPTH×WIDTH rows and is broadcast; ``probes``
+    may be any size (each probe expands to DEPTH rows). Extra probe columns pass through.
 
     The join is LEFT from the probe rows: a counter nothing hashed to
     has no sketch row, and its value is 0 — an inner join would
@@ -61,8 +61,11 @@ def cms_estimates(cms: DataFrame, probes: DataFrame,
     the 0-coalesce, a never-seen term correctly estimates 0."""
     pb = with_cms_rows(probes, F.col(term_col))
     keys = [c for c in probes.columns]
+    # hint the BUILD side: the preserved (left) side of a left-outer
+    # join can't be broadcast, so the hint must sit on the sketch —
+    # which is the naturally tiny side anyway (≤ DEPTH×WIDTH rows)
     return (
-        F.broadcast(pb).join(cms, ["j", "bucket"], "left")
+        pb.join(F.broadcast(cms), ["j", "bucket"], "left")
         .groupBy(*keys)
         .agg(F.min(F.coalesce("c", F.lit(0).cast("bigint")))
              .alias("cms_est"))

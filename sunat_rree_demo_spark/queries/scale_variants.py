@@ -188,6 +188,7 @@ def q89_salted_skew_agg(spark, sf_dir):
 
 # ---------------------------------------------------------------------- q91
 _KMV_K = 8
+_KMV_SALTS = 16  # q91 two-phase bound: 2nd window sees <= k*salts rows/group
 _TWO48 = 281474976710656.0  # 2^48; (k-1)*2^48 has 3 significant bits -> exact
 
 
@@ -249,8 +250,16 @@ def q91_kmv_distinct(spark, sf_dir):
                                  F.col("l_suppkey").cast("string")), 256),
                  1, 12), 16, 10).cast("bigint").alias("hv"))
          .distinct())
+    # two-phase per-group k-min (q89's salt pattern): the kth-smallest
+    # hash per flag is found among the per-(flag, salt) k minima, so
+    # the second window sorts at most k * _KMV_SALTS rows per flag
+    # instead of every distinct supplier hash in one partition.
+    salted = h.withColumn("_salt", F.pmod(F.col("hv"), F.lit(_KMV_SALTS)))
+    w1 = Window.partitionBy("flag", "_salt").orderBy("hv")
+    cand = (salted.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= _KMV_K).drop("_rn", "_salt"))
     w = Window.partitionBy("flag").orderBy("hv")
-    kth = (h.withColumn("_rn", F.row_number().over(w))
+    kth = (cand.withColumn("_rn", F.row_number().over(w))
            .filter(F.col("_rn") == _KMV_K)
            .select("flag", F.col("hv").alias("kmin")))
     exact = (li.groupBy(F.col("l_returnflag").alias("flag"))
@@ -395,9 +404,10 @@ def q110_kmv_set_ops(spark, sf_dir):
     a, b = cohort(1994), cohort(1995)
     ha, hb = hashes(a), hashes(b)
     hu = ha.unionByName(hb).distinct()
-    topk = (hu.withColumn("_rn", F.row_number()
-                          .over(Window.orderBy("hv")))
-            .filter(F.col("_rn") <= _KMV_SET_K).select("hv"))
+    # global k smallest hashes via orderBy+limit: plans as
+    # TakeOrderedAndProject (per-partition top-k, then a k-row merge) —
+    # no single-partition global-window sort of the full hash set
+    topk = hu.orderBy("hv").limit(_KMV_SET_K).select("hv")
     kth = topk.agg(F.max("hv").alias("kmin"),
                    F.count("*").cast("bigint").alias("kn"))
     inboth = (topk.join(ha, "hv").join(hb, "hv")

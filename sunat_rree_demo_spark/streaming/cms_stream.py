@@ -73,15 +73,27 @@ def load_cms(spark: SparkSession, cms_path: str) -> DataFrame:
     holds no partials (or only the ``_stream_checkpoint`` dir, which
     parquet discovery ignores) — probing then must mean "all counters
     0", not an AnalysisException, so an empty sketch frame is returned
-    for a missing/partial-free path."""
+    for a missing/partial-free path.
+
+    Only COMMITTED partials are visible: a batch dir missing its
+    ``_SUCCESS`` marker (crashed mid-write, or mid-delete during a
+    replay's whole-dir overwrite) is skipped, exactly as the absorb
+    path skips it — otherwise a torn partial could be summed in and a
+    mid-stream probe would undercount, breaking the one-sided
+    est ≥ exact guarantee."""
     fs, jroot = _hadoop_fs(spark, cms_path)
-    has_partials = fs.exists(jroot) and any(
-        st.isDirectory()
-        and st.getPath().getName().startswith(f"{BATCH_COL}=")
-        for st in fs.listStatus(jroot))
-    if not has_partials:
+    committed = []
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(f"{BATCH_COL}=")):
+                continue
+            batch_id = int(name.split("=", 1)[1])
+            if cms_batch_committed(spark, cms_path, batch_id):
+                committed.append(f"{cms_path}/{name}")
+    if not committed:
         return spark.createDataFrame([], _CMS_SCHEMA)
-    return (spark.read.parquet(cms_path)
+    return (spark.read.parquet(*committed)
             .groupBy("j", "bucket")
             .agg(F.sum("c").cast("bigint").alias("c")))
 
