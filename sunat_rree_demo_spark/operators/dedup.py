@@ -157,7 +157,8 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
                         n: int = 5, threshold: float = 0.3,
-                        max_shingle_df: int | None = 256) -> DataFrame:
+                        max_shingle_df: int | None = 256,
+                        arr: DataFrame | None = None) -> DataFrame:
     """Exact pairwise n-gram Jaccard ≥ threshold (ground-truth near-dup).
 
     Plan: doc-grain shingle arrays (one lazy checkpoint) → explode →
@@ -198,8 +199,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     # action, so shingling, checkpoint persist, and the hot-shingle
     # aggregate all ride ONE job (the r3 eager form paid a separate
     # checkpoint job first — ~25% of q40's warm wall at sf0.1).
-    arr = (doc_shingle_arrays(docs, id_col, text_col, n)
-           .localCheckpoint(eager=False))
+    # A caller holding an already-materialized corpus (the session
+    # shingle cache shared by q40/q71/q97) passes it via ``arr`` and
+    # the Python shingler doesn't run at all.
+    if arr is None:
+        arr = (doc_shingle_arrays(docs, id_col, text_col, n)
+               .localCheckpoint(eager=False))
     sh = arr.select(F.col(id_col),
                     F.explode("shingles").alias("shingle")) \
         .select(F.col(id_col), F.xxhash64("shingle").alias("_sh"))
@@ -575,7 +580,8 @@ def _signatures_from_shingle_arrays(arr: DataFrame, id_col: str,
 def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
                             n: int = 5, threshold: float = 0.3,
                             k: int = MINHASH_K,
-                            bands: int = LSH_BANDS) -> DataFrame:
+                            bands: int = LSH_BANDS,
+                            arr: DataFrame | None = None) -> DataFrame:
     """Two-tier near-dup detection — the production pipeline shape:
     sub-quadratic MinHash+LSH candidate generation, then EXACT n-gram
     Jaccard computed only over the candidate pairs. Every emitted pair
@@ -596,7 +602,8 @@ def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
     inside ``minhash_signatures``."""
     # doc-grain arrays checkpointed once: they feed the signature
     # derivation AND the two verify-join branches (id1 side, id2 side)
-    arr = doc_shingle_arrays(docs, id_col, text_col, n).localCheckpoint()
+    if arr is None:
+        arr = doc_shingle_arrays(docs, id_col, text_col, n).localCheckpoint()
     sig = _signatures_from_shingle_arrays(arr, id_col, k).localCheckpoint()
     b = band_rows(sig, id_col, k, bands)
     cand = (
@@ -620,11 +627,13 @@ def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
 
 def prefix_filter_jaccard_pairs(docs: DataFrame, id_col: str,
                                 text_col: str, n: int = 5,
-                                threshold: float = 0.8) -> DataFrame:
-    """EXACT Jaccard ≥ threshold pairs via prefix filtering (PPJoin-lite;
-    Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07) — a third,
-    independent plan for the same answer as ``ngram_jaccard_pairs``,
-    built for HIGH thresholds where it prunes hardest.
+                                threshold: float = 0.8,
+                                arr: DataFrame | None = None) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs via prefix filtering (PPJoin;
+    Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07 / Xiao et al.
+    WWW'08) — a third, independent plan for the same answer as
+    ``ngram_jaccard_pairs``, built for HIGH thresholds where it prunes
+    hardest.
 
     Principle: order every doc's shingle set by one global total order
     (document frequency ascending, hash tiebreak — rarest first) and
@@ -635,18 +644,40 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, id_col: str,
     rare-first ordering makes the join key maximally selective (the
     exact inverse of the hot-shingle problem the q40 df-cutoff guards).
 
-    Plan: doc-grain shingle arrays (one Python pass, checkpointed) →
-    exploded 64-bit keys → df counts (one uniform-key shuffle, map-side
-    combined) → per-doc rank-and-slice (one groupBy; the sort is over
-    ONE doc's shingles, never a global order-by) → prefix self-join →
-    exact ``array_intersect`` verify on candidates only. Like
-    ``verified_near_dup_pairs`` the verify is candidate-scale; unlike
-    LSH there is no recall loss and no estimate error. The 64-bit
-    collision caveat of ``ngram_jaccard_pairs`` applies identically
-    (candidate generation in hash space can only widen the candidate
-    set; the string-array verify makes the final answer exact)."""
-    arr = (doc_shingle_arrays(docs, id_col, text_col, n)
-           .localCheckpoint(eager=False))
+    Two further PPJoin filters run ON THE JOIN ROWS, before the
+    candidate ``distinct``:
+
+    * **length filter** — J(x,y) ≥ t requires t·|x| ≤ |y| and
+      t·|y| ≤ |x|; carried set sizes make it a row predicate.
+    * **positional filter** — a prefix shingle matching at 1-based
+      ranks (i, j) bounds the overlap by
+      ``min(i−1, j−1) + 1 + min(|x|−i, |y|−j)`` (everything left of the
+      match that could match, the match, everything right of it).
+      J ≥ t needs overlap ≥ α = ⌈t/(1+t)·(|x|+|y|)⌉, and the bound
+      holds for EVERY matched row, so rows with bound < α are dropped
+      losslessly.
+
+    Ceilings subtract 1e-9 before ``F.ceil`` so an IEEE product that
+    lands epsilon ABOVE an exact integer (0.8·35 = 28.000…004) can't
+    round the prefix short or the overlap target high — either would
+    silently drop true pairs.
+
+    Plan: doc-grain shingle arrays (one Python pass — or zero, when the
+    caller passes the session-cached ``arr``) → exploded 64-bit keys →
+    df counts (one uniform-key shuffle, map-side combined) → per-doc
+    rank-and-slice (one groupBy; the sort is over ONE doc's shingles,
+    never a global order-by) → prefix self-join with length+positional
+    row filters → exact ``array_intersect`` verify on candidates only.
+    Like ``verified_near_dup_pairs`` the verify is candidate-scale;
+    unlike LSH there is no recall loss and no estimate error. The
+    64-bit collision caveat of ``ngram_jaccard_pairs`` applies
+    identically (candidate generation in hash space can only widen the
+    candidate set; the string-array verify makes the final answer
+    exact)."""
+    eps = 1e-9
+    if arr is None:
+        arr = (doc_shingle_arrays(docs, id_col, text_col, n)
+               .localCheckpoint(eager=False))
     sh = (arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
           .select(F.col(id_col), F.xxhash64("shingle").alias("_sh")))
     dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
@@ -658,14 +689,26 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, id_col: str,
               .agg(F.array_sort(F.collect_list(
                   F.struct(F.col("_df"), F.col("_sh")))).alias("_rk")))
     plen = (F.size("_rk")
-            - F.ceil(F.size("_rk") * F.lit(float(threshold))).cast("int")
-            + F.lit(1))
+            - F.ceil(F.size("_rk") * F.lit(float(threshold)) - eps)
+            .cast("int") + F.lit(1))
     prefix = (ranked.select(F.col(id_col),
-                            F.explode(F.slice("_rk", 1, plen)).alias("_p"))
-              .select(F.col(id_col), F.col("_p._sh").alias("_sh")))
+                            F.size("_rk").alias("_sz"),
+                            F.posexplode(F.slice("_rk", 1, plen))
+                            .alias("_pos", "_p"))
+              .select(F.col(id_col), "_sz",
+                      (F.col("_pos") + 1).alias("_i"),
+                      F.col("_p._sh").alias("_sh")))
+    t_ = F.lit(float(threshold))
+    sza, szb = F.col("a._sz"), F.col("b._sz")
+    ia, ib = F.col("a._i"), F.col("b._i")
+    overlap_ub = (F.least(ia - 1, ib - 1) + 1
+                  + F.least(sza - ia, szb - ib))
+    alpha = F.ceil(t_ / (F.lit(1.0) + t_) * (sza + szb) - eps)
     cand = (
         prefix.alias("a").join(prefix.alias("b"), "_sh")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter((szb >= t_ * sza - eps) & (sza >= t_ * szb - eps))
+        .filter(overlap_ub >= alpha)
         .select(F.col(f"a.{id_col}").alias("id1"),
                 F.col(f"b.{id_col}").alias("id2"))
         .distinct()

@@ -106,9 +106,12 @@ def q97_prefix_filter_pairs(spark, sf_dir):
     candidate-scale exact verify, lossless at any threshold, sharpest
     at high ones. The oracle is q40's exhaustive SQL at the 0.8 cut, so
     the prefix pruning is proven to drop nothing."""
+    from sunat_rree_demo_spark.queries.dedup import corpus_shingle_arrays
+
     d = t(spark, sf_dir, "documents")
     return (prefix_filter_jaccard_pairs(d, "doc_id", "text",
-                                        n=5, threshold=0.8)
+                                        n=5, threshold=0.8,
+                                        arr=corpus_shingle_arrays(spark, sf_dir))
             .orderBy("id1", "id2"))
 
 
