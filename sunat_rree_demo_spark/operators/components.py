@@ -87,16 +87,34 @@ def connected_components(edges: DataFrame, src: str = "id1",
         f"(component diameter exceeds max_rounds)")
 
 
-def _edge_fingerprint(E: DataFrame) -> tuple[int, int]:
-    """(row count, xor of per-edge xxhash64) of a canonical edge list —
-    an order-independent set fingerprint computed in ONE aggregate job.
-    bit_xor never overflows (unlike SUM under ANSI mode) and duplicate
-    edges can't cancel because canonical edge lists are distinct. Equal
-    fingerprints across rounds are confirmed exactly (one exceptAll)
-    before declaring convergence."""
-    row = E.agg(F.count("*").alias("n"),
-                F.expr("bit_xor(xxhash64(a, b))").alias("h")).first()
-    return row["n"], row["h"]
+def _is_star_forest(E: DataFrame) -> bool:
+    """True iff the canonical edge list is a disjoint union of stars
+    rooted at their component minima — the EXACT fixed point of the
+    alternating large-star/small-star iteration (Kiveris et al.
+    SoCC'14, Thm 1): LS and SS both map a min-rooted star forest to
+    itself, and any non-star shape is changed by one of them.
+
+    Shape test, one aggregate job over the 2|E| adjacency rows: every
+    member (``b``) appears exactly once, and no node is both a root
+    (``a``) and a member (``b``) — chains and doubly-attached members
+    are the only canonical (a<b, distinct) violations. Canonical a<b
+    already makes each root the min of its star. Testing the shape
+    directly replaces the old fingerprint-equality rule, which could
+    only detect convergence one full (large-star + small-star) round
+    AFTER the fixed point was reached, plus an exceptAll confirmation —
+    this check stops the loop the moment the shape appears and doubles
+    as the structural precondition of the member/root extraction
+    below."""
+    adj = E.select(F.col("a").alias("node"),
+                   F.lit(1).alias("ia"), F.lit(0).alias("ib"))         .union(E.select(F.col("b").alias("node"),
+                        F.lit(0).alias("ia"), F.lit(1).alias("ib")))
+    row = (adj.groupBy("node")
+           .agg(F.max("ia").alias("ha"), F.max("ib").alias("hb"),
+                F.sum("ib").alias("nb"))
+           .agg(F.count_if((F.col("ha") + F.col("hb") == 2)
+                           | (F.col("nb") > 1)).alias("bad"))
+           .first())
+    return row["bad"] == 0
 
 
 def _canonical(df: DataFrame) -> DataFrame:
@@ -157,32 +175,25 @@ def connected_components_two_phase(edges: DataFrame, src: str = "id1",
                  .union(raw.select(F.col("b").alias("node")))
                  .distinct())
     E = _canonical(raw).localCheckpoint(eager=False)
-    fp_prev = _edge_fingerprint(E)  # materializes E's lazy checkpoint
     for _ in range(max_rounds):
-        # Both checkpoints are LAZY and materialize inside the single
-        # fingerprint job below — one job per round, where the r3
-        # version paid three (large-star checkpoint + E_new checkpoint +
-        # count) plus a full exceptAll shuffle-and-subtract on every
-        # count-match round. The large-star intermediate still
-        # checkpoints (persist + lineage cut: _small_star reads it from
-        # three plan branches, so an unpersisted LS would replicate its
-        # subtree into every round's lineage); lazy materialization
-        # means at worst a concurrently-scheduled stage recomputes an
-        # LS partition before the persist lands — bounded by the three
-        # in-job references, deterministic either way, and strictly
-        # cheaper than the extra job barrier it replaces.
-        E_new = _small_star(_large_star(E).localCheckpoint(eager=False)) \
+        # transform FIRST, then test: LS/SS map a star forest to
+        # itself, so transforming an already-converged input is a
+        # cheap identity and testing before the first transform would
+        # cost one extra job on every real (non-star) input. The
+        # star-forest test is the convergence rule AND the first
+        # action through the round's lazy checkpoints, so transform,
+        # checkpoint materialization, and shape check ride one job
+        # per round. The large-star intermediate still checkpoints
+        # (persist + lineage cut: _small_star reads it from three plan
+        # branches, so an unpersisted LS would replicate its subtree
+        # into every round's lineage); lazy materialization means at
+        # worst a concurrently-scheduled stage recomputes an LS
+        # partition before the persist lands — bounded by the three
+        # in-job references, deterministic either way.
+        E = _small_star(_large_star(E).localCheckpoint(eager=False)) \
             .localCheckpoint(eager=False)
-        fp_new = _edge_fingerprint(E_new)
-        if fp_new == fp_prev and E_new.exceptAll(E).count() == 0:
-            # fingerprint (count, xor-of-hashes) equality is necessary
-            # for a fixed point; exceptAll runs ONCE here as the exact
-            # confirmation (hash-collision guard). A collision without
-            # set equality falls through and keeps iterating — loud,
-            # never a silently split component.
-            E = E_new
+        if _is_star_forest(E):
             break
-        E, fp_prev = E_new, fp_new
     else:
         raise RuntimeError(
             f"connected_components_two_phase did not converge in "

@@ -488,7 +488,8 @@ def band_rows(sig: DataFrame, id_col: str, k: int = MINHASH_K,
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                       n: int = 5, k: int = MINHASH_K, bands: int = LSH_BANDS,
-                      threshold: float = 0.3) -> DataFrame:
+                      threshold: float = 0.3,
+                      arr: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH near-dup pairs — the 100 TB dedup path.
 
     signatures → per band, bucket key = hash of the band's signature
@@ -498,8 +499,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     O(docs × bands), independent of shingle frequency skew."""
     # localCheckpoint (not cache): materialized once for the three
     # consumers below, reclaimed by GC — cache() would pin executor
-    # storage for the session lifetime on every invocation
-    sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
+    # storage for the session lifetime on every invocation. A caller
+    # holding materialized shingle arrays (the session cache) passes
+    # ``arr`` and the signatures derive from them — no re-shingling.
+    sig = (_signatures_from_shingle_arrays(arr, id_col, k)
+           if arr is not None
+           else minhash_signatures(docs, id_col, text_col, n, k)) \
+        .localCheckpoint()
     bb = band_rows(sig, id_col, k, bands)
 
     a = bb.alias("a")

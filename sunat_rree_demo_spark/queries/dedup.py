@@ -246,7 +246,9 @@ def q41_minhash_lsh_pairs(spark, sf_dir):
     (band, bucket), never the raw shingle. The oracle re-implements the
     whole banded pipeline in SQL from the same constants."""
     d = t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3).orderBy("id1", "id2")
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3,
+                             arr=corpus_shingle_arrays(spark, sf_dir)) \
+        .orderBy("id1", "id2")
 
 
 # ---------------------------------------------------------------------- q42

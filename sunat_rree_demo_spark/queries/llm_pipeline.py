@@ -27,6 +27,7 @@ from sunat_rree_demo_spark.operators.text import (
     tokens,
 )
 from sunat_rree_demo_spark.queries.base import register, t
+from sunat_rree_demo_spark.sources.catalog import register_session_cache
 from sunat_rree_demo_spark.queries.dedup import (
     JACCARD_PAIRS_SELECT,
     _minhash_oracle_sql,
@@ -75,6 +76,39 @@ def _closure_ctes(pairs_sql: str) -> str:
 """
 
 
+#: Session-scoped materialization of the exact-Jaccard ≥ 0.3 near-dup
+#: PAIR GRAPH — the shared input of both clustering algorithms (q61
+#: min-label, q68 large-star/small-star). Same design as
+#: ``corpus_shingle_arrays``/``monthly_flows``: a production dedup
+#: pipeline materializes the pair table once and every clustering /
+#: representative-selection pass reads it; recomputing the full pair
+#: pipeline per consumer is the thing a 100 TB deployment cannot
+#: afford.
+_DUP_EDGE_CACHE: dict[tuple[str, str], "object"] = {}
+register_session_cache(_DUP_EDGE_CACHE)
+
+
+def dup_pair_edges(spark, sf_dir: str):
+    """(id1, id2) exact 5-gram Jaccard ≥ 0.3 pairs over documents,
+    persisted per (session, sf_dir)."""
+    from sunat_rree_demo_spark.queries.dedup import corpus_shingle_arrays
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        app = str(id(spark))
+    key = (app, sf_dir)
+    cached = _DUP_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = t(spark, sf_dir, "documents")
+    edges = (ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.3,
+                                 arr=corpus_shingle_arrays(spark, sf_dir))
+             .select("id1", "id2").persist())
+    _DUP_EDGE_CACHE[key] = edges
+    return edges
+
+
 # ---------------------------------------------------------------------- q61
 #: shared by q61 (min-label) and q68 (large-star/small-star): both
 #: algorithms must land on the identical closure
@@ -97,9 +131,7 @@ def q61_dup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components over the exact 5-gram
     Jaccard ≥ 0.3 pair graph (operators.components min-label
     propagation vs a DuckDB recursive-CTE closure)."""
-    d = t(spark, sf_dir, "documents")
-    edges = (ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.3)
-             .select("id1", "id2"))
+    edges = dup_pair_edges(spark, sf_dir)
     labels = connected_components(edges)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return (
@@ -128,9 +160,7 @@ def q68_dup_clusters_two_phase(spark, sf_dir):
         connected_components_two_phase,
     )
 
-    d = t(spark, sf_dir, "documents")
-    edges = (ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.3)
-             .select("id1", "id2"))
+    edges = dup_pair_edges(spark, sf_dir)
     labels = connected_components_two_phase(edges)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return (
@@ -327,8 +357,11 @@ def q65_cluster_representatives(spark, sf_dir):
     pipeline KEEPS: clusters from the scale path (MinHash+LSH ≥ 0.3
     pairs → connected components), representative = highest quality
     score, ties to the lowest doc id."""
+    from sunat_rree_demo_spark.queries.dedup import corpus_shingle_arrays
+
     d = t(spark, sf_dir, "documents")
-    edges = (minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
+    edges = (minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3,
+                               arr=corpus_shingle_arrays(spark, sf_dir))
              .select("id1", "id2"))
     labels = connected_components(edges)
     scored = d.select(F.col("doc_id").alias("node"),
