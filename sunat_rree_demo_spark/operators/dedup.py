@@ -317,6 +317,88 @@ def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+#: Rabin–Karp rolling-hash constants, shared verbatim by the DuckDB
+#: oracle (queries/corpus.py): modulus 2³¹−1 keeps every per-term
+#: product (28-bit base hash × <2³¹ power) under 2⁵⁹ and the n-term
+#: window sum under 2⁶³, so BOTH engines stay in exact int64.
+ROLL_MOD = 2147483647   # 2^31 - 1 (Mersenne)
+ROLL_BASE = 1000003
+
+
+def roll_powers(n: int) -> list[int]:
+    """[B^(n-1), …, B, 1] mod M — the per-offset multipliers of an
+    n-token window key."""
+    return [pow(ROLL_BASE, n - 1 - i, ROLL_MOD) for i in range(n)]
+
+
+def rolling_chunk_stats(docs: DataFrame, id_col: str, text_col: str,
+                        n: int = 8) -> DataFrame:
+    """OVERLAPPING n-token window duplication signal — the
+    boundary-proof upgrade of ``chunk_dup_stats`` (Lee et al. 2021 use
+    suffix arrays for exact substrings; every n-token window keyed by a
+    rolling hash is the scalable relational equivalent): a duplicated
+    run that straddles a fixed chunk boundary is invisible to
+    non-overlapping chunking but always covers at least one of the
+    overlapping windows, so window-grain df catches it.
+
+    Window key = Rabin–Karp polynomial over engine-independent 28-bit
+    sha-256 token hashes: ``K(j) = Σᵢ h(t_{j+i})·B^{n-1-i} mod M``.
+    The rolling identity ``K(j+1) = (K(j) − h(t_j)·B^{n-1})·B +
+    h(t_{j+n}) mod M`` is what makes per-token streaming updates O(1);
+    this batch pass computes the same key as one int64 sliding-window
+    dot product per doc (vectorized, exact — see ROLL_MOD bound), and
+    the DuckDB oracle re-derives it per window in SQL, so the keys are
+    verified cross-engine rather than being an internal shortcut.
+
+    Returns (id, n_windows, n_dup_windows, dup_frac) for docs with ≥ n
+    tokens; windows are per-doc DISTINCT keys, ``n_dup_windows`` counts
+    those present in at least one OTHER doc, and ``dup_frac`` uses the
+    same integer half-up device as ``chunk_dup_stats``. Plan shape is
+    identical too: one Arrow-batched Python pass (keys, not strings —
+    the shuffle carries 8-byte longs where the chunk variant ships
+    n-token strings), ONE uniform key shuffle with an in-place
+    ``count() OVER (PARTITION BY key)``, one doc-grain aggregate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pw = np.array(roll_powers(n), dtype="int64")
+
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("keys", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches):
+        for _pdf, toks in _doc_token_batches(batches, id_col, text_col, n):
+            ids, kys = [], []
+            for i, tk in toks:
+                h = np.fromiter(
+                    (int(hashlib.sha256(t.encode()).hexdigest()[:HASH_HEX_LEN], 16)
+                     for t in tk), dtype="int64", count=len(tk))
+                win = np.lib.stride_tricks.sliding_window_view(h, n)
+                ids.append(i)
+                kys.append(np.unique(win @ pw % ROLL_MOD))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "keys": kys})
+
+    ks = (fan_out(docs.select(id_col, text_col))
+          .mapInPandas(gen, schema=out_schema)
+          .select(F.col(id_col), F.explode("keys").alias("key")))
+    nd = F.count("*").over(Window.partitionBy("key"))
+    return (
+        ks.withColumn("_nd", nd)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_windows"),
+             F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+             .cast("bigint").alias("n_dup"))
+        .select(F.col(id_col), "n_windows",
+                F.col("n_dup").alias("n_dup_windows"),
+                (F.expr("(2*10000*n_dup + n_windows) div (2*n_windows)")
+                 .cast("double") / 10000.0).alias("dup_frac"))
+    )
+
+
 def chunk_dedup_rewrite(docs: DataFrame, id_col: str, text_col: str,
                         n: int = 8) -> DataFrame:
     """Exact substring-chunk dedup as a corpus REWRITE (Lee et al. 2021

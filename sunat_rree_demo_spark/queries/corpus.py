@@ -334,3 +334,64 @@ def q127_chunk_dedup_rewrite(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return chunk_dedup_rewrite(d, "doc_id", "text", CHUNK_N).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- q143
+#: Rabin–Karp window-key term sum, generated from the SAME constants as
+#: operators.dedup.rolling_chunk_stats (ROLL_BASE=1000003,
+#: ROLL_MOD=2³¹−1, powers B^(n-1-i) mod M baked as literals) so the
+#: oracle recomputes the exact rolling-hash keys, not a lookalike.
+_ROLLING_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(tk, t ->
+               ('0x' || substr(sha256(t), 1, 7))::BIGINT) AS hv
+      FROM toks WHERE len(tk) >= 8
+    ),
+    keys AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(hv) - 6),
+               j -> (((hv[j+0] * 57298384) % 2147483647) + ((hv[j+1] * 2061642598) % 2147483647) + ((hv[j+2] * 1953433226) % 2147483647) + ((hv[j+3] * 1604566856) % 2147483647) + ((hv[j+4] * 1049561761) % 2147483647) + ((hv[j+5] * 1426104154) % 2147483647) + ((hv[j+6] * 1000003) % 2147483647) + ((hv[j+7] * 1) % 2147483647)) % 2147483647))) AS key
+      FROM hs
+    ),
+    kd AS (SELECT key, count(DISTINCT doc_id) AS nd FROM keys GROUP BY 1),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM keys JOIN kd USING (key) GROUP BY 1
+    )
+    SELECT doc_id, n_windows, n_dup AS n_dup_windows,
+           CAST((2*10000*n_dup + n_windows) // (2*n_windows) AS DOUBLE)
+             / 10000.0 AS dup_frac
+    FROM per ORDER BY doc_id
+    """
+
+
+@register(
+    "q143_rolling_chunk_dups",
+    oracle=_ROLLING_ORACLE,
+    tags=("dedup", "substring", "rolling-hash"),
+)
+def q143_rolling_chunk_dups(spark, sf_dir):
+    """OVERLAPPING 8-token window duplication signal via Rabin–Karp
+    rolling-hash keys — the boundary-proof upgrade of q96: a duplicated
+    run straddling a fixed chunk boundary is invisible to
+    non-overlapping chunking (both its halves differ across docs) but
+    always covers at least one overlapping window, so window-grain
+    document frequency catches every ≥8-token shared run regardless of
+    alignment (the property test in tests/test_llm_pipeline.py pins
+    exactly this case). Keys are 64-bit polynomial hashes recomputed
+    window-by-window in the DuckDB oracle from the same constants, so
+    cross-engine hash equality — not just row counts — is what the gate
+    checks. (Operator: operators.dedup.rolling_chunk_stats; reference
+    scoping note: the reference stops at pandas-level exact dup drops,
+    sunat_rree_demo/app.py:214.)"""
+    from sunat_rree_demo_spark.operators.dedup import rolling_chunk_stats
+
+    d = t(spark, sf_dir, "documents")
+    return rolling_chunk_stats(d, "doc_id", "text", n=8).orderBy("doc_id")

@@ -216,3 +216,62 @@ def test_stratified_sample_is_partitioning_invariant(spark):
     en_rate = len([i for i in en_all if i in kept]) / len(en_all)
     zh_rate = len([i for i in zh_all if i in kept]) / len(zh_all)
     assert en_rate < zh_rate
+
+
+def test_rolling_windows_catch_boundary_straddling_dup(spark):
+    """A shared 8-token run that STRADDLES the fixed 8-token chunk
+    boundary in both docs: non-overlapping chunking (q96) sees zero
+    duplicated chunks — each doc's chunks mix the shared run with
+    different surroundings — while overlapping rolling-hash windows
+    (q143) must flag the run in BOTH docs."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        chunk_dup_stats,
+        rolling_chunk_stats,
+    )
+
+    run = [f"c{i}" for i in range(8)]
+    # 4-token offsets put the shared run across the 8-token grid in
+    # both docs; every other token is doc-unique
+    doc_a = [f"a{i}" for i in range(4)] + run + [f"x{i}" for i in range(4)]
+    doc_b = [f"b{i}" for i in range(4)] + run + [f"y{i}" for i in range(4)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))], "doc_id long, text string")
+
+    fixed = {r["doc_id"]: r["n_dup_chunks"]
+             for r in chunk_dup_stats(docs, "doc_id", "text", 8).collect()}
+    assert fixed == {1: 0, 2: 0}
+
+    roll = {r["doc_id"]: r
+            for r in rolling_chunk_stats(docs, "doc_id", "text", 8).collect()}
+    # 16 tokens -> 9 windows per doc; exactly one (the aligned shared
+    # run) is cross-doc duplicated
+    assert roll[1]["n_windows"] == 9 and roll[2]["n_windows"] == 9
+    assert roll[1]["n_dup_windows"] == 1 and roll[2]["n_dup_windows"] == 1
+
+
+def test_rolling_window_keys_match_naive_polynomial(spark):
+    """The vectorized sliding-dot-product keys equal a per-window
+    naive polynomial mod M — the rolling-hash contract the DuckDB
+    oracle relies on."""
+    import hashlib
+
+    from sunat_rree_demo_spark.operators.dedup import (
+        HASH_HEX_LEN,
+        ROLL_MOD,
+        roll_powers,
+        rolling_chunk_stats,
+    )
+
+    tk = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+          "dogs", "again", "today"]
+    n = 8
+    pw = roll_powers(n)
+    h = [int(hashlib.sha256(t.encode()).hexdigest()[:HASH_HEX_LEN], 16)
+         for t in tk]
+    naive = {sum(h[j + i] * pw[i] for i in range(n)) % ROLL_MOD
+             for j in range(len(tk) - n + 1)}
+    docs = spark.createDataFrame([(7, " ".join(tk))],
+                                 "doc_id long, text string")
+    row = rolling_chunk_stats(docs, "doc_id", "text", n).collect()[0]
+    assert row["n_windows"] == len(naive) == 3
+    assert row["n_dup_windows"] == 0
