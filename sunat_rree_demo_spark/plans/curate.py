@@ -120,6 +120,20 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     pair_fn = verified_near_dup_pairs if exact_verify else minhash_lsh_pairs
     edges = pair_fn(kept, id_col, text_col,
                     threshold=near_dup_threshold).select("id1", "id2")
+    return elect_and_pack(kept, edges, id_col, text_col,
+                          budget=budget, shards=shards)
+
+
+def elect_and_pack(kept: DataFrame, edges: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   budget: int = 256, shards: int = 16) -> DataFrame:
+    """Steps 4b-7 of the curation recipe, shared verbatim by the batch
+    plan above and the streaming finalizer
+    (streaming.curate_stream.finalize_curated) so the two paths cannot
+    drift: cluster the near-dup ``edges`` (id1, id2 over ``kept`` ids),
+    keep the best-quality doc per cluster (id tiebreak), split
+    deterministically, pack per split. ``kept`` must carry a
+    ``quality`` column."""
     labels = connected_components(edges)
     losers = (
         labels.join(kept.select(F.col(id_col).alias("node"), "quality"),
