@@ -142,3 +142,51 @@ def test_chart_artifacts_shapes_and_outliers(spark, tmp_path):
     # min_periods=1 ⇒ ma12 of the first row equals the raw value
     assert trends["series"]["Media Móvil 12m"][0] == pytest.approx(
         trends["series"]["Exportaciones"][0])
+
+
+def test_chart_html_artifacts_render_and_embed_data(spark, tmp_path):
+    """S11 HTML sink twin of the reference's Plotly files
+    (eda.py:84-243): six standalone .html artifacts with the
+    reference basenames, each carrying an inline SVG figure and the
+    FULL chart bundle as an embedded JSON payload — byte-identical to
+    what write_chart_artifacts persists as .json."""
+    import json
+    import re
+
+    from sunat_rree_demo_spark.plans.charts_html import (
+        write_chart_html_artifacts,
+    )
+    from sunat_rree_demo_spark.plans.eda import _json_safe, chart_bundle
+
+    km = spark.read.parquet(f"{REF}/kpi_monthly.parquet")
+    paths = write_chart_html_artifacts(km, str(tmp_path))
+    assert sorted(paths) == [
+        "dashboard_eda", "distribucion_mensual", "estacionalidad_heatmap",
+        "outliers", "series_temporal", "tendencias",
+    ]
+    bundles = chart_bundle(km)
+    for name, p in paths.items():
+        assert p.endswith(f"{name}.html")
+        with open(p, encoding="utf-8") as f:
+            doc = f.read()
+        assert doc.startswith("<!DOCTYPE html>") and "<svg" in doc
+        m = re.search(
+            r'<script type="application/json" id="chart-data">(.*?)'
+            r'</script>', doc, re.S)
+        assert m, f"{name}: no embedded chart data"
+        assert json.loads(m.group(1)) == json.loads(
+            json.dumps(_json_safe(bundles[name])))
+    # figure sanity: the line chart draws one 2px polyline per series,
+    # the heatmap one <rect> per non-null cell, the scatter flags the
+    # committed report's 7 outlier events in the highlight slot
+    with open(paths["series_temporal"], encoding="utf-8") as f:
+        doc = f.read()
+    assert doc.count("<polyline") >= 3 and 'stroke-width="2"' in doc
+    with open(paths["estacionalidad_heatmap"], encoding="utf-8") as f:
+        heat = f.read()
+    cells = sum(1 for row in bundles["estacionalidad_heatmap"]["z"]
+                for v in row if v is not None)
+    assert heat.count("<rect") == cells
+    with open(paths["outliers"], encoding="utf-8") as f:
+        out = f.read()
+    assert out.count('fill="var(--series-2)"') == 7
