@@ -1,0 +1,102 @@
+"""Plan-shape regression contracts for the bench's most expensive
+queries (q40/q61/q68/q97/q141) plus the r5 top-k fixes (q91/q110) —
+PLANS.md is generated documentation; these greps make the asserted
+shapes FAIL CI if a plan regresses. Complements test_scale_contracts
+(pushdown/pruning/broadcast on the relational core)."""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def fresh(name):
+    """Un-memoized builder — plan contracts must inspect a newly built
+    plan (see test_scale_contracts.fresh)."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    return REGISTRY[name].fn.__wrapped__
+
+
+def assert_windows_partitioned(plan: str) -> None:
+    """Every window spec carries a partition column: a global window's
+    FIRST windowspecdefinition argument is its sort column (``hv ASC
+    NULLS FIRST``), a partitioned one's is a bare column."""
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "no window in plan"
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            f"single-partition global window: "
+            f"windowspecdefinition({first_arg}, …)")
+
+
+def test_q40_pairs_reuse_shingle_cache_all_broadcast(spark):
+    """q40: shingle arrays come from the session cache (InMemoryTable
+    Scan — the Python shingler must not re-run per action), pair keys
+    are 64-bit hashes (xxhash64), and no join falls back to
+    sort-merge."""
+    plan = plan_of(fresh("q40_ngram_jaccard_pairs")(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q61_q68_cluster_output_reads_checkpoints(spark):
+    """q61/q68: the returned plan reads the CHECKPOINTED loop state
+    (Scan ExistingRDD) — lineage stays one round deep — and the final
+    label/size joins broadcast, never sort-merge."""
+    for name in ("q61_dup_clusters", "q68_dup_clusters_two_phase"):
+        plan = plan_of(fresh(name)(spark, SF_SMOKE))
+        assert "Scan ExistingRDD" in plan, name
+        assert "SortMergeJoin" not in plan, name
+    # q61's post-loop tail is small: one sizes aggregate + output sort
+    # (bounded exchange count guards against reintroducing a shuffle
+    # per loop round into the RETURNED plan)
+    q61_plan = plan_of(fresh("q61_dup_clusters")(spark, SF_SMOKE))
+    assert q61_plan.count("\n      Exchange") <= 8
+
+
+def test_q97_ppjoin_filters_inside_candidate_join(spark):
+    """q97: the PPJoin length filter (t·|x| ≤ |y| ≤ |x|/t, via the
+    carried _sz sizes) must sit in the candidate JOIN condition —
+    before the distinct — not as a post-hoc filter; candidates join on
+    hashed keys; no sort-merge fallback."""
+    plan = plan_of(fresh("q97_prefix_filter_pairs")(spark, SF_SMOKE))
+    join_conds = [l for l in plan.splitlines()
+                  if "Join condition" in l and "_sz" in l]
+    assert join_conds, "length/positional filters not in the join"
+    assert "0.8" in join_conds[0]
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan  # shared shingle cache
+
+
+def test_q110_global_topk_is_take_ordered(spark):
+    """q110 (r5 fix): the global k-smallest-hash set plans as
+    TakeOrderedAndProject (per-partition top-k, k-row merge), never a
+    single-partition global-window sort."""
+    plan = plan_of(fresh("q110_kmv_set_ops")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q91_windows_all_partitioned(spark):
+    """q91 (r5 fix): both k-min windows are partitioned — (flag, salt)
+    then (flag) over ≤ k·salts candidate rows; no global window."""
+    plan = plan_of(fresh("q91_kmv_distinct")(spark, SF_SMOKE))
+    assert_windows_partitioned(plan)
+
+
+def test_q141_attribution_windows_partitioned(spark):
+    """q141: every attribution window is user-partitioned (the
+    credit-split walk never funnels all events into one partition)."""
+    plan = plan_of(fresh("q141_multi_touch_attribution")(spark, SF_SMOKE))
+    assert_windows_partitioned(plan)
+    assert "SortMergeJoin" not in plan
