@@ -112,3 +112,45 @@ def test_probe_unseen_term_estimates_zero(spark, tmp_path):
     # with only 5 docs the sketch is sparse: an absent term's buckets
     # may be empty -> estimate must come back (possibly 0), never drop
     assert got["zq-never-seen-term-!!"] >= 0
+
+
+def test_torn_partial_batch_is_invisible_to_probes(spark, tmp_path):
+    """A batch directory WITHOUT its _SUCCESS marker (crashed
+    mid-write, or mid-delete during a replay's overwrite) must not be
+    summed into the live sketch: probing mid-crash sees exactly the
+    committed batches, preserving the one-sided est ≥ exact guarantee.
+    Once the replay completes the batch, its counts appear."""
+    from sunat_rree_demo_spark.streaming.cms_stream import (
+        absorb_tokens_batch,
+        load_cms,
+        probe_cms,
+    )
+
+    cms = str(tmp_path / "cms")
+    docs0 = spark.createDataFrame(
+        [(1, "alpha beta alpha")], "doc_id long, text string")
+    absorb_tokens_batch(spark, docs0, 0, cms)
+    before = {r.term: r.cms_est
+              for r in probe_cms(spark, cms, ("alpha", "beta")).collect()}
+    assert before == {"alpha": 2, "beta": 1}
+
+    # simulate a torn batch 1: counter files present, no _SUCCESS
+    docs1 = spark.createDataFrame(
+        [(2, "alpha gamma")], "doc_id long, text string")
+    absorb_tokens_batch(spark, docs1, 1, cms)
+    import os
+    os.remove(f"{cms}/batch_id=1/_SUCCESS")
+
+    mid = {r.term: r.cms_est
+           for r in probe_cms(spark, cms, ("alpha", "gamma")).collect()}
+    assert mid == {"alpha": 2, "gamma": 0}, "torn partial leaked into probe"
+    # the merged frame equals the committed batch's partials alone
+    committed_only = spark.read.parquet(f"{cms}/batch_id=0")
+    assert (load_cms(spark, cms).exceptAll(
+        committed_only.select("j", "bucket", "c")).count() == 0)
+
+    # replay completes batch 1 (idempotent overwrite) → now visible
+    absorb_tokens_batch(spark, docs1, 1, cms)
+    after = {r.term: r.cms_est
+             for r in probe_cms(spark, cms, ("alpha", "gamma")).collect()}
+    assert after == {"alpha": 3, "gamma": 1}
