@@ -232,6 +232,21 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
             # dropped shingles leave BOTH the intersections and the
             # sizes: recount per doc over the filtered rows
             sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    inter, sa, sb = _pair_intersections(sh, sizes, id_col)
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(sa, "id1").join(sb, "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _pair_intersections(sh: DataFrame, sizes: DataFrame, id_col: str):
+    """Shared core of the exact set-similarity family: from exploded
+    (id, _sh) shingle-hash rows and per-doc sizes, produce the pair
+    intersection counts plus id1/id2-keyed size frames. One grouped
+    pair emit (sorted-id combinations per shingle group — a single
+    shuffle), never a corpus self-join."""
     grp = (sh.groupBy("_sh")
            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
            # singleton shingles (the vast majority in a mostly-unique
@@ -247,15 +262,47 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
         "y -> struct(x AS id1, y AS id2))))"
     )).alias("p")).select("p.id1", "p.id2")
     inter = pairs.groupBy("id1", "id2").agg(F.count("*").alias("inter"))
-    sa = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("_n", "n1")
-    sb = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("_n", "n2")
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     # no broadcast hint: sizes is doc-grain (corpus-sized at scale);
     # AQE broadcasts it when the checkpoint stats say it is small
+    sa = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("_n", "n1")
+    sb = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("_n", "n2")
+    return inter, sa, sb
+
+
+def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
+                      n: int = 5, threshold: float = 0.5,
+                      arr: DataFrame | None = None) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    ``C(A→B) = |A∩B| / |A|`` — the quote/subset/excerpt signal
+    symmetric Jaccard structurally misses (a 50-shingle excerpt fully
+    contained in a 5000-shingle article has C ≈ 1.0 but J ≈ 0.01, so
+    no Jaccard threshold finds it without drowning in noise). Standard
+    companion to Jaccard dedup in training-data pipelines (Broder'97
+    defines both; containment drives \"document is a subset\" drops).
+
+    Returns (id1, id2, c12, c21, cmax) for pairs with
+    ``max(C(1→2), C(2→1)) ≥ threshold``; c12 = |∩|/|s1| is the
+    fraction of doc1 contained in doc2. Same single-shuffle grouped
+    pair emit and df-cutoff-free sizes as ``ngram_jaccard_pairs``
+    (shares ``_pair_intersections``); the same 64-bit hash caveat
+    applies. Scale path: LSH candidates + this verify, exactly like
+    ``verified_near_dup_pairs``."""
+    if arr is None:
+        arr = (doc_shingle_arrays(docs, id_col, text_col, n)
+               .localCheckpoint(eager=False))
+    sh = (arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+          .select(F.col(id_col), F.xxhash64("shingle").alias("_sh")))
+    sizes = arr.select(F.col(id_col), F.size("shingles").alias("_n"))
+    inter, sa, sb = _pair_intersections(sh, sizes, id_col)
+    c12 = F.col("inter") / F.col("n1")
+    c21 = F.col("inter") / F.col("n2")
     return (
         inter.join(sa, "id1").join(sb, "id2")
-        .filter(jac >= threshold)
-        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+        .filter(F.greatest(c12, c21) >= threshold)
+        .select("id1", "id2",
+                F.round(c12, 4).alias("c12"),
+                F.round(c21, 4).alias("c21"),
+                F.round(F.greatest(c12, c21), 4).alias("cmax"))
     )
 
 

@@ -67,7 +67,9 @@ _R5_WINDOW = (
     "q121_cheapest_supplier", "q122_bottleneck_suppliers",
     "q123_supplier_diversity", "q124_source_mixture", "q125_cohort_ltv",
     # round-5 additions (first driver check) fill the remaining 8 slots
-    "q143_rolling_chunk_dups",
+    "q143_rolling_chunk_dups", "q144_containment_pairs",
+    "q145_zipf_slope", "q146_cross_source_dup_matrix",
+    "q147_seq_length_histogram",
 )
 _head = {n: REGISTRY[n] for n in _R5_WINDOW}
 _tail = {n: q for n, q in REGISTRY.items() if n not in _head}

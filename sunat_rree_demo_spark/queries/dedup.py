@@ -303,3 +303,104 @@ def q71_verified_near_dups(spark, sf_dir):
     return (verified_near_dup_pairs(d, "doc_id", "text", n=5, threshold=0.3,
                                     arr=corpus_shingle_arrays(spark, sf_dir))
             .orderBy("id1", "id2"))
+
+
+# --------------------------------------------------------------------- q144
+@register(
+    "q144_containment_pairs",
+    memoize=False,  # shares the session shingle cache (documented-eager)
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    cont AS (
+      SELECT id1, id2,
+             CAST(inter AS DOUBLE) / sa.n AS c12,
+             CAST(inter AS DOUBLE) / sb.n AS c21
+      FROM inter
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+    )
+    SELECT id1, id2, round(c12, 4) AS c12, round(c21, 4) AS c21,
+           round(greatest(c12, c21), 4) AS cmax
+    FROM cont WHERE greatest(c12, c21) >= 0.5
+    ORDER BY id1, id2
+    """,
+    tags=("dedup", "containment"),
+)
+def q144_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup pairs: 5-gram shingle CONTAINMENT
+    max(|∩|/|A|, |∩|/|B|) ≥ 0.5 — the quote/excerpt/subset signal
+    Jaccard structurally misses (Broder'97's second resemblance
+    measure; an excerpt wholly inside a long article has C ≈ 1 but
+    J ≈ 0). Shares the session shingle cache and the single-shuffle
+    grouped pair emit with q40 (operators.dedup.containment_pairs);
+    the oracle recomputes containment from the same shingle CTE the
+    q40/q97 oracles use."""
+    from sunat_rree_demo_spark.operators.dedup import containment_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return (containment_pairs(d, "doc_id", "text", n=5, threshold=0.5,
+                              arr=corpus_shingle_arrays(spark, sf_dir))
+            .orderBy("id1", "id2"))
+
+
+# --------------------------------------------------------------------- q146
+@register(
+    "q146_cross_source_dup_matrix",
+    memoize=False,  # shares the session shingle cache (documented-eager)
+    oracle=f"""
+    WITH pairs AS ({JACCARD_PAIRS_SELECT}),
+    tagged AS (
+      SELECT least(da.source, db.source) AS src1,
+             greatest(da.source, db.source) AS src2,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON p.id1 = da.doc_id
+      JOIN documents db ON p.id2 = db.doc_id
+    )
+    SELECT src1, src2, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((2 * sum(CAST(round(jaccard * 10000, 0) AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+             AS avg_jaccard
+    FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("dedup", "provenance", "matrix"),
+)
+def q146_cross_source_dup_matrix(spark, sf_dir):
+    """Provenance dup matrix: exact near-dup pair counts (5-gram
+    Jaccard ≥ 0.3, q40's pair set) aggregated by unordered ingest
+    SOURCE pair — the triage view a pipeline reads to decide which
+    feed to drop or dedup-first (within-source boilerplate vs
+    cross-source mirroring). Pair generation shares the session
+    shingle cache; the source lookups are broadcast joins against the
+    doc-grain (id, source) projection; the matrix is
+    sources² rows at most."""
+    from sunat_rree_demo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.3,
+                                arr=corpus_shingle_arrays(spark, sf_dir))
+    src = d.select("doc_id", "source")
+    tagged = (pairs
+              .join(src.withColumnRenamed("doc_id", "id1")
+                    .withColumnRenamed("source", "_s1"), "id1")
+              .join(src.withColumnRenamed("doc_id", "id2")
+                    .withColumnRenamed("source", "_s2"), "id2"))
+    return (
+        tagged.groupBy(F.least("_s1", "_s2").alias("src1"),
+                       F.greatest("_s1", "_s2").alias("src2"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"),
+             # integer micro-unit mean (half-up): the 4dp pair values
+             # become exact 1e-4 integers before summing, so no float
+             # accumulation order or .5-boundary can drift the average
+             # between engines
+             (F.expr("(2 * sum(CAST(round(jaccard * 10000, 0) AS BIGINT))"
+                     " + count(*)) div (2 * count(*))")
+              .cast("double") / 10000.0).alias("avg_jaccard"))
+        .orderBy("src1", "src2")
+    )

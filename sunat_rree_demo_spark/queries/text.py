@@ -194,3 +194,94 @@ def q92_fuzzy_name_pairs(spark, sf_dir):
         .select("name1", "name2", "edit_dist")
         .orderBy("name1", "name2")
     )
+
+
+# --------------------------------------------------------------------- q145
+_ZIPF_K = 100
+
+
+@register(
+    "q145_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, term, count(*) AS cnt
+      FROM (SELECT source, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, term ASC) AS rnk
+      FROM tf
+    )
+    SELECT source,
+           round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM ranked WHERE rnk <= {_ZIPF_K}
+    GROUP BY source ORDER BY source
+    """,
+    tags=("text", "zipf", "corpus-stats"),
+)
+def q145_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank)
+    over each source's top-100 terms — the corpus-health diagnostic
+    data pipelines run per ingest source (natural text sits near −1;
+    a flat or cliff-shaped slope flags boilerplate or spam). Rank ties
+    break on the term string so both engines rank identically;
+    ``regr_slope`` (Spark ≥3.4 / DuckDB, same covar/var definition)
+    computes the fit in one aggregate. Plan: map-side-combined term
+    counts, a source-partitioned top-k window over the per-source
+    vocabulary, one tiny regression aggregate."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tf = (d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+          .groupBy("source", "term").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w)) \
+        .filter(F.col("rnk") <= _ZIPF_K)
+    return (
+        ranked.groupBy("source")
+        .agg(F.round(F.expr(
+            "regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"),
+            4).alias("zipf_slope"),
+            F.count("*").cast("bigint").alias("n_terms"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------- q147
+@register(
+    "q147_seq_length_histogram",
+    oracle=f"""
+    SELECT lang,
+           CAST(floor(log2(CAST(len({_TOKS}) AS DOUBLE))) AS BIGINT)
+             AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM documents
+    WHERE len({_TOKS}) > 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("text", "packing", "histogram"),
+)
+def q147_seq_length_histogram(spark, sf_dir):
+    """Sequence-length distribution per language, log₂-bucketed — the
+    profile a packing/truncation policy is sized from (how much of the
+    token mass sits in docs longer than the context budget). One
+    map-side-combined aggregate over a zero-shuffle projection; the
+    bucket is floor(log₂ n_tokens), BIGINT on both engines."""
+    from sunat_rree_demo_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return (
+        d.select("lang", n.alias("_n")).filter(F.col("_n") > 0)
+        .groupBy("lang",
+                 F.floor(F.log2(F.col("_n").cast("double")))
+                 .cast("bigint").alias("len_bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("_n").cast("bigint").alias("total_tokens"))
+        .orderBy("lang", "len_bucket")
+    )

@@ -290,3 +290,32 @@ def test_snapshot_diff_classes(spark):
            for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added", 5: "unchanged", 6: "changed"}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """An excerpt fully contained in a much longer doc: containment
+    ≈ 1.0 flags it while the Jaccard of the pair is far below any
+    sane near-dup threshold — the asymmetric signal q144 exists for."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(40, 60))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt)], "doc_id long, text string")
+
+    got = containment_pairs(docs, "doc_id", "text", n=5,
+                            threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    # all 16 excerpt shingles appear in the long doc: c21 = 1.0,
+    # c12 = 16/196
+    assert (r.id1, r.id2) == (1, 2)
+    assert r.c21 == 1.0 and r.cmax == 1.0
+    assert abs(r.c12 - round(16 / 196, 4)) < 1e-9
+
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", n=5,
+                              threshold=0.3).collect()
+    assert jac == []  # J = 16/196 ≈ 0.08 — invisible to Jaccard
