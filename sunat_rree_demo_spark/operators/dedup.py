@@ -271,6 +271,7 @@ def _pair_intersections(sh: DataFrame, sizes: DataFrame, id_col: str):
 
 def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
                       n: int = 5, threshold: float = 0.5,
+                      max_shingle_df: int | None = 256,
                       arr: DataFrame | None = None) -> DataFrame:
     """ASYMMETRIC near-dup detection: shingle containment
     ``C(A→B) = |A∩B| / |A|`` — the quote/subset/excerpt signal
@@ -284,15 +285,30 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     ``max(C(1→2), C(2→1)) ≥ threshold``; c12 = |∩|/|s1| is the
     fraction of doc1 contained in doc2. Same single-shuffle grouped
     pair emit and df-cutoff-free sizes as ``ngram_jaccard_pairs``
-    (shares ``_pair_intersections``); the same 64-bit hash caveat
-    applies. Scale path: LSH candidates + this verify, exactly like
+    (shares ``_pair_intersections``); the same 64-bit hash caveat and
+    ``max_shingle_df`` stop-shingle guard apply (logged, never silent —
+    committed testdata's max df stays far below the cutoff, so the
+    exhaustive oracle is provably unaffected there). Scale path: LSH
+    candidates + this verify, exactly like
     ``verified_near_dup_pairs``."""
+    import logging
+
     if arr is None:
         arr = (doc_shingle_arrays(docs, id_col, text_col, n)
                .localCheckpoint(eager=False))
     sh = (arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
           .select(F.col(id_col), F.xxhash64("shingle").alias("_sh")))
     sizes = arr.select(F.col(id_col), F.size("shingles").alias("_n"))
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_shingle_df))
+        n_hot = hot.count()  # documented-eager, doubles as the log line
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "containment_pairs: dropping %d shingles with df > %d "
+                "(stop-shingle fan-out guard)", n_hot, max_shingle_df)
+            sh = sh.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
+            sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     inter, sa, sb = _pair_intersections(sh, sizes, id_col)
     c12 = F.col("inter") / F.col("n1")
     c21 = F.col("inter") / F.col("n2")

@@ -171,6 +171,9 @@ _EAGER_BUILDERS = {
     # same bounded 8-row query batch as q43 (plan parameters, not
     # corpus work); PQ fetches its 8 codebook seed vectors the same way
     "q128_retrieval_eval", "q130_hard_negatives", "q134_pq_encode",
+    # r5: q144/q146 ride the q40 pair machinery, whose hot-shingle
+    # guard count is documented-eager
+    "q144_containment_pairs", "q146_cross_source_dup_matrix",
 }
 
 
