@@ -831,11 +831,15 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, id_col: str,
                .localCheckpoint(eager=False))
     sh = (arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
           .select(F.col(id_col), F.xxhash64("shingle").alias("_sh")))
-    dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
-    # rank each doc's shingles rare-first and keep the prefix: the
-    # (df, hash) struct sort is per-doc (bounded by doc length); the
-    # slice length comes from the doc's own set size
-    ranked = (sh.join(dfreq, "_sh")
+    # document frequency in place: count() OVER (PARTITION BY _sh) is
+    # ONE uniform-key shuffle of the shingle rows, where the
+    # aggregate-then-join form pays that shuffle twice plus a
+    # vocabulary-sized join (chunk_dup_stats uses the same device).
+    # Then rank each doc's shingles rare-first and keep the prefix:
+    # the (df, hash) struct sort is per-doc (bounded by doc length);
+    # the slice length comes from the doc's own set size
+    wdf = Window.partitionBy("_sh")
+    ranked = (sh.withColumn("_df", F.count("*").over(wdf))
               .groupBy(id_col)
               .agg(F.array_sort(F.collect_list(
                   F.struct(F.col("_df"), F.col("_sh")))).alias("_rk")))
