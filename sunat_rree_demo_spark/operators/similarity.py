@@ -683,3 +683,67 @@ def pq_encode(emb: DataFrame, n_centroids: int = 8, m_subspaces: int = 4,
 
     return fan_out(emb.select(id_col, vec_col)).mapInPandas(
         enc, schema=out_schema)
+
+
+def pq_adc_topk(emb: DataFrame, n_queries: int = 4, k: int = 3,
+                n_centroids: int = 8, m_subspaces: int = 4,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011
+    §IV) — the QUERY half of the IVF-PQ stack (q54 coarse quantizer,
+    q134 fine codes, this the scan): the query stays un-quantized; per
+    (query, subspace, centroid) a lookup table of exact sub-distances
+    is built once, and each corpus vector's distance estimate is the
+    sum of M table entries selected by its stored codes — the corpus
+    pass reads CODES (M small ints per vector), never the embeddings.
+
+    Deterministic contract, fully SQL-re-derivable: queries = the
+    first ``n_queries`` corpus vectors by id, codebook = the shared
+    iters=0 device, LUT entries quantized to integer micro-units
+    (half-up, matching DuckDB ``round``), ADC = exact BIGINT sum of M
+    micro-unit entries, rank ties on vec_id, self-matches excluded.
+
+    Scale shape: the LUT (Q·M·K longs) broadcasts; the corpus side is
+    one ``stack`` projection of the codes table, a broadcast join, and
+    a (qid)-partitioned top-k window over Q bounded groups — no
+    embedding column is shuffled or even read past encoding. Returns
+    (qid, vec_id, adc_micro, rank ≤ k)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cent = _train_centroids(emb, n_centroids, 0, id_col, vec_col)
+    q_rows = (emb.select(id_col, vec_col)
+              .filter(F.col(id_col) < n_queries).collect())
+    dim = cent.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces}")
+    sub = dim // m_subspaces
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype="float64")
+        for m in range(m_subspaces):
+            a = qv[m * sub:(m + 1) * sub]
+            c = cent[:, m * sub:(m + 1) * sub]
+            d2 = ((c - a[None, :]) ** 2).sum(axis=1)
+            d2u = np.floor(d2 * 1e6 + 0.5).astype("int64")
+            lut_rows += [(int(r[0]), m, ci, int(d2u[ci]))
+                         for ci in range(len(d2u))]
+    lut = spark.createDataFrame(
+        lut_rows, "qid long, m int, c long, lutu long")
+
+    codes = pq_encode(emb, n_centroids, m_subspaces, id_col, vec_col)
+    stack_expr = "stack({}, {}) AS (m, c)".format(
+        m_subspaces,
+        ", ".join(f"{m}, code_{m}" for m in range(m_subspaces)))
+    melted = codes.select(F.col(id_col),
+                          F.expr(stack_expr)) \
+        .withColumn("m", F.col("m").cast("int"))
+    adc = (melted.join(F.broadcast(lut), ["m", "c"])
+           .groupBy("qid", id_col)
+           .agg(F.sum("lutu").cast("bigint").alias("adc_micro"))
+           .filter(F.col(id_col) != F.col("qid")))
+    w = Window.partitionBy("qid").orderBy("adc_micro", id_col)
+    return (adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", id_col, "adc_micro",
+                    F.col("rank").cast("bigint").alias("rank")))

@@ -69,7 +69,7 @@ _R5_WINDOW = (
     # round-5 additions (first driver check) fill the remaining 8 slots
     "q143_rolling_chunk_dups", "q144_containment_pairs",
     "q145_zipf_slope", "q146_cross_source_dup_matrix",
-    "q147_seq_length_histogram",
+    "q147_seq_length_histogram", "q148_pq_adc_topk",
 )
 _head = {n: REGISTRY[n] for n in _R5_WINDOW}
 _tail = {n: q for n, q in REGISTRY.items() if n not in _head}

@@ -286,3 +286,75 @@ def q134_pq_encode(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return pq_encode(e, PQ_K, PQ_M).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------- q148
+_ADC_Q = 4   #: query batch = first 4 corpus vectors by id
+_ADC_K = 3
+
+
+@register(
+    "q148_pq_adc_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c, v FROM e WHERE vec_id < {PQ_K}),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    d AS (
+      SELECT e.vec_id, ms.m, cent.c,
+             CAST(round(
+               list_distance(e.v[ms.m * {_PQ_SUB} + 1
+                                 : (ms.m + 1) * {_PQ_SUB}],
+                             cent.v[ms.m * {_PQ_SUB} + 1
+                                    : (ms.m + 1) * {_PQ_SUB}]) ** 2
+               * 1000000) AS BIGINT) AS d2u
+      FROM e, ms, cent
+    ),
+    best AS (
+      SELECT vec_id, m, c,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2u, c) AS rn
+      FROM d
+    ),
+    lut AS (
+      SELECT q.vec_id AS qid, ms.m, cent.c,
+             CAST(round(
+               list_distance(q.v[ms.m * {_PQ_SUB} + 1
+                                 : (ms.m + 1) * {_PQ_SUB}],
+                             cent.v[ms.m * {_PQ_SUB} + 1
+                                    : (ms.m + 1) * {_PQ_SUB}]) ** 2
+               * 1000000) AS BIGINT) AS lutu
+      FROM e q, ms, cent
+      WHERE q.vec_id < {_ADC_Q}
+    ),
+    adc AS (
+      SELECT l.qid, b.vec_id, CAST(sum(l.lutu) AS BIGINT) AS adc_micro
+      FROM best b JOIN lut l ON b.m = l.m AND b.c = l.c
+      WHERE b.rn = 1 AND b.vec_id != l.qid
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT qid, vec_id, adc_micro,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_micro, vec_id) AS rank
+      FROM adc
+    )
+    SELECT qid, vec_id, adc_micro, CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {_ADC_K}
+    ORDER BY qid, rank
+    """,
+    tags=("similarity", "pq", "adc", "ann"),
+)
+def q148_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (Jégou et al. 2011 §IV) — the query
+    half of the IVF-PQ stack over q134's codes: un-quantized queries,
+    per-subspace lookup tables of exact micro-unit sub-distances, and
+    a corpus scan that reads only the M stored codes per vector. The
+    oracle re-derives codebook, codes, LUT and the BIGINT ADC sums in
+    SQL, so the whole compressed-search path — not just row counts —
+    is hash-checked cross-engine. (Operator:
+    operators.similarity.pq_adc_topk.)"""
+    from sunat_rree_demo_spark.operators.similarity import pq_adc_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return (pq_adc_topk(e, _ADC_Q, _ADC_K, PQ_K, PQ_M)
+            .orderBy("qid", "rank"))

@@ -172,8 +172,10 @@ _EAGER_BUILDERS = {
     # corpus work); PQ fetches its 8 codebook seed vectors the same way
     "q128_retrieval_eval", "q130_hard_negatives", "q134_pq_encode",
     # r5: q144/q146 ride the q40 pair machinery, whose hot-shingle
-    # guard count is documented-eager
+    # guard count is documented-eager; q148 fetches the bounded query
+    # batch + codebook into the LUT closure (the q43/q134 device)
     "q144_containment_pairs", "q146_cross_source_dup_matrix",
+    "q148_pq_adc_topk",
 }
 
 

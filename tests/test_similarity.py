@@ -118,3 +118,39 @@ def test_blocked_near_dup_equals_closure_variant(spark):
                    for r in near_dup_pairs_blocked(
                        e, threshold=0.3, n_blocks=n_blocks).collect()}
         assert blocked == closure
+
+
+def test_adc_is_exact_on_centroid_aligned_corpus(spark):
+    """When every corpus vector IS a codebook entry (zero
+    reconstruction error), the ADC estimate equals the exact squared
+    distance — the Jégou et al. identity the micro-unit LUT must
+    preserve. Corpus: 8 distinct 64-dim one-hot-ish vectors (ids 0-7
+    double as the codebook), 2 queries."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.similarity import pq_adc_topk
+
+    dim, n = 64, 8
+    vecs = []
+    for i in range(n):
+        v = np.zeros(dim)
+        v[i] = 2.0 + i          # distinct per subspace 0 (dims 0-15)
+        v[16 + i] = 1.0         # and subspace 1, so codes are unique
+        vecs.append(v)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    got = pq_adc_topk(emb, n_queries=2, k=3, n_centroids=8,
+                      m_subspaces=4).collect()
+    assert {r.qid for r in got} == {0, 1}
+    for r in got:
+        true_d2 = float(((vecs[r.qid] - vecs[r.vec_id]) ** 2).sum())
+        assert r.adc_micro == round(true_d2 * 1e6), (r, true_d2)
+    # ranks are 1..3, distance-then-id ordered, self excluded
+    for q in (0, 1):
+        rows = sorted((r for r in got if r.qid == q), key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        assert all(r.vec_id != q for r in rows)
+        ds = [(r.adc_micro, r.vec_id) for r in rows]
+        assert ds == sorted(ds)
