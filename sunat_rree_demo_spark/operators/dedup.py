@@ -394,6 +394,43 @@ def roll_powers(n: int) -> list[int]:
     return [pow(ROLL_BASE, n - 1 - i, ROLL_MOD) for i in range(n)]
 
 
+def rolling_window_keys(docs: DataFrame, id_col: str, text_col: str,
+                        n: int = 8) -> DataFrame:
+    """(id, key) — each doc's DISTINCT overlapping n-token window keys
+    under the Rabin–Karp polynomial hash (see ``rolling_chunk_stats``
+    for the hash contract; the DuckDB oracles of q143/q150 recompute
+    the keys from the same constants). One Arrow-batched Python pass;
+    the per-doc key set is computed as one int64 sliding-window dot
+    product (exact — see ROLL_MOD bound)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pw = np.array(roll_powers(n), dtype="int64")
+
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("keys", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches):
+        for _pdf, toks in _doc_token_batches(batches, id_col, text_col, n):
+            ids, kys = [], []
+            for i, tk in toks:
+                h = np.fromiter(
+                    (int(hashlib.sha256(t.encode()).hexdigest()[:HASH_HEX_LEN], 16)
+                     for t in tk), dtype="int64", count=len(tk))
+                win = np.lib.stride_tricks.sliding_window_view(h, n)
+                ids.append(i)
+                kys.append(np.unique(win @ pw % ROLL_MOD))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "keys": kys})
+
+    return (fan_out(docs.select(id_col, text_col))
+            .mapInPandas(gen, schema=out_schema)
+            .select(F.col(id_col), F.explode("keys").alias("key")))
+
+
 def rolling_chunk_stats(docs: DataFrame, id_col: str, text_col: str,
                         n: int = 8) -> DataFrame:
     """OVERLAPPING n-token window duplication signal — the
@@ -421,33 +458,7 @@ def rolling_chunk_stats(docs: DataFrame, id_col: str, text_col: str,
     the shuffle carries 8-byte longs where the chunk variant ships
     n-token strings), ONE uniform key shuffle with an in-place
     ``count() OVER (PARTITION BY key)``, one doc-grain aggregate."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    pw = np.array(roll_powers(n), dtype="int64")
-
-    out_schema = T.StructType([
-        T.StructField(id_col, docs.schema[id_col].dataType),
-        T.StructField("keys", T.ArrayType(T.LongType())),
-    ])
-
-    def gen(batches):
-        for _pdf, toks in _doc_token_batches(batches, id_col, text_col, n):
-            ids, kys = [], []
-            for i, tk in toks:
-                h = np.fromiter(
-                    (int(hashlib.sha256(t.encode()).hexdigest()[:HASH_HEX_LEN], 16)
-                     for t in tk), dtype="int64", count=len(tk))
-                win = np.lib.stride_tricks.sliding_window_view(h, n)
-                ids.append(i)
-                kys.append(np.unique(win @ pw % ROLL_MOD))
-            if ids:
-                yield pd.DataFrame({id_col: ids, "keys": kys})
-
-    ks = (fan_out(docs.select(id_col, text_col))
-          .mapInPandas(gen, schema=out_schema)
-          .select(F.col(id_col), F.explode("keys").alias("key")))
+    ks = rolling_window_keys(docs, id_col, text_col, n)
     nd = F.count("*").over(Window.partitionBy("key"))
     return (
         ks.withColumn("_nd", nd)
@@ -459,6 +470,34 @@ def rolling_chunk_stats(docs: DataFrame, id_col: str, text_col: str,
                 F.col("n_dup").alias("n_dup_windows"),
                 (F.expr("(2*10000*n_dup + n_windows) div (2*n_windows)")
                  .cast("double") / 10000.0).alias("dup_frac"))
+    )
+
+
+def rolling_novelty(docs: DataFrame, id_col: str, text_col: str,
+                    n: int = 8) -> DataFrame:
+    """Per-doc NOVELTY CONTRIBUTION: the fraction of a doc's n-token
+    windows whose corpus-wide FIRST occurrence (min doc id) is this
+    doc — the per-document answer to "what does this doc add that the
+    corpus (in canonical id order) hasn't already seen?", the
+    accounting behind C4/RefinedWeb-style dedup yield reports. A
+    perfect copy of an earlier doc scores 0; a fully original doc
+    scores 1.
+
+    Returns (id, n_windows, n_novel, novelty_frac) for docs with ≥ n
+    tokens; same plan as ``rolling_chunk_stats`` with ``min(id) OVER
+    (PARTITION BY key)`` as the in-place election, and the same
+    integer half-up fraction."""
+    ks = rolling_window_keys(docs, id_col, text_col, n)
+    first = F.min(id_col).over(Window.partitionBy("key"))
+    return (
+        ks.withColumn("_first", first)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_windows"),
+             F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
+             .cast("bigint").alias("n_novel"))
+        .select(F.col(id_col), "n_windows", "n_novel",
+                (F.expr("(2*10000*n_novel + n_windows) div (2*n_windows)")
+                 .cast("double") / 10000.0).alias("novelty_frac"))
     )
 
 
@@ -877,6 +916,57 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, id_col: str,
         cand.join(a1, "id1").join(a2, "id2")
         .filter(jac >= threshold)
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, id_col: str, text_col: str,
+                  bits: int = 32, bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup PAIRS — the pair-generation half q42's
+    fingerprints exist for (Charikar'02 / Manku et al. WWW'07, the
+    Google web-dedup recipe): band each fingerprint into ``bands``
+    equal bit slices and join on any equal slice; by pigeonhole a pair
+    with hamming distance ≤ bands−1 shares at least one identical
+    band, so candidate generation is LOSSLESS for
+    ``max_hamming ≤ bands−1`` (asserted). Candidates are then verified
+    with the exact popcount of the XOR — both engines' ``bit_count``.
+
+    Returns (id1, id2, hamming ≤ max_hamming). Scale shape is exactly
+    MinHash-LSH's: shuffle key (band, slice-value), never the raw
+    fingerprint; the verify join touches candidates only. Skewed
+    bands (e.g. an all-zeros slice over short docs) fan out like hot
+    LSH buckets — the same salting/cutoff remedies apply."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands only guarantees recall for "
+            f"hamming <= {bands - 1}, got max_hamming={max_hamming}")
+    if bits % bands:
+        raise ValueError(f"bits {bits} not divisible by {bands} bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=False)
+    bexpr = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("simhash", b * width).bitwiseAND(mask)
+                 .alias("bv"))
+        for b in range(bands)])).alias("s")
+    bb = fp.select(F.col(id_col), bexpr).select(
+        id_col, F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    cand = (
+        bb.alias("a").join(bb.alias("b"), ["band", "bv"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+    f1 = fp.select(F.col(id_col).alias("id1"), F.col("simhash").alias("_h1"))
+    f2 = fp.select(F.col(id_col).alias("id2"), F.col("simhash").alias("_h2"))
+    return (
+        cand.join(f1, "id1").join(f2, "id2")
+        .select("id1", "id2",
+                F.expr("CAST(bit_count(_h1 ^ _h2) AS BIGINT)")
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

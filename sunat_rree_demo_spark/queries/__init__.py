@@ -70,6 +70,7 @@ _R5_WINDOW = (
     "q143_rolling_chunk_dups", "q144_containment_pairs",
     "q145_zipf_slope", "q146_cross_source_dup_matrix",
     "q147_seq_length_histogram", "q148_pq_adc_topk",
+    "q149_simhash_pairs", "q150_novelty_contribution",
 )
 _head = {n: REGISTRY[n] for n in _R5_WINDOW}
 _tail = {n: q for n, q in REGISTRY.items() if n not in _head}

@@ -395,3 +395,43 @@ def q143_rolling_chunk_dups(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return rolling_chunk_stats(d, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- q150
+#: q143's window-key CTEs with a first-occurrence election instead of
+#: a document-frequency count — ONE generated key expression, so the
+#: two oracles cannot drift.
+_ROLLING_KEYS_CTES = _ROLLING_ORACLE[:_ROLLING_ORACLE.index("kd AS")]
+
+
+@register(
+    "q150_novelty_contribution",
+    oracle=_ROLLING_KEYS_CTES + """
+    firstseen AS (SELECT key, min(doc_id) AS first_id FROM keys GROUP BY 1),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM keys JOIN firstseen USING (key) GROUP BY 1
+    )
+    SELECT doc_id, n_windows, n_novel,
+           CAST((2*10000*n_novel + n_windows) // (2*n_windows) AS DOUBLE)
+             / 10000.0 AS novelty_frac
+    FROM per ORDER BY doc_id
+    """,
+    tags=("dedup", "substring", "novelty"),
+)
+def q150_novelty_contribution(spark, sf_dir):
+    """Per-doc novelty contribution: the fraction of a doc's
+    overlapping 8-token windows whose corpus-wide FIRST occurrence
+    (min doc id) is the doc itself — the dedup-yield accounting view
+    (a verbatim copy of an earlier doc scores 0, original text 1).
+    Shares q143's Rabin–Karp window keys (one generated CTE, one
+    operator-side key pass); the election is an in-place ``min(id)
+    OVER (PARTITION BY key)``. (Operator:
+    operators.dedup.rolling_novelty.)"""
+    from sunat_rree_demo_spark.operators.dedup import rolling_novelty
+
+    d = t(spark, sf_dir, "documents")
+    return rolling_novelty(d, "doc_id", "text", n=8).orderBy("doc_id")

@@ -404,3 +404,65 @@ def q146_cross_source_dup_matrix(spark, sf_dir):
               .cast("double") / 10000.0).alias("avg_jaccard"))
         .orderBy("src1", "src2")
     )
+
+
+# --------------------------------------------------------------------- q149
+#: 28 bits = every REAL bit of the sha-derived base hash (simhash's
+#: upper bits past 27 are structurally zero); 4 bands × 7 bits keeps
+#: each band fully discriminative, where 32-bit banding would leave a
+#: 4-real-bit top band whose 16 bucket values fan out candidates.
+_SIMHASH_FP_SQL = _simhash_oracle_sql(28).replace("ORDER BY doc_id", "")
+
+
+@register(
+    "q149_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_SIMHASH_FP_SQL}),
+    bands AS (
+      SELECT doc_id, b, (simhash >> (b * 7)) & 127 AS bv
+      FROM fp, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id1, id2,
+             bit_count(xor(f1.simhash, f2.simhash)) AS hamming
+      FROM cand
+      JOIN fp f1 ON cand.id1 = f1.doc_id
+      JOIN fp f2 ON cand.id2 = f2.doc_id
+      WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "simhash", "pairs"),
+)
+def q149_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pair census (hamming ≤ 3 over 28-bit
+    fingerprints) via 4-band pigeonhole candidate generation + exact
+    popcount verify (Manku et al. WWW'07) — the pair half q42's
+    fingerprints exist for, completing the third dedup family
+    end-to-end (exact q39, MinHash q41, SimHash here). Shuffle key is
+    (band, slice), the LSH shape; the oracle re-runs banding and
+    bit_count on its own independently-derived fingerprints.
+
+    The OUTPUT is the per-distance pair count, not the raw pair list:
+    at 28 fingerprint bits a heavily-templated corpus (this synthetic
+    one shares token vocabulary across docs, and simhash reads the
+    unordered token SET) yields pair rates in the percent range —
+    production deployments use 64-bit fingerprints for exactly this
+    reason. The census still pins every stage cross-engine (any
+    missed/extra/mis-measured pair shifts a count), while keeping the
+    result at report grain."""
+    from sunat_rree_demo_spark.operators.dedup import simhash_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return (simhash_pairs(d, "doc_id", "text", bits=28, bands=4,
+                          max_hamming=3)
+            .groupBy("hamming")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"))
+            .orderBy("hamming"))

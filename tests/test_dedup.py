@@ -319,3 +319,50 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     jac = ngram_jaccard_pairs(docs, "doc_id", "text", n=5,
                               threshold=0.3).collect()
     assert jac == []  # J = 16/196 ≈ 0.08 — invisible to Jaccard
+
+
+def test_simhash_band_recall_guarantee(spark):
+    """Pigeonhole contract: every pair within max_hamming ≤ bands−1 of
+    each other MUST be emitted (banding is lossless there), checked
+    against a brute-force popcount over all fingerprint pairs."""
+    from itertools import combinations
+
+    from sunat_rree_demo_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} alpha beta gamma delta common{i % 2} x{i}")
+         for i in range(12)], "doc_id long, text string")
+    fps = {r.doc_id: r.simhash
+           for r in simhash(docs, "doc_id", "text", 28).collect()}
+    want = {(a, b): bin(fps[a] ^ fps[b]).count("1")
+            for a, b in combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    got = {(r.id1, r.id2): r.hamming
+           for r in simhash_pairs(docs, "doc_id", "text",
+                                  bits=28, bands=4,
+                                  max_hamming=3).collect()}
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "doc_id", "text", bits=28, bands=4,
+                      max_hamming=4)  # beyond the pigeonhole guarantee
+
+
+def test_rolling_novelty_copy_scores_zero(spark):
+    """A verbatim copy of an earlier doc contributes zero novel
+    windows; the original keeps 1.0; a half-copied doc sits between."""
+    from sunat_rree_demo_spark.operators.dedup import rolling_novelty
+
+    orig = " ".join(f"w{i}" for i in range(16))
+    half = " ".join(f"w{i}" for i in range(8)) + " " + \
+        " ".join(f"z{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, orig), (2, orig), (3, half)], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           rolling_novelty(docs, "doc_id", "text", 8).collect()}
+    assert got[1].novelty_frac == 1.0 and got[1].n_novel == 9
+    assert got[2].novelty_frac == 0.0 and got[2].n_novel == 0
+    # doc 3: 9 windows, only the first (w0..w7) is seen before
+    assert got[3].n_windows == 9 and got[3].n_novel == 8
