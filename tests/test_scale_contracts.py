@@ -176,6 +176,10 @@ _EAGER_BUILDERS = {
     # batch + codebook into the LUT closure (the q43/q134 device)
     "q144_containment_pairs", "q146_cross_source_dup_matrix",
     "q148_pq_adc_topk",
+    # q149's fingerprint localCheckpoint (three consumers: two verify
+    # branches + banding) — lazy, but the checkpoint call itself
+    # submits a planning job, same note as q97
+    "q149_simhash_pairs",
 }
 
 
