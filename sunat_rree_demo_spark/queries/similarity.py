@@ -25,6 +25,7 @@ from sunat_rree_demo_spark.operators.similarity import (
     semantic_dedup,
 )
 from sunat_rree_demo_spark.queries.base import register, t
+from sunat_rree_demo_spark.sources.catalog import register_session_cache
 
 
 # ---------------------------------------------------------------------- q43
@@ -283,6 +284,33 @@ def q75_semantic_dedup(spark, sf_dir):
     return semantic_dedup(e, threshold=0.3, iters=0).orderBy("vec_id")
 
 
+#: Session-scoped materialization of the embedding near-dup PAIR
+#: graph (cos ≥ 0.3, q44's exact blocked computation) — shared by the
+#: q82 census and any other consumer of the graph; same
+#: materialized-intermediate design as queries.dedup.corpus_shingle_
+#: arrays / llm_pipeline.dup_pair_edges.
+_EMB_EDGE_CACHE: dict[tuple[str, str], "object"] = {}
+register_session_cache(_EMB_EDGE_CACHE)
+
+
+def embedding_pair_edges(spark, sf_dir: str):
+    """(id1, id2) exact cosine ≥ 0.3 pairs over embeddings, persisted
+    per (session, sf_dir)."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        app = str(id(spark))
+    key = (app, sf_dir)
+    cached = _EMB_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = t(spark, sf_dir, "embeddings")
+    edges = (near_dup_pairs_blocked(e, threshold=0.3)
+             .select("id1", "id2").persist())
+    _EMB_EDGE_CACHE[key] = edges
+    return edges
+
+
 # ---------------------------------------------------------------------- q82
 @register(
     "q82_near_dup_triangles",
@@ -313,7 +341,6 @@ def q75_semantic_dedup(spark, sf_dir):
                            / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
                 END AS transitivity
     """,
-    memoize=False,
     tags=("similarity", "graph"),
 )
 def q82_near_dup_triangles(spark, sf_dir):
@@ -325,15 +352,14 @@ def q82_near_dup_triangles(spark, sf_dir):
     (high transitivity ⇒ clique-like duplicate groups, min-label
     converges in O(1) rounds; low ⇒ chainy graphs, use two-phase).
 
-    Scale shape: the pair list is localCheckpointed once (documented
-    eager, memoize=False — same policy as q40) because three join
-    branches and the degree aggregate read it; the triangle join
+    Scale shape: the pair list comes from the session-persisted
+    embedding near-dup graph (one computation per session — the
+    materialized pair table a 100 TB pipeline would reuse too), read
+    by three join branches and the degree aggregate; the triangle join
     shuffles edges on their endpoint keys — the textbook distributed
     triangle count. Degree sums and counts are 1-row frames
     cross-joined, never collected."""
-    e = t(spark, sf_dir, "embeddings")
-    pairs = (near_dup_pairs_blocked(e, threshold=0.3)
-             .select("id1", "id2").localCheckpoint())
+    pairs = embedding_pair_edges(spark, sf_dir)
     sym = pairs.select(F.col("id1").alias("id")).unionAll(
         pairs.select(F.col("id2").alias("id")))
     wedges = (sym.groupBy("id").agg(F.count("*").alias("d"))

@@ -164,9 +164,8 @@ _EAGER_BUILDERS = {
     # SemDeDup trains its coarse quantizer on a bounded driver-side
     # sample at build time (same shape as q54's iters=0 centroids)
     "q75_semantic_dedup",
-    # triangle census checkpoints the near-dup pair list (three join
-    # branches + degree agg read it — same policy as q40)
-    "q82_near_dup_triangles",
+    # (q82's former eager checkpoint became the lazy session-persisted
+    # embedding pair graph in r5 — its builder is pure again)
     # r4 late session: retrieval eval and hard-negative mining fetch the
     # same bounded 8-row query batch as q43 (plan parameters, not
     # corpus work); PQ fetches its 8 codebook seed vectors the same way
