@@ -366,3 +366,49 @@ def test_rolling_novelty_copy_scores_zero(spark):
     assert got[2].novelty_frac == 0.0 and got[2].n_novel == 0
     # doc 3: 9 windows, only the first (w0..w7) is seen before
     assert got[3].n_windows == 9 and got[3].n_novel == 8
+
+
+def test_prefix_filter_lossless_on_random_corpora(spark):
+    """PPJoin losslessness: prefix_filter_jaccard_pairs must equal the
+    exhaustive ngram_jaccard_pairs at the same threshold on seeded
+    random corpora engineered with (a) heavy cross-doc overlap so real
+    pairs exist and (b) shingle-set sizes that are multiples of 5,
+    where IEEE 0.8·n lands epsilon ABOVE the exact integer
+    (0.8·35 = 28.000…004) — the case the epsilon-guarded ceilings
+    exist for. Covers the length and positional row filters too: any
+    over-pruning loses a pair and fails the set equality."""
+    import random
+
+    from sunat_rree_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    total_pairs = 0
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        docs, did = [], 0
+        for b in range(8):
+            # token count n_sh+4 => shingle count n_sh; sizes 35/40/45
+            # hit the 0.8·n IEEE boundary (0.8·35 = 28.000…004)
+            n_sh = rng.choice((35, 40, 45))
+            base = [f"b{seed}_{b}_{j}" for j in range(n_sh + 4)]
+            docs.append((did, " ".join(base))); did += 1
+            for _ in range(rng.randint(1, 2)):
+                # clone with 0-2 substitutions: J spans ~0.6-1.0, so
+                # pairs land above, on, and below both thresholds
+                var = list(base)
+                for _s in range(rng.randint(0, 2)):
+                    var[rng.randrange(len(var))] = f"m{seed}_{did}_{_s}"
+                docs.append((did, " ".join(var))); did += 1
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.5, 0.8):
+            want = {(r.id1, r.id2, r.jaccard) for r in
+                    ngram_jaccard_pairs(df, "doc_id", "text", n=5,
+                                        threshold=t).collect()}
+            got = {(r.id1, r.id2, r.jaccard) for r in
+                   prefix_filter_jaccard_pairs(df, "doc_id", "text", n=5,
+                                               threshold=t).collect()}
+            assert got == want, (seed, t, got ^ want)
+            total_pairs += len(want)
+    assert total_pairs > 0  # non-vacuous: the overlaps made real pairs
