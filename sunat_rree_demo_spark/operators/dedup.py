@@ -190,48 +190,22 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     default provably changes nothing there — the exact DuckDB oracle
     twin stays hash-identical. ``None`` disables the guard (true
     unbounded ground truth)."""
-    import logging
-
     # doc-grain shingle arrays materialized once (localCheckpoint) —
     # they feed the guard count, the grouped pair explode, and the
     # per-doc sizes; recomputing the Python shingling would dominate.
-    # The checkpoint is LAZY: the guard count below is the first
-    # action, so shingling, checkpoint persist, and the hot-shingle
-    # aggregate all ride ONE job (the r3 eager form paid a separate
-    # checkpoint job first — ~25% of q40's warm wall at sf0.1).
-    # A caller holding an already-materialized corpus (the session
-    # shingle cache shared by q40/q71/q97) passes it via ``arr`` and
-    # the Python shingler doesn't run at all.
+    # The checkpoint is LAZY: the guard count (inside
+    # _guarded_shingle_rows) is the first action, so shingling,
+    # checkpoint persist, and the hot-shingle aggregate all ride ONE
+    # job (the r3 eager form paid a separate checkpoint job first —
+    # ~25% of q40's warm wall at sf0.1). A caller holding an
+    # already-materialized corpus (the session shingle cache shared by
+    # q40/q71/q97) passes it via ``arr`` and the Python shingler
+    # doesn't run at all.
     if arr is None:
         arr = (doc_shingle_arrays(docs, id_col, text_col, n)
                .localCheckpoint(eager=False))
-    sh = arr.select(F.col(id_col),
-                    F.explode("shingles").alias("shingle")) \
-        .select(F.col(id_col), F.xxhash64("shingle").alias("_sh"))
-    # per-doc set size is a zero-shuffle projection of the doc-grain
-    # checkpoint (arrays hold the distinct set already); only a fired
-    # stop-shingle guard falls back to re-aggregating filtered rows
-    sizes = arr.select(F.col(id_col), F.size("shingles").alias("_n"))
-    if max_shingle_df is not None:
-        # the guard must fire BEFORE collect_list: a hot shingle's id
-        # array would otherwise materialize f elements in one reducer
-        # row — the exact blowup the cutoff exists to prevent. The
-        # count aggregate is narrow (map-side combined longs) and the
-        # hot set is tiny, so the anti-join is a broadcast.
-        hot = (sh.groupBy("_sh").agg(F.count("*").alias("_df"))
-               .filter(F.col("_df") > max_shingle_df))
-        # q40 builders are documented-eager (the count materializes the
-        # checkpoint), so counting the tiny hot-shingle set doubles as
-        # the no-silent-caps log line
-        n_hot = hot.count()
-        if n_hot:
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard_pairs: dropping %d shingles with df > %d "
-                "(stop-shingle fan-out guard)", n_hot, max_shingle_df)
-            sh = sh.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
-            # dropped shingles leave BOTH the intersections and the
-            # sizes: recount per doc over the filtered rows
-            sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    sh, sizes = _guarded_shingle_rows(arr, id_col, max_shingle_df,
+                                      "ngram_jaccard_pairs")
     inter, sa, sb = _pair_intersections(sh, sizes, id_col)
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
@@ -239,6 +213,41 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
         .filter(jac >= threshold)
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def _guarded_shingle_rows(arr: DataFrame, id_col: str,
+                          max_shingle_df: int | None, opname: str):
+    """Shared prelude of the exact set-similarity family: hashed
+    (id, _sh) shingle rows + per-doc sizes off the doc-grain arrays,
+    with the stop-shingle document-frequency guard applied to BOTH.
+
+    The per-doc size is a zero-shuffle ``F.size`` projection (arrays
+    hold the distinct set already); only a FIRED guard falls back to
+    re-aggregating the filtered rows. The guard must fire BEFORE any
+    collect_list: a hot shingle's id array would otherwise materialize
+    f elements in one reducer row — the exact blowup the cutoff exists
+    to prevent. Its count aggregate is narrow (map-side combined
+    longs), the hot set is tiny (broadcast anti-join), and counting it
+    is the callers' documented-eager step doubling as the
+    no-silent-caps log line."""
+    import logging
+
+    sh = arr.select(F.col(id_col),
+                    F.explode("shingles").alias("shingle")) \
+        .select(F.col(id_col), F.xxhash64("shingle").alias("_sh"))
+    sizes = arr.select(F.col(id_col), F.size("shingles").alias("_n"))
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_shingle_df))
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "%s: dropping %d shingles with df > %d "
+                "(stop-shingle fan-out guard)", opname, n_hot,
+                max_shingle_df)
+            sh = sh.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
+            sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    return sh, sizes
 
 
 def _pair_intersections(sh: DataFrame, sizes: DataFrame, id_col: str):
@@ -284,31 +293,19 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     Returns (id1, id2, c12, c21, cmax) for pairs with
     ``max(C(1→2), C(2→1)) ≥ threshold``; c12 = |∩|/|s1| is the
     fraction of doc1 contained in doc2. Same single-shuffle grouped
-    pair emit and df-cutoff-free sizes as ``ngram_jaccard_pairs``
-    (shares ``_pair_intersections``); the same 64-bit hash caveat and
+    pair emit, per-doc sizes and guard prelude as
+    ``ngram_jaccard_pairs`` (shares ``_guarded_shingle_rows`` +
+    ``_pair_intersections``); the same 64-bit hash caveat and
     ``max_shingle_df`` stop-shingle guard apply (logged, never silent —
     committed testdata's max df stays far below the cutoff, so the
     exhaustive oracle is provably unaffected there). Scale path: LSH
     candidates + this verify, exactly like
     ``verified_near_dup_pairs``."""
-    import logging
-
     if arr is None:
         arr = (doc_shingle_arrays(docs, id_col, text_col, n)
                .localCheckpoint(eager=False))
-    sh = (arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-          .select(F.col(id_col), F.xxhash64("shingle").alias("_sh")))
-    sizes = arr.select(F.col(id_col), F.size("shingles").alias("_n"))
-    if max_shingle_df is not None:
-        hot = (sh.groupBy("_sh").agg(F.count("*").alias("_df"))
-               .filter(F.col("_df") > max_shingle_df))
-        n_hot = hot.count()  # documented-eager, doubles as the log line
-        if n_hot:
-            logging.getLogger(__name__).warning(
-                "containment_pairs: dropping %d shingles with df > %d "
-                "(stop-shingle fan-out guard)", n_hot, max_shingle_df)
-            sh = sh.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
-            sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    sh, sizes = _guarded_shingle_rows(arr, id_col, max_shingle_df,
+                                      "containment_pairs")
     inter, sa, sb = _pair_intersections(sh, sizes, id_col)
     c12 = F.col("inter") / F.col("n1")
     c21 = F.col("inter") / F.col("n2")

@@ -297,7 +297,12 @@ def render_chart_html(name: str, bundle: dict[str, Any]) -> str:
     """One standalone HTML document: title, inline-SVG figure, and the
     verbatim chart bundle as an embedded JSON payload."""
     figure = _RENDERERS[bundle["kind"]](bundle)
-    payload = json.dumps(_json_safe(bundle), ensure_ascii=False)
+    # '</' must not appear raw inside a <script> block: a data string
+    # containing '</script>' would terminate the element mid-payload.
+    # '<\/' is identical JSON (escaped solidus), so json.loads of the
+    # embedded text is unchanged.
+    payload = json.dumps(_json_safe(bundle), ensure_ascii=False) \
+        .replace("</", "<\\/")
     return (
         "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
         f"<title>{html.escape(name)}</title>"

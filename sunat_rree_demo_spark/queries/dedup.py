@@ -23,7 +23,10 @@ from sunat_rree_demo_spark.operators.dedup import (
     simhash,
 )
 from sunat_rree_demo_spark.queries.base import register, t
-from sunat_rree_demo_spark.sources.catalog import register_session_cache
+from sunat_rree_demo_spark.sources.catalog import (
+    register_session_cache,
+    session_memo,
+)
 
 #: Session-scoped materialization of the doc-grain 5-gram shingle
 #: arrays — the shared intermediate of every exact-set-similarity plan
@@ -43,18 +46,10 @@ def corpus_shingle_arrays(spark, sf_dir: str, n: int = 5):
     session, not once per query."""
     from sunat_rree_demo_spark.operators.dedup import doc_shingle_arrays
 
-    try:
-        app = spark.sparkContext.applicationId
-    except Exception:  # Spark Connect has no sparkContext
-        app = str(id(spark))
-    key = (app, sf_dir, n)
-    cached = _SHINGLE_ARR_CACHE.get(key)
-    if cached is not None:
-        return cached
-    arr = doc_shingle_arrays(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n).persist()
-    _SHINGLE_ARR_CACHE[key] = arr
-    return arr
+    return session_memo(
+        spark, _SHINGLE_ARR_CACHE, (sf_dir, n),
+        lambda: doc_shingle_arrays(
+            t(spark, sf_dir, "documents"), "doc_id", "text", n))
 
 
 #: shared shingle/token CTEs (the tokenizer contract of operators.text)

@@ -27,7 +27,10 @@ from sunat_rree_demo_spark.operators.text import (
     tokens,
 )
 from sunat_rree_demo_spark.queries.base import register, t
-from sunat_rree_demo_spark.sources.catalog import register_session_cache
+from sunat_rree_demo_spark.sources.catalog import (
+    register_session_cache,
+    session_memo,
+)
 from sunat_rree_demo_spark.queries.dedup import (
     JACCARD_PAIRS_SELECT,
     _minhash_oracle_sql,
@@ -93,20 +96,14 @@ def dup_pair_edges(spark, sf_dir: str):
     persisted per (session, sf_dir)."""
     from sunat_rree_demo_spark.queries.dedup import corpus_shingle_arrays
 
-    try:
-        app = spark.sparkContext.applicationId
-    except Exception:  # Spark Connect has no sparkContext
-        app = str(id(spark))
-    key = (app, sf_dir)
-    cached = _DUP_EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    d = t(spark, sf_dir, "documents")
-    edges = (ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.3,
-                                 arr=corpus_shingle_arrays(spark, sf_dir))
-             .select("id1", "id2").persist())
-    _DUP_EDGE_CACHE[key] = edges
-    return edges
+    def build():
+        d = t(spark, sf_dir, "documents")
+        return (ngram_jaccard_pairs(
+            d, "doc_id", "text", n=5, threshold=0.3,
+            arr=corpus_shingle_arrays(spark, sf_dir))
+            .select("id1", "id2"))
+
+    return session_memo(spark, _DUP_EDGE_CACHE, (sf_dir,), build)
 
 
 # ---------------------------------------------------------------------- q61

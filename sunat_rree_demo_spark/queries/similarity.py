@@ -25,7 +25,10 @@ from sunat_rree_demo_spark.operators.similarity import (
     semantic_dedup,
 )
 from sunat_rree_demo_spark.queries.base import register, t
-from sunat_rree_demo_spark.sources.catalog import register_session_cache
+from sunat_rree_demo_spark.sources.catalog import (
+    register_session_cache,
+    session_memo,
+)
 
 
 # ---------------------------------------------------------------------- q43
@@ -296,19 +299,11 @@ register_session_cache(_EMB_EDGE_CACHE)
 def embedding_pair_edges(spark, sf_dir: str):
     """(id1, id2) exact cosine ≥ 0.3 pairs over embeddings, persisted
     per (session, sf_dir)."""
-    try:
-        app = spark.sparkContext.applicationId
-    except Exception:  # Spark Connect has no sparkContext
-        app = str(id(spark))
-    key = (app, sf_dir)
-    cached = _EMB_EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    e = t(spark, sf_dir, "embeddings")
-    edges = (near_dup_pairs_blocked(e, threshold=0.3)
-             .select("id1", "id2").persist())
-    _EMB_EDGE_CACHE[key] = edges
-    return edges
+    return session_memo(
+        spark, _EMB_EDGE_CACHE, (sf_dir,),
+        lambda: near_dup_pairs_blocked(
+            t(spark, sf_dir, "embeddings"), threshold=0.3)
+        .select("id1", "id2"))
 
 
 # ---------------------------------------------------------------------- q82

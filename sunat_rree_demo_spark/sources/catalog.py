@@ -46,9 +46,33 @@ _SESSION_CACHES: list[dict] = [_HOT_CACHE]
 
 def register_session_cache(cache: dict) -> None:
     """Opt a {key-starting-with-app-id: DataFrame} memo into the shared
-    eviction sweep below."""
-    if cache not in _SESSION_CACHES:
+    eviction sweep below.
+
+    Membership is by IDENTITY: ``in`` would compare dicts by VALUE, and
+    two empty memos compare equal — registering a fresh dict while any
+    registered memo is empty would silently no-op, exempting it from
+    eviction/unpersist forever."""
+    if not any(c is cache for c in _SESSION_CACHES):
         _SESSION_CACHES.append(cache)
+
+
+def session_memo(spark, cache: dict, key_suffix: tuple, build):
+    """One implementation of the app-id-keyed lazy memo every
+    session-scoped materialized intermediate uses (monthly flows,
+    shingle arrays, pair graphs): look up (app_id, *key_suffix) in
+    ``cache``, else ``build()``, ``persist()``, store, return. The
+    cache must be ``register_session_cache``-ed by its owner."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        app = str(id(spark))
+    key = (app, *key_suffix)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    df = build().persist()
+    cache[key] = df
+    return df
 
 
 def _session_stopped(df: DataFrame) -> bool:

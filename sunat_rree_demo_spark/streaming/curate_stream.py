@@ -142,14 +142,38 @@ def finalize_curated(spark: SparkSession, store_path: str,
     ``elect_and_pack`` tail as the batch plan. Cost is
     gated-store + pairs scale — one corpus read, no re-shingling (the
     signatures live in the index)."""
+    from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
     from sunat_rree_demo_spark.plans.curate import elect_and_pack
 
-    gated = spark.read.parquet(f"{store_path}/docs").drop(BATCH_COL)
+    # only COMMITTED batches are visible (same crash class load_cms
+    # guards against): docs and pairs are written BEFORE the index's
+    # bands commit marker, so a marker implies both are complete; a
+    # torn batch (docs written, pairs/index not) would otherwise feed
+    # documents with zero edges into the election and let duplicates
+    # the batch plan evicts survive. Uncommitted batches re-drain on
+    # stream restart and become visible then.
+    fs, jdocs = _hadoop_fs(spark, f"{store_path}/docs")
+    committed = []
+    if fs.exists(jdocs):
+        for st in fs.listStatus(jdocs):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(f"{BATCH_COL}=")):
+                continue
+            bid = int(name.split("=", 1)[1])
+            if batch_committed(spark, f"{store_path}/index", bid):
+                committed.append(name)
+    if not committed:
+        raise FileNotFoundError(
+            f"finalize_curated: no committed batches under {store_path} "
+            f"(stream not drained, or every batch torn mid-commit)")
+    gated = spark.read.parquet(
+        *[f"{store_path}/docs/{n}" for n in committed])
     kept = exact_dedup(gated, text_col, id_col)
     # semi-joins on the pair side: pairs are pair-scale, ids are
     # corpus-scale — no broadcast hint, let AQE size the build side
     ids = kept.select(id_col)
-    pairs = (spark.read.parquet(f"{store_path}/pairs")
+    pairs = (spark.read.parquet(
+                *[f"{store_path}/pairs/{n}" for n in committed])
              .select("id1", "id2")
              .join(ids.withColumnRenamed(id_col, "id1"), "id1", "left_semi")
              .join(ids.withColumnRenamed(id_col, "id2"), "id2", "left_semi"))

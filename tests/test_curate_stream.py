@@ -90,3 +90,41 @@ def test_committed_batch_replay_is_noop(spark, tmp_path, docs_two_files):
     process_curate_batch(spark, docs, 0, store)  # replay
     assert snap() == before
     assert before["docs"] and before["index/bands"]
+
+
+def test_finalize_ignores_torn_batches(spark, tmp_path):
+    """A batch whose docs landed but whose pairs/index commit did not
+    (crash mid-sequence) must be INVISIBLE to finalize_curated — its
+    zero-edge docs would otherwise survive election as false uniques.
+    The batch becomes visible once a replay completes it."""
+    import pytest
+
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.streaming.curate_stream import (
+        finalize_curated,
+        gate_docs,
+        process_curate_batch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    store = str(tmp_path / "torn_store")
+    process_curate_batch(spark, docs.limit(30), 0, store)
+    base = {r.doc_id for r in finalize_curated(spark, store).collect()}
+    assert base
+
+    # torn batch 1: docs written, pairs/index missing
+    extra = docs.filter("doc_id >= 30").limit(10)
+    (gate_docs(extra).write.mode("overwrite")
+     .parquet(f"{store}/docs/batch_id=1"))
+    after_torn = {r.doc_id
+                  for r in finalize_curated(spark, store).collect()}
+    assert after_torn == base, "torn batch leaked into the election"
+
+    # replay completes batch 1 → its docs join the curated output
+    process_curate_batch(spark, extra, 1, store)
+    completed = {r.doc_id for r in finalize_curated(spark, store).collect()}
+    assert completed > base
+
+    # a store with zero committed batches fails loudly
+    with pytest.raises(FileNotFoundError):
+        finalize_curated(spark, str(tmp_path / "empty_store"))
