@@ -725,6 +725,73 @@ def estimate_pairs(cand: DataFrame, sig: DataFrame, id_col: str,
     )
 
 
+def minhash_containment_pairs(docs: DataFrame, id_col: str,
+                              text_col: str, n: int = 5,
+                              k: int = MINHASH_K, bands: int = LSH_BANDS,
+                              threshold: float = 0.5,
+                              arr: DataFrame | None = None) -> DataFrame:
+    """SCALE path of ``containment_pairs``: estimated containment over
+    MinHash+LSH candidates. From Ĵ = eq/k and the EXACT per-doc set
+    sizes (a zero-shuffle ``F.size`` projection — sizes are cheap; the
+    intersection is what's expensive), invert Broder's identity
+    I = J·(n1+n2)/(1+J) to get
+
+        Ĉ(1→2) = eq·(n1+n2) / ((k+eq)·n1)
+
+    an EXACT integer rational — numerator/denominator are int64, so
+    the ≥ threshold filter (``2·num ≥ den`` at t=0.5) and the 4dp
+    half-up quantization are bit-identical in both engines, with no
+    float division anywhere.
+
+    Same recall caveat as every LSH path: pairs no band surfaces stay
+    missed; the banding is tuned for the Jaccard curve, so HIGH
+    containment with very asymmetric sizes (tiny excerpt in a huge
+    doc ⇒ low J) is exactly where candidates get lost — the docstring
+    of the exact operator explains why that regime needs the
+    prefix-filter or a containment-specific banding (divide sketches,
+    Agrawal et al.). Returns (id1, id2, c12_est, c21_est) for
+    ``max(Ĉ12, Ĉ21) ≥ threshold``."""
+    if arr is None:
+        arr = doc_shingle_arrays(docs, id_col, text_col, n) \
+            .localCheckpoint()
+    sig = _signatures_from_shingle_arrays(arr, id_col, k).localCheckpoint()
+    bb = band_rows(sig, id_col, k, bands)
+    cand = (
+        bb.alias("a").join(bb.alias("b"), ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col(id_col).alias("id1"), F.col("sig").alias("a_sig"))
+    s2 = sig.select(F.col(id_col).alias("id2"), F.col("sig").alias("b_sig"))
+    sizes = arr.select(F.col(id_col), F.size("shingles").alias("_n"))
+    sa = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("_n", "n1")
+    sb = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("_n", "n2")
+    eqv = F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int"))
+    eq = F.aggregate(eqv, F.lit(0), lambda acc, v: acc + v)
+    num = (eq * (F.col("n1") + F.col("n2"))).cast("bigint")
+    den1 = ((eq + F.lit(k)) * F.col("n1")).cast("bigint")
+    den2 = ((eq + F.lit(k)) * F.col("n2")).cast("bigint")
+    half_up = lambda nm, dn: (  # noqa: E731 - shared 4dp device
+        F.expr(f"(2 * 10000 * {nm} + {dn}) div (2 * {dn})")
+        .cast("double") / 10000.0)
+    return (
+        cand.join(s1, "id1").join(s2, "id2").join(sa, "id1").join(sb, "id2")
+        .withColumn("_num", num).withColumn("_d1", den1)
+        .withColumn("_d2", den2)
+        # cmax ≥ t ⟺ num ≥ t·min(den): integers both sides, so the
+        # epsilon guard only matters for a t whose product lands
+        # within 1e-9 of an integer (t = 0.5 is exact: 2·num ≥ den)
+        .filter(F.col("_num").cast("double")
+                >= F.lit(float(threshold))
+                * F.least("_d1", "_d2").cast("double") - F.lit(1e-9))
+        .select("id1", "id2",
+                half_up("_num", "_d1").alias("c12_est"),
+                half_up("_num", "_d2").alias("c21_est"))
+    )
+
+
 def _signatures_from_shingle_arrays(arr: DataFrame, id_col: str,
                                     k: int = MINHASH_K) -> DataFrame:
     """``minhash_signatures``' exact math over PRECOMPUTED doc-grain

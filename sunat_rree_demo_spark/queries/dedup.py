@@ -461,3 +461,62 @@ def q149_simhash_pairs(spark, sf_dir):
             .groupBy("hamming")
             .agg(F.count("*").cast("bigint").alias("n_pairs"))
             .orderBy("hamming"))
+
+
+# --------------------------------------------------------------------- q151
+_MC_EQ = " + ".join(
+    f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+    for i in range(MINHASH_K))
+
+
+@register(
+    "q151_minhash_containment",
+    memoize=False,  # builder localCheckpoints signatures (eager-ish)
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_minhash_cand_ctes()}
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    est AS (
+      SELECT id1, id2, ({_MC_EQ}) AS eq, sa.n AS n1, sb.n AS n2
+      FROM cand
+      JOIN sig s1 ON id1 = s1.doc_id
+      JOIN sig s2 ON id2 = s2.doc_id
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+    ),
+    r AS (
+      SELECT id1, id2,
+             CAST(eq * (n1 + n2) AS BIGINT) AS num,
+             CAST(({MINHASH_K} + eq) * n1 AS BIGINT) AS d1,
+             CAST(({MINHASH_K} + eq) * n2 AS BIGINT) AS d2
+      FROM est
+    )
+    SELECT id1, id2,
+           CAST((2 * 10000 * num + d1) // (2 * d1) AS DOUBLE) / 10000.0
+             AS c12_est,
+           CAST((2 * 10000 * num + d2) // (2 * d2) AS DOUBLE) / 10000.0
+             AS c21_est
+    FROM r WHERE 2 * num >= least(d1, d2)
+    ORDER BY id1, id2
+    """,
+    tags=("dedup", "containment", "minhash"),
+)
+def q151_minhash_containment(spark, sf_dir):
+    """Estimated shingle containment ≥ 0.5 over MinHash+LSH candidates
+    — q144's scale path: Ĉ(1→2) = eq·(n1+n2)/((k+eq)·n1) inverts
+    Broder's identity using the signature-equal count and EXACT set
+    sizes; numerator and denominator stay int64 end-to-end, so the
+    threshold filter and 4dp quantization are bit-identical in both
+    engines with no float division. The oracle re-runs the whole
+    banded pipeline plus the rational from the same constants.
+    (Operator: operators.dedup.minhash_containment_pairs; recall
+    caveats documented there.)"""
+    from sunat_rree_demo_spark.operators.dedup import (
+        minhash_containment_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return (minhash_containment_pairs(
+        d, "doc_id", "text", threshold=0.5,
+        arr=corpus_shingle_arrays(spark, sf_dir))
+        .orderBy("id1", "id2"))

@@ -179,6 +179,9 @@ _EAGER_BUILDERS = {
     # branches + banding) — lazy, but the checkpoint call itself
     # submits a planning job, same note as q97
     "q149_simhash_pairs",
+    # q151 eagerly checkpoints the MinHash signatures (banding + two
+    # estimate branches read them — same policy as q41)
+    "q151_minhash_containment",
 }
 
 
