@@ -71,6 +71,10 @@ def decode_dims(payload: bytes) -> tuple[int, int] | None:
       segment body (ITU-T T.81 §B.2.2).
     - GIF: 'GIF87a'/'GIF89a' signature, then little-endian u16
       width/height in the logical screen descriptor.
+    - BMP: 'BM' signature; BITMAPINFOHEADER i32 dims (|height| — it is
+      negative for top-down rows) or legacy BITMAPCOREHEADER u16 dims.
+    - TIFF: byte-order mark, first-IFD walk for ImageWidth(256)/
+      ImageLength(257), SHORT/LONG inline values (TIFF 6.0 §2).
 
     Returns None when no codec matches — callers fall back to the
     deterministic stub (the honest path for media this environment has
@@ -102,6 +106,49 @@ def decode_dims(payload: bytes) -> tuple[int, int] | None:
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return (w, h)
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        # BMP: BITMAPINFOHEADER (u32 size ≥ 40 at offset 14) carries
+        # little-endian i32 width/height at 18/22; the legacy
+        # BITMAPCOREHEADER (size 12) carries u16s at 18/20. Height may
+        # be negative (top-down rows) — dims are |height|.
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size >= 40:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return (w, abs(h))
+        if hdr_size == 12 and len(payload) >= 22:
+            w, h = struct.unpack("<HH", payload[18:22])
+            return (w, h)
+        return None
+    if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: endianness from the byte-order mark, then walk the
+        # first IFD's 12-byte entries for tags 256 (ImageWidth) and
+        # 257 (ImageLength); SHORT(3)/LONG(4) inline values only —
+        # exactly what baseline encoders write (TIFF 6.0 §2).
+        bo = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+        if ifd_off + 2 > len(payload):
+            return None
+        (n_entries,) = struct.unpack(
+            bo + "H", payload[ifd_off:ifd_off + 2])
+        dims = {}
+        for e in range(n_entries):
+            off = ifd_off + 2 + 12 * e
+            if off + 12 > len(payload):
+                return None
+            tag, typ = struct.unpack(bo + "HH", payload[off:off + 4])
+            if tag in (256, 257):
+                if typ == 3:        # SHORT: value in the first 2 bytes
+                    (v,) = struct.unpack(
+                        bo + "H", payload[off + 8:off + 10])
+                elif typ == 4:      # LONG
+                    (v,) = struct.unpack(
+                        bo + "I", payload[off + 8:off + 12])
+                else:
+                    return None
+                dims[tag] = v
+        if 256 in dims and 257 in dims:
+            return (dims[256], dims[257])
+        return None
     return None
 
 

@@ -90,12 +90,52 @@ def _tiny_gif(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
 
 
+def _tiny_bmp(w: int, h: int, top_down: bool = False,
+              core: bool = False) -> bytes:
+    """Valid BMP file header + DIB header (no pixel data needed)."""
+    import struct
+
+    if core:
+        dib = struct.pack("<IHHHH", 12, w, h, 1, 24)
+    else:
+        dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                          1, 24, 0, 0, 2835, 2835, 0, 0)
+    off = 14 + len(dib)
+    return (b"BM" + struct.pack("<IHHI", off, 0, 0, off)) + dib
+
+
+def _tiny_tiff(w: int, h: int, big_endian: bool = False) -> bytes:
+    """Minimal valid TIFF: header + one IFD with SHORT width, LONG
+    height (mixed types exercise both inline-value paths) plus a
+    distractor tag."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") \
+        + struct.pack(bo + "I", 8)
+    entries = [
+        struct.pack(bo + "HHIHH", 254, 4, 1, 0, 0),      # NewSubfileType
+        struct.pack(bo + "HHIH", 256, 3, 1, w) + b"\x00\x00",  # SHORT w
+        struct.pack(bo + "HHII", 257, 4, 1, h),           # LONG h
+    ]
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) \
+        + struct.pack(bo + "I", 0)
+    return hdr + ifd
+
+
 def test_decode_dims_real_headers():
     from sunat_rree_demo_spark.operators.multimodal import decode_dims
 
     assert decode_dims(_tiny_png(640, 480)) == (640, 480)
     assert decode_dims(_tiny_jpeg(1920, 1080)) == (1920, 1080)
     assert decode_dims(_tiny_gif(31, 17)) == (31, 17)
+    assert decode_dims(_tiny_bmp(800, 600)) == (800, 600)
+    assert decode_dims(_tiny_bmp(800, 600, top_down=True)) == (800, 600)
+    assert decode_dims(_tiny_bmp(12, 34, core=True)) == (12, 34)
+    assert decode_dims(_tiny_tiff(320, 240)) == (320, 240)
+    assert decode_dims(_tiny_tiff(320, 240, big_endian=True)) == (320, 240)
+    # truncated TIFF IFD must not crash
+    assert decode_dims(b"II*\x00" + b"\x08\x00\x00\x00") is None
     # unknown codec -> None (callers fall back to the stub)
     assert decode_dims(b"plain text payload") is None
     assert decode_dims(b"") is None
