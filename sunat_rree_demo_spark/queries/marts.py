@@ -757,3 +757,99 @@ def q142_customer_set_ops(spark, sf_dir):
         .unionAll(seg("retained", a.intersect(b)))
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------- q152
+@register(
+    "q152_slow_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("mart", "tpch-q4"),
+)
+def q152_slow_ship_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders with at least
+    one line shipped more than 60 days after the order date, counted by
+    priority — the correlated EXISTS decorrelated into one LEFT SEMI
+    join on the order key (the only scalable plan: the fact side is
+    filtered by the date predicate INSIDE the semi-join, never
+    materialized per order). The schema has no l_commitdate/
+    l_receiptdate (reference testdata), so the lateness predicate is
+    ship-vs-order-date at the same 2-table shape."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    late = (li.join(o.select("o_orderkey", "o_orderdate"), F.expr(
+        "l_orderkey = o_orderkey AND l_shipdate > o_orderdate + "
+        "INTERVAL 60 DAY"))
+        .select("l_orderkey"))
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------- q153
+@register(
+    "q153_promo_revenue_share",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+           CAST(month(l_shipdate) AS BIGINT) AS month_num,
+           CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                  CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / 100.0 AS promo_rev,
+           CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 100, 0) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 100.0 AS total_rev,
+           CAST((2 * 1000000
+                 * sum(CASE WHEN p_type = 'PROMO' THEN
+                       CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                  0) AS BIGINT) ELSE 0 END)
+                 + sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                  0) AS BIGINT)))
+                // (2 * sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100, 0) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("mart", "tpch-q14"),
+)
+def q153_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): share of discounted revenue
+    from PROMO-type parts per ship month. Revenue quantizes to integer
+    cents BEFORE summing (the q89 discipline) and the percentage is the
+    integer micro-unit half-up mean device, so neither engine's sum
+    order can drift a cent or a basis point. The part dimension
+    broadcasts; one fact scan, map-side combined."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100, 0).cast("bigint")
+    j = (li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                 li.l_partkey == p.p_partkey)
+         .select(F.year("l_shipdate").cast("bigint").alias("year"),
+                 F.month("l_shipdate").cast("bigint").alias("month_num"),
+                 cents.alias("_c"),
+                 F.when(F.col("p_type") == "PROMO", cents).otherwise(0)
+                 .alias("_pc")))
+    return (
+        j.groupBy("year", "month_num")
+        .agg(F.sum("_pc").cast("bigint").alias("_pcs"),
+             F.sum("_c").cast("bigint").alias("_cs"))
+        .select("year", "month_num",
+                (F.col("_pcs").cast("double") / 100.0).alias("promo_rev"),
+                (F.col("_cs").cast("double") / 100.0).alias("total_rev"),
+                (F.expr("(2 * 1000000 * _pcs + _cs) div (2 * _cs)")
+                 .cast("double") / 10000.0).alias("promo_pct"))
+        .orderBy("year", "month_num")
+    )
