@@ -111,6 +111,19 @@ def _existing_batch_ids(spark: SparkSession, path: str) -> list[int]:
     return out
 
 
+def clear_commit_marker(spark: SparkSession, dir_path: str) -> None:
+    """Delete ``dir_path/_SUCCESS`` before an overwrite-rewrite of a
+    committed-only-read partition: ``mode("overwrite")`` deletes the
+    old files in unspecified order, so a concurrent reader gating on
+    the marker could observe it still present while part-files are
+    already gone — a torn read. Removing the marker FIRST makes the
+    partition read as uncommitted for the whole rewrite; the write
+    recreates it atomically last."""
+    fs, marker = _hadoop_fs(spark, f"{dir_path}/_SUCCESS")
+    if fs.exists(marker):
+        fs.delete(marker, False)
+
+
 def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         k: int = MINHASH_K, bands: int = LSH_BANDS,
@@ -137,13 +150,25 @@ def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
 def absorb_batch(docs: DataFrame, path: str, batch_id: int,
                  id_col: str = "doc_id", text_col: str = "text",
                  n: int = 5, k: int = MINHASH_K,
-                 bands: int = LSH_BANDS) -> None:
+                 bands: int = LSH_BANDS,
+                 sig: DataFrame | None = None) -> None:
     """Idempotently absorb one identified batch: sigs then bands are
     each OVERWRITTEN into their ``batch_id=N`` partition directory, so
     a replay (foreachBatch crash recovery) rewrites identical files
     rather than appending duplicates. Bands last = commit marker
-    (``batch_committed``)."""
-    sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
+    (``batch_committed``) — its ``_SUCCESS`` is removed BEFORE the
+    rewrite so a replay's overwrite can't expose a torn partition to a
+    committed-only reader mid-delete.
+
+    A streaming handler that already computed the batch's signatures
+    (``incremental_near_dup_pairs`` does) passes them via ``sig`` —
+    the per-doc Python shingle/minhash pass is the dominant ingest
+    cost and must not run twice per micro-batch."""
+    spark = docs.sparkSession
+    if sig is None:
+        sig = minhash_signatures(docs, id_col, text_col, n, k) \
+            .localCheckpoint()
+    clear_commit_marker(spark, f"{path}/bands/{BATCH_COL}={batch_id}")
     sig.write.mode("overwrite").parquet(
         f"{path}/sigs/{BATCH_COL}={batch_id}")
     band_rows(sig, id_col, k, bands).write.mode("overwrite").parquet(
@@ -222,13 +247,17 @@ def incremental_near_dup_pairs(spark: SparkSession, new_docs: DataFrame,
                                path: str, id_col: str = "doc_id",
                                text_col: str = "text", n: int = 5,
                                k: int = MINHASH_K, bands: int = LSH_BANDS,
-                               threshold: float = 0.3) -> DataFrame:
+                               threshold: float = 0.3,
+                               new_sig: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs (id1 < id2, jaccard_est ≥ threshold) touching the
     new batch: new-vs-index plus new-vs-new. Identical estimates to the
     batch-global ``minhash_lsh_pairs`` restricted to pairs with at
-    least one new doc — pinned by tests/test_dedup_index.py."""
-    new_sig = minhash_signatures(new_docs, id_col, text_col, n, k) \
-        .localCheckpoint()
+    least one new doc — pinned by tests/test_dedup_index.py.
+    ``new_sig`` lets the caller share one checkpointed signature frame
+    between this probe and the subsequent ``absorb_batch``."""
+    if new_sig is None:
+        new_sig = minhash_signatures(new_docs, id_col, text_col, n, k) \
+            .localCheckpoint()
     new_bands = band_rows(new_sig, id_col, k, bands)
     idx_bands = _read_or_empty(spark, f"{path}/bands",
                                _with_batch_schema(new_bands.schema))

@@ -24,7 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
+from sunat_rree_demo_spark.operators.dedup_index import (
+    _hadoop_fs,
+    clear_commit_marker,
+)
 from sunat_rree_demo_spark.operators.sketches import (
     cms_estimates,
     cms_partial_counts,
@@ -49,6 +52,10 @@ def absorb_tokens_batch(spark: SparkSession, batch_df: DataFrame,
     skipped, an interrupted one is overwritten whole)."""
     if cms_batch_committed(spark, cms_path, batch_id):
         return
+    # drop the commit marker BEFORE the overwrite: the delete phase
+    # removes files in unspecified order, so load_cms could otherwise
+    # see _SUCCESS while counter files are already gone mid-rewrite
+    clear_commit_marker(spark, f"{cms_path}/{BATCH_COL}={batch_id}")
     tk = batch_df.select(F.explode(tokens(F.col(text_col))).alias("term"))
     (cms_partial_counts(tk)
      .write.mode("overwrite")

@@ -45,7 +45,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from sunat_rree_demo_spark.operators.dedup import exact_dedup
+from sunat_rree_demo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+)
 from sunat_rree_demo_spark.operators.dedup_index import (
     BATCH_COL,
     absorb_batch,
@@ -97,13 +100,16 @@ def process_curate_batch(spark: SparkSession, batch_df: DataFrame,
         contamination_n, contamination_min_overlap).localCheckpoint()
     (gated.write.mode("overwrite")
      .parquet(f"{store_path}/docs/{BATCH_COL}={batch_id}"))
+    # one signature pass shared by probe and absorb (see dedup_stream)
+    sig = minhash_signatures(gated, id_col, text_col).localCheckpoint()
     (incremental_near_dup_pairs(spark, gated, index_path,
                                 id_col=id_col, text_col=text_col,
-                                threshold=near_dup_threshold)
+                                threshold=near_dup_threshold,
+                                new_sig=sig)
      .write.mode("overwrite")
      .parquet(f"{store_path}/pairs/{BATCH_COL}={batch_id}"))
     absorb_batch(gated, index_path, batch_id,
-                 id_col=id_col, text_col=text_col)
+                 id_col=id_col, text_col=text_col, sig=sig)
 
 
 def run_curate_stream(spark: SparkSession, docs_stream: DataFrame,

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from sunat_rree_demo_spark.operators.dedup import minhash_signatures
 from sunat_rree_demo_spark.operators.dedup_index import (
     BATCH_COL,
     absorb_batch,
@@ -71,11 +72,15 @@ def process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     if batch_committed(spark, index_path, batch_id):
         return  # crash-replay of a fully-committed batch: no-op
     batch = batch_df.localCheckpoint()  # one pass over the source
+    # ONE signature pass per batch: the probe and the absorb share the
+    # checkpointed frame (the Python shingle/minhash pass dominates
+    # ingest cost)
+    sig = minhash_signatures(batch, "doc_id", "text").localCheckpoint()
     (incremental_near_dup_pairs(spark, batch, index_path,
-                                threshold=threshold)
+                                threshold=threshold, new_sig=sig)
      .write.mode("overwrite")
      .parquet(f"{pairs_path}/{BATCH_COL}={batch_id}"))
-    absorb_batch(batch, index_path, batch_id)
+    absorb_batch(batch, index_path, batch_id, sig=sig)
 
 
 def run_dedup_stream(spark: SparkSession, docs_stream: DataFrame,

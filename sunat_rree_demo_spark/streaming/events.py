@@ -51,10 +51,17 @@ def events_file_stream(spark: SparkSession, directory: str,
     probe falls back to the legacy nanos schema; pass
     ``ts_variant='nanos' | 'micros'`` to pin the variant explicitly and
     skip the probe."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    # self-set BOTH runtime configs this reader depends on — the
+    # driver's session is vanilla (CLAUDE.md): nanosAsLong for the
+    # legacy footer, and the UTC session zone the micros branch's
+    # NTZ→LTZ cast reads (without it a local-TZ driver would shift
+    # every instant vs the batch twin)
+    for k, v in (("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                 ("spark.sql.session.timeZone", "UTC")):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     if ts_variant is None:
         from pyspark.errors import AnalysisException
 
@@ -128,15 +135,32 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Watermarked streaming dedup on (user_id, event_type): state for a
-    key is dropped once the watermark passes it (batch twin: keep-first
-    row_number in q33_event_dedup)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type", "event_id", "value")
-    )
+def dedup_events(events: DataFrame, watermark: str = "2 hours",
+                 within_watermark: bool = False) -> DataFrame:
+    """Streaming keep-first dedup on (user_id, event_type).
+
+    Default (``within_watermark=False``): GLOBAL dedup — exactly the
+    batch twin (q33_event_dedup's keep-first row_number) — via
+    ``dropDuplicates`` on the key columns alone. Spark only evicts
+    dropDuplicates state when the event-time column is part of the key
+    subset, so this state is NOT watermark-bounded: it holds one entry
+    per distinct key forever, i.e. bounded by KEY CARDINALITY, not
+    time. That is the right trade for a bounded key universe (users ×
+    four event types here) and the only form that matches the batch
+    semantics.
+
+    ``within_watermark=True`` switches to
+    ``dropDuplicatesWithinWatermark``: state IS evicted as the
+    watermark passes, but only duplicates arriving within the
+    watermark delay of each other collapse — the unbounded-key-stream
+    trade, deliberately NOT the batch twin."""
+    wm = events.withWatermark("ts", watermark)
+    if within_watermark:
+        deduped = wm.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"])
+    else:
+        deduped = wm.dropDuplicates(["user_id", "event_type"])
+    return deduped.select("user_id", "event_type", "event_id", "value")
 
 
 def rate_events(spark: SparkSession, rows_per_second: int = 200,
@@ -191,6 +215,8 @@ def run_foreach_batch(stream_df: DataFrame, on_batch,
         while time.time() - t0 < timeout:
             if should_stop is not None and should_stop():
                 break
+            if not q.isActive:  # failed/finished: surface NOW, not at
+                break           # timeout (stop()+await re-raises below)
             time.sleep(0.25)
     finally:
         q.stop()
@@ -209,9 +235,46 @@ def run_available_now(stream_df: DataFrame, sink_table: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
-    if q.isActive:  # pragma: no cover - safety net
+    done = q.awaitTermination(timeout)
+    if not done:
         q.stop()
+        raise TimeoutError(
+            f"available-now drain into '{sink_table}' did not finish "
+            f"within {timeout}s — the memory sink holds only the "
+            f"completed micro-batches")
+
+
+def _click_purchase_join(events: DataFrame, horizon: str,
+                         watermark: str, how: str) -> DataFrame:
+    """Shared projections + watermarks + interval-join expression of
+    the two attribution forms — ONE copy so the join contract (horizon
+    bound, watermark columns, output grain) cannot drift between the
+    inner and left-outer variants."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    joined = clicks.join(
+        purchases,
+        F.expr(f"""
+            user_id = p_user_id AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+        """),
+        how,
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id", "purchase_value",
+        ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+         / 1000000.0).alias("lag_sec"),
+    )
 
 
 def click_purchase_attribution(events: DataFrame,
@@ -233,31 +296,7 @@ def click_purchase_attribution(events: DataFrame,
     Emits one row per (click, purchase-within-horizon) pair — the
     multi-touch attribution grain; last-touch/first-touch reductions
     are a groupBy away (deterministic: min/max by (lag, id))."""
-    clicks = (events.filter(F.col("event_type") == "click")
-              .select(F.col("user_id"),
-                      F.col("event_id").alias("click_id"),
-                      F.col("ts").alias("click_ts"))
-              .withWatermark("click_ts", watermark))
-    purchases = (events.filter(F.col("event_type") == "purchase")
-                 .select(F.col("user_id").alias("p_user_id"),
-                         F.col("event_id").alias("purchase_id"),
-                         F.col("value").alias("purchase_value"),
-                         F.col("ts").alias("purchase_ts"))
-                 .withWatermark("purchase_ts", watermark))
-    joined = clicks.join(
-        purchases,
-        F.expr(f"""
-            user_id = p_user_id AND
-            purchase_ts > click_ts AND
-            purchase_ts <= click_ts + INTERVAL {horizon}
-        """),
-    )
-    return joined.select(
-        "user_id", "click_id", "purchase_id",
-        F.col("purchase_value"),
-        ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
-         / 1000000.0).alias("lag_sec"),
-    )
+    return _click_purchase_join(events, horizon, watermark, "inner")
 
 
 def click_purchase_attribution_outer(events: DataFrame,
@@ -278,28 +317,5 @@ def click_purchase_attribution_outer(events: DataFrame,
 
     Batch twin: q113's LEFT JOIN, where no watermark applies and every
     unmatched click appears."""
-    clicks = (events.filter(F.col("event_type") == "click")
-              .select(F.col("user_id"),
-                      F.col("event_id").alias("click_id"),
-                      F.col("ts").alias("click_ts"))
-              .withWatermark("click_ts", watermark))
-    purchases = (events.filter(F.col("event_type") == "purchase")
-                 .select(F.col("user_id").alias("p_user_id"),
-                         F.col("event_id").alias("purchase_id"),
-                         F.col("value").alias("purchase_value"),
-                         F.col("ts").alias("purchase_ts"))
-                 .withWatermark("purchase_ts", watermark))
-    joined = clicks.join(
-        purchases,
-        F.expr(f"""
-            user_id = p_user_id AND
-            purchase_ts > click_ts AND
-            purchase_ts <= click_ts + INTERVAL {horizon}
-        """),
-        "left_outer",
-    )
-    return joined.select(
-        "user_id", "click_id", "purchase_id", "purchase_value",
-        ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
-         / 1000000.0).alias("lag_sec"),
-    )
+    return _click_purchase_join(events, horizon, watermark, "left_outer")
+

@@ -39,7 +39,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sunat_rree_demo_spark.operators.dedup import rolling_window_keys
-from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
+from sunat_rree_demo_spark.operators.dedup_index import (
+    _hadoop_fs,
+    clear_commit_marker,
+)
 
 BATCH_COL = "batch_id"
 
@@ -86,8 +89,11 @@ def process_novelty_batch(spark: SparkSession, batch_df: DataFrame,
           .localCheckpoint())  # one Python key pass per batch
     old = seen_keys(spark, store_path)
     # a key is novel for exactly one doc: not seen in any committed
-    # batch AND earliest (min id) within this batch
-    fresh = ks.join(old, "key", "left_anti")
+    # batch AND earliest (min id) within this batch. Checkpointed:
+    # the stats write AND the keys write both read it, and the
+    # anti-join probes the whole accumulated key store — the most
+    # expensive join in the batch must run once, not per action.
+    fresh = ks.join(old, "key", "left_anti").localCheckpoint()
     first = F.min(id_col).over(Window.partitionBy("key"))
     flagged = fresh.withColumn("_first", first)
     novel_per_doc = (flagged.filter(F.col("_first") == F.col(id_col))
@@ -108,18 +114,24 @@ def process_novelty_batch(spark: SparkSession, batch_df: DataFrame,
     )
     (stats.write.mode("overwrite")
      .parquet(f"{store_path}/stats/{BATCH_COL}={batch_id}"))
+    # drop the commit marker before the keys rewrite (see
+    # dedup_index.clear_commit_marker: closes the mid-delete window
+    # where a committed-only reader could take a torn partition)
+    clear_commit_marker(spark, f"{store_path}/keys/{BATCH_COL}={batch_id}")
     (fresh.select("key").distinct()
      .write.mode("overwrite")
      .parquet(f"{store_path}/keys/{BATCH_COL}={batch_id}"))
 
 
 def run_novelty_stream(spark: SparkSession, docs_stream: DataFrame,
-                       store_path: str, n: int = 8,
+                       store_path: str, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 8,
                        timeout: int = 300) -> None:
     """Drain the stream through ``process_novelty_batch``
     (availableNow, resumable from the checkpoint under the store)."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_novelty_batch(spark, batch_df, batch_id, store_path, n=n)
+        process_novelty_batch(spark, batch_df, batch_id, store_path,
+                              id_col=id_col, text_col=text_col, n=n)
 
     q = (
         docs_stream.writeStream.foreachBatch(handle)
@@ -136,8 +148,11 @@ def run_novelty_stream(spark: SparkSession, docs_stream: DataFrame,
             f"the stream checkpoint)")
 
 
-def load_novelty_stats(spark: SparkSession, store_path: str) -> DataFrame:
-    """All committed batches' per-doc stats (q150 output shape)."""
+def load_novelty_stats(spark: SparkSession, store_path: str,
+                       id_col: str = "doc_id") -> DataFrame:
+    """All committed batches' per-doc stats (q150 output shape).
+    ``id_col`` must match the drain's — it names the empty-store
+    schema's id column so the empty and non-empty paths agree."""
     fs, jroot = _hadoop_fs(spark, f"{store_path}/stats")
     dirs = []
     if fs.exists(jroot):
@@ -150,6 +165,6 @@ def load_novelty_stats(spark: SparkSession, store_path: str) -> DataFrame:
                 dirs.append(f"{store_path}/stats/{name}")
     if not dirs:
         return spark.createDataFrame(
-            [], "doc_id long, n_windows bigint, n_novel bigint, "
+            [], f"{id_col} long, n_windows bigint, n_novel bigint, "
                 "novelty_frac double")
     return spark.read.parquet(*dirs)

@@ -64,7 +64,10 @@ def anomaly_flags(events: DataFrame, sigma: float = 3.0,
         for pdf in pdfs:
             for eid, v in zip(pdf["event_id"], pdf["value"]):
                 v = float(v)
-                if n >= min_history:
+                # n >= 2 floor: var needs two observations; a caller's
+                # min_history=1 would otherwise divide by zero on a
+                # user's second event
+                if n >= max(min_history, 2):
                     var = m2 / (n - 1)
                     std = math.sqrt(var) if var > 0 else 0.0
                     if std > 0 and abs(v - mean) > sigma * std:
