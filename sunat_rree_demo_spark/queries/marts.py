@@ -853,3 +853,129 @@ def q153_promo_revenue_share(spark, sf_dir):
                  .cast("double") / 10000.0).alias("promo_pct"))
         .orderBy("year", "month_num")
     )
+
+
+# --------------------------------------------------------------------- q154
+@register(
+    "q154_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 100, 0) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 AS revenue
+    FROM customer
+    JOIN orders    ON o_custkey = c_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+                  AND s_nationkey = c_nationkey
+    JOIN nation    ON c_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND year(o_orderdate) = 1996
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("mart", "tpch-q5"),
+)
+def q154_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    orders where the SUPPLIER sits in the customer's own nation — the
+    canonical 6-table join whose distinguishing predicate
+    (s_nationkey = c_nationkey) rides the supplier join, not a filter.
+    Every dimension broadcasts; the two fact-side joins hash on their
+    natural keys; revenue is integer cents before summing. The year
+    and region filters prune at the orders scan / dimension
+    broadcast."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100, 0).cast("bigint")
+    return (
+        o.filter(F.year("o_orderdate") == 1996)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey)
+              & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).cast("bigint").alias("_c"))
+        .select("n_name",
+                (F.col("_c").cast("double") / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------- q155
+@register(
+    "q155_nation_market_share",
+    oracle="""
+    WITH allrev AS (
+      SELECT year(o_orderdate) AS yr, s_nationkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region    ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+    ),
+    tot AS (
+      SELECT CAST(yr AS BIGINT) AS yr,
+             sum(CASE WHEN s_nationkey = 0 THEN cents ELSE 0 END) AS nc,
+             sum(cents) AS tc
+      FROM allrev GROUP BY 1
+    )
+    SELECT yr,
+           CAST(CAST(nc AS BIGINT) AS DOUBLE) / 100.0 AS nation_rev,
+           CAST(CAST(tc AS BIGINT) AS DOUBLE) / 100.0 AS total_rev,
+           CAST((2 * 1000000 * nc + tc) // (2 * tc) AS DOUBLE) / 10000.0
+             AS share_pct
+    FROM tot WHERE tc > 0 ORDER BY yr
+    """,
+    tags=("mart", "tpch-q8"),
+)
+def q155_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the share of AMERICA-
+    region customer revenue supplied by nation 0, per order year — the
+    conditional-numerator-over-total pattern computed in ONE pass
+    (sum(CASE)/sum, never two scans), integer cents + the micro-unit
+    half-up percentage so neither engine's float order can drift a
+    basis point."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100, 0).cast("bigint")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+               n.n_regionkey == r.r_regionkey)
+         .select(F.year("o_orderdate").cast("bigint").alias("yr"),
+                 F.col("s_nationkey"), cents.alias("_c")))
+    return (
+        j.groupBy("yr")
+        .agg(F.sum(F.when(F.col("s_nationkey") == 0, F.col("_c"))
+                   .otherwise(0)).cast("bigint").alias("_nc"),
+             F.sum("_c").cast("bigint").alias("_tc"))
+        .filter(F.col("_tc") > 0)
+        .select("yr",
+                (F.col("_nc").cast("double") / 100.0).alias("nation_rev"),
+                (F.col("_tc").cast("double") / 100.0).alias("total_rev"),
+                (F.expr("(2 * 1000000 * _nc + _tc) div (2 * _tc)")
+                 .cast("double") / 10000.0).alias("share_pct"))
+        .orderBy("yr")
+    )
