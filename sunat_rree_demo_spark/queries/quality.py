@@ -386,3 +386,69 @@ def q133_vocab_coverage(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return oov_stats(d, "doc_id", "text", VOCAB_V).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- q156
+@register(
+    "q156_surprisal_yield_curve",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_L}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             sum(CAST(round(-log2(CAST(c AS DOUBLE) / n) * 1000000, 0)
+                      AS BIGINT)) AS ub
+      FROM tk JOIN freq USING (tok), tot
+      GROUP BY doc_id
+    ),
+    per AS (
+      SELECT doc_id, n_tokens,
+             CAST((2 * ub + 100 * n_tokens) // (200 * n_tokens) AS DOUBLE)
+               / 10000.0 AS avg_surprisal
+      FROM agg
+    ),
+    dec AS (
+      SELECT ntile(10) OVER (ORDER BY avg_surprisal, doc_id) AS decile,
+             n_tokens,
+             CAST(round(avg_surprisal * 10000, 0) AS BIGINT) AS su
+      FROM per
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST((2 * sum(su) + count(*)) // (2 * count(*)) AS DOUBLE)
+             / 10000.0 AS avg_surprisal
+    FROM dec GROUP BY 1 ORDER BY 1
+    """,
+    tags=("quality", "lm-score", "selection-curve"),
+)
+def q156_surprisal_yield_curve(spark, sf_dir):
+    """Perplexity-filter YIELD CURVE: docs bucketed into surprisal
+    deciles (ntile over the exact 4dp per-doc mean, doc-id tiebreak),
+    with per-decile doc count and token mass — the table a selection
+    threshold is actually tuned from ("dropping the top-k deciles
+    costs this many tokens", CCNet-style). Shares q74's micro-bit
+    surprisal core; the decile average uses the integer micro-unit
+    half-up mean. The global ntile sorts DOC-GRAIN rows (one row per
+    document — corpus-count, not token-count; at extreme scale the
+    same curve comes from approx_percentile bucket edges, the
+    documented q73 trade)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    per = unigram_surprisal(d, "doc_id", "text")
+    dec = per.withColumn(
+        "decile", F.ntile(10).over(
+            Window.orderBy("avg_surprisal", "doc_id")).cast("bigint")) \
+        .withColumn("su", F.round(F.col("avg_surprisal") * 10000, 0)
+                    .cast("bigint"))
+    return (
+        dec.groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+             (F.expr("(2 * sum(su) + count(*)) div (2 * count(*))")
+              .cast("double") / 10000.0).alias("avg_surprisal"))
+        .orderBy("decile")
+    )
