@@ -396,14 +396,20 @@ def q163_top_supplier(spark, sf_dir):
     integer equality (revenue stays in exact 1e-4 dollar units until
     display, so "equals the max" cannot float-drift).  No global
     window — the same TakeOrderedAndProject-class discipline as the
-    q110 fix."""
+    q110 fix.  The supplier-grain revenue view is referenced twice
+    (join side + scalar max); exchange reuse does NOT fire across the
+    differently-pruned subtrees, so it is persisted — one fact pass,
+    both consumers read the cached supplier-grain frame (the
+    monthly_flows / S12 result-cache idiom, base.py:152; same device
+    in q165/q166)."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     rev = (li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date")))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_disc_du()).cast("bigint").alias("rev_du")))
+        .agg(F.sum(_disc_du()).cast("bigint").alias("rev_du"))
+        .persist())
     mx = rev.agg(F.max("rev_du").alias("_mx"))
     return (
         rev.join(F.broadcast(mx), rev.rev_du == F.col("_mx"))
@@ -504,8 +510,9 @@ def q165_dominant_part_suppliers(spark, sf_dir):
     The threshold compares exact integers cross-multiplied
     (``10*sq > 3*tq``) — never a float ratio.  Scale shape: one
     (part, supplier)-grain aggregate from the pruned fact scan; the
-    per-part total REUSES that aggregate (sum of sq — no second fact
-    scan); the part-grain join shuffles only part-grain rows; supplier
+    per-part total REUSES that aggregate (persisted — sum of sq, no
+    second fact scan); the part-grain join shuffles only part-grain
+    rows; supplier
     and nation broadcast; DISTINCT collapses multi-part winners at
     supplier grain."""
     li = t(spark, sf_dir, "lineitem")
@@ -517,7 +524,8 @@ def q165_dominant_part_suppliers(spark, sf_dir):
         .join(F.broadcast(p.select("p_partkey")),
               F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq")))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+        .persist())
     tot = shipped.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
     return (
         shipped.join(tot, "l_partkey")
@@ -567,8 +575,8 @@ def q166_brand_value_share(spark, sf_dir):
     (``1000*val > 25*total``) — a float ratio at the threshold
     boundary could disagree between engines.  Scale shape: one pruned
     fact pass to brand grain (25 groups), the global total REUSES the
-    brand aggregate via a 1-row broadcast, no second scan, no global
-    window."""
+    brand aggregate (persisted) via a 1-row broadcast, no second scan,
+    no global window."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
@@ -577,7 +585,8 @@ def q166_brand_value_share(spark, sf_dir):
          .join(F.broadcast(p.select("p_partkey", "p_brand")),
                F.col("p_partkey") == F.col("l_partkey"))
          .groupBy("p_brand")
-         .agg(F.sum(_disc_du()).cast("bigint").alias("val_du")))
+         .agg(F.sum(_disc_du()).cast("bigint").alias("val_du"))
+         .persist())
     tot = v.agg(F.sum("val_du").alias("_t"))
     return (
         v.crossJoin(F.broadcast(tot))
