@@ -71,3 +71,16 @@ def fmt_currency_pandas_udf():
         return s.map(one)
 
     return _fmt
+
+
+def in_year(col, year: int) -> Column:
+    """Scan-pushable year membership: a half-open range compare on the
+    RAW date/timestamp column instead of ``F.year(col) == year`` — the
+    function call defeats parquet predicate pushdown (no row-group
+    skipping), the range compare reaches the reader.  Identical rows:
+    ``year(d) = Y  ⟺  Y-01-01 ≤ d < (Y+1)-01-01``.  Oracles may keep
+    the ``year()`` spelling; only the Spark plan shape differs."""
+    c = col if isinstance(col, Column) else F.col(col)
+    lo = F.lit(f"{year}-01-01").cast("date")
+    hi = F.lit(f"{year + 1}-01-01").cast("date")
+    return (c >= lo) & (c < hi)

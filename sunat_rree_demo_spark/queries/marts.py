@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from sunat_rree_demo_spark.functions.scalars import in_year
 from sunat_rree_demo_spark.queries.base import register, t
 
 
@@ -742,9 +743,9 @@ def q142_customer_set_ops(spark, sf_dir):
     year-pruned aggregate, each shuffling the bounded distinct-customer
     key set, never raw orders twice per side."""
     o = t(spark, sf_dir, "orders")
-    a = (o.filter(F.year("o_orderdate") == 1995)
+    a = (o.filter(in_year("o_orderdate", 1995))
          .select("o_custkey").distinct())
-    b = (o.filter(F.year("o_orderdate") == 1996)
+    b = (o.filter(in_year("o_orderdate", 1996))
          .select("o_custkey").distinct())
 
     def seg(name, df):
@@ -895,7 +896,7 @@ def q154_local_supplier_volume(spark, sf_dir):
     cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                     * 100, 0).cast("bigint")
     return (
-        o.filter(F.year("o_orderdate") == 1996)
+        o.filter(in_year("o_orderdate", 1996))
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s),

@@ -391,8 +391,12 @@ def q110_kmv_set_ops(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
 
     def cohort(year):
-        return (o.filter(F.year("o_orderdate") == year)
-                .select("o_custkey").distinct())
+        # raw-column date-range compare (not year()) so the predicate
+        # reaches the parquet reader and skips whole row groups
+        return (o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("date")))
+            .select("o_custkey").distinct())
 
     def hashes(c):
         return c.select(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from sunat_rree_demo_spark.functions.scalars import in_year
 from sunat_rree_demo_spark.queries.base import register, t
 
 # exact integer micro-units shared by the module (functions, not
@@ -148,7 +149,7 @@ def q158_forecast_revenue(spark, sf_dir):
     row-group skipping on l_shipdate), zero joins, one-row result."""
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.filter((F.year("l_shipdate") == 1996)
+        li.filter(in_year("l_shipdate", 1996)
                   & _d100().between(5, 7)
                   & (F.col("l_quantity") < 24))
         .agg((F.sum(_cents() * _d100()).cast("bigint").cast("double")
@@ -520,7 +521,7 @@ def q165_dominant_part_suppliers(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     shipped = (
-        li.filter(F.year("l_shipdate") == 1996)
+        li.filter(in_year("l_shipdate", 1996))
         .join(F.broadcast(p.select("p_partkey")),
               F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")

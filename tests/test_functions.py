@@ -66,3 +66,18 @@ def test_ensure_columns_and_resolve_alias(spark):
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+def test_in_year_matches_year_equality_and_pushes(spark):
+    from sunat_rree_demo_spark.functions.scalars import in_year
+    from sunat_rree_demo_spark.plans.lint import plan_string
+    from tests.conftest import SF_SMOKE
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    a = o.filter(in_year("o_orderdate", 1995)).count()
+    b = o.filter(F.year("o_orderdate") == 1995).count()
+    assert a == b and a > 0
+    # the range form reaches the parquet reader; year() does not
+    plan = plan_string(o.filter(in_year("o_orderdate", 1995)))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThanOrEqual(o_orderdate" in pushed[0]

@@ -1,0 +1,100 @@
+"""plans/lint.py: each smell detector fires on a crafted plan that HAS
+the smell and stays quiet on the corrected twin; then the linter runs
+over the headline queries and must report zero error-level findings
+(the repo-wide invariant: no cartesians, no row-Python UDFs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from sunat_rree_demo_spark.plans.lint import audit, audit_plan_str
+from tests.conftest import SF_SMOKE
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def codes(findings, severity=None):
+    return {f.code for f in findings
+            if severity is None or f.severity == severity}
+
+
+def test_global_window_flagged_partitioned_not(spark):
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    good = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    assert "GLOBAL_WINDOW" in codes(audit(bad))
+    assert "GLOBAL_WINDOW" not in codes(audit(good))
+
+
+def test_cartesian_or_nested_loop_flagged(spark):
+    a, b = spark.range(50), spark.range(50).withColumnRenamed("id", "j")
+    found = codes(audit(a.crossJoin(b)))
+    assert found & {"CARTESIAN", "NESTED_LOOP_JOIN"}
+    assert not codes(audit(a.join(b, a.id == b.j))) & {
+        "CARTESIAN", "NESTED_LOOP_JOIN"}
+
+
+def test_row_python_udf_is_error_arrow_is_info(spark):
+    plus = F.udf(lambda x: x + 1, "bigint")
+    bad = spark.range(10).select(plus("id").alias("y"))
+    assert "ROW_PYTHON_UDF" in codes(audit(bad), "error")
+
+    @F.pandas_udf("bigint")
+    def plus_v(s):
+        return s + 1
+
+    good = spark.range(10).select(plus_v("id").alias("y"))
+    f = audit(good)
+    assert "ROW_PYTHON_UDF" not in codes(f)
+    assert "ARROW_PYTHON_STAGE" in codes(f, "info")
+
+
+def test_unpushed_filter_detected_on_cold_scan(spark):
+    # cold parquet scan (bypass the hot-table catalog cache):
+    # arithmetic on the column side defeats pushdown
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    bad = li.filter((F.col("l_quantity") + 0) > 30)
+    good = li.filter(F.col("l_quantity") > 30)
+    assert "UNPUSHED_FILTER" in codes(audit(bad))
+    assert "UNPUSHED_FILTER" not in codes(audit(good))
+
+
+def test_cached_table_filter_not_flagged(spark):
+    """A filter over a persisted table is absorbed by the
+    InMemoryTableScan's in-arguments filters; the cache FILL scan
+    legitimately reads the whole table — no UNPUSHED_FILTER."""
+    li = (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+          .persist())
+    try:
+        cached = li.filter(F.col("l_quantity") > 30)
+        assert "UNPUSHED_FILTER" not in codes(audit(cached))
+    finally:
+        li.unpersist()
+
+
+def test_exchange_count_reported(spark):
+    df = (spark.range(1000).withColumn("g", F.col("id") % 7)
+          .groupBy("g").count())
+    ex = [f for f in audit(df) if f.code == "EXCHANGES"]
+    assert ex and ex[0].severity == "info"
+
+
+def test_pure_string_analyzer_orders_errors_first():
+    plan = ("(1) CartesianProduct\n(2) BatchEvalPython\n"
+            "(3) Exchange SinglePartition\n")
+    f = audit_plan_str(plan)
+    assert [x.severity for x in f][:2] == ["error", "error"]
+
+
+def test_headline_queries_have_no_error_findings(spark):
+    """The generic linter agrees with the per-query contracts: no
+    cartesian, no row-Python UDF anywhere in the headline set."""
+    from scripts.plan_report import HEADLINE
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    for name in HEADLINE:
+        df = REGISTRY[name].fn.__wrapped__(spark, SF_SMOKE)
+        errs = codes(audit(df), "error")
+        assert not errs, f"{name}: {errs}"
