@@ -1,0 +1,204 @@
+"""Distributed k-means queries over the embeddings table: the fit
+census (q167) and cluster-balanced sampling (q168) — the curation ops
+SemDeDup/DoReMi-style pipelines run between embedding generation and
+mixture weighting. No reference counterpart (pandas dashboard); part
+of the mandated LLM-pipeline extension surface.
+
+Both queries are FULLY oracle-checked, which is unusual for k-means:
+operators/clustering.py does every distance, argmin, and centroid
+update in int64 micro-units (exact, commutative, partitioning-
+invariant), so a DuckDB oracle that unrolls the Lloyd iterations as
+CTE rounds reproduces the fit bit-for-bit — assignment, inertia, and
+centroid coordinates alike.
+
+The fit is session-memoized: the iteration loop (one bounded-partials
+job per round, documented-eager) runs once per (session, sf_dir);
+q167, q168, and any later consumer share the persisted assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Window, functions as F
+
+from sunat_rree_demo_spark.operators.clustering import kmeans_fit
+from sunat_rree_demo_spark.queries.base import register, t
+from sunat_rree_demo_spark.sources.catalog import (
+    register_session_cache,
+    session_memo,
+)
+
+_K = 8
+_ITERS = 2
+_SAMPLE_PER_CLUSTER = 10
+
+_KMEANS_CACHE: dict = {}
+register_session_cache(_KMEANS_CACHE)
+
+# centroid ndarrays live OUTSIDE the registered cache: the eviction
+# sweep treats any value without a live .sparkSession as stopped, so an
+# ndarray in _KMEANS_CACHE would be dropped on the first hot-cache miss
+# while its assignment memo survived. Keyed (app_id, sf_dir); a handful
+# of (k, d) int64 arrays per process — rebuilt by build() on any miss.
+_CENTROIDS: dict = {}
+
+
+def _fitted(spark, sf_dir):
+    """(centroids ndarray, persisted assignment DataFrame), once per
+    (session, sf_dir)."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        app = str(id(spark))
+    cent_key = (app, sf_dir)
+
+    def build():
+        cent, assign = kmeans_fit(
+            t(spark, sf_dir, "embeddings"), k=_K, iters=_ITERS)
+        _CENTROIDS[cent_key] = cent
+        return assign  # session_memo persists
+
+    assign = session_memo(spark, _KMEANS_CACHE, ("kmeans_assign", sf_dir),
+                          build)
+    return _CENTROIDS[cent_key], assign
+
+
+def _kmeans_oracle_cte(k: int, iters: int) -> str:
+    """Unrolled-CTE twin of operators/clustering.kmeans_fit: c0 = the k
+    lowest-id vectors quantized to int64 micro-units; round i assigns
+    under c{i-1} (ties → lowest cluster) and updates to c{i} with
+    half-up integer means, empty clusters keeping their previous
+    coordinates; ``af`` is the final assignment under c{iters}."""
+    parts = [f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS xq
+      FROM embeddings),
+    qd AS (
+      SELECT vec_id, u.ord, u.val AS x FROM (
+        SELECT vec_id,
+               unnest(list_transform(xq,
+                 (x, i) -> struct_pack(ord := i, val := x))) AS u
+        FROM q)),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, vec_id
+      FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k})),
+    c0d AS (
+      SELECT c0.cluster, qd.ord, qd.x AS c
+      FROM c0 JOIN qd USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT qd.vec_id, cd.cluster,
+               row_number() OVER (PARTITION BY qd.vec_id
+                 ORDER BY SUM((qd.x - cd.c) * (qd.x - cd.c)), cd.cluster)
+                 AS rn
+        FROM qd JOIN c{i - 1}d cd USING (ord)
+        GROUP BY qd.vec_id, cd.cluster) WHERE rn = 1),
+    u{i} AS (
+      SELECT a{i}.cluster, qd.ord,
+             CAST(floor(CAST(SUM(qd.x) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS c
+      FROM a{i} JOIN qd USING (vec_id)
+      GROUP BY 1, 2),
+    c{i}d AS (
+      SELECT p.cluster, p.ord, COALESCE(u{i}.c, p.c) AS c
+      FROM c{i - 1}d p
+      LEFT JOIN u{i} ON u{i}.cluster = p.cluster AND u{i}.ord = p.ord)""")
+    parts.append(f""",
+    af AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT qd.vec_id, cd.cluster,
+               CAST(SUM((qd.x - cd.c) * (qd.x - cd.c)) AS BIGINT) AS d2,
+               row_number() OVER (PARTITION BY qd.vec_id
+                 ORDER BY SUM((qd.x - cd.c) * (qd.x - cd.c)), cd.cluster)
+                 AS rn
+        FROM qd JOIN c{iters}d cd USING (ord)
+        GROUP BY qd.vec_id, cd.cluster) WHERE rn = 1)""")
+    return "WITH" + "".join(parts)
+
+
+# --------------------------------------------------------------------- q167
+@register(
+    "q167_kmeans_census",
+    oracle=_kmeans_oracle_cte(_K, _ITERS) + f"""
+    SELECT af.cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(af.d2) AS BIGINT) AS inertia, cl.centroid_l1
+    FROM af JOIN (
+      SELECT cluster, CAST(SUM(ABS(c)) AS BIGINT) AS centroid_l1
+      FROM c{_ITERS}d GROUP BY 1) cl USING (cluster)
+    GROUP BY af.cluster, cl.centroid_l1
+    ORDER BY af.cluster
+    """,
+    memoize=False,  # fit loop is documented-eager; session memo inside
+    tags=("clustering", "kmeans"),
+)
+def q167_kmeans_census(spark, sf_dir):
+    """K-means fit census: per-cluster population, int64 inertia, and
+    the L1 mass of the fitted centroid — k=8, 2 exact-integer Lloyd
+    rounds from the k lowest-id seeds. The oracle re-runs the identical
+    fit as unrolled SQL rounds, so a single flipped assignment or a
+    one-micro-unit centroid drift fails the hash.
+
+    Scale shape: per round, executors see one narrow scan and emit ≤k
+    partial rows per Arrow batch (the treeAggregate form); only k×P
+    bounded partials ever reach the driver. Clusters empty in the final
+    assignment drop from the census on both engines (inner join)."""
+    cent, assign = _fitted(spark, sf_dir)
+    l1 = spark.createDataFrame(
+        [(int(ci), int(np.abs(cent[ci]).sum())) for ci in range(_K)],
+        "cluster int, centroid_l1 long")
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("n_points"),
+             F.sum("d2").cast("bigint").alias("inertia"))
+        .join(F.broadcast(l1), "cluster")
+        .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------- q168
+@register(
+    "q168_cluster_balanced_sample",
+    oracle=_kmeans_oracle_cte(_K, _ITERS) + f"""
+    SELECT cluster, vec_id, pick FROM (
+      SELECT cluster, vec_id,
+             CAST(row_number() OVER (PARTITION BY cluster
+               ORDER BY ('0x' || substr(sha256('bal:' ||
+                          CAST(vec_id AS VARCHAR)), 1, 12))::UBIGINT,
+                        vec_id) AS BIGINT) AS pick
+      FROM af)
+    WHERE pick <= {_SAMPLE_PER_CLUSTER}
+    ORDER BY cluster, pick
+    """,
+    memoize=False,  # shares the session-memoized fit (documented-eager)
+    tags=("clustering", "sampling"),
+)
+def q168_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced (diversity) sampling: the first 10 documents
+    per k-means cluster under a deterministic sha-48 priority — the
+    uniform-per-cluster draw curation pipelines use to flatten topical
+    skew before mixing (cf. the temperature mixture in q124, which
+    reweights SOURCES; this balances SEMANTIC cells).
+
+    The priority hash makes the draw reproducible and partitioning-
+    invariant, the per-cluster row_number is over ≤ cluster-size rows,
+    and the ``vec_id`` tiebreak pins the set under hash collisions.
+    Scale: at cluster sizes beyond one partition this becomes q91's
+    salted two-phase k-min; at this k the single window per cluster IS
+    the honest plan."""
+    _cent, assign = _fitted(spark, sf_dir)
+    pri = F.conv(F.substring(
+        F.sha2(F.concat(F.lit("bal:"), F.col("vec_id").cast("string")), 256),
+        1, 12), 16, 10).cast("bigint")
+    w = Window.partitionBy("cluster").orderBy(pri.asc(), F.col("vec_id"))
+    return (
+        assign.select("cluster", "vec_id")
+        .withColumn("pick", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick") <= _SAMPLE_PER_CLUSTER)
+        .orderBy("cluster", "pick")
+    )

@@ -68,12 +68,19 @@ def test_ensure_columns_and_resolve_alias(spark):
         pass
 
 
-def test_in_year_matches_year_equality_and_pushes(spark):
+def test_in_year_matches_year_equality_and_pushes(spark, tmp_path):
+    import shutil
+
     from sunat_rree_demo_spark.functions.scalars import in_year
     from sunat_rree_demo_spark.plans.lint import plan_string
     from tests.conftest import SF_SMOKE
 
-    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    # copy to a fresh path: Spark's cache manager matches by logical
+    # plan, so reading the shared testdata path would silently resolve
+    # to another test's persisted InMemoryRelation (no PushedFilters)
+    path = str(tmp_path / "orders.parquet")
+    shutil.copy(f"{SF_SMOKE}/orders.parquet", path)
+    o = spark.read.parquet(path)
     a = o.filter(in_year("o_orderdate", 1995)).count()
     b = o.filter(F.year("o_orderdate") == 1995).count()
     assert a == b and a > 0

@@ -51,22 +51,31 @@ def test_row_python_udf_is_error_arrow_is_info(spark):
     assert "ARROW_PYTHON_STAGE" in codes(f, "info")
 
 
-def test_unpushed_filter_detected_on_cold_scan(spark):
-    # cold parquet scan (bypass the hot-table catalog cache):
-    # arithmetic on the column side defeats pushdown
-    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+def _cold_lineitem(spark, tmp_path):
+    """A parquet read no other test can have cached: Spark's cache
+    manager matches by logical plan, so reading the shared testdata
+    path could silently resolve to a persisted InMemoryRelation."""
+    import shutil
+
+    path = str(tmp_path / "lineitem.parquet")
+    shutil.copy(f"{SF_SMOKE}/lineitem.parquet", path)
+    return spark.read.parquet(path)
+
+
+def test_unpushed_filter_detected_on_cold_scan(spark, tmp_path):
+    # cold parquet scan: arithmetic on the column side defeats pushdown
+    li = _cold_lineitem(spark, tmp_path)
     bad = li.filter((F.col("l_quantity") + 0) > 30)
     good = li.filter(F.col("l_quantity") > 30)
     assert "UNPUSHED_FILTER" in codes(audit(bad))
     assert "UNPUSHED_FILTER" not in codes(audit(good))
 
 
-def test_cached_table_filter_not_flagged(spark):
+def test_cached_table_filter_not_flagged(spark, tmp_path):
     """A filter over a persisted table is absorbed by the
     InMemoryTableScan's in-arguments filters; the cache FILL scan
     legitimately reads the whole table — no UNPUSHED_FILTER."""
-    li = (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
-          .persist())
+    li = _cold_lineitem(spark, tmp_path).persist()
     try:
         cached = li.filter(F.col("l_quantity") > 30)
         assert "UNPUSHED_FILTER" not in codes(audit(cached))

@@ -182,6 +182,10 @@ _EAGER_BUILDERS = {
     # q151 eagerly checkpoints the MinHash signatures (banding + two
     # estimate branches read them — same policy as q41)
     "q151_minhash_containment",
+    # q167/q168 share the session-memoized k-means fit: the Lloyd loop
+    # (one bounded-partials job per round) plus the assignment persist
+    # are documented-eager at first touch (operators/clustering.py)
+    "q167_kmeans_census", "q168_cluster_balanced_sample",
 }
 
 
