@@ -502,3 +502,100 @@ def q141_multi_touch_attribution(spark, sf_dir):
                 F.col("_last.event_id").alias("last_click"))
         .orderBy("purchase_id")
     )
+
+
+# --------------------------------------------------------------------- q169
+@register(
+    "q169_concurrent_sessions",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms FROM events),
+    g AS (
+      SELECT user_id, tms,
+             CASE WHEN lag(tms) OVER w IS NULL
+                    OR tms - lag(tms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev WHERE event_type IN ('click', 'view')
+      WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+    s AS (
+      SELECT user_id, tms,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY tms
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, min(tms) AS lo, max(tms) + 1800000 AS hi
+      FROM s GROUP BY user_id, sid),
+    p AS (SELECT event_id, tms FROM ev WHERE event_type = 'purchase'),
+    c AS (
+      SELECT p.event_id,
+             count(*) AS n_active_sessions,
+             count(DISTINCT sess.user_id) AS n_active_users
+      FROM p JOIN sess ON p.tms BETWEEN sess.lo AND sess.hi
+      GROUP BY p.event_id)
+    SELECT p.event_id,
+           coalesce(c.n_active_sessions, 0) AS n_active_sessions,
+           coalesce(c.n_active_users, 0) AS n_active_users
+    FROM p LEFT JOIN c USING (event_id)
+    ORDER BY p.event_id
+    """,
+    tags=("events", "range-join", "sessionization"),
+)
+def q169_concurrent_sessions(spark, sf_dir):
+    """Platform concurrency at purchase time: for every purchase, how
+    many click/view sessions (30-min gap, active until gap timeout)
+    were in progress ANYWHERE on the site, and how many distinct users
+    they belonged to — the load-at-conversion metric. Zero-filled for
+    purchases landing in dead air.
+
+    There is deliberately NO equi key between the sides (any user's
+    session counts), so the naive plan is the O(n·m) nested-loop range
+    join Spark would pick for a bare BETWEEN. The engine instead uses
+    operators.range_join.point_in_interval_join: session intervals
+    explode into the 1-hour epoch buckets they cover, purchases map to
+    exactly one bucket, and an ordinary hash equi-join on the bucket id
+    plus the BETWEEN residual yields each qualifying pair exactly once
+    — shuffle-partitioned, AQE-splittable, no broadcast of an unbounded
+    interval table. All arithmetic is integer epoch-millis, so bucket
+    edges are exact on both engines."""
+    from sunat_rree_demo_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    e = t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id", "event_type",
+                  F.unix_millis("ts").alias("tms"))
+    w = Window.partitionBy("user_id").orderBy("tms")
+    src = ev.filter(F.col("event_type").isin("click", "view"))
+    prev = F.lag("tms").over(w)
+    flagged = src.withColumn(
+        "ns",
+        F.when(prev.isNull() | (F.col("tms") - prev > 1800000), 1)
+        .otherwise(0))
+    sess = (
+        flagged.withColumn(
+            "sid", F.sum("ns").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("tms").alias("lo"),
+             (F.max("tms") + F.lit(1800000)).alias("hi"))
+        .select("user_id", "lo", "hi")
+    )
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "tms"))
+    pairs = point_in_interval_join(purch, sess, "tms", "lo", "hi",
+                                   bucket_width=3_600_000)
+    counts = (
+        pairs.groupBy("event_id")
+        .agg(F.count("*").alias("n_active_sessions"),
+             F.countDistinct("user_id").alias("n_active_users"))
+    )
+    return (
+        purch.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id",
+                F.coalesce("n_active_sessions", F.lit(0))
+                .cast("bigint").alias("n_active_sessions"),
+                F.coalesce("n_active_users", F.lit(0))
+                .cast("bigint").alias("n_active_users"))
+        .orderBy("event_id")
+    )
