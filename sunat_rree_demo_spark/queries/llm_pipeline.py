@@ -538,3 +538,61 @@ def q138_ngram_novelty(spark, sf_dir):
                 .alias("novelty"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------- q170
+@register(
+    "q170_cluster_safe_split",
+    memoize=False,  # rides the CC label propagation (documented-eager)
+    oracle=_closure_ctes(JACCARD_PAIRS_SELECT) + """
+    , assign AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+    b AS (
+      SELECT cluster_id, n_chars,
+             CAST(('0x' || substring(sha256(CAST(cluster_id AS VARCHAR)),
+                                     1, 7)) AS BIGINT) % 100 AS bucket
+      FROM assign)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+    tags=("llm-pipeline", "sampling", "connected-components"),
+)
+def q170_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the q62 sha-bucket recipe
+    applied at near-dup-CLUSTER grain instead of doc grain, so every
+    document of a connected near-duplicate component lands in the same
+    split — the guard against the classic eval-contamination failure
+    where one copy of a duplicated page trains and its twin tests
+    (the cross-split edge count is pinned to zero in
+    tests/test_llm_pipeline.py). Singletons hash by their own doc_id
+    (identical to q62's assignment for the non-duplicated bulk).
+
+    Scale shape: reuses the session-persisted pair graph + min-label
+    components (the q61 machinery — one materialization per session);
+    the split itself is pure expressions over a broadcast-joinable
+    label table, then a 3-group aggregate."""
+    edges = dup_pair_edges(spark, sf_dir)
+    labels = connected_components(edges)
+    d = t(spark, sf_dir, "documents")
+    assign = (
+        d.select("doc_id", "n_chars")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("n_chars",
+                F.coalesce("comp", "doc_id").alias("cluster_id"))
+    )
+    return (
+        assign.select(hash_split(F.col("cluster_id")).alias("split"),
+                      "cluster_id", "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("cluster_id").alias("n_clusters"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )

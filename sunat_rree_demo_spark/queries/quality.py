@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from sunat_rree_demo_spark.operators.text import (
     repetition_signals,
+    tokens,
     unigram_surprisal,
 )
 from sunat_rree_demo_spark.queries.base import register, t
@@ -451,4 +452,75 @@ def q156_surprisal_yield_curve(spark, sf_dir):
              (F.expr("(2 * sum(su) + count(*)) div (2 * count(*))")
               .cast("double") / 10000.0).alias("avg_surprisal"))
         .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------- q171
+@register(
+    "q171_vocab_kl_divergence",
+    oracle=f"""
+    WITH tk AS (SELECT source, unnest({_L}) AS tok FROM documents),
+    cs AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY 1),
+    g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM cs GROUP BY 1),
+    tot AS (SELECT CAST(sum(gc) AS BIGINT) AS ng FROM g),
+    w AS (
+      SELECT cs.source, cs.c,
+             CAST(round(log2((CAST(cs.c AS DOUBLE) * ng) /
+                             (CAST(ns.n AS DOUBLE) * gc)) * 1000000, 0)
+                  AS BIGINT) AS wb
+      FROM cs JOIN ns USING (source) JOIN g USING (tok), tot),
+    agg AS (
+      SELECT source, CAST(sum(c * wb) AS BIGINT) AS ub,
+             count(*) AS vocab_size
+      FROM w GROUP BY source)
+    SELECT a.source, ns.n AS n_tokens, a.vocab_size,
+           CAST((2 * (ub + ns.n * 64000000) + 100 * ns.n) // (200 * ns.n)
+                AS DOUBLE) / 10000.0 - 64.0 AS kl_bits
+    FROM agg a JOIN ns USING (source)
+    ORDER BY a.source
+    """,
+    tags=("quality", "corpus-stats", "data-selection"),
+)
+def q171_vocab_kl_divergence(spark, sf_dir):
+    """Per-source vocabulary drift: KL(source unigram dist ‖ corpus
+    unigram dist) in bits/token — the corpus-mixture diagnostic that
+    flags a source whose token distribution diverges from the blend
+    (domain skew, boilerplate, language drift) before it trains.
+    KL = Σ_tok p·log2(p/q) with p the source's and q the global
+    distribution; Gibbs' inequality keeps it ≥ 0.
+
+    Same exactness device as q74/q80: each token TYPE's log-ratio is
+    quantized to integer micro-bits, weighted by its exact integer
+    count, summed (order-free), and the final per-token mean is rounded
+    half-up in integer arithmetic with a +64-bit offset so the division
+    is non-negative on both engines.
+
+    Scale shape: one token-grain shuffle to (source, token) counts with
+    map-side combine; everything after runs at VOCAB grain (sums per
+    token, per source, the log-ratio join), orders of magnitude smaller
+    than the corpus. The 1-row global total rides a broadcast."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("source", F.explode(tokens(F.col("text"))).alias("_tok"))
+    cs = tk.groupBy("source", "_tok").agg(F.count("*").alias("_c"))
+    ns = cs.groupBy("source").agg(F.sum("_c").cast("bigint").alias("_n"))
+    g = cs.groupBy("_tok").agg(F.sum("_c").cast("bigint").alias("_gc"))
+    tot = g.agg(F.sum("_gc").cast("bigint").alias("_ng"))
+    w = (
+        cs.join(ns, "source").join(g, "_tok").join(F.broadcast(tot))
+        .select("source", "_c", "_n",
+                F.round(F.log2((F.col("_c").cast("double") * F.col("_ng"))
+                               / (F.col("_n").cast("double") * F.col("_gc")))
+                        * 1000000.0, 0).cast("bigint").alias("_wb"))
+    )
+    return (
+        w.groupBy("source")
+        .agg(F.first("_n").alias("n_tokens"),
+             F.sum(F.col("_c") * F.col("_wb")).cast("bigint").alias("_ub"),
+             F.count("*").alias("vocab_size"))
+        .select("source", "n_tokens", "vocab_size",
+                (F.expr("(2 * (_ub + n_tokens * 64000000) + 100 * n_tokens)"
+                        " div (200 * n_tokens)").cast("double") / 10000.0
+                 - 64.0).alias("kl_bits"))
+        .orderBy("source")
     )

@@ -275,3 +275,34 @@ def test_rolling_window_keys_match_naive_polynomial(spark):
     row = rolling_chunk_stats(docs, "doc_id", "text", n).collect()[0]
     assert row["n_windows"] == len(naive) == 3
     assert row["n_dup_windows"] == 0
+
+
+def test_cluster_safe_split_has_no_cross_split_edges(spark):
+    """q170's whole point: no near-dup edge may straddle splits —
+    and the doc-grain q62 recipe WOULD straddle on the same graph,
+    so the invariant is earned by the cluster grain, not vacuous."""
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components,
+    )
+    from sunat_rree_demo_spark.operators.text import hash_split
+    from sunat_rree_demo_spark.queries.llm_pipeline import dup_pair_edges
+    from tests.conftest import SF_SMOKE
+
+    edges = dup_pair_edges(spark, SF_SMOKE)
+    labels = connected_components(edges)
+    by_cluster = labels.select(
+        F.col("node").alias("doc_id"),
+        hash_split(F.col("comp")).alias("split"))
+    by_doc = labels.select(
+        F.col("node").alias("doc_id"),
+        hash_split(F.col("node")).alias("split"))
+
+    def cross(assign):
+        return (edges
+                .join(assign.toDF("id1", "s1"), "id1")
+                .join(assign.toDF("id2", "s2"), "id2")
+                .filter("s1 != s2").count())
+
+    assert edges.count() > 0
+    assert cross(by_cluster) == 0
+    assert cross(by_doc) > 0  # the failure mode q170 exists to prevent
