@@ -202,3 +202,111 @@ def q168_cluster_balanced_sample(spark, sf_dir):
         .filter(F.col("pick") <= _SAMPLE_PER_CLUSTER)
         .orderBy("cluster", "pick")
     )
+
+
+# --------------------------------------------------------------------- q172
+_NPROBE = 2
+_NEIGHBORS = 5
+
+
+@register(
+    "q172_ivf_kmeans_topk",
+    oracle=_kmeans_oracle_cte(_K, _ITERS) + f"""
+    , pc AS (
+      SELECT q_id, cluster FROM (
+        SELECT qd.vec_id AS q_id, cd.cluster,
+               row_number() OVER (PARTITION BY qd.vec_id
+                 ORDER BY SUM((qd.x - cd.c) * (qd.x - cd.c)), cd.cluster)
+                 AS rn
+        FROM qd JOIN c{_ITERS}d cd USING (ord)
+        WHERE qd.vec_id < 8
+        GROUP BY qd.vec_id, cd.cluster) WHERE rn <= {_NPROBE}),
+    cand AS (
+      SELECT pc.q_id, af.vec_id AS n_id
+      FROM pc JOIN af USING (cluster)
+      WHERE af.vec_id <> pc.q_id),
+    dist AS (
+      SELECT c.q_id, c.n_id,
+             CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+      FROM cand c JOIN qd a ON a.vec_id = c.q_id
+                  JOIN qd b ON b.vec_id = c.n_id AND b.ord = a.ord
+      GROUP BY c.q_id, c.n_id)
+    SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM (
+      SELECT q_id, n_id, d2,
+             row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id)
+               AS rank
+      FROM dist) WHERE rank <= {_NEIGHBORS}
+    ORDER BY q_id, rank
+    """,
+    memoize=False,  # shares the session-memoized fit (documented-eager)
+    tags=("clustering", "similarity", "ann-ivf"),
+)
+def q172_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN whose coarse quantizer is the REAL distributed k-means
+    fit (q167's, session-shared) instead of q54's iters=0 seed cells —
+    the production IVF shape: train once, assign the corpus once, then
+    every search probes the ``_NPROBE`` nearest cells and scans only
+    their members. Because the fit, the probe choice, and the
+    query-candidate distances are all int64 micro-unit arithmetic, the
+    ENTIRE approximate index is reproduced bit-for-bit by the SQL
+    oracle — probe ties break to the lower cluster, neighbor ties to
+    the lower vec_id.
+
+    Scale shape: the 8-query probe matrix is driver-side numpy over the
+    (k × d) centroid array (bounded, like q43's query batch); the
+    corpus side is one broadcast-join of the 16-row (query, cluster)
+    probe table against the session-persisted assignment, one Arrow
+    mapInPandas distance pass over ~nprobe/k of the corpus, and a
+    per-query top-k window over ≤ 8 bounded groups."""
+    cent, assign = _fitted(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (emb.filter(F.col("vec_id") < 8)
+             .select("vec_id", "embedding").orderBy("vec_id").toPandas())
+    from sunat_rree_demo_spark.operators.clustering import quantize_micros
+
+    qmat = quantize_micros(qrows["embedding"])          # (Q, d) int64
+    q_ids = qrows["vec_id"].to_numpy()
+    # probe selection: d2 to every centroid, ties -> lower cluster
+    d2c = (((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2))
+    probes = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(cent.shape[0]), d2c[qi]))
+        probes += [(int(q_ids[qi]), int(ci)) for ci in order[:_NPROBE]]
+    probe_df = spark.createDataFrame(probes, "q_id long, cluster int")
+
+    cand = (assign.join(F.broadcast(probe_df), "cluster")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id"))
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qindex = {int(v): i for i, v in enumerate(q_ids)}
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("d2", T.LongType()),
+    ])
+
+    def dists(batches, _qm=qmat, _qx=qindex):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xq = quantize_micros(pdf["embedding"])
+            qi = pdf["q_id"].map(_qx).to_numpy()
+            d2 = ((xq - _qm[qi]) ** 2).sum(axis=1)
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"].to_numpy(np.int64),
+                "n_id": pdf["vec_id"].to_numpy(np.int64),
+                "d2": d2.astype(np.int64)})
+
+    scored = (cand.join(emb, "vec_id")
+              .select("q_id", "vec_id", "embedding")
+              .mapInPandas(dists, out_schema))
+    w = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _NEIGHBORS)
+        .select("q_id", "rank", "n_id", "d2")
+        .orderBy("q_id", "rank")
+    )

@@ -186,6 +186,9 @@ _EAGER_BUILDERS = {
     # (one bounded-partials job per round) plus the assignment persist
     # are documented-eager at first touch (operators/clustering.py)
     "q167_kmeans_census", "q168_cluster_balanced_sample",
+    # q172 additionally fetches the bounded 8-vector query batch into
+    # the probe/distance closures (the q43/q134 device)
+    "q172_ivf_kmeans_topk",
     # q170 rides the q61 machinery: pair-graph materialization +
     # min-label propagation rounds (same note as q61/q65)
     "q170_cluster_safe_split",
