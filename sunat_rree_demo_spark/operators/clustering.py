@@ -44,7 +44,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
-__all__ = ["MICRO_SCALE", "kmeans_fit", "quantize_micros"]
+__all__ = ["MICRO_SCALE", "assign_under", "kmeans_fit", "quantize_micros"]
 
 #: components quantize to floor(x * MICRO_SCALE + 0.5) — shared with the
 #: SQL oracles, so keep it a power-of-ten literal both engines spell.
@@ -124,7 +124,19 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
         new[nz] = np.floor(sums[nz] / ns[nz, None] + 0.5).astype(np.int64)
         cent = new
 
-    cfin = cent
+    return cent, assign_under(emb, cent, id_col=id_col, vec_col=vec_col)
+
+
+def assign_under(emb: DataFrame, centroids: np.ndarray,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest FIXED centroid — the
+    train-offline/serve-anywhere half of the fit: one narrow scan, no
+    shuffle, the (k × d) int64 centroid matrix riding the task closure.
+    Returns (id_col, cluster int, d2 bigint); stateless and
+    deterministic, so the streaming twin
+    (streaming/cluster_stream.py) replays byte-identically."""
+    cfin = np.ascontiguousarray(centroids, dtype=np.int64)
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("cluster", T.IntegerType()),
@@ -141,5 +153,4 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
                                 "cluster": a.astype(np.int32),
                                 "d2": d2.astype(np.int64)})
 
-    assignment = emb.select(id_col, vec_col).mapInPandas(final, out_schema)
-    return cent, assignment
+    return emb.select(id_col, vec_col).mapInPandas(final, out_schema)
