@@ -572,3 +572,89 @@ def oov_stats(df, id_col: str, text_col: str, vocab_size: int = 100):
                         " div (2 * n_tokens)")
                  .cast("double") / 10000.0).alias("oov_rate"))
     )
+
+
+def maxmatch_vocab(docs, text_col: str, top_k: int = 64,
+                   max_len: int = 6):
+    """Deterministic subword vocabulary for :func:`maxmatch_apply`:
+    every single character of the corpus (the WordPiece fallback
+    alphabet — no <unk> needed) plus the ``top_k`` most
+    corpus-frequent substrings of length 2..``max_len`` (all word
+    positions, overlaps counted, occurrences weighted by word
+    frequency; ties break lexicographic). Returned as a DataFrame of
+    pieces so the selection itself is engine-checkable — the q174
+    oracle re-derives it verbatim in SQL."""
+    words = _corpus_vocab(docs, text_col)
+    chars = words.select(F.explode(F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .alias("p")).distinct()
+    # guard the L-too-long arm explicitly: Spark's sequence(1, 0) is
+    # the DESCENDING [1, 0], not empty (the sequence(1,0) trap)
+    subs = words.select("c", F.explode(F.expr(f"""
+        flatten(transform(sequence(2, {int(max_len)}),
+          L -> CASE WHEN length(w) >= L
+                    THEN transform(sequence(1, length(w) - L + 1),
+                                   i -> substring(w, i, L))
+                    ELSE array() END))""")).alias("p"))
+    top = (subs.groupBy("p").agg(F.sum("c").alias("_n"))
+           .orderBy(F.col("_n").desc(), "p").limit(int(top_k))
+           .select("p"))
+    return chars.unionByName(top).distinct()
+
+
+def maxmatch_apply(docs, id_col: str, text_col: str, top_k: int = 64,
+                   max_len: int = 6):
+    """WordPiece-style greedy longest-match segmentation (the MaxMatch
+    inference pass of Wu et al. 2016's wordpieces / Song et al. 2021's
+    'Fast WordPiece Tokenization'): segment every word left-to-right,
+    always taking the LONGEST vocabulary piece that matches at the
+    cursor; the single-character alphabet guarantees progress. Emits
+    per document (n_words, n_chars, n_pieces, pieces_per_word 4dp
+    half-up).
+
+    Scale shape: segmentation runs once per DISTINCT word (vocab-grain
+    mapInPandas with the ≤ alphabet+top_k piece set in the task
+    closure — exactly how production tokenizers cache word→pieces),
+    then each document joins its token rows against that word table
+    and aggregates. The corpus is scanned once for the vocabulary and
+    once for the apply join; the greedy loop never sees corpus grain.
+    The bounded vocabulary collect is the documented-eager step."""
+    import pandas as pd
+
+    vocab = {r.p for r in maxmatch_vocab(docs, text_col, top_k,
+                                         max_len).collect()}
+    ml = int(max_len)
+
+    def seg(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for w in pdf["w"]:
+                i, n, L = 0, 0, len(w)
+                while i < L:
+                    step = 1
+                    for l in range(min(ml, L - i), 1, -1):
+                        if w[i:i + l] in vocab:
+                            step = l
+                            break
+                    i += step
+                    n += 1
+                out.append(n)
+            yield pd.DataFrame({"w": pdf["w"], "_np": out})
+
+    pieces = (_corpus_vocab(docs, text_col).select("w")
+              .mapInPandas(seg, "w string, _np bigint"))
+    tk = docs.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("w"))
+    return (
+        tk.join(pieces, "w")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_words"),
+             F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+             F.sum("_np").cast("bigint").alias("n_pieces"))
+        .select(F.col(id_col), "n_words", "n_chars", "n_pieces",
+                (F.expr("(2 * 10000 * n_pieces + n_words)"
+                        " div (2 * n_words)").cast("double") / 10000.0)
+                .alias("pieces_per_word"))
+    )

@@ -310,3 +310,58 @@ def q172_ivf_kmeans_topk(spark, sf_dir):
         .select("q_id", "rank", "n_id", "d2")
         .orderBy("q_id", "rank")
     )
+
+
+# --------------------------------------------------------------------- q173
+@register(
+    "q173_cluster_label_purity",
+    oracle=_kmeans_oracle_cte(_K, _ITERS) + """
+    , cl AS (
+      SELECT af.cluster, e.label, count(*) AS c
+      FROM af JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+    tot AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n FROM cl GROUP BY 1),
+    maj AS (
+      SELECT cluster, label AS majority_label,
+             CAST(c AS BIGINT) AS n_majority
+      FROM (SELECT cluster, label, c,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY c DESC, label) AS rn
+            FROM cl) WHERE rn = 1)
+    SELECT t.cluster, t.n AS n_points, m.majority_label, m.n_majority,
+           CAST((2 * 10000 * m.n_majority + t.n) // (2 * t.n) AS DOUBLE)
+             / 10000.0 AS purity
+    FROM tot t JOIN maj m USING (cluster)
+    ORDER BY t.cluster
+    """,
+    memoize=False,  # shares the session-memoized fit (documented-eager)
+    tags=("clustering", "evaluation"),
+)
+def q173_cluster_label_purity(spark, sf_dir):
+    """External clustering evaluation: per-cluster label purity against
+    the embeddings' ground-truth ``label`` column — majority label,
+    its mass, and purity = majority/size (4dp, half-up integer
+    rounding; majority ties break to the LOWER label on both engines).
+    The standard sanity check before trusting cluster-balanced
+    sampling (q168) or cluster-safe splits to reflect semantics.
+
+    Scale shape: assignment (session-persisted) joins the label column
+    once, then everything runs at (cluster × label) contingency grain
+    — at most k·|labels| rows."""
+    _cent, assign = _fitted(spark, sf_dir)
+    lab = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (assign.join(lab, "vec_id")
+          .groupBy("cluster", "label").agg(F.count("*").alias("c")))
+    tot = cl.groupBy("cluster").agg(F.sum("c").cast("bigint").alias("n_points"))
+    w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), "label")
+    maj = (cl.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("cluster", F.col("label").alias("majority_label"),
+                   F.col("c").cast("bigint").alias("n_majority")))
+    return (
+        tot.join(maj, "cluster")
+        .select("cluster", "n_points", "majority_label", "n_majority",
+                (F.expr("(2 * 10000 * n_majority + n_points)"
+                        " div (2 * n_points)").cast("double") / 10000.0)
+                .alias("purity"))
+        .orderBy("cluster")
+    )

@@ -132,3 +132,86 @@ def q137_bpe_apply(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return bpe_apply(d, "doc_id", "text", BPE_ROUNDS).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- q174
+_MM_TOPK = 64
+_MM_MAXLEN = 6
+
+
+@register(
+    "q174_maxmatch_pieces",
+    memoize=False,  # vocab aggregation + bounded collect run per rep
+    oracle=f"""
+    WITH RECURSIVE
+    words AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents) GROUP BY w),
+    chars AS (
+      SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
+                             i -> substring(w, i, 1))) AS p
+      FROM words),
+    subs AS (
+      SELECT unnest(flatten(list_transform(range(2, {_MM_MAXLEN} + 1),
+               L -> list_transform(range(1, length(w) - L + 2),
+                                   i -> substring(w, i, L))))) AS p,
+             c
+      FROM words),
+    top AS (
+      SELECT p FROM (
+        SELECT p, sum(c) AS n FROM subs GROUP BY p
+        ORDER BY n DESC, p LIMIT {_MM_TOPK})),
+    vocab AS (SELECT p FROM chars UNION SELECT p FROM top),
+    jump AS (
+      SELECT w, pos, CAST(max(length(p)) AS BIGINT) AS step FROM (
+        SELECT words.w, g.pos, v.p
+        FROM words,
+             unnest(range(1, length(words.w) + 1)) AS g(pos),
+             vocab v
+        WHERE substring(words.w, g.pos, length(v.p)) = v.p)
+      GROUP BY w, pos),
+    walk(w, pos) AS (
+      SELECT w, CAST(1 AS BIGINT) FROM words
+      UNION ALL
+      SELECT j.w, k.pos + j.step FROM walk k
+      JOIN jump j ON j.w = k.w AND j.pos = k.pos),
+    pieces AS (SELECT w, count(*) - 1 AS n_pieces FROM walk GROUP BY w),
+    tk AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_words,
+             CAST(sum(length(w)) AS BIGINT) AS n_chars,
+             CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+      FROM tk JOIN pieces USING (w)
+      GROUP BY doc_id)
+    SELECT doc_id, n_words, n_chars, n_pieces,
+           CAST((2 * 10000 * n_pieces + n_words) // (2 * n_words)
+                AS DOUBLE) / 10000.0 AS pieces_per_word
+    FROM agg ORDER BY doc_id
+    """,
+    tags=("tokenizer", "wordpiece"),
+)
+def q174_maxmatch_pieces(spark, sf_dir):
+    """WordPiece-style greedy longest-match tokenization
+    (operators.text.maxmatch_apply): vocabulary = the corpus alphabet
+    plus the 64 most frequent substrings of length 2-6 (ties
+    lexicographic), segmentation = MaxMatch left-to-right. Per doc:
+    word/char/piece counts and the half-up 4dp pieces-per-word — the
+    fertility metric tokenizer choices are judged by.
+
+    The oracle is fully independent: it rebuilds the vocabulary in
+    SQL, precomputes a (word, position) → longest-piece jump table,
+    and FOLLOWS it with a recursive CTE — the same greedy walk the
+    Python closure takes, so a single off-by-one in either engine's
+    longest-match breaks the hash. Spark-side the walk runs once per
+    DISTINCT word (vocab-grain mapInPandas); the corpus is never
+    segmented row by row."""
+    from sunat_rree_demo_spark.operators.text import maxmatch_apply
+
+    d = t(spark, sf_dir, "documents")
+    return (maxmatch_apply(d, "doc_id", "text",
+                           top_k=_MM_TOPK, max_len=_MM_MAXLEN)
+            .orderBy("doc_id"))

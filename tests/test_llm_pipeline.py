@@ -306,3 +306,30 @@ def test_cluster_safe_split_has_no_cross_split_edges(spark):
     assert edges.count() > 0
     assert cross(by_cluster) == 0
     assert cross(by_doc) > 0  # the failure mode q170 exists to prevent
+
+
+def test_maxmatch_greedy_longest_match_semantics(spark):
+    """Greedy MaxMatch on a crafted corpus: 'abcab' under vocab
+    {chars, 'ab', 'abc', ...} segments abc|ab (2 pieces), and a word
+    whose greedy prefix choice forces a worse tail ('aab' with 'aa'
+    in vocab but no 'b'-led bigram) still takes the longest head —
+    the defining (non-optimal) property of the algorithm."""
+    from sunat_rree_demo_spark.operators.text import maxmatch_apply
+
+    # corpus engineered so the top-64 substring vocab contains every
+    # 2..6-gram of these words (tiny vocabulary)
+    docs = spark.createDataFrame(
+        [(1, "abcab abcab"), (2, "zz zz zz")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_pieces, r.pieces_per_word)
+           for r in maxmatch_apply(docs, "doc_id", "text").collect()}
+    # 'abcab' -> 'abcab' itself is a 5-gram in vocab -> 1 piece
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (3, 3, 1.0)
+
+    # restrict piece length to 3: 'abcab' -> abc|ab (longest head wins
+    # over ab|cab or 5 singles)
+    got3 = {r.doc_id: r.n_pieces
+            for r in maxmatch_apply(docs, "doc_id", "text",
+                                    max_len=3).collect()}
+    assert got3[1] == 4  # abc|ab per word, two words

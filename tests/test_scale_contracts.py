@@ -187,8 +187,12 @@ _EAGER_BUILDERS = {
     # are documented-eager at first touch (operators/clustering.py)
     "q167_kmeans_census", "q168_cluster_balanced_sample",
     # q172 additionally fetches the bounded 8-vector query batch into
-    # the probe/distance closures (the q43/q134 device)
-    "q172_ivf_kmeans_topk",
+    # the probe/distance closures (the q43/q134 device); q173 shares
+    # the same memoized fit
+    "q172_ivf_kmeans_topk", "q173_cluster_label_purity",
+    # q174 collects the bounded piece vocabulary (alphabet + top-64)
+    # into the segmentation closure — the tokenizer-serving shape
+    "q174_maxmatch_pieces",
     # q170 rides the q61 machinery: pair-graph materialization +
     # min-label propagation rounds (same note as q61/q65)
     "q170_cluster_safe_split",
