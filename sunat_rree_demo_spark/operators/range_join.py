@@ -86,3 +86,50 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
                         F.col(point_col) <= F.col(hi_col)])
         .drop(pt["__rj_bucket"]).drop(iv["__rj_bucket"])
     )
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          lo_l: str, hi_l: str, lo_r: str, hi_r: str,
+                          bucket_width: int) -> DataFrame:
+    """Inner-join two INTERVAL tables on overlap
+    (``lo_l <= hi_r AND lo_r <= hi_l``, inclusive ends) via the same
+    bucket discretization as :func:`point_in_interval_join`.
+
+    Both sides explode to the buckets they cover, so an overlapping
+    pair co-occurs in EVERY bucket their spans share; the join keeps
+    the pair only in the bucket containing ``greatest(lo_l, lo_r)``
+    (the overlap's left edge — a single, deterministic bucket both
+    sides are guaranteed to cover), so each qualifying pair emerges
+    exactly once with no distinct pass. Work is
+    Σ ceil(len/w) per side + co-bucket comparisons; no nested loop,
+    no cross product, AQE-splittable hash shuffle on the bucket id.
+    Column sets must be disjoint."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+    for df, cols in ((left, (lo_l, hi_l)), (right, (lo_r, hi_r))):
+        for c in cols:
+            dt = df.schema[c].dataType.simpleString()
+            if dt not in ("bigint", "int", "smallint", "tinyint"):
+                raise TypeError(
+                    f"range-join column {c!r} must be integral, got {dt}; "
+                    "quantize (epoch millis / micro-units) before joining")
+    w = int(bucket_width)
+
+    def _b(name: str) -> Column:
+        return F.expr(
+            f"CAST((`{name}` - pmod(`{name}`, {w})) DIV {w} AS BIGINT)")
+
+    lv = left.withColumn(
+        "__rj_bl", F.explode(F.sequence(_b(lo_l), _b(hi_l))))
+    rv = right.withColumn(
+        "__rj_br", F.explode(F.sequence(_b(lo_r), _b(hi_r))))
+    g = f"greatest(`{lo_l}`, `{lo_r}`)"
+    edge_bucket = F.expr(
+        f"CAST(({g} - pmod({g}, {w})) DIV {w} AS BIGINT)")
+    return (
+        lv.join(rv, on=[lv["__rj_bl"] == rv["__rj_br"],
+                        F.col(lo_l) <= F.col(hi_r),
+                        F.col(lo_r) <= F.col(hi_l)])
+        .filter(F.col("__rj_bl") == edge_bucket)
+        .drop(lv["__rj_bl"]).drop(rv["__rj_br"])
+    )

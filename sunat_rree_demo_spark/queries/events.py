@@ -599,3 +599,106 @@ def q169_concurrent_sessions(spark, sf_dir):
                 .cast("bigint").alias("n_active_users"))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------- q175
+@register(
+    "q175_session_error_overlap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+    sg AS (
+      SELECT user_id, tms,
+             CASE WHEN lag(tms) OVER w IS NULL
+                    OR tms - lag(tms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev WHERE event_type IN ('click', 'view')
+      WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+    sess AS (
+      SELECT user_id, sid, min(tms) AS lo, max(tms) + 1800000 AS hi
+      FROM (SELECT user_id, tms,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY tms
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM sg)
+      GROUP BY user_id, sid),
+    eg AS (
+      SELECT user_id, tms,
+             CASE WHEN lag(tms) OVER w IS NULL
+                    OR tms - lag(tms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev WHERE event_type = 'error'
+      WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+    burst AS (
+      SELECT min(tms) AS b_lo, max(tms) + 1800000 AS b_hi
+      FROM (SELECT user_id, tms,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY tms
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM eg)
+      GROUP BY user_id, sid),
+    hit AS (
+      SELECT s.user_id, s.sid, count(*) AS n_bursts
+      FROM sess s JOIN burst b ON s.lo <= b.b_hi AND b.b_lo <= s.hi
+      GROUP BY s.user_id, s.sid),
+    per_user AS (
+      SELECT s.user_id,
+             count(*) AS n_sessions,
+             CAST(sum(CASE WHEN h.n_bursts IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapped,
+             CAST(coalesce(sum(h.n_bursts), 0) AS BIGINT) AS n_burst_pairs
+      FROM sess s LEFT JOIN hit h USING (user_id, sid)
+      GROUP BY s.user_id)
+    SELECT user_id, n_sessions, n_overlapped, n_burst_pairs
+    FROM per_user ORDER BY user_id
+    """,
+    tags=("events", "range-join", "sessionization"),
+)
+def q175_session_error_overlap(spark, sf_dir):
+    """Interval×interval overlap analytics: for every user, how many of
+    their click/view sessions were concurrent with an error burst
+    ANYWHERE on the platform (error events sessionized with the same
+    30-min gap), and the total (session, burst) overlap pair count —
+    the blast-radius readout of incident windows on browsing activity.
+
+    Deliberately no equi key between sessions and bursts: the engine
+    side runs operators.range_join.interval_overlap_join — both
+    interval sets explode to their 1-hour epoch buckets, hash-join on
+    the bucket id with the overlap residual, and keep each pair only
+    in the bucket of greatest(lo, b_lo), so every overlapping pair
+    counts exactly once with no distinct pass and no nested loop. The
+    oracle's IEJoin re-derives the identical pair set."""
+    from sunat_rree_demo_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    e = t(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_type", F.unix_millis("ts").alias("tms"))
+    w = Window.partitionBy("user_id").orderBy("tms")
+    prev = F.lag("tms").over(w)
+    flag = F.when(prev.isNull() | (F.col("tms") - prev > 1800000),
+                  1).otherwise(0)
+
+    def sessions(src):
+        return (src.withColumn("ns", flag)
+                .withColumn("sid", F.sum("ns").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)))
+                .groupBy("user_id", "sid")
+                .agg(F.min("tms").alias("lo"),
+                     (F.max("tms") + F.lit(1800000)).alias("hi")))
+
+    sess = sessions(ev.filter(F.col("event_type").isin("click", "view")))
+    burst = (sessions(ev.filter(F.col("event_type") == "error"))
+             .select(F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")))
+    pairs = interval_overlap_join(sess, burst, "lo", "hi", "b_lo", "b_hi",
+                                  bucket_width=3_600_000)
+    hit = (pairs.groupBy("user_id", "sid")
+           .agg(F.count("*").alias("n_bursts")))
+    return (
+        sess.join(hit, ["user_id", "sid"], "left")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum(F.when(F.col("n_bursts").isNotNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_overlapped"),
+             F.coalesce(F.sum("n_bursts"), F.lit(0))
+             .cast("bigint").alias("n_burst_pairs"))
+        .orderBy("user_id")
+    )

@@ -76,3 +76,45 @@ def test_rejects_bad_inputs(spark):
     ipoints = spark.createDataFrame([(1, 5)], "pid long, p long")
     with pytest.raises(ValueError, match="positive"):
         point_in_interval_join(ipoints, intervals, "p", "lo", "hi", 0)
+
+
+@pytest.mark.parametrize("width", [1, 9, 128, 10_000])
+def test_overlap_matches_naive_theta_join(spark, width):
+    """Every overlapping (left, right) interval pair appears exactly
+    once (the greatest-lo bucket election), across widths — including
+    pairs whose shared span straddles many buckets."""
+    import random
+
+    from sunat_rree_demo_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+
+    def mk(n, tag):
+        rows = []
+        for j in range(n):
+            a = rng.randrange(-400, 400)
+            rows.append((j, a, a + rng.randrange(0, 250)))
+        return spark.createDataFrame(
+            rows, f"{tag}id long, {tag}lo long, {tag}hi long")
+
+    left, right = mk(70, "l"), mk(70, "r")
+    got = sorted(map(tuple, interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", width).collect()))
+    want = sorted(map(tuple, left.join(
+        right, on=[F.col("llo") <= F.col("rhi"),
+                   F.col("rlo") <= F.col("lhi")]).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_overlap_touching_endpoints_inclusive(spark):
+    from sunat_rree_demo_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, llo long, lhi long")
+    right = spark.createDataFrame(
+        [(1, 10, 20), (2, 11, 20)], "rid long, rlo long, rhi long")
+    got = interval_overlap_join(left, right, "llo", "lhi", "rlo", "rhi", 4)
+    assert [r.rid for r in got.collect()] == [1]
