@@ -6,7 +6,7 @@ fingerprinting. Oracle SQL shares the exact tokenizer
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from sunat_rree_demo_spark.operators.text import (
     EN_STOPWORDS,
@@ -284,4 +284,91 @@ def q147_seq_length_histogram(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_docs"),
              F.sum("_n").cast("bigint").alias("total_tokens"))
         .orderBy("lang", "len_bucket")
+    )
+
+
+# --------------------------------------------------------------------- q176
+_LID_TOP = 20
+
+
+@register(
+    "q176_trigram_lang_id",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+    tg AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN length(s) >= 3
+                         THEN list_transform(range(1, length(s) - 1),
+                                             i -> substring(s, i, 3))
+                         ELSE [] END) AS g
+      FROM d),
+    prof AS (
+      SELECT lang AS plang, g FROM (
+        SELECT lang, g, count(*) AS c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, g) AS rn
+        FROM tg WHERE doc_id % 10 < 3
+        GROUP BY lang, g) WHERE rn <= {_LID_TOP}),
+    hits AS (
+      SELECT tg.doc_id, prof.plang, count(*) AS h
+      FROM tg JOIN prof USING (g)
+      GROUP BY tg.doc_id, prof.plang),
+    pred AS (
+      SELECT doc_id, plang AS predicted FROM (
+        SELECT doc_id, plang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, plang) AS rn
+        FROM hits) WHERE rn = 1)
+    SELECT d.lang, coalesce(pred.predicted, 'unknown') AS predicted,
+           count(*) AS n_docs
+    FROM d LEFT JOIN pred USING (doc_id)
+    GROUP BY 1, 2
+    ORDER BY lang, predicted
+    """,
+    tags=("text", "lang-id"),
+)
+def q176_trigram_lang_id(spark, sf_dir):
+    """Character-trigram language ID (the Cavnar–Trenkle 1994 n-gram
+    profile method, top-20 profiles): docs with ``doc_id % 10 < 3``
+    act as the labeled training slice; every language's 20 most
+    frequent trigrams (ties lexicographic) form its profile, each doc
+    is scored by trigram-occurrence overlap with every profile, and
+    the argmax (ties to the alphabetically first language) is the
+    prediction. Output = the confusion matrix against the ground-truth
+    ``lang`` column — the eval a curation pipeline runs before
+    trusting LID-based filtering; docs too short to hit any profile
+    fall out as 'unknown'.
+
+    Scale shape: the trigram explode is one pass; profiles are a
+    ≤ |langs|·20-row broadcast; scoring is a broadcast hash join at
+    trigram grain with map-side combinable counts; the per-doc argmax
+    window partitions by doc_id. All counts integer — no float
+    anywhere."""
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "lang", F.lower("text").alias("s")))
+    tg = d.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "CASE WHEN length(s) >= 3 THEN "
+            "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)) "
+            "ELSE array() END")).alias("g"))
+    wp = Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+    prof = (tg.filter(F.col("doc_id") % 10 < 3)
+            .groupBy("lang", "g").agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= _LID_TOP)
+            .select(F.col("lang").alias("plang"), "g"))
+    hits = (tg.join(F.broadcast(prof), "g")
+            .groupBy("doc_id", "plang").agg(F.count("*").alias("h")))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "plang")
+    pred = (hits.withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("plang").alias("predicted")))
+    return (
+        d.join(pred, "doc_id", "left")
+        .select("lang",
+                F.coalesce("predicted", F.lit("unknown")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
     )
