@@ -211,3 +211,46 @@ def connected_components_two_phase(edges: DataFrame, src: str = "id1",
              .join(members.select("node"), "node", "left_anti")
              .distinct().withColumn("comp", F.col("node")))
     return members.union(roots).union(singletons)
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      weight_col: str | None = None) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the LPA
+    community-detection baseline) over an undirected (id1, id2[, w])
+    edge list: every node starts as its own label; each round every
+    node adopts the label with the highest total (weighted) neighbor
+    vote, ties to the SMALLEST label — fully deterministic, unlike the
+    textbook random-order variant, so the result is engine-checkable.
+    Returns (node, label) after ``rounds`` synchronous updates.
+
+    Distinct from the connected-components family above: CC merges
+    anything reachable; LPA's frequency vote finds densely-connected
+    communities INSIDE a component and stops label creep at weak cuts.
+
+    Scale shape: each round is one shuffle — edges join the previous
+    labels on the neighbor id (labels-sized side, AQE broadcasts when
+    it fits), then a (node, label) vote aggregate with map-side
+    combine and a per-node argmax window. The plan is lazily composed
+    across rounds (no driver round-trips, no checkpoints needed at
+    fixed small round counts — callers wanting convergence-driven
+    stopping should reuse the two-phase CC's lineage discipline)."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    w = (F.col(weight_col) if weight_col
+         else F.lit(1)).cast("bigint").alias("_w")
+    e = (edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"), w)
+         .union(edges.select(F.col("id2").alias("a"),
+                             F.col("id1").alias("b"), w)))
+    labels = (e.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        votes = (e.join(labels.withColumnRenamed("node", "b"), "b")
+                 .groupBy("a", "label")
+                 .agg(F.sum("_w").alias("_s")))
+        wa = Window.partitionBy("a").orderBy(F.col("_s").desc(), "label")
+        labels = (votes.withColumn("_rn", F.row_number().over(wa))
+                  .filter(F.col("_rn") == 1)
+                  .select(F.col("a").alias("node"), "label"))
+    return labels

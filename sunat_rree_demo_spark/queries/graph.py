@@ -156,3 +156,83 @@ def q104_trade_pagerank(spark, sf_dir):
                  F.round(F.col("u") / _UNIT, 8).alias("rank"))
         .orderBy(F.desc("rank_u"), "nation")
     )
+
+
+# --------------------------------------------------------------------- q177
+_LPA_ROUNDS = 3
+_LPA_SUPPORT = 3
+
+
+def _lpa_round_cte(i: int) -> str:
+    return f"""
+    l{i} AS (
+      SELECT a AS node, label FROM (
+        SELECT e.a, l.label, sum(e.support) AS s,
+               row_number() OVER (PARTITION BY e.a
+                                  ORDER BY sum(e.support) DESC, l.label)
+                 AS rn
+        FROM e JOIN l{i - 1} l ON l.node = e.b
+        GROUP BY e.a, l.label) WHERE rn = 1)"""
+
+
+@register(
+    "q177_copurchase_communities",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS support
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_LPA_SUPPORT}),
+    e AS (
+      SELECT p1 AS a, p2 AS b, support FROM p
+      UNION ALL
+      SELECT p2, p1, support FROM p),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+    {",".join(_lpa_round_cte(i) for i in range(1, _LPA_ROUNDS + 1))}
+    SELECT label AS community, count(*) AS n_members
+    FROM l{_LPA_ROUNDS}
+    GROUP BY label HAVING count(*) >= 2
+    ORDER BY n_members DESC, community
+    """,
+    tags=("graph", "community-detection"),
+)
+def q177_copurchase_communities(spark, sf_dir):
+    """Product communities in the co-purchase graph: q115's edge set
+    (part pairs co-ordered in ≥ 3 baskets, support-weighted) under 3
+    synchronous label-propagation rounds
+    (operators.components.label_propagation — frequency vote, ties to
+    the smallest label), reported as the ≥2-member community census.
+    The merchandising view: clusters of products that sell together,
+    tighter than connected components (a weak bridge pair does not
+    merge two dense clusters the way CC would).
+
+    Scale shape: basket self-join fan-out is C(basket, 2) per order;
+    each LPA round is one labels-join + one map-side-combinable vote
+    aggregate + a per-node argmax window — lazily composed, no driver
+    round-trips. The oracle unrolls the identical rounds as CTEs."""
+    from sunat_rree_demo_spark.operators.components import label_propagation
+
+    li = t(spark, sf_dir, "lineitem")
+    bk = li.select("l_orderkey", "l_partkey").distinct()
+    a = bk.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    c = bk.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= _LPA_SUPPORT)
+        .select(F.col("p1").alias("id1"), F.col("p2").alias("id2"),
+                "support")
+    )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS,
+                               weight_col="support")
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), "community")
+    )

@@ -333,3 +333,31 @@ def test_maxmatch_greedy_longest_match_semantics(spark):
             for r in maxmatch_apply(docs, "doc_id", "text",
                                     max_len=3).collect()}
     assert got3[1] == 4  # abc|ab per word, two words
+
+
+def test_label_propagation_splits_weakly_bridged_communities(spark):
+    """Barbell graph: two support-3 triangles joined by one support-1
+    bridge. CC merges everything into one component; 3-round weighted
+    LPA keeps two communities split at the weak cut — the defining
+    difference between the two operators."""
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components,
+        label_propagation,
+    )
+
+    rows = ([(a, b, 3) for a, b in
+             [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)]]
+            + [(3, 4, 1)])
+    edges = spark.createDataFrame(rows, "id1 long, id2 long, support long")
+    lab = {r.node: r.label
+           for r in label_propagation(edges, rounds=3,
+                                      weight_col="support").collect()}
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    comp = {r.comp for r in connected_components(
+        edges.select("id1", "id2")).collect()}
+    assert len(comp) == 1  # CC sees one blob; LPA sees the structure
+
+    # unweighted fallback: same split on this topology
+    lab_u = {r.node: r.label
+             for r in label_propagation(edges, rounds=3).collect()}
+    assert len(set(lab_u.values())) == 2
