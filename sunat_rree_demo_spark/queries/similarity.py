@@ -474,3 +474,79 @@ def q112_embedding_covariance(spark, sf_dir):
         .select("i", "j", F.round(cov, 10).alias("cov"))
         .orderBy("i", "j")
     )
+
+
+# --------------------------------------------------------------------- q178
+@register(
+    "q178_sq8_quantization_error",
+    oracle="""
+    WITH xd AS (
+      SELECT u.ord, u.val AS x FROM (
+        SELECT unnest(list_transform(embedding,
+                 (v, i) -> struct_pack(
+                   ord := i,
+                   val := CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT)))) AS u
+        FROM embeddings)),
+    m AS (SELECT ord, CAST(max(abs(x)) AS BIGINT) AS mx
+          FROM xd GROUP BY ord),
+    q AS (
+      SELECT xd.ord, xd.x, m.mx,
+             CASE WHEN m.mx = 0 THEN 0
+                  ELSE CASE WHEN xd.x < 0 THEN -1 ELSE 1 END
+                       * ((abs(xd.x) * 254 + m.mx) // (2 * m.mx))
+             END AS code
+      FROM xd JOIN m USING (ord)),
+    r AS (
+      SELECT ord, x, mx, code,
+             CASE WHEN code < 0 THEN -1 ELSE 1 END
+               * ((abs(code) * mx * 2 + 127) // 254) AS recon
+      FROM q)
+    SELECT ord, CAST(count(*) AS BIGINT) AS n_vectors, mx AS max_abs,
+           CAST(max(abs(x - recon)) AS BIGINT) AS max_err,
+           CAST((2 * sum(abs(x - recon)) + count(*)) // (2 * count(*))
+                AS BIGINT) AS mean_err
+    FROM r GROUP BY ord, mx ORDER BY ord
+    """,
+    tags=("similarity", "quantization"),
+)
+def q178_sq8_quantization_error(spark, sf_dir):
+    """Scalar (SQ8) embedding quantization error census: quantize each
+    dimension symmetrically to int8 codes against its own max-|value|
+    scale — the memory-4x compression every vector store offers — and
+    report per-dimension max and half-up mean absolute reconstruction
+    error in micro-units. The accuracy-loss readout consulted before
+    switching an ANN index to SQ8.
+
+    Everything is integer rationals (micro-unit values, half-away-
+    from-zero code rounding as a floored non-negative quotient, exact
+    reconstruction), so both engines agree bit-for-bit — no float
+    division anywhere. Scale shape: one dim-grain explode with
+    map-side-combinable max/sum aggregates over 64 bounded groups; the
+    per-dim scales broadcast back onto the same exploded pass."""
+    emb = t(spark, sf_dir, "embeddings")
+    xd = (emb.select(F.posexplode(F.expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000"
+        " + 0.5) AS BIGINT))")).alias("_p", "x"))
+        # DuckDB's (v, i) lambda index is 1-based; posexplode is 0-based
+        .select((F.col("_p") + 1).cast("bigint").alias("ord"), "x"))
+    m = xd.groupBy("ord").agg(F.max(F.abs("x")).cast("bigint").alias("mx"))
+    q = (xd.join(F.broadcast(m), "ord")
+         .withColumn("code", F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+             F.signum("x").cast("bigint")
+             * F.expr("(abs(x) * 254 + mx) div (2 * mx)"))))
+    r = q.withColumn(
+        "recon",
+        F.when(F.col("code") < 0, -1).otherwise(1).cast("bigint")
+        * F.expr("(abs(code) * mx * 2 + 127) div 254"))
+    return (
+        r.groupBy("ord", "mx")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"),
+             F.max(F.abs(F.col("x") - F.col("recon"))).cast("bigint")
+             .alias("max_err"),
+             F.expr("CAST((2 * sum(abs(x - recon)) + count(*))"
+                    " div (2 * count(*)) AS BIGINT)").alias("mean_err"))
+        .select("ord", "n_vectors", F.col("mx").alias("max_abs"),
+                "max_err", "mean_err")
+        .orderBy("ord")
+    )
