@@ -435,3 +435,137 @@ def q150_novelty_contribution(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return rolling_novelty(d, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- q179
+_RRF_K = 60
+_RRF_DEPTH = 15
+_RRF_OUT = 10
+_RRF_QVEC = 0
+
+
+@register(
+    "q179_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    st AS (SELECT round(avg(dl), 6) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    idf AS (
+      SELECT term,
+             CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                        * 1000000.0) AS BIGINT) AS idf_u
+      FROM dfq, nd
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(round(idf_u * ((tf * {BM25_K1 + 1.0}) /
+                  (tf + {BM25_K1} * ({1.0 - BM25_B} +
+                   {BM25_B} * (dl / avgdl))))) AS BIGINT) AS u
+      FROM tf JOIN dl USING (doc_id) JOIN idf USING (term), st
+    ),
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY sum(u) DESC, doc_id) AS BIGINT) AS lex_rank
+      FROM sc GROUP BY doc_id
+      ORDER BY lex_rank LIMIT {_RRF_DEPTH}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sem AS (
+      SELECT n_id AS doc_id, rank AS sem_rank FROM (
+        SELECT e.vec_id AS n_id,
+               CAST(row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                          e.vec_id) AS BIGINT) AS rank
+        FROM (SELECT v FROM e WHERE vec_id = {_RRF_QVEC}) q
+        JOIN e ON e.vec_id <> {_RRF_QVEC})
+      WHERE rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             coalesce(lex.lex_rank, 0) AS lex_rank,
+             coalesce(sem.sem_rank, 0) AS sem_rank,
+             CAST(CASE WHEN lex.lex_rank IS NULL THEN 0
+                  ELSE 1000000000 // ({_RRF_K} + lex.lex_rank) END
+                + CASE WHEN sem.sem_rank IS NULL THEN 0
+                  ELSE 1000000000 // ({_RRF_K} + sem.sem_rank) END
+                AS BIGINT) AS rrf_micro
+      FROM lex FULL OUTER JOIN sem USING (doc_id)
+    )
+    SELECT doc_id, rrf_micro, lex_rank, sem_rank
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_OUT}
+    """,
+    tags=("retrieval", "hybrid-search"),
+)
+def q179_hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    SIGIR'09 — the default fusion of every RAG stack): the lexical
+    BM25 top-15 (q98's integer-micro scoring) and the semantic exact-
+    cosine top-15 for query vector {_RRF_QVEC} fuse by
+    Σ floor(1e9/(60+rank)) — the reciprocal quantized to an integer
+    quotient so both engines sum identical addends — and the fused
+    top-10 reports each doc's contributing ranks (0 = absent from
+    that ranking).
+
+    Scale shape: both input rankings are already bounded top-k plans
+    (TakeOrdered lexical side; blocked-matmul semantic side); the
+    fusion itself is a full-outer join of two ≤k-row frames — driver-
+    free, broadcast-sized. Doc ids and vec ids share the synthetic id
+    space, standing in for the doc↔chunk-embedding mapping of a real
+    store."""
+    from sunat_rree_demo_spark.operators.retrieval import bm25_doc_scores
+    from sunat_rree_demo_spark.operators.similarity import brute_force_topk
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(F.col("doc_id"),
+                  F.explode(tokens(F.col("text"))).alias("term"))
+    dl = tk.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    nd = d.agg(F.count("*").cast("bigint").alias("n"))
+    st = dl.agg(F.round(F.avg("dl"), 6).alias("avgdl"))
+    tf = (tk.filter(F.col("term").isin(*BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("bigint").alias("tf")))
+    from pyspark.sql import Window
+
+    # the global window is over the ALREADY top-k-limited 15-row frame
+    # (TakeOrderedAndProject feeds it) — bounded by construction, not a
+    # corpus-wide single-partition sort
+    lex = (bm25_doc_scores(tf, dl, nd, st, BM25_K1, BM25_B)
+           .orderBy(F.desc("score_micro"), "doc_id").limit(_RRF_DEPTH)
+           .select("doc_id",
+                   F.row_number().over(
+                       Window.orderBy(F.desc("score_micro"), "doc_id"))
+                   .cast("bigint").alias("lex_rank")))
+    e = t(spark, sf_dir, "embeddings")
+    sem = (brute_force_topk(e, e.filter(F.col("vec_id") == _RRF_QVEC),
+                            k=_RRF_DEPTH)
+           .select(F.col("n_id").alias("doc_id"),
+                   F.col("rank").alias("sem_rank")))
+    rr = (lex.join(sem, "doc_id", "full_outer")
+          .select("doc_id",
+                  F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+                  F.coalesce("sem_rank", F.lit(0)).alias("sem_rank")))
+    score = (
+        F.when(F.col("lex_rank") > 0,
+               F.expr(f"1000000000 div ({_RRF_K} + lex_rank)"))
+        .otherwise(0)
+        + F.when(F.col("sem_rank") > 0,
+                 F.expr(f"1000000000 div ({_RRF_K} + sem_rank)"))
+        .otherwise(0)
+    ).cast("bigint")
+    return (
+        rr.withColumn("rrf_micro", score)
+        .select("doc_id", "rrf_micro", "lex_rank", "sem_rank")
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(_RRF_OUT)
+    )

@@ -193,6 +193,9 @@ _EAGER_BUILDERS = {
     # q174 collects the bounded piece vocabulary (alphabet + top-64)
     # into the segmentation closure — the tokenizer-serving shape
     "q174_maxmatch_pieces",
+    # q179's semantic side fetches the bounded 1-vector query batch
+    # (the q43 device)
+    "q179_hybrid_rrf_fusion",
     # q170 rides the q61 machinery: pair-graph materialization +
     # min-label propagation rounds (same note as q61/q65)
     "q170_cluster_safe_split",
