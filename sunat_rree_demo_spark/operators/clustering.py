@@ -85,6 +85,10 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
         raise ValueError("k >= 1 and iters >= 0 required")
     init = (emb.select(id_col, vec_col).orderBy(id_col).limit(k)
             .toPandas())
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_fit: corpus has only {len(init)} vectors but k={k} "
+            "seeds are required — pass k <= corpus size")
     cent = quantize_micros(init[vec_col])
     d = cent.shape[1]
 

@@ -39,7 +39,30 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["point_in_interval_join"]
+__all__ = ["interval_overlap_join", "point_in_interval_join"]
+
+
+def _check_integral(pairs) -> None:
+    """Shared input validation: every range column must be integral —
+    integer bucket arithmetic is exact, float division at bucket edges
+    is not."""
+    for df, cols in pairs:
+        for c in cols:
+            dt = df.schema[c].dataType.simpleString()
+            if dt not in ("bigint", "int", "smallint", "tinyint"):
+                raise TypeError(
+                    f"range-join column {c!r} must be integral, got {dt}; "
+                    "quantize (epoch millis / micro-units) before joining")
+
+
+def _bucket(expr_sql: str, w: int) -> Column:
+    """Exact integer floor-division bucket id of a SQL expression:
+    subtracting pmod makes the numerator an exact multiple, so
+    truncating DIV == floor for every sign, and no double arithmetic
+    ever touches the value (float division would mis-bucket int64
+    magnitudes beyond 2^53 at bucket edges)."""
+    return F.expr(
+        f"CAST(({expr_sql} - pmod({expr_sql}, {w})) DIV {w} AS BIGINT)")
 
 
 def point_in_interval_join(points: DataFrame, intervals: DataFrame,
@@ -57,24 +80,11 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be a positive integer")
-    for df, cols in ((points, (point_col,)), (intervals, (lo_col, hi_col))):
-        for c in cols:
-            dt = df.schema[c].dataType.simpleString()
-            if dt not in ("bigint", "int", "smallint", "tinyint"):
-                raise TypeError(
-                    f"range-join column {c!r} must be integral, got {dt}; "
-                    "quantize (epoch millis / micro-units) before joining")
-
+    _check_integral(((points, (point_col,)), (intervals, (lo_col, hi_col))))
     w = int(bucket_width)
 
     def _b(name: str) -> Column:
-        # exact integer floor-division bucket id: subtracting pmod
-        # makes the numerator an exact multiple, so truncating DIV ==
-        # floor for every sign, and no double arithmetic ever touches
-        # the value (float division would mis-bucket int64 magnitudes
-        # beyond 2^53 at bucket edges)
-        return F.expr(
-            f"CAST((`{name}` - pmod(`{name}`, {w})) DIV {w} AS BIGINT)")
+        return _bucket(f"`{name}`", w)
 
     iv = intervals.withColumn(
         "__rj_bucket",
@@ -106,26 +116,17 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     Column sets must be disjoint."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be a positive integer")
-    for df, cols in ((left, (lo_l, hi_l)), (right, (lo_r, hi_r))):
-        for c in cols:
-            dt = df.schema[c].dataType.simpleString()
-            if dt not in ("bigint", "int", "smallint", "tinyint"):
-                raise TypeError(
-                    f"range-join column {c!r} must be integral, got {dt}; "
-                    "quantize (epoch millis / micro-units) before joining")
+    _check_integral(((left, (lo_l, hi_l)), (right, (lo_r, hi_r))))
     w = int(bucket_width)
 
     def _b(name: str) -> Column:
-        return F.expr(
-            f"CAST((`{name}` - pmod(`{name}`, {w})) DIV {w} AS BIGINT)")
+        return _bucket(f"`{name}`", w)
 
     lv = left.withColumn(
         "__rj_bl", F.explode(F.sequence(_b(lo_l), _b(hi_l))))
     rv = right.withColumn(
         "__rj_br", F.explode(F.sequence(_b(lo_r), _b(hi_r))))
-    g = f"greatest(`{lo_l}`, `{lo_r}`)"
-    edge_bucket = F.expr(
-        f"CAST(({g} - pmod({g}, {w})) DIV {w} AS BIGINT)")
+    edge_bucket = _bucket(f"greatest(`{lo_l}`, `{lo_r}`)", w)
     return (
         lv.join(rv, on=[lv["__rj_bl"] == rv["__rj_br"],
                         F.col(lo_l) <= F.col(hi_r),

@@ -585,8 +585,14 @@ def maxmatch_vocab(docs, text_col: str, top_k: int = 64,
     pieces so the selection itself is engine-checkable — the q174
     oracle re-derives it verbatim in SQL."""
     words = _corpus_vocab(docs, text_col)
+    # the CASE guards the sequence(1,0) trap for empty-string words
+    # (whitespace-only docs tokenize to ['']): Spark's sequence(1, 0)
+    # is the DESCENDING [1, 0], which would leak '' into the vocab
+    # while the oracle's half-open range stays empty
     chars = words.select(F.explode(F.expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        "CASE WHEN length(w) >= 1 THEN "
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1)) "
+        "ELSE array() END"))
         .alias("p")).distinct()
     # guard the L-too-long arm explicitly: Spark's sequence(1, 0) is
     # the DESCENDING [1, 0], not empty (the sequence(1,0) trap)

@@ -45,12 +45,11 @@ _CENTROIDS: dict = {}
 
 def _fitted(spark, sf_dir):
     """(centroids ndarray, persisted assignment DataFrame), once per
-    (session, sf_dir)."""
-    try:
-        app = spark.sparkContext.applicationId
-    except Exception:  # Spark Connect has no sparkContext
-        app = str(id(spark))
-    cent_key = (app, sf_dir)
+    (session, sf_dir). The key MUST use the same app-id fallback as
+    session_memo's, or the centroid and assignment caches desync."""
+    from sunat_rree_demo_spark.queries.base import _app_id
+
+    cent_key = (_app_id(spark), sf_dir)
 
     def build():
         cent, assign = kmeans_fit(

@@ -504,6 +504,30 @@ def q141_multi_touch_attribution(spark, sf_dir):
     )
 
 
+#: 30-min inactivity gap shared by the sessionization family
+#: (q32 counts, q169/q175 interval analytics) and their oracles.
+SESSION_GAP_MS = 1_800_000
+
+
+def gap_session_intervals(ev, gap_ms: int = SESSION_GAP_MS):
+    """Gaps-and-islands session intervals over a (user_id, tms) frame:
+    (user_id, sid, lo, hi) with hi = last event + ``gap_ms`` (the
+    active-until-timeout window). ONE copy of the lag/flag/running-sum
+    block q169 and q175 (and their oracles, in SQL) both build on."""
+    w = Window.partitionBy("user_id").orderBy("tms")
+    prev = F.lag("tms").over(w)
+    flag = F.when(prev.isNull() | (F.col("tms") - prev > gap_ms),
+                  1).otherwise(0)
+    return (
+        ev.withColumn("ns", flag)
+        .withColumn("sid", F.sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("tms").alias("lo"),
+             (F.max("tms") + F.lit(gap_ms)).alias("hi"))
+    )
+
+
 # --------------------------------------------------------------------- q169
 @register(
     "q169_concurrent_sessions",
@@ -564,22 +588,9 @@ def q169_concurrent_sessions(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     ev = e.select("event_id", "user_id", "event_type",
                   F.unix_millis("ts").alias("tms"))
-    w = Window.partitionBy("user_id").orderBy("tms")
-    src = ev.filter(F.col("event_type").isin("click", "view"))
-    prev = F.lag("tms").over(w)
-    flagged = src.withColumn(
-        "ns",
-        F.when(prev.isNull() | (F.col("tms") - prev > 1800000), 1)
-        .otherwise(0))
-    sess = (
-        flagged.withColumn(
-            "sid", F.sum("ns").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "sid")
-        .agg(F.min("tms").alias("lo"),
-             (F.max("tms") + F.lit(1800000)).alias("hi"))
-        .select("user_id", "lo", "hi")
-    )
+    sess = (gap_session_intervals(
+        ev.filter(F.col("event_type").isin("click", "view")))
+        .select("user_id", "lo", "hi"))
     purch = (ev.filter(F.col("event_type") == "purchase")
              .select("event_id", "tms"))
     pairs = point_in_interval_join(purch, sess, "tms", "lo", "hi",
@@ -672,22 +683,11 @@ def q175_session_error_overlap(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     ev = e.select("user_id", "event_type", F.unix_millis("ts").alias("tms"))
-    w = Window.partitionBy("user_id").orderBy("tms")
-    prev = F.lag("tms").over(w)
-    flag = F.when(prev.isNull() | (F.col("tms") - prev > 1800000),
-                  1).otherwise(0)
-
-    def sessions(src):
-        return (src.withColumn("ns", flag)
-                .withColumn("sid", F.sum("ns").over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)))
-                .groupBy("user_id", "sid")
-                .agg(F.min("tms").alias("lo"),
-                     (F.max("tms") + F.lit(1800000)).alias("hi")))
-
-    sess = sessions(ev.filter(F.col("event_type").isin("click", "view")))
-    burst = (sessions(ev.filter(F.col("event_type") == "error"))
-             .select(F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")))
+    sess = gap_session_intervals(
+        ev.filter(F.col("event_type").isin("click", "view")))
+    burst = (gap_session_intervals(
+        ev.filter(F.col("event_type") == "error"))
+        .select(F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")))
     pairs = interval_overlap_join(sess, burst, "lo", "hi", "b_lo", "b_hi",
                                   bucket_width=3_600_000)
     hit = (pairs.groupBy("user_id", "sid")

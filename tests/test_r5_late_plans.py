@@ -54,10 +54,16 @@ def test_lpa_rounds_compose_lazily(plans):
     """q177: three vote rounds must appear in ONE composed plan (no
     driver materialization between rounds) — three per-node argmax
     windows, each partitioned (no global window)."""
+    import re
+
     from tests.test_plan_contracts import assert_windows_partitioned
 
     plan = plans["q177_copurchase_communities"]
-    assert plan.count("RunningWindowFunction") >= 0  # plan parsed
+    # one composed plan must carry all three rounds' argmax windows:
+    # a per-round materialization would leave only the last round's
+    # window in the final plan
+    n_windows = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert n_windows >= 3, n_windows
     assert_windows_partitioned(plan)
     assert "CartesianProduct" not in plan
 
