@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sunat_rree_demo_spark.operators.similarity import (
+    as_double,
     brute_force_topk,
+    cosine,
     ivf_topk,
     lsh_bucketed_topk,
     near_dup_pairs_blocked,
@@ -550,3 +552,127 @@ def q178_sq8_quantization_error(spark, sf_dir):
                 "max_err", "mean_err")
         .orderBy("ord")
     )
+
+
+# --------------------------------------------------------------------- q180
+_MMR_DEPTH = 15
+_MMR_K = 5
+_MMR_Q = 0
+#: λ = 0.7 as the integer pair (7, 3): score = 7·rel − 3·max_sim.
+_MMR_REL_W, _MMR_DIV_W = 7, 3
+
+
+def _mmr_oracle() -> str:
+    base = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cand AS (
+      SELECT n_id, rel FROM (
+        SELECT e.vec_id AS n_id,
+               CAST(round(round(list_cosine_similarity(q.v, e.v), 6)
+                          * 1000000) AS BIGINT) AS rel,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                          e.vec_id) AS rank
+        FROM (SELECT v FROM e WHERE vec_id = {_MMR_Q}) q
+        JOIN e ON e.vec_id <> {_MMR_Q})
+      WHERE rank <= {_MMR_DEPTH}),
+    sims AS (
+      SELECT a.n_id AS sa, b.n_id AS sb,
+             CAST(round(round(list_cosine_similarity(ea.v, eb.v), 6)
+                        * 1000000) AS BIGINT) AS sim
+      FROM cand a JOIN cand b ON a.n_id <> b.n_id
+      JOIN e ea ON ea.vec_id = a.n_id
+      JOIN e eb ON eb.vec_id = b.n_id),
+    s1 AS (
+      SELECT n_id, CAST({_MMR_REL_W} * rel AS BIGINT) AS score
+      FROM cand ORDER BY rel DESC, n_id LIMIT 1)"""
+    sel = ["SELECT n_id FROM s1"]
+    for i in range(2, _MMR_K + 1):
+        sel_sql = " UNION ALL ".join(sel)
+        base += f""",
+    s{i} AS (
+      SELECT n_id, score FROM (
+        SELECT c.n_id,
+               CAST({_MMR_REL_W} * c.rel
+                    - {_MMR_DIV_W} * max(sm.sim) AS BIGINT) AS score
+        FROM cand c
+        JOIN sims sm ON sm.sa = c.n_id
+                    AND sm.sb IN ({sel_sql})
+        WHERE c.n_id NOT IN ({sel_sql})
+        GROUP BY c.n_id, c.rel)
+      ORDER BY score DESC, n_id LIMIT 1)"""
+        sel.append(f"SELECT n_id FROM s{i}")
+    picks = " UNION ALL ".join(
+        f"SELECT {i} AS pick, n_id AS doc_id, score FROM s{i}"
+        for i in range(1, _MMR_K + 1))
+    return base + f"""
+    SELECT CAST(pick AS BIGINT) AS pick, doc_id, score AS mmr_score
+    FROM ({picks}) ORDER BY pick
+    """
+
+
+@register(
+    "q180_mmr_rerank",
+    memoize=False,  # bounded candidate fetch runs per rep
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "diversification"),
+)
+def q180_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR'98 — the classic result diversifier): greedily pick 5 of the
+    query's top-15 cosine candidates maximizing
+    7·relevance − 3·max-similarity-to-already-picked (λ=0.7 as an
+    integer weight pair over micro-unit cosines, ties to the lower
+    id), so near-duplicate hits stop crowding the result list.
+
+    Scale shape: candidate generation is the distributed part (the
+    blocked-matmul exact top-k over the corpus); the greedy rerank
+    runs driver-side over the BOUNDED k×k candidate-similarity matrix
+    (≤15 rel rows + ≤210 sim rows collected — the same bounded-fetch
+    device as q172's probe selection), which is where every production
+    reranker runs it. The oracle unrolls the identical greedy steps as
+    CTEs, so one flipped comparison anywhere breaks the hash."""
+    e = t(spark, sf_dir, "embeddings")
+    cand = (brute_force_topk(e, e.filter(F.col("vec_id") == _MMR_Q),
+                             k=_MMR_DEPTH)
+            .select(F.col("n_id"),
+                    F.round(F.round(F.col("cos"), 6) * 1000000.0)
+                    .cast("bigint").alias("rel")))
+    ids = cand.select("n_id", "rel").collect()
+    rel = {r.n_id: r.rel for r in ids}
+    cset = list(rel)
+    pairs = (e.filter(F.col("vec_id").isin(cset))
+             .select(F.col("vec_id").alias("sa"),
+                     as_double(F.col("embedding")).alias("va")))
+    other = (e.filter(F.col("vec_id").isin(cset))
+             .select(F.col("vec_id").alias("sb"),
+                     as_double(F.col("embedding")).alias("vb")))
+    sim_rows = (pairs.join(F.broadcast(other),
+                           F.col("sa") != F.col("sb"))
+                .select("sa", "sb",
+                        F.round(F.round(cosine(F.col("va"), F.col("vb")),
+                                        6) * 1000000.0)
+                        .cast("bigint").alias("sim"))
+                .collect())
+    sim = {(r.sa, r.sb): r.sim for r in sim_rows}
+
+    picked: list[tuple[int, int, int]] = []
+    chosen: list[int] = []
+    first = max(rel, key=lambda d: (rel[d], -d))
+    # ties to the LOWER id: max on (rel, -id)
+    picked.append((1, first, _MMR_REL_W * rel[first]))
+    chosen.append(first)
+    for step in range(2, _MMR_K + 1):
+        best = None
+        for d in cset:
+            if d in chosen:
+                continue
+            ms = max(sim[(d, s)] for s in chosen)
+            score = _MMR_REL_W * rel[d] - _MMR_DIV_W * ms
+            key = (score, -d)
+            if best is None or key > best[0]:
+                best = (key, d, score)
+        picked.append((step, best[1], best[2]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        picked, "pick bigint, doc_id bigint, mmr_score bigint")

@@ -194,8 +194,10 @@ _EAGER_BUILDERS = {
     # into the segmentation closure — the tokenizer-serving shape
     "q174_maxmatch_pieces",
     # q179's semantic side fetches the bounded 1-vector query batch
-    # (the q43 device)
-    "q179_hybrid_rrf_fusion",
+    # (the q43 device); q180 collects the bounded k-candidate rel/sim
+    # matrix for the driver-side greedy (where production rerankers
+    # run it)
+    "q179_hybrid_rrf_fusion", "q180_mmr_rerank",
     # q170 rides the q61 machinery: pair-graph materialization +
     # min-label propagation rounds (same note as q61/q65)
     "q170_cluster_safe_split",
