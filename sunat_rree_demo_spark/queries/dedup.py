@@ -520,3 +520,130 @@ def q151_minhash_containment(spark, sf_dir):
         d, "doc_id", "text", threshold=0.5,
         arr=corpus_shingle_arrays(spark, sf_dir))
         .orderBy("id1", "id2"))
+
+
+# --------------------------------------------------------------------- q181
+_WIN_N = 3   # word n-gram size fingerprinted
+_WIN_W = 4   # winnow window: guarantees matches of >= W+N-1 tokens
+
+
+def _winnow_selected_sql(w: int) -> str:
+    """The rightmost-min winnowing rule as a disjunction over the
+    window offset k = (position − window start): position j is chosen
+    by SOME length-``w`` window iff for one valid k every earlier hash
+    in the window is >= h and every later one is > h. Shared verbatim
+    (window frames and validity arithmetic) with the Spark side."""
+    arms = []
+    for k in range(w):
+        left = ("TRUE" if k == 0 else
+                f"coalesce(min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+                f"ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING) >= h, TRUE)")
+        right = ("TRUE" if k == w - 1 else
+                 f"coalesce(min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+                 f"ROWS BETWEEN 1 FOLLOWING AND {w - 1 - k} FOLLOWING) > h,"
+                 " TRUE)")
+        arms.append(f"(pos - 1 >= {k} AND {k} >= pos + {w} - 1 - np"
+                    f" AND {left} AND {right})")
+    return " OR ".join(arms)
+
+
+@register(
+    "q181_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id, u.pos, ('0x' || substring(sha256(u.g), 1, 7))::BIGINT
+               AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 list_transform(range(1, greatest(len(tk) - {_WIN_N} + 2,
+                                                  1)),
+                   i -> array_to_string(tk[i:i+{_WIN_N - 1}], ' ')),
+                 (g, i) -> struct_pack(pos := i, g := g))) AS u
+        FROM toks WHERE len(tk) >= {_WIN_N})),
+    pos AS (
+      SELECT doc_id, pos, h,
+             count(*) OVER (PARTITION BY doc_id) AS np
+      FROM grams),
+    sel AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, pos, h, np,
+               ({_winnow_selected_sql(_WIN_W)}) AS take
+        FROM pos) WHERE take),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel),
+    df AS (SELECT h, count(*) AS nd FROM fp GROUP BY h)
+    SELECT f.doc_id,
+           max(p.np) AS n_windows,
+           count(*) AS n_fp,
+           CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fp
+    FROM fp f JOIN df USING (h)
+    JOIN (SELECT doc_id, max(np) AS np FROM pos GROUP BY doc_id) p
+      USING (doc_id)
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def q181_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word {_WIN_N}-gram,
+    slide a {_WIN_W}-hash window, keep each window's RIGHTMOST minimum
+    — the selection guarantees any shared run of ≥ {_WIN_W + _WIN_N - 1}
+    tokens leaves at least one common fingerprint, at ~2/(W+1)
+    storage. Per doc: window count, fingerprint count, and how many of
+    its fingerprints appear in at least one other document (the MOSS
+    match signal).
+
+    Entirely relational on BOTH engines — no Python: the rightmost-min
+    rule becomes a disjunction of W bounded window-frame comparisons
+    (k PRECEDING / W−1−k FOLLOWING mins plus edge-validity arithmetic),
+    identical SQL semantics in Spark and DuckDB. Scale shape: one
+    n-gram explode, per-doc partitioned windows (no global sort), a
+    fingerprint-grain df aggregate with map-side combine."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.posexplode(F.expr(f"""
+            CASE WHEN size(split(trim(text), '\\\\s+')) >= {_WIN_N} THEN
+              transform(sequence(1, size(split(trim(text), '\\\\s+'))
+                                    - {_WIN_N} + 1),
+                i -> array_join(slice(split(trim(text), '\\\\s+'), i,
+                                      {_WIN_N}), ' '))
+            ELSE array() END""")).alias("_p", "g"))
+        .select("doc_id", (F.col("_p") + 1).alias("pos"),
+                F.conv(F.substring(F.sha2(F.col("g"), 256), 1, 7), 16, 10)
+                .cast("bigint").alias("h"))
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    pos = grams.withColumn("np", F.count("*").over(wd))
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    take = F.lit(False)
+    for k in range(_WIN_W):
+        left = (F.lit(True) if k == 0 else
+                F.coalesce(F.min("h").over(wo.rowsBetween(-k, -1))
+                           >= F.col("h"), F.lit(True)))
+        right = (F.lit(True) if k == _WIN_W - 1 else
+                 F.coalesce(F.min("h").over(
+                     wo.rowsBetween(1, _WIN_W - 1 - k)) > F.col("h"),
+                     F.lit(True)))
+        valid = ((F.col("pos") - 1 >= k)
+                 & (F.lit(k) >= F.col("pos") + _WIN_W - 1 - F.col("np")))
+        take = take | (valid & left & right)
+    fp = (pos.withColumn("take", take).filter("take")
+          .select("doc_id", "h").distinct())
+    dfreq = fp.groupBy("h").agg(F.count("*").alias("nd"))
+    np_doc = pos.groupBy("doc_id").agg(F.max("np").alias("n_windows"))
+    return (
+        fp.join(dfreq, "h").join(np_doc, "doc_id")
+        .groupBy("doc_id", "n_windows")
+        .agg(F.count("*").alias("n_fp"),
+             F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+             .cast("bigint").alias("n_shared_fp"))
+        .select("doc_id", "n_windows", "n_fp", "n_shared_fp")
+        .orderBy("doc_id")
+    )

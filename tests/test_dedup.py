@@ -412,3 +412,66 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
             assert got == want, (seed, t, got ^ want)
             total_pairs += len(want)
     assert total_pairs > 0  # non-vacuous: the overlaps made real pairs
+
+
+def test_winnowing_selection_matches_reference(spark):
+    """The W-arm disjunction that implements rightmost-min winnowing
+    must equal the direct definition (slide every window, keep its
+    rightmost minimum) — checked on docs engineered to hit ties,
+    edges, and the mid-sequence case where neither the pure-left nor
+    pure-right arm fires alone."""
+    import hashlib
+
+    from sunat_rree_demo_spark.queries.dedup import (
+        _WIN_N,
+        _WIN_W,
+        q181_winnowing_fingerprints,
+    )
+
+    texts = {
+        1: "a b c d e f g h i j",               # generic
+        2: "x x x x x x x x",                   # all-equal hashes (ties)
+        3: "a b c d a b c d a b c d",           # periodic
+        4: "p q",                               # too short: no grams
+        5: "m n o",                             # exactly one gram, no window
+    }
+
+    def ref_fps(text):
+        tk = text.split()
+        grams = [" ".join(tk[i:i + _WIN_N])
+                 for i in range(len(tk) - _WIN_N + 1)] \
+            if len(tk) >= _WIN_N else []
+        h = [int(hashlib.sha256(g.encode()).hexdigest()[:7], 16)
+             for g in grams]
+        sel = set()
+        for s in range(len(h) - _WIN_W + 1):
+            window = h[s:s + _WIN_W]
+            m = min(window)
+            j = max(i for i, v in enumerate(window) if v == m)
+            sel.add(h[s + j])
+        return grams, sel
+
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    # expected (doc_id -> (n_windows, n_fp, n_shared))
+    per_doc = {d: ref_fps(t) for d, t in texts.items()}
+    fp_owners = {}
+    for d, (_g, sel) in per_doc.items():
+        for hval in sel:
+            fp_owners.setdefault(hval, set()).add(d)
+    expected = {}
+    for d, (g, sel) in per_doc.items():
+        if not sel:
+            continue  # docs with no winnow window emit no row
+        shared = sum(1 for hval in sel if len(fp_owners[hval]) > 1)
+        expected[d] = (len(g), len(sel), shared)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        # satisfy t() for the other tables it might probe: only
+        # documents is read by q181
+        got = {r.doc_id: (r.n_windows, r.n_fp, r.n_shared_fp)
+               for r in q181_winnowing_fingerprints(spark, tmp).collect()}
+    assert got == expected and expected
