@@ -676,3 +676,81 @@ def q180_mmr_rerank(spark, sf_dir):
         chosen.append(best[1])
     return spark.createDataFrame(
         picked, "pick bigint, doc_id bigint, mmr_score bigint")
+
+
+# --------------------------------------------------------------------- q183
+@register(
+    "q183_local_clustering_coeff",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pe AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    ),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT id1 AS id FROM pe UNION ALL SELECT id2 FROM pe)
+      GROUP BY id
+    ),
+    tri AS (
+      SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+      FROM pe e1
+      JOIN pe e2 ON e2.id1 = e1.id2
+      JOIN pe e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
+    ),
+    tn AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY id
+    )
+    SELECT deg.id AS vec_id, deg.d AS degree,
+           coalesce(tn.t, 0) AS n_triangles,
+           CAST((2 * 10000 * coalesce(tn.t, 0) + (d * (d - 1) // 2))
+                // (2 * (d * (d - 1) // 2)) AS DOUBLE) / 10000.0
+             AS clustering_coeff
+    FROM deg LEFT JOIN tn ON tn.id = deg.id
+    WHERE deg.d >= 2
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "graph"),
+)
+def q183_local_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient of the embedding near-dup
+    graph: triangles through each node over its d·(d−1)/2 possible
+    wedge closures (Watts–Strogatz) — q82's GLOBAL transitivity
+    drilled to node grain, the signal that separates clique-like
+    duplicate groups (coefficient ≈ 1, min-label CC converges fast)
+    from chainy ones (≈ 0, use the two-phase algorithm). 4dp half-up
+    integer division; nodes of degree < 2 have no defined wedge and
+    drop on both engines.
+
+    Scale shape: the ordered triangle join reads the session-persisted
+    pair graph three times (the q82 plan), then one UNION ALL
+    endpoint aggregate per grain — map-side combinable; no collects,
+    no global windows."""
+    pairs = embedding_pair_edges(spark, sf_dir)
+    deg = (pairs.select(F.col("id1").alias("id"))
+           .unionAll(pairs.select(F.col("id2").alias("id")))
+           .groupBy("id").agg(F.count("*").cast("bigint").alias("d")))
+    e1 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    e2 = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+    e3 = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tn = (tri.select(F.col("a").alias("id"))
+          .unionAll(tri.select(F.col("b").alias("id")))
+          .unionAll(tri.select(F.col("c").alias("id")))
+          .groupBy("id").agg(F.count("*").cast("bigint").alias("t")))
+    return (
+        deg.join(tn, "id", "left")
+        .filter(F.col("d") >= 2)
+        .select(F.col("id").alias("vec_id"),
+                F.col("d").alias("degree"),
+                F.coalesce("t", F.lit(0)).cast("bigint")
+                .alias("n_triangles"),
+                (F.expr("(2 * 10000 * coalesce(t, 0) + (d * (d - 1) div 2))"
+                        " div (2 * (d * (d - 1) div 2))")
+                 .cast("double") / 10000.0).alias("clustering_coeff"))
+        .orderBy("vec_id")
+    )

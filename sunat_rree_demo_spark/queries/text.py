@@ -372,3 +372,69 @@ def q176_trigram_lang_id(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "predicted")
     )
+
+
+# --------------------------------------------------------------------- q182
+_SNM_W = 3  # neighbors each side inside a block
+
+
+@register(
+    "q182_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    o AS (
+      SELECT p_name, split_part(p_name, ' ', 1) AS blk,
+             row_number() OVER (PARTITION BY split_part(p_name, ' ', 1)
+                                ORDER BY reverse(p_name), p_name) AS rn
+      FROM n),
+    cand AS (
+      SELECT a.p_name AS name1, b.p_name AS name2
+      FROM o a JOIN o b
+        ON a.blk = b.blk
+       AND b.rn > a.rn AND b.rn <= a.rn + {_SNM_W})
+    SELECT least(name1, name2) AS name1,
+           greatest(name1, name2) AS name2,
+           CAST(levenshtein(name1, name2) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name1, name2) <= 4
+    ORDER BY name1, name2
+    """,
+    tags=("text", "fuzzy-join", "entity-resolution"),
+)
+def q182_sorted_neighborhood_pairs(spark, sf_dir):
+    """Blocked sorted-neighborhood entity resolution (Hernández &
+    Stolfo's merge/purge, SIGMOD'95): within each first-token block,
+    sort names by a SECONDARY key chosen to bring suffix-variant
+    duplicates together (the reversed string), and compare each name
+    only to its next {_SNM_W} neighbors in that order — candidate
+    volume Σ |block|·w instead of q92's Σ |block|², the other classic
+    blocking trade-off (recall now depends on the sort key; q92's
+    exhaustive in-block variant is the recall ceiling, and the shared
+    edit-distance ≤ 4 verify keeps the two comparable).
+
+    Scale shape: the sort is PARTITIONED by the block key (no global
+    ordering), the neighbor join is an equi-join on the block plus a
+    bounded rank-band residual, and the O(len²) levenshtein runs only
+    on the w·|block| candidates."""
+    n = t(spark, sf_dir, "part").select("p_name").distinct()
+    o = n.select(
+        "p_name",
+        F.split("p_name", " ")[0].alias("blk"),
+        F.reverse("p_name").alias("_rev"))
+    w = Window.partitionBy("blk").orderBy("_rev", "p_name")
+    o = o.withColumn("rn", F.row_number().over(w)).drop("_rev")
+    a = o.select(F.col("p_name").alias("name1"), "blk",
+                 F.col("rn").alias("rn1"))
+    b = o.select(F.col("p_name").alias("name2"), "blk",
+                 F.col("rn").alias("rn2"))
+    return (
+        a.join(b, "blk")
+        .filter((F.col("rn2") > F.col("rn1"))
+                & (F.col("rn2") <= F.col("rn1") + _SNM_W))
+        .select(F.least("name1", "name2").alias("name1"),
+                F.greatest("name1", "name2").alias("name2"))
+        .withColumn("edit_dist",
+                    F.levenshtein("name1", "name2").cast("bigint"))
+        .filter(F.col("edit_dist") <= 4)
+        .orderBy("name1", "name2")
+    )
