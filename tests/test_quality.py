@@ -146,3 +146,47 @@ def test_importance_weights_favor_target_language(spark):
     for lang, m in means.items():
         if lang != "en":
             assert means["en"] > m, means
+
+
+def test_domain_rank_ntile_matches_window_ntile(spark):
+    """domain_rank + ntile_from_rank is bit-identical to
+    row_number/ntile window functions — heavy ties crossing bucket
+    boundaries and a total (23) not divisible by the tile count."""
+    from pyspark.sql import Window, functions as F
+
+    from sunat_rree_demo_spark.operators.windows import (
+        domain_rank,
+        ntile_from_rank,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate(
+        [5.0] * 7 + [1.25] * 6 + [9.5] * 4 + [1.25] * 3 + [0.0, 2.5, 5.0])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    w = Window.orderBy("v", "id")
+    expected = {
+        r["id"]: (r["rn"], r["tile"])
+        for r in df.select(
+            "id", F.row_number().over(w).alias("rn"),
+            F.ntile(10).over(w).alias("tile")).collect()
+    }
+    total = df.agg(F.count("*").cast("bigint").alias("_n"))
+    got = {
+        r["id"]: (r["rn"], r["tile"])
+        for r in domain_rank(df, "v", "id", "rn")
+        .join(F.broadcast(total))
+        .withColumn("tile", ntile_from_rank(F.col("rn"), F.col("_n"), 10))
+        .collect()
+    }
+    assert got == expected
+    # degenerate small-N case: fewer rows than tiles -> tile == rank
+    tiny = spark.createDataFrame([(1, 1.0), (2, 1.0), (3, 0.5)],
+                                 "id long, v double")
+    tt = tiny.agg(F.count("*").cast("bigint").alias("_n"))
+    small = {
+        r["id"]: r["tile"]
+        for r in domain_rank(tiny, "v", "id", "rn")
+        .join(F.broadcast(tt))
+        .withColumn("tile", ntile_from_rank(F.col("rn"), F.col("_n"), 10))
+        .collect()
+    }
+    assert small == {3: 1, 1: 2, 2: 3}
