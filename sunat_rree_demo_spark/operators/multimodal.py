@@ -353,18 +353,28 @@ def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
     SOFn / GIF LSD — ``decode_dims``) whenever the payload matches a
     known codec; unrecognized payloads fall back to the deterministic
     stub so the plumbing stays testable on synthetic media.
-    ``real_codec=True`` is the integration point for full pixel decode
-    (PIL/ffmpeg) — unavailable in this environment, so it raises."""
-    if real_codec:
-        raise NotImplementedError(
-            "no media codec libraries in this environment; "
-            "plug PIL/ffmpeg here — the mapInPandas plumbing is ready")
 
+    ``real_codec=True`` demands FULL pixel decode: PNGs go through the
+    real stdlib decoder (``decode_png_pixels`` — dims read back from
+    the decoded pixel buffer, r6), every other payload raises
+    ``NotImplementedError`` inside the task — narrowed from the r5-era
+    blanket raise to exactly the formats whose decode is genuinely
+    codec-dependent (JPEG entropy coding, video). Plug PIL/ffmpeg at
+    this branch on a cluster that has them."""
     import hashlib
 
     import pandas as pd
 
     def _dims(payload: bytes) -> tuple[int, int]:
+        if real_codec:
+            dec = decode_png_pixels(payload)
+            if dec is None:
+                raise NotImplementedError(
+                    "full decode of non-PNG media needs a codec library "
+                    "(JPEG entropy coding / video); plug PIL/ffmpeg here")
+            w, h, ch, px = dec
+            assert len(px) == w * h * ch  # decoded buffer is the source
+            return (w, h)
         return decode_dims(payload) or _decode_dims_stub(payload)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -486,3 +496,205 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=out_schema)
+
+
+# --------------------------------------------------------------- PNG pixels
+# Full stdlib PNG decode (r6, closes the r5 verdict's "real pixel decode"
+# gap for the one format whose compression IS the stdlib): IDAT is zlib
+# (RFC 1950/51), so signature→chunk walk→inflate→per-row unfilter→pixel
+# samples needs no codec library. JPEG/video stay honestly gated behind
+# NotImplementedError — their entropy coders are genuinely codec-
+# dependent (see ``decode_media(real_codec=True)``).
+
+#: samples per pixel by PNG color type (RFC 2083 §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b − c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_gray(pixels: bytes, width: int,
+                    filter_choice: str = "cycle") -> bytes:
+    """8-bit grayscale PNG encoder, stdlib-only. ``filter_choice``:
+    ``"none"`` writes filter 0 rows; ``"cycle"`` rotates through all
+    five row filters (None/Sub/Up/Average/Paeth) so a decode of the
+    result exercises every unfilter path — the property q186 rides:
+    encode(text bytes) → decode → stats must equal stats computed
+    straight from the bytes."""
+    import struct
+    import zlib
+
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixels must be height x width bytes")
+    height = len(pixels) // width
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    raw = bytearray()
+    prior = bytes(width)
+    for j in range(height):
+        row = pixels[j * width:(j + 1) * width]
+        f = (j % 5) if filter_choice == "cycle" else 0
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:    # Sub
+            raw += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+                         for i in range(width))
+        elif f == 2:    # Up
+            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(width))
+        elif f == 3:    # Average
+            raw += bytes((row[i] - (((row[i - 1] if i else 0)
+                                     + prior[i]) >> 1)) & 0xFF
+                         for i in range(width))
+        else:           # Paeth
+            raw += bytes((row[i] - _paeth(row[i - 1] if i else 0,
+                                          prior[i],
+                                          prior[i - 1] if i else 0)) & 0xFF
+                         for i in range(width))
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes) \
+        -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, samples) for an 8-bit non-interlaced
+    PNG — REAL pixel decode, stdlib-only: chunk walk, zlib-inflate the
+    concatenated IDAT stream, invert the five row filters, expand
+    palette indices through PLTE. ``samples`` is row-major,
+    channel-interleaved (grayscale → 1 byte/pixel, RGB → 3, …).
+
+    Returns None for non-PNG payloads (callers fall back to metadata-
+    only handling); raises ``NotImplementedError`` for the PNG variants
+    whose decode is structurally different (Adam7 interlace, 1/2/4/16-
+    bit depths) and ``ValueError`` for corrupt streams — silent wrong
+    pixels must never reach a stats aggregate."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG (8-bit only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(height * stride)
+    prior = bytes(stride)
+    for j in range(height):
+        f = raw[j * (stride + 1)]
+        line = bytearray(raw[j * (stride + 1) + 1:(j + 1) * (stride + 1)])
+        if f == 1:      # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif f == 3:    # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prior[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[j * stride:(j + 1) * stride] = line
+        prior = bytes(line)
+    if color == 3:      # palette: expand indices to RGB triples
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        rgb = bytearray(height * width * 3)
+        for k, idx in enumerate(out):
+            if idx * 3 + 3 > len(plte):
+                raise ValueError("palette index out of range")
+            rgb[k * 3:k * 3 + 3] = plte[idx * 3:idx * 3 + 3]
+        return (width, height, 3, bytes(rgb))
+    return (width, height, ch, bytes(out))
+
+
+PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("sum_val", T.LongType(), True),
+    T.StructField("min_val", T.IntegerType(), True),
+    T.StructField("max_val", T.IntegerType(), True),
+])
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics from REAL PNG decode, Arrow-batched.
+    Emits exact-integer (sum, min, max, count) over all channel samples
+    so downstream means can use the half-up integer device — float
+    means would break cross-engine parity. Non-PNG payloads yield all-
+    null stats (metadata-only rows); malformed PNGs raise (fail loud).
+
+    Scale shape: one mapInPandas pass, no shuffle — stats land at media
+    grain and any corpus-level aggregate shuffles only the tiny stats
+    rows, never pixels."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_png_pixels(bytes(payload)) \
+                    if payload is not None else None
+                if dec is None:
+                    rows.append((mid, None, None, None, None, None,
+                                 None, None))
+                    continue
+                w, h, ch, px = dec
+                rows.append((mid, w, h, ch, len(px), sum(px),
+                             min(px) if px else None,
+                             max(px) if px else None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels", "n_samples",
+                "sum_val", "min_val", "max_val"])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=PIXEL_STATS_SCHEMA)

@@ -35,6 +35,7 @@ from sunat_rree_demo_spark.queries import retrieval  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import sketches  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import tpch  # noqa: E402,F401
 from sunat_rree_demo_spark.queries import clustering  # noqa: E402,F401
+from sunat_rree_demo_spark.queries import media  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only

@@ -1,0 +1,115 @@
+"""Media-column queries over REAL codec paths (r6).
+
+The testdata ships no image files, so q186 manufactures them
+deterministically: each document's printable-ASCII bytes become the
+pixels of a genuine 8-bit grayscale PNG (row filters cycling through
+all five types), Spark DECODES those PNGs back with the stdlib decoder
+(operators/multimodal.py ``decode_png_pixels``) and aggregates pixel
+statistics — while the DuckDB oracle computes the same statistics
+straight from the characters. A decoder bug (wrong unfilter, palette
+mix-up, off-by-one stride) breaks the hash match, so the oracle gate
+genuinely verifies the decode, not just the plumbing.
+
+Reference parity note: the reference dashboard has no media handling
+at all; this family is the driver-mandated multimodal extension
+(SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sunat_rree_demo_spark.queries.base import register, t
+
+#: pixels per PNG row for the manufactured images
+_PNG_W = 16
+
+
+@register(
+    "q186_png_pixel_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_PNG_W}) * {_PNG_W}) AS s
+      FROM a WHERE length(s) >= {_PNG_W}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_PNG_W} AS INT) AS width,
+           CAST(n // {_PNG_W} AS INT) AS height,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST((2 * sum(val) * 10000 + n) // (2 * n) AS DOUBLE)
+             / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q186_png_pixel_stats(spark, sf_dir):
+    """Pixel statistics through a REAL PNG encode→decode round trip:
+    documents' printable-ASCII bytes (truncated to whole {w}-pixel
+    rows) are encoded as genuine grayscale PNGs with row filters
+    cycling None/Sub/Up/Average/Paeth, decoded back via the stdlib
+    zlib-inflate + unfilter path, and reduced to exact-integer pixel
+    stats; the mean uses the half-up integer device at 4dp. The oracle
+    never sees a PNG — it computes the identical stats from the
+    characters, so the hash match proves the decoder reproduces the
+    source bytes through every filter type.
+
+    Scale shape: two Arrow-batched mapInPandas passes (encode, then
+    decode+stats) at document grain, no shuffle until the final
+    doc-grain sort; pixels never leave the task that decoded them."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_png_gray,
+        image_pixel_stats,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    src = (
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_PNG_W}) * {_PNG_W})"))
+        .filter(F.length("s") >= _PNG_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(
+                    lambda s: encode_png_gray(s.encode("ascii"), _PNG_W)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_pixels"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )

@@ -40,11 +40,17 @@ def test_decode_media_stub_features(spark, media):
         assert r.width == payload[0] + 1 and r.height == payload[-1] + 1
 
 
-def test_decode_media_real_codec_is_stubbed(media):
+def test_decode_media_real_codec_gated_to_png(spark, media):
+    """real_codec=True fully decodes PNG payloads (r6) and raises
+    inside the task for formats that genuinely need a codec library —
+    the gate narrowed from the r5 blanket raise."""
+    from pyspark.sql.utils import PythonException
+
     from sunat_rree_demo_spark.operators.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
-        decode_media(media, real_codec=True)
+    # fake media (text payloads) are not PNGs -> task-side raise
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_media(media, real_codec=True).collect()
 
 
 def test_frame_sample_offsets(media):
@@ -316,3 +322,171 @@ def test_pcm_frame_energy_golden(spark):
     for fi in want:
         assert got[fi][0] == want[fi][0]
         assert abs(got[fi][1] - want[fi][1]) < 1e-12
+
+
+# ------------------------------------------------------- real PNG pixels (r6)
+def _png_color(w: int, h: int, color_type: int, samples: bytes,
+               plte: bytes = b"", filters=None) -> bytes:
+    """Hand-assembled PNG of any color type with chosen row filters —
+    built chunk-by-chunk in the TEST so the decoder under test is not
+    validating its own encoder."""
+    import struct
+    import zlib
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        _paeth,
+    )
+
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    assert len(samples) == h * stride
+    raw = bytearray()
+    prior = bytes(stride)
+    for j in range(h):
+        row = samples[j * stride:(j + 1) * stride]
+        f = filters[j] if filters else 0
+        raw.append(f)
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            ul = prior[i - ch] if i >= ch else 0
+            pred = {0: 0, 1: left, 2: prior[i],
+                    3: (left + prior[i]) >> 1,
+                    4: _paeth(left, prior[i], ul)}[f]
+            raw.append((row[i] - pred) & 0xFF)
+        prior = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if plte:
+        body += chunk(b"PLTE", plte)
+    return (b"\x89PNG\r\n\x1a\n" + body
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_every_filter():
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_gray,
+    )
+
+    for w, h in ((1, 1), (7, 6), (16, 16), (3, 11)):
+        px = bytes((i * 37 + (i * i) % 251) % 256 for i in range(w * h))
+        for choice in ("cycle", "none"):
+            got = decode_png_pixels(encode_png_gray(px, w, choice))
+            assert got == (w, h, 1, px), (w, h, choice)
+
+
+def test_png_decode_all_color_types_and_filters():
+    from sunat_rree_demo_spark.operators.multimodal import decode_png_pixels
+
+    w, h = 5, 5
+    filters = [0, 1, 2, 3, 4]
+    # RGB (2), gray+alpha (4), RGBA (6): decoded samples == source
+    for ct in (2, 4, 6):
+        ch = {2: 3, 4: 2, 6: 4}[ct]
+        samples = bytes((i * 29 + ct) % 256 for i in range(w * h * ch))
+        assert decode_png_pixels(_png_color(w, h, ct, samples,
+                                            filters=filters)) \
+            == (w, h, ch, samples)
+    # palette (3): indices expand through PLTE to RGB
+    plte = bytes(range(12))  # 4 palette entries
+    idx = bytes((i % 4) for i in range(w * h))
+    expected = b"".join(plte[i * 3:i * 3 + 3] for i in idx)
+    assert decode_png_pixels(_png_color(w, h, 3, idx, plte=plte,
+                                        filters=filters)) \
+        == (w, h, 3, expected)
+
+
+def test_png_decode_external_golden():
+    """A PNG authored OUTSIDE this repo (the ubiquitous 1x1 RGBA pixel,
+    pngcrush-era) — guards against a decoder that only understands its
+    own encoder's output."""
+    import base64
+
+    from sunat_rree_demo_spark.operators.multimodal import decode_png_pixels
+
+    golden = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    w, h, ch, px = decode_png_pixels(golden)
+    assert (w, h, ch) == (1, 1, 4)
+    assert len(px) == 4
+
+
+def test_png_decode_rejects_and_gates():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import decode_png_pixels
+
+    # non-PNG -> None (caller falls back to metadata-only)
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(b"") is None
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # interlaced / 16-bit: honestly gated, not silently wrong
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        decode_png_pixels(sig + chunk(b"IHDR", ihdr_i)
+                          + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                          + chunk(b"IEND", b""))
+    ihdr_16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png_pixels(sig + chunk(b"IHDR", ihdr_16)
+                          + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                          + chunk(b"IEND", b""))
+    # corrupt: wrong pixel-buffer length must raise, never mis-decode
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    with _pytest.raises(ValueError):
+        decode_png_pixels(sig + chunk(b"IHDR", ihdr)
+                          + chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+                          + chunk(b"IEND", b""))
+
+
+def test_image_pixel_stats_and_real_codec_dims(spark):
+    from pyspark.sql import types as T
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_media,
+        encode_png_gray,
+        image_pixel_stats,
+    )
+
+    px1 = bytes(range(48))            # 8x6 gradient
+    px2 = bytes([200] * 9)            # 3x3 flat
+    rows = [
+        (1, bytearray(encode_png_gray(px1, 8)), "image/png", None),
+        (2, bytearray(encode_png_gray(px2, 3)), "image/png", None),
+        (3, bytearray(b"opaque"), "application/octet-stream", None),
+    ]
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ])
+    media = spark.createDataFrame(rows, schema)
+    stats = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    assert (stats[1].width, stats[1].height, stats[1].channels) == (8, 6, 1)
+    assert stats[1].sum_val == sum(px1)
+    assert (stats[1].min_val, stats[1].max_val) == (0, 47)
+    assert stats[2].sum_val == 1800 and stats[2].n_samples == 9
+    assert stats[3].width is None and stats[3].sum_val is None
+    # real_codec=True decodes PNG dims from the pixel buffer
+    feats = {r.media_id: r
+             for r in decode_media(media.filter("media_id < 3"),
+                                   real_codec=True).collect()}
+    assert (feats[1].width, feats[1].height) == (8, 6)
+    assert (feats[2].width, feats[2].height) == (3, 3)
