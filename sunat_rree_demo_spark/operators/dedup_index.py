@@ -303,3 +303,29 @@ def incremental_near_dup_pairs(spark: SparkSession, new_docs: DataFrame,
     sigs = (idx_needed.join(new_sig.select(id_col), id_col, "left_anti")
             .union(new_sig.select(id_col, "sig")))
     return estimate_pairs(cand, sigs, id_col, k, threshold)
+
+
+def cross_index_candidates(spark: SparkSession, path_a: str, path_b: str,
+                           table_a: str, table_b: str,
+                           id_col: str = "doc_id",
+                           n_buckets: int = 8) -> DataFrame:
+    """Index-vs-index candidate generation between two dedup-index
+    GENERATIONS (shards, epochs, or merging corpora) where NEITHER side
+    is small enough to broadcast: both band tables are materialized
+    through the bucketed sink on the full (band, bucket) join key, so
+    the candidate equi-join planned between them has NO Exchange — each
+    task streams one bucket file from each side (pinned by
+    tests/test_scale_contracts.py::test_index_vs_index_join_is_shuffle_free
+    and the q185 plan contract). This is the cross-shard path the
+    module docstring promises beyond the broadcast-probe ingest flow.
+
+    Returns distinct (id1 from A, id2 from B) pairs sharing any
+    (band, bucket); the caller joins signatures for estimates
+    (``estimate_pairs``)."""
+    write_bucketed_bands(spark, path_a, table_a, n_buckets)
+    write_bucketed_bands(spark, path_b, table_b, n_buckets)
+    a = spark.table(table_a).select(
+        "band", "bucket", F.col(id_col).alias("id1"))
+    b = spark.table(table_b).select(
+        "band", "bucket", F.col(id_col).alias("id2"))
+    return a.join(b, ["band", "bucket"]).select("id1", "id2").distinct()

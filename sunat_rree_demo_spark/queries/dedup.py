@@ -104,9 +104,12 @@ def _minhash_cand_ctes() -> str:
     )"""
 
 
-def _minhash_oracle_sql(threshold: float = 0.3) -> str:
+def _minhash_oracle_sql(threshold: float = 0.3,
+                        extra_where: str = "") -> str:
     """The full MinHash+LSH pipeline in DuckDB SQL, generated from the
-    operator's own (a, b) constants and band layout."""
+    operator's own (a, b) constants and band layout. ``extra_where``
+    appends a pair-level predicate (q185 restricts to cross-shard
+    pairs) so variants stay candidate-identical with q41."""
     eq_sum = " + ".join(
         f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
         for i in range(MINHASH_K))
@@ -119,6 +122,7 @@ def _minhash_oracle_sql(threshold: float = 0.3) -> str:
     JOIN sig s1 ON id1 = s1.doc_id
     JOIN sig s2 ON id2 = s2.doc_id
     WHERE round(({eq_sum}) / {float(MINHASH_K)}, 4) >= {threshold}
+          {extra_where}
     ORDER BY id1, id2
     """
 
@@ -647,3 +651,71 @@ def q181_winnowing_fingerprints(spark, sf_dir):
         .select("doc_id", "n_windows", "n_fp", "n_shared_fp")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------- q185
+#: session-scoped cross-shard candidate estimates (the two on-disk index
+#: generations + bucketed band tables are built once per (session, sf))
+_XSHARD_CACHE: dict = {}
+register_session_cache(_XSHARD_CACHE)
+
+
+@register(
+    "q185_index_join_candidates",
+    memoize=False,  # builder materializes two index generations (eager)
+    oracle=_minhash_oracle_sql(0.3, "AND (id1 + id2) % 2 = 1"),
+    tags=("dedup", "minhash-lsh", "index", "cross-shard"),
+)
+def q185_index_join_candidates(spark, sf_dir):
+    """CROSS-SHARD dedup via index-vs-index join (the r5 verdict's
+    missing end-to-end): the corpus is split into two shards (even/odd
+    doc ids — stand-ins for two ingest pipelines or datacenters), each
+    builds its own persisted MinHash index (operators/dedup_index.py),
+    the two band tables are materialized through the bucketed sink on
+    (band, bucket), and candidate pairs come from the SHUFFLE-FREE
+    bucketed equi-join between the index generations — neither side
+    broadcast, no corpus rescan. Estimates then join the stored
+    signatures at candidate scale. Because a signature is a pure
+    function of the text, the result is exactly q41's batch-global
+    pairs restricted to cross-shard (even, odd) pairs — which is what
+    the oracle computes from the union corpus.
+
+    Scale shape: each shard's index build touches only its own docs;
+    the candidate join reads both band tables pre-hashed into aligned
+    buckets (no Exchange — pinned by tests/test_r6_plans.py::
+    test_q185_bucketed_index_join_no_exchange); estimate joins are
+    candidate-bounded."""
+    from sunat_rree_demo_spark.operators.dedup import estimate_pairs
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        cross_index_candidates,
+        write_minhash_index,
+    )
+
+    def build():
+        import re
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="xshard_idx_")
+        d = t(spark, sf_dir, "documents")
+        write_minhash_index(d.filter("doc_id % 2 = 0"), f"{root}/even")
+        write_minhash_index(d.filter("doc_id % 2 = 1"), f"{root}/odd")
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:  # Spark Connect has no sparkContext
+            app = str(id(spark))
+        sfx = re.sub(r"\W", "_", f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+                                 f"_{app}")
+        cand = cross_index_candidates(
+            spark, f"{root}/even", f"{root}/odd",
+            f"xband_even_{sfx}", f"xband_odd_{sfx}")
+        sigs = (spark.read.parquet(f"{root}/even/sigs")
+                .unionByName(spark.read.parquet(f"{root}/odd/sigs"))
+                .select("doc_id", "sig"))
+        # even/odd ids are disjoint, so least/greatest keeps pairs unique
+        return estimate_pairs(
+            cand.select(F.least("id1", "id2").alias("id1"),
+                        F.greatest("id1", "id2").alias("id2")),
+            sigs, "doc_id", threshold=0.3)
+
+    return session_memo(spark, _XSHARD_CACHE, (sf_dir, "xshard"),
+                        build).orderBy("id1", "id2")

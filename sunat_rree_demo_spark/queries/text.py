@@ -438,3 +438,99 @@ def q182_sorted_neighborhood_pairs(spark, sf_dir):
         .filter(F.col("edit_dist") <= 4)
         .orderBy("name1", "name2")
     )
+
+
+# --------------------------------------------------------------------- q184
+def _snm_pass(names, blk: F.Column, order: F.Column, w: int, tag: int):
+    """One sorted-neighborhood pass: rank by ``order`` (p_name tiebreak)
+    inside each ``blk`` block, pair every name with its next ``w``
+    neighbors, normalize orientation lexically, tag with the pass id."""
+    o = (names.select("p_name", blk.alias("blk"), order.alias("_ord"))
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("blk").orderBy("_ord", "p_name")))
+         .drop("_ord"))
+    a = o.select(F.col("p_name").alias("n1"), "blk",
+                 F.col("rn").alias("rn1"))
+    b = o.select(F.col("p_name").alias("n2"), "blk",
+                 F.col("rn").alias("rn2"))
+    return (
+        a.join(b, "blk")
+        .filter((F.col("rn2") > F.col("rn1"))
+                & (F.col("rn2") <= F.col("rn1") + w))
+        .select(F.least("n1", "n2").alias("name1"),
+                F.greatest("n1", "n2").alias("name2"),
+                F.lit(tag).alias("pass_id"))
+    )
+
+
+@register(
+    "q184_multipass_blocking_pairs",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    o1 AS (
+      SELECT p_name, split_part(p_name, ' ', 1) AS blk,
+             row_number() OVER (PARTITION BY split_part(p_name, ' ', 1)
+                                ORDER BY reverse(p_name), p_name) AS rn
+      FROM n),
+    o2 AS (
+      SELECT p_name, regexp_extract(p_name, '([a-z]+)$', 1) AS blk,
+             row_number() OVER (
+               PARTITION BY regexp_extract(p_name, '([a-z]+)$', 1)
+               ORDER BY p_name) AS rn
+      FROM n),
+    u AS (
+      SELECT least(a.p_name, b.p_name) AS name1,
+             greatest(a.p_name, b.p_name) AS name2, 1 AS pass_id
+      FROM o1 a JOIN o1 b
+        ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {_SNM_W}
+      UNION ALL
+      SELECT least(a.p_name, b.p_name), greatest(a.p_name, b.p_name), 2
+      FROM o2 a JOIN o2 b
+        ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {_SNM_W}),
+    g AS (
+      SELECT name1, name2,
+             CAST(count(DISTINCT pass_id) AS BIGINT) AS n_passes
+      FROM u GROUP BY 1, 2)
+    SELECT name1, name2,
+           CAST(levenshtein(name1, name2) AS BIGINT) AS edit_dist,
+           n_passes
+    FROM g
+    WHERE levenshtein(name1, name2) <= 4
+    ORDER BY name1, name2
+    """,
+    tags=("text", "fuzzy-join", "entity-resolution"),
+)
+def q184_multipass_blocking_pairs(spark, sf_dir):
+    """MULTI-PASS sorted-neighborhood entity resolution — the canonical
+    Hernández–Stolfo merge/purge shape (SIGMOD'95 §3.3): candidates
+    from ≥2 INDEPENDENT (blocking key, sort key) passes are unioned
+    before the expensive verify tier, because any single sort key
+    misses duplicates whose variation hits that key's prefix. Pass 1 =
+    q182's (first-token block, reversed-name sort); pass 2 = (last-
+    token block, forward sort) — a genuinely different neighborhood
+    structure, so it recovers pairs whose FIRST token differs (out of
+    reach of any single-first-token blocking, including q92's
+    exhaustive in-block ground truth). ``n_passes`` records how many
+    passes proposed each surviving pair.
+
+    Scale shape: each pass is block-partitioned (no global sort), the
+    union is candidate-grain, verify (levenshtein ≤ 4) runs once per
+    DISTINCT candidate after the group-by — multi-pass multiplies
+    candidate volume by #passes, never the verify cost of a pair.
+    Recall vs the q92 single-block ground truth is pinned by
+    tests/test_dedup.py::test_multipass_snm_recall."""
+    n = t(spark, sf_dir, "part").select("p_name").distinct()
+    p1 = _snm_pass(n, F.split("p_name", " ")[0],
+                   F.reverse(F.col("p_name")), _SNM_W, 1)
+    p2 = _snm_pass(n, F.regexp_extract("p_name", "([a-z]+)$", 1),
+                   F.col("p_name"), _SNM_W, 2)
+    return (
+        p1.unionByName(p2)
+        .groupBy("name1", "name2")
+        .agg(F.countDistinct("pass_id").cast("bigint").alias("n_passes"))
+        .withColumn("edit_dist",
+                    F.levenshtein("name1", "name2").cast("bigint"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("name1", "name2", "edit_dist", "n_passes")
+        .orderBy("name1", "name2")
+    )

@@ -475,3 +475,32 @@ def test_winnowing_selection_matches_reference(spark):
         got = {r.doc_id: (r.n_windows, r.n_fp, r.n_shared_fp)
                for r in q181_winnowing_fingerprints(spark, tmp).collect()}
     assert got == expected and expected
+
+
+def test_multipass_snm_recall(spark):
+    """Hernández–Stolfo multi-pass property (q184 vs q182): the second
+    (last-token block, forward sort) pass strictly adds verified pairs,
+    never loses any pass-1 pair, and its additions include pairs whose
+    FIRST tokens differ — structurally unreachable for any single
+    first-token blocking, including the q92 exhaustive ground truth."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    def pairs(name):
+        return {(r.name1, r.name2)
+                for r in REGISTRY[name].fn(spark, SF_SMOKE).collect()}
+
+    single = pairs("q182_sorted_neighborhood_pairs")
+    multi = pairs("q184_multipass_blocking_pairs")
+    gt = pairs("q92_fuzzy_name_pairs")
+    assert single < multi                     # pass 2 adds pairs
+    assert multi & gt >= single & gt          # recall never drops
+    added = multi - single
+    cross_block = [(a, b) for a, b in added
+                   if a.split(" ")[0] != b.split(" ")[0]]
+    assert cross_block                        # beyond first-token blocking
+    # every added pair still passes the shared verify tier
+    import duckdb
+    con = duckdb.connect()
+    for a, b in sorted(added)[:25]:
+        (d,) = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()
+        assert d <= 4

@@ -201,6 +201,9 @@ _EAGER_BUILDERS = {
     # q170 rides the q61 machinery: pair-graph materialization +
     # min-label propagation rounds (same note as q61/q65)
     "q170_cluster_safe_split",
+    # r6: q185 materializes two on-disk index generations + bucketed
+    # band tables at first touch (session-memoized thereafter)
+    "q185_index_join_candidates",
 }
 
 
