@@ -122,3 +122,56 @@ def pareto_frontier_2d(df: DataFrame, group_col: str,
     return (df.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
             .filter(~F.col("_dom"))
             .drop("_dom"))
+
+
+def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
+    """Pareto frontier / SKYLINE (Börzsönyi et al., ICDE'01) over two
+    criteria: keep rows where no other row is ≥ on ``max_col`` AND ≤ on
+    ``min_col`` with at least one strict inequality. Ties on both
+    dimensions survive together (neither dominates).
+
+    Scale design — skyline is DISTRIBUTIVE: skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)), so phase 1 computes each
+    partition's local skyline (vectorized numpy sweep over the
+    partition sorted by (max desc, min asc)), shrinking n rows to
+    O(P · |skyline|) candidates (expected O(P·log n) under independent
+    dims), and phase 2 re-runs the same sweep once over the single
+    coalesced candidate partition — bounded by construction, the same
+    budget class as a driver-side top-k merge. No global data-grain
+    sort or window anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    schema = df.schema
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf
+        s = pdf.sort_values([max_col, min_col],
+                            ascending=[False, True], kind="mergesort")
+        mx = s[max_col].to_numpy()
+        mn = s[min_col].to_numpy()
+        # group id per distinct max value (sorted desc -> change points)
+        new_grp = np.empty(len(s), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = mx[1:] != mx[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(s)), 0))
+        # best (smallest) min among rows of STRICTLY greater max =
+        # running min up to the row before this row's group starts
+        cummin = np.minimum.accumulate(mn)
+        best_before = np.where(grp_start > 0, cummin[grp_start - 1],
+                               np.iinfo(np.int64).max
+                               if mn.dtype.kind in "iu" else np.inf)
+        # within the equal-max group (min ascending), anything above
+        # the group's first min is strictly dominated inside the group
+        group_min = mn[grp_start]
+        dominated = (best_before <= mn) | (mn > group_min)
+        return s[~dominated]
+
+    def run(it):
+        for pdf in it:
+            yield sweep(pdf)
+
+    local = df.mapInPandas(run, schema=schema)
+    return local.coalesce(1).mapInPandas(run, schema=schema)

@@ -719,3 +719,144 @@ def q185_index_join_candidates(spark, sf_dir):
 
     return session_memo(spark, _XSHARD_CACHE, (sf_dir, "xshard"),
                         build).orderBy("id1", "id2")
+
+
+# --------------------------------------------------------------------- q187
+@register(
+    "q187_bucketed_minhash_join",
+    memoize=False,  # builder materializes the index + bucketed bands (eager)
+    oracle=_minhash_oracle_sql(0.3),
+    tags=("dedup", "minhash-lsh", "index", "bucketed"),
+)
+def q187_bucketed_minhash_join(spark, sf_dir):
+    """q41's batch-global near-dup pairs SERVED FROM THE PERSISTED
+    INDEX instead of recomputed: the full-corpus MinHash index is
+    written once (operators/dedup_index.py), its band table
+    materialized through the bucketed sink on (band, bucket), and the
+    candidate SELF-join runs bucket-aligned — no Exchange, no shingle
+    or signature recomputation, the recurring-dedup serving shape
+    (amortize the Python signature pass across every later query).
+    Estimates join the stored signatures at candidate scale; since a
+    signature is a pure function of the text, the result is
+    bit-identical to q41 and shares its oracle.
+
+    Scale shape: the index build is the one corpus scan; afterwards a
+    dedup query costs two bucket-aligned table reads + a candidate-
+    bounded estimate join. The self-join's both sides read the SAME
+    bucketed table, so tasks stream co-located bucket files (pinned by
+    tests/test_r6_plans.py::test_q187_bucketed_self_join_no_exchange)."""
+    from sunat_rree_demo_spark.operators.dedup import estimate_pairs
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        write_bucketed_bands,
+        write_minhash_index,
+    )
+
+    def build():
+        import re
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="full_idx_")
+        write_minhash_index(t(spark, sf_dir, "documents"), root)
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:  # Spark Connect has no sparkContext
+            app = str(id(spark))
+        tn = "xbandall_" + re.sub(
+            r"\W", "_", f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_{app}")
+        write_bucketed_bands(spark, root, tn)
+        bands = spark.table(tn)
+        a = bands.select("band", "bucket", F.col("doc_id").alias("id1"))
+        b = bands.select("band", "bucket", F.col("doc_id").alias("id2"))
+        cand = (a.join(b, ["band", "bucket"])
+                .filter(F.col("id1") < F.col("id2"))
+                .select("id1", "id2").distinct())
+        sigs = spark.read.parquet(f"{root}/sigs").select("doc_id", "sig")
+        return estimate_pairs(cand, sigs, "doc_id", threshold=0.3)
+
+    return session_memo(spark, _XSHARD_CACHE, (sf_dir, "fullidx"),
+                        build).orderBy("id1", "id2")
+
+
+# --------------------------------------------------------------------- q190
+_LRS_CAP = 64  # reported LCP cap (both engines apply it identically)
+_LRS_MOD = 20  # census sample: doc_id % _LRS_MOD == 0
+
+
+@register(
+    "q190_suffix_array_lcp_dups",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text AS s FROM documents
+      WHERE doc_id % {_LRS_MOD} = 0 AND length(text) >= 1
+    ),
+    suf AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> substr(s, i))) AS suf
+      FROM d
+    ),
+    adj AS (
+      SELECT doc_id, suf,
+             lag(suf) OVER (PARTITION BY doc_id ORDER BY suf) AS prev
+      FROM suf
+    ),
+    l AS (
+      SELECT doc_id,
+             CASE WHEN prev IS NULL THEN 0 ELSE
+               list_max(list_transform(range(0, {_LRS_CAP + 1}),
+                 k -> CASE WHEN substr(suf, 1, k) = substr(prev, 1, k)
+                      THEN k ELSE 0 END))
+             END AS lcp
+      FROM adj
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_suffixes,
+           CAST(max(lcp) AS BIGINT) AS lrs_len
+    FROM l GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "suffix-array", "repeated-substring"),
+)
+def q190_suffix_array_lcp_dups(spark, sf_dir):
+    """Longest-REPEATED-substring census via suffix sorting — the
+    suffix-array + adjacent-LCP identity (the maximal LCP over all
+    suffix pairs is attained by lexicographic neighbors): per sampled
+    doc (doc_id mod {_LRS_MOD} — the census grain; the operator itself
+    is per-doc and runs anywhere), sort its suffixes, take the max
+    adjacent LCP capped at {_LRS_CAP} chars. High lrs_len relative to
+    doc length is the internal-duplication signal boilerplate/spam
+    filters act on — the exact-substring complement of q143's
+    Rabin-Karp window census. The oracle rebuilds suffixes with
+    substr/lag and evaluates the same capped prefix comparison, so the
+    Python suffix sort is verified against pure SQL.
+
+    Scale shape: embarrassingly parallel per document inside one
+    Arrow-batched mapInPandas (suffix arrays never leave the task);
+    no shuffle at all until the final doc-grain sort."""
+    import pandas as pd
+
+    d = (t(spark, sf_dir, "documents")
+         .filter((F.col("doc_id") % _LRS_MOD == 0)
+                 & (F.length("text") >= 1))
+         .select("doc_id", "text"))
+
+    def sa(it):
+        for pdf in it:
+            out = []
+            for did, s in zip(pdf["doc_id"], pdf["text"]):
+                if not s:
+                    continue
+                sufs = sorted(s[i:] for i in range(len(s)))
+                best = 0
+                for a, b in zip(sufs, sufs[1:]):
+                    m = min(len(a), len(b), _LRS_CAP)
+                    k = 0
+                    while k < m and a[k] == b[k]:
+                        k += 1
+                    if k > best:
+                        best = k
+                out.append((did, len(s), best))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_suffixes", "lrs_len"])
+
+    return d.mapInPandas(
+        sa, schema="doc_id long, n_suffixes long, lrs_len long"
+    ).orderBy("doc_id")

@@ -319,3 +319,278 @@ def q106_rolling_correlation(spark, sf_dir):
         .select("year", "month_num", F.round(corr, 4).alias("corr_12m"))
         .orderBy("year", "month_num")
     )
+
+
+# --------------------------------------------------------------------- q188
+@register(
+    "q188_tokens_per_dollar",
+    oracle="""
+    WITH tk AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\\s+')) AS nt
+      FROM documents
+    ),
+    s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM tk GROUP BY source),
+    p AS (
+      SELECT source, n_tokens,
+             50 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+                   % 7) * 25 AS pc
+      FROM s),
+    c AS (SELECT source, n_tokens, pc, n_tokens * pc AS cu FROM p),
+    w AS (
+      SELECT source, n_tokens, pc, cu,
+             sum(cu) OVER (ORDER BY pc, source
+                           ROWS UNBOUNDED PRECEDING) AS cum_cu,
+             sum(cu) OVER () AS tot_cu
+      FROM c)
+    SELECT source, n_tokens,
+           CAST((2 * cu + 1000) // 2000 AS DOUBLE) / 100.0 AS cost_usd,
+           CAST((2000000000 + pc) // (2 * pc) AS DOUBLE) / 10000.0
+             AS tokens_per_usd,
+           CAST((2 * cum_cu + 1000) // 2000 AS DOUBLE) / 100.0
+             AS cum_cost_usd,
+           CAST(CASE WHEN 2 * cum_cu <= tot_cu THEN 1 ELSE 0 END
+                AS BIGINT) AS in_budget
+    FROM w ORDER BY tokens_per_usd DESC, source
+    """,
+    tags=("econ", "llm-cost", "selection"),
+)
+def q188_tokens_per_dollar(spark, sf_dir):
+    """Training-data ECONOMICS: each source carries a deterministic
+    price (50 + (source# mod 7)·25 centi-USD per 1k tokens — the kind
+    of per-vendor licensing table a data-acquisition team maintains);
+    the query ranks sources by tokens-per-dollar and marks the greedy
+    half-budget prefix (cumulative cost ≤ 50% of total spend) — the
+    standard knapsack-relaxation answer to "which sources do we keep
+    if the budget halves". Cost arithmetic stays in exact integer
+    centi-token units; the 2dp/4dp conversions use the half-up device.
+
+    Scale shape: token counting is the only corpus scan (map-side
+    combine into source grain); every window runs over the SOURCE
+    domain (20 rows here, thousands at worst), never documents."""
+    from sunat_rree_demo_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    s = (d.select("source", token_count(F.col("text")).alias("nt"))
+         .groupBy("source")
+         .agg(F.sum("nt").cast("bigint").alias("n_tokens")))
+    c = s.withColumn(
+        "pc", F.lit(50) + (F.regexp_extract("source", "([0-9]+)", 1)
+                           .cast("bigint") % 7) * 25) \
+        .withColumn("cu", F.col("n_tokens") * F.col("pc"))
+    tot = c.agg(F.sum("cu").alias("tot_cu"))
+    wc = Window.orderBy("pc", "source") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w = c.withColumn("cum_cu", F.sum("cu").over(wc)) \
+        .join(F.broadcast(tot))
+    return (
+        w.select(
+            "source", "n_tokens",
+            (F.expr("(2 * cu + 1000) div 2000").cast("double") / 100.0)
+            .alias("cost_usd"),
+            (F.expr("(2000000000 + pc) div (2 * pc)").cast("double")
+             / 10000.0).alias("tokens_per_usd"),
+            (F.expr("(2 * cum_cu + 1000) div 2000").cast("double") / 100.0)
+            .alias("cum_cost_usd"),
+            F.when(2 * F.col("cum_cu") <= F.col("tot_cu"), 1).otherwise(0)
+            .cast("bigint").alias("in_budget"),
+        )
+        .orderBy(F.desc("tokens_per_usd"), "source")
+    )
+
+
+# --------------------------------------------------------------------- q192
+@register(
+    "q192_segmented_regression",
+    oracle="""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             (CAST(year(l_shipdate) AS BIGINT) - 1990) * 12
+               + CAST(month(l_shipdate) AS BIGINT) AS x,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                 0) AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM m GROUP BY 1)
+    SELECT nation, n AS n_months,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 2) AS intercept_cents
+    FROM s
+    WHERE n * sxx - sx * sx != 0
+    ORDER BY nation
+    """,
+    tags=("econ", "regression", "trend"),
+)
+def q192_segmented_regression(spark, sf_dir):
+    """Per-segment (nation) OLS trend of monthly supplier revenue —
+    closed-form least squares from five exact-integer sums, the
+    map-reduce-native regression (no iteration, no matrix): slope in
+    cents/month at 6dp, intercept at 2dp. Revenue enters as per-row
+    integer cents (order-free sums); x is the absolute month index
+    rebased to 1990 to keep Σxy within int64 headroom at bench scale
+    (beyond ~1e5 monthly segments the sums step up to decimal(38),
+    same shape).
+
+    Scale shape: one fact scan with map-side combine to (nation,
+    month) grain, then a 25-row nation aggregate; the regression
+    itself is arithmetic on the aggregate row."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    m = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            ((F.year("l_shipdate").cast("bigint") - 1990) * 12
+             + F.month("l_shipdate").cast("bigint")).alias("x"))
+        .agg(F.sum(F.round(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")) * 100, 0)
+                   .cast("bigint")).cast("bigint").alias("y"))
+    )
+    agg = m.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.filter(den != 0)
+        .select(
+            "nation", F.col("n").alias("n_months"),
+            F.round((F.col("n") * F.col("sxy")
+                     - F.col("sx") * F.col("sy")).cast("double")
+                    / den.cast("double"), 6).alias("slope_cents"),
+            F.round((F.col("sy") * F.col("sxx")
+                     - F.col("sx") * F.col("sxy")).cast("double")
+                    / den.cast("double"), 2).alias("intercept_cents"))
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------- q191
+@register(
+    "q191_skyline_suppliers",
+    oracle="""
+    WITH agg AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS qty
+      FROM lineitem GROUP BY 1)
+    SELECT s_suppkey, rev_cents, qty
+    FROM agg a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM agg b
+      WHERE b.rev_cents >= a.rev_cents AND b.qty <= a.qty
+        AND (b.rev_cents > a.rev_cents OR b.qty < a.qty))
+    ORDER BY s_suppkey
+    """,
+    tags=("econ", "skyline", "pareto"),
+)
+def q191_skyline_suppliers(spark, sf_dir):
+    """Supplier efficiency SKYLINE: the Pareto frontier over (revenue
+    MAX, shipped quantity MIN) — "who earns the most while moving the
+    least", the multi-criteria shortlist no single ORDER BY can
+    produce. Measures are exact integer cents/units (order-free sums).
+    The oracle is the textbook NOT EXISTS dominance anti-join (fine at
+    oracle scale); the engine uses the distributive two-phase skyline
+    sweep (operators/analytics.py ``skyline_2d``) — per-partition
+    local skylines, then one pass over the bounded candidate union,
+    never an O(n²) self-join or a data-grain global window."""
+    from sunat_rree_demo_spark.operators.analytics import skyline_2d
+
+    li = t(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum(F.round(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")) * 100, 0)
+                   .cast("bigint")).cast("bigint").alias("rev_cents"),
+             F.sum(F.round("l_quantity", 0).cast("bigint"))
+             .cast("bigint").alias("qty"))
+    )
+    return skyline_2d(agg, "rev_cents", "qty").orderBy("s_suppkey")
+
+
+# --------------------------------------------------------------------- q193
+@register(
+    "q193_recursive_bom",
+    memoize=False,  # per-level frontier counts drive the loop (eager)
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT p_partkey AS child, p_partkey // 2 AS parent,
+             1 + p_partkey % 3 AS q
+      FROM part WHERE p_partkey >= 2
+    ),
+    bom AS (
+      SELECT child AS pk, 1 AS depth, q AS path_qty FROM e WHERE parent = 1
+      UNION ALL
+      SELECT e.child, b.depth + 1, b.path_qty * e.q
+      FROM bom b JOIN e ON e.parent = b.pk
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(path_qty) AS BIGINT) AS total_qty
+    FROM bom GROUP BY 1 ORDER BY 1
+    """,
+    tags=("econ", "recursive", "hierarchy"),
+)
+def q193_recursive_bom(spark, sf_dir):
+    """RECURSIVE bill-of-materials explosion — the WITH RECURSIVE shape
+    Spark SQL lacks, expressed as the standard iterative frontier
+    expansion: the part hierarchy (child p hangs under p div 2 with
+    per-edge quantity 1 + p mod 3 — a deterministic binary assembly
+    tree over the real part keys), exploded from root part 1 with
+    multiplied path quantities, reduced to per-depth census rows.
+
+    Scale shape: the edge table is part-grain and persisted once; each
+    of the ≤ log2(max partkey) rounds is one equi-join of the previous
+    frontier against it (frontiers are checkpointed so plans stay
+    flat, the q61/q68 iterative-convergence policy), and the loop
+    stops on an empty frontier — depth is LOG-bounded in the part
+    count, so 100× data adds ~7 rounds. Path quantities are ≤ 3^depth
+    < int64 at any realistic key range."""
+    part = t(spark, sf_dir, "part")
+    e = (part.filter(F.col("p_partkey") >= 2)
+         .select(F.col("p_partkey").alias("child"),
+                 (F.col("p_partkey") / 2).cast("bigint").alias("parent"),
+                 (1 + F.col("p_partkey") % 3).cast("bigint").alias("q"))
+         .persist())
+    frontier = (e.filter(F.col("parent") == 1)
+                .select(F.col("child").alias("pk"),
+                        F.lit(1).cast("bigint").alias("depth"),
+                        F.col("q").alias("path_qty"))
+                .localCheckpoint())
+    levels = [frontier]
+    while frontier.limit(1).count() > 0:
+        frontier = (
+            e.join(frontier.select(F.col("pk").alias("parent"),
+                                   "depth", "path_qty"), "parent")
+            .select(F.col("child").alias("pk"),
+                    (F.col("depth") + 1).alias("depth"),
+                    (F.col("path_qty") * F.col("q")).alias("path_qty"))
+            .localCheckpoint()
+        )
+        levels.append(frontier)
+    bom = levels[0]
+    for lv in levels[1:]:
+        bom = bom.unionByName(lv)
+    return (
+        bom.groupBy("depth")
+        .agg(F.count("*").cast("bigint").alias("n_parts"),
+             F.sum("path_qty").cast("bigint").alias("total_qty"))
+        .orderBy("depth")
+    )

@@ -702,3 +702,51 @@ def q175_session_error_overlap(spark, sf_dir):
              .cast("bigint").alias("n_burst_pairs"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------- q194
+@register(
+    "q194_window_dedup_rank",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST((2 * sum(CAST(round(value * 10000, 0) AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+             AS avg_value
+    FROM r WHERE rn = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("events", "dedup", "window-rank"),
+)
+def q194_window_dedup_rank(spark, sf_dir):
+    """Keep-latest WINDOW DEDUP — the CDC/changelog compaction every
+    event pipeline runs before analytics: one survivor per (user,
+    event_type) chosen by (ts, event_id) recency, then a per-type
+    profile of the survivors (count + half-up 4dp mean value). The
+    (event_id) tiebreak makes the survivor SET deterministic under
+    same-timestamp bursts.
+
+    Scale shape: the ranking window is partitioned on the dedup key —
+    one hash shuffle of the facts, no global ordering; at 100 TB this
+    is the same plan as a MAX_BY-per-key aggregate but keeps the full
+    surviving row without a second self-join."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+    kept = (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (
+        kept.withColumn("vu", F.round(F.col("value") * 10000, 0)
+                        .cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_kept"),
+             (F.expr("(2 * sum(vu) + count(*)) div (2 * count(*))")
+              .cast("double") / 10000.0).alias("avg_value"))
+        .orderBy("event_type")
+    )

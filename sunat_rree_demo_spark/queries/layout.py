@@ -96,3 +96,62 @@ def q107_zorder_stats(spark, sf_dir):
              .alias("day_span"))
         .orderBy("zbucket")
     )
+
+
+# --------------------------------------------------------------------- q195
+_BM_SOURCES = ("src1", "src3", "src5", "src7")
+
+
+@register(
+    "q195_bitmap_index_intersect",
+    oracle=f"""
+    WITH b1 AS (
+      SELECT lang, doc_id // 63 AS word,
+             bit_or(1::BIGINT << CAST(doc_id % 63 AS INT)) AS m
+      FROM documents GROUP BY 1, 2
+    ),
+    b2 AS (
+      SELECT doc_id // 63 AS word,
+             bit_or(1::BIGINT << CAST(doc_id % 63 AS INT)) AS m
+      FROM documents
+      WHERE source IN {_BM_SOURCES!r}
+      GROUP BY 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(b1.m & b2.m)) AS BIGINT) AS n_docs
+    FROM b1 JOIN b2 USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("layout", "bitmap-index", "set-intersection"),
+)
+def q195_bitmap_index_intersect(spark, sf_dir):
+    """BITMAP-INDEX set intersection: doc-id membership per predicate
+    value packed into 63-bit words (word = id div 63, bit = id mod 63 —
+    63 keeps every mask positive in signed int64 on both engines), one
+    bitmap per language and one for a source whitelist; the conjunctive
+    count comes from joining word-aligned bitmaps and popcounting the
+    AND — the Roaring/word-aligned-hybrid device warehouses use for
+    multi-predicate filters without rescanning the fact table.
+
+    Scale shape: each bitmap build is one map-side-combined groupBy
+    (output 63× smaller than the id list); the intersection joins on
+    the word key only — at 100 TB the AND+popcount touches bitmap
+    words, never documents. The companion test pins bitmap counts ==
+    direct predicate counts."""
+    d = t(spark, sf_dir, "documents")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 63 AS INT))")
+    word = (F.col("doc_id") / 63).cast("bigint").alias("word")
+    b1 = (d.select("lang", word, mask.alias("mk"))
+          .groupBy("lang", "word").agg(F.bit_or("mk").alias("m1")))
+    b2 = (d.filter(F.col("source").isin(*_BM_SOURCES))
+          .select(word, mask.alias("mk"))
+          .groupBy("word").agg(F.bit_or("mk").alias("m2")))
+    return (
+        b1.join(b2, "word")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_words"),
+             F.sum(F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))))
+             .cast("bigint").alias("n_docs"))
+        .orderBy("lang")
+    )

@@ -85,3 +85,103 @@ def q135_count_min_sketch(spark, sf_dir):
                 (F.col("cms_est") - F.col("n_exact")).alias("overestimate"))
         .orderBy(F.desc("n_exact"), "term")
     )
+
+
+# --------------------------------------------------------------------- q189
+@register(
+    "q189_quantile_sketch_merge",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag AS scope,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 10000
+               AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT scope, bin, c FROM h
+      UNION ALL
+      SELECT 'ALL', bin, CAST(sum(c) AS BIGINT) FROM h GROUP BY 2
+    ),
+    cum AS (
+      SELECT scope, bin, c,
+             sum(c) OVER (PARTITION BY scope ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY scope) AS n
+      FROM m
+    ),
+    q AS (SELECT * FROM (VALUES (1, 2, 'p50'), (9, 10, 'p90'),
+                                (99, 100, 'p99')) t(qn, qd, qname)),
+    hit AS (
+      SELECT scope, qname, min(bin) AS bin
+      FROM cum, q
+      WHERE cum >= (n * qn + qd - 1) // qd
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c2.scope, h2.qname,
+             c2.bin * 10000
+               + (((c2.n * q.qn + q.qd - 1) // q.qd
+                   - (c2.cum - c2.c)) * 10000) // c2.c AS est_cents
+      FROM hit h2
+      JOIN cum c2 ON h2.scope = c2.scope AND h2.bin = c2.bin
+      JOIN q ON q.qname = h2.qname
+    )
+    SELECT scope, qname AS quantile,
+           CAST(est_cents AS DOUBLE) / 100.0 AS est_usd
+    FROM est ORDER BY scope, quantile
+    """,
+    tags=("sketch", "quantile", "mergeable"),
+)
+def q189_quantile_sketch_merge(spark, sf_dir):
+    """MERGEABLE QUANTILE SKETCH (equi-width histogram family): each
+    return-flag partition builds its own $100-bin histogram of
+    extended price, the 'ALL' scope is the MERGE (bin-wise count sum —
+    the property that makes the sketch distributable: partials combine
+    map-side, shards combine by addition), and p50/p90/p99 come from
+    the cumulative counts with exact-integer uniform interpolation
+    inside the hit bin (ceil-rank, floor interpolation — every engine
+    reproduces it bit-for-bit, unlike t-digest centroids).
+
+    Scale shape: one fact scan → (scope, bin) partials with map-side
+    combine (bin domain is price-range/100 ≈ 1k rows, data-independent)
+    — the cumulative window runs over that bounded bin domain, never
+    rows. At 100 TB the same two-level merge handles per-executor then
+    per-shard combination with no extra machinery."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    h = (li.groupBy(
+            F.col("l_returnflag").alias("scope"),
+            (F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+             / 10000).cast("bigint").alias("bin"))
+         .agg(F.count("*").cast("bigint").alias("c")))
+    merged = h.unionByName(
+        h.groupBy("bin").agg(F.sum("c").cast("bigint").alias("c"))
+        .select(F.lit("ALL").alias("scope"), "bin", "c"))
+    wc = Window.partitionBy("scope").orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("scope")
+    cum = (merged.withColumn("cum", F.sum("c").over(wc))
+           .withColumn("n", F.sum("c").over(wn)))
+    qs = spark.createDataFrame(
+        [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")],
+        "qn long, qd long, qname string")
+    probe = cum.crossJoin(F.broadcast(qs)) \
+        .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
+    hit = (probe.filter(F.col("cum") >= F.col("r"))
+           .groupBy("scope", "qname").agg(F.min("bin").alias("bin")))
+    est = (
+        hit.join(cum, ["scope", "bin"])
+        .join(F.broadcast(qs), "qname")
+        .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
+        .withColumn("est_cents",
+                    F.col("bin") * 10000
+                    + F.expr("((r - (cum - c)) * 10000) div c"))
+    )
+    return (
+        est.select("scope", F.col("qname").alias("quantile"),
+                   (F.col("est_cents").cast("double") / 100.0)
+                   .alias("est_usd"))
+        .orderBy("scope", "quantile")
+    )

@@ -74,3 +74,82 @@ def test_q186_stats_survive_arbitrary_partitioning(spark):
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert rows == frag and rows
+
+
+def test_q187_bucketed_self_join_no_exchange(spark, tmp_path):
+    """The full-corpus band table self-join (q187's candidate path)
+    plans bucket-aligned: no Exchange on either side even with
+    broadcast off."""
+    import shutil
+
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        write_bucketed_bands,
+        write_minhash_index,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    root = str(tmp_path / "idx")
+    write_minhash_index(load_table(spark, SF_SMOKE, "documents"), root)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS xc_all")
+    shutil.rmtree(f"{warehouse}/xc_all", ignore_errors=True)
+    write_bucketed_bands(spark, root, "xc_all")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bands = spark.table("xc_all")
+        a = bands.select("band", "bucket", F.col("doc_id").alias("id1"))
+        b = bands.select("band", "bucket", F.col("doc_id").alias("id2"))
+        cand = (a.join(b, ["band", "bucket"])
+                .filter(F.col("id1") < F.col("id2"))
+                .select("id1", "id2").distinct())
+        plan = plan_of(cand)
+        assert "Bucketed: true" in plan
+        # the candidate JOIN must not shuffle on (band, bucket); the
+        # final distinct legitimately exchanges at pair grain
+        assert "Exchange hashpartitioning(band" not in plan
+        joined_section = plan.split("HashAggregate")[0]
+        assert "Exchange" not in joined_section.split("Join")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q195_bitmap_counts_equal_direct_counts(spark):
+    """The word-aligned bitmap AND+popcount must equal the direct
+    two-predicate count per language — semantic correctness of the
+    bitmap encoding, independent of the oracle parity."""
+    from sunat_rree_demo_spark.queries import REGISTRY
+    from sunat_rree_demo_spark.queries.layout import _BM_SOURCES
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    got = {r.lang: r.n_docs
+           for r in REGISTRY["q195_bitmap_index_intersect"]
+           .fn(spark, SF_SMOKE).collect()}
+    d = load_table(spark, SF_SMOKE, "documents")
+    direct = {r.lang: r.n
+              for r in d.filter(F.col("source").isin(*_BM_SOURCES))
+              .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # bitmap rows exist for every lang sharing a word with the source
+    # set; langs with zero overlap must report 0, absent langs none
+    for lang, n in direct.items():
+        assert got.get(lang, 0) == n, lang
+    for lang, n in got.items():
+        assert direct.get(lang, 0) == n, lang
+
+
+def test_skyline_matches_bruteforce(spark):
+    """skyline_2d against a brute-force dominance filter on a frame
+    with deliberate ties in each dimension and full-duplicate rows."""
+    from sunat_rree_demo_spark.operators.analytics import skyline_2d
+
+    rows = [(1, 10, 5), (2, 10, 5), (3, 10, 7), (4, 12, 9),
+            (5, 8, 3), (6, 8, 3), (7, 12, 5), (8, 7, 3), (9, 1, 1)]
+    df = spark.createDataFrame(rows, "id long, hi long, lo long")
+    got = {r.id for r in skyline_2d(df, "hi", "lo").collect()}
+    brute = {
+        a[0] for a in rows
+        if not any(b[1] >= a[1] and b[2] <= a[2]
+                   and (b[1] > a[1] or b[2] < a[2]) for b in rows)
+    }
+    assert got == brute

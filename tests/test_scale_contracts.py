@@ -204,6 +204,11 @@ _EAGER_BUILDERS = {
     # r6: q185 materializes two on-disk index generations + bucketed
     # band tables at first touch (session-memoized thereafter)
     "q185_index_join_candidates",
+    # q187 likewise: full-corpus index + bucketed band table at first
+    # touch, then the session-memoized candidate frame
+    "q187_bucketed_minhash_join",
+    # q193's frontier loop counts each level (log-bounded rounds)
+    "q193_recursive_bom",
 }
 
 
