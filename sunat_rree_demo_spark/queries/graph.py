@@ -236,3 +236,105 @@ def q177_copurchase_communities(spark, sf_dir):
         .filter(F.col("n_members") >= 2)
         .orderBy(F.desc("n_members"), "community")
     )
+
+
+# --------------------------------------------------------------------- q197
+_PR_ROUNDS = 5
+_PR_EDGE_SQL = """
+    e AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY 1),
+    r0 AS (SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS r
+           FROM nation)"""
+
+
+def _pagerank_oracle_sql(rounds: int = _PR_ROUNDS) -> str:
+    """Unrolled integer PageRank rounds as CTEs (the q167 unrolled-
+    Lloyd device): every engine computes identical int64 quotients."""
+    ctes = [_PR_EDGE_SQL]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+    c{k} AS (
+      SELECT e.dst AS node,
+             CAST(sum((p.r * e.w) // ow.tw) AS BIGINT) AS c
+      FROM e JOIN ow USING (src) JOIN r{k - 1} p ON p.node = e.src
+      GROUP BY 1
+    ),
+    r{k} AS (
+      SELECT p.node,
+             CAST(150000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+      FROM r{k - 1} p LEFT JOIN c{k} c USING (node)
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT n.n_name AS nation, r.r AS rank_micro
+    FROM r{rounds} r JOIN nation n ON r.node = n.n_nationkey
+    ORDER BY rank_micro DESC, nation
+    """
+
+
+@register(
+    "q197_pagerank_nations",
+    oracle=_pagerank_oracle_sql(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def q197_pagerank_nations(spark, sf_dir):
+    """Weighted PAGERANK over the nation trade graph (supplier nation →
+    customer nation, edge weight = line count), 5 damped
+    power-iteration rounds in EXACT int64 micro-units: contribution
+    floor(r·w / out_weight), update 0.15 + 0.85·Σ as integer quotients —
+    bit-reproducible on every engine and partitioning (the q167
+    unrolled-Lloyd verification device applied to graph iteration).
+    Dangling nodes keep the 0.15 floor (mass leak documented — the
+    standard simplified formulation).
+
+    Scale shape: ONE fact scan builds the edge aggregate (map-side
+    combine to src×dst grain — node²-bounded, tiny); every round is a
+    join + aggregate at edge/node grain, lazily composed (no per-round
+    actions, builder stays pure, plan depth = rounds). At 100 TB the
+    fact scan dominates; iteration cost is independent of fact volume.
+    At web-graph node counts the same loop runs with the node frame
+    persisted per round (the q61/q68 policy) — here frames are
+    25 rows."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("src"),
+                 F.col("c_nationkey").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    ow = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("tw"))
+    ew = e.join(ow, "src")
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    r = nodes.withColumn("r", F.lit(1000000).cast("bigint"))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            ew.join(r.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("(r * w) div tw").alias("ct"))
+            .groupBy("node").agg(F.sum("ct").alias("c"))
+        )
+        r = (nodes.join(contrib, "node", "left")
+             .select("node",
+                     (F.lit(150000)
+                      + F.expr("(85 * coalesce(c, CAST(0 AS BIGINT))) "
+                               "div 100")).cast("bigint").alias("r")))
+    return (
+        r.join(F.broadcast(n), r.node == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.col("r").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "nation")
+    )

@@ -155,3 +155,126 @@ def q195_bitmap_index_intersect(spark, sf_dir):
              .cast("bigint").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------- q196
+_BLOOM_WORDS = 64                 # m = 64*63 = 4032 bits
+_BLOOM_K = 3                      # hash functions
+_BLOOM_M = _BLOOM_WORDS * 63
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    """DuckDB: i-th bloom position of a key (28-bit sha prefix mod m —
+    the repo's engine-independent hash device)."""
+    return (f"(('0x' || substr(sha256({key_expr} || '#{i}'), 1, 7))"
+            f"::BIGINT % {_BLOOM_M})")
+
+
+@register(
+    "q196_bloom_filter_join",
+    oracle=f"""
+    WITH urgent AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bloom AS (
+      SELECT pos // 63 AS word,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS m
+      FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql("CAST(o_orderkey AS VARCHAR)", i) for i in range(_BLOOM_K))}]) AS pos
+        FROM urgent)
+      GROUP BY 1
+    ),
+    probe AS (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem
+    ),
+    pp AS (
+      SELECT k, unnest([{", ".join(_bloom_pos_sql("CAST(k AS VARCHAR)", i) for i in range(_BLOOM_K))}]) AS pos
+      FROM probe
+    ),
+    hits AS (
+      SELECT pp.k,
+             min(CASE WHEN b.m IS NOT NULL
+                       AND (b.m >> CAST(pos % 63 AS INT)) & 1 = 1
+                 THEN 1 ELSE 0 END) AS ok
+      FROM pp LEFT JOIN bloom b ON pos // 63 = b.word
+      GROUP BY 1
+    ),
+    flagged AS (
+      SELECT o.o_orderpriority AS priority, h.ok,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS mem
+      FROM hits h
+      JOIN orders o ON h.k = o.o_orderkey
+      LEFT JOIN urgent u ON h.k = u.o_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(ok) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(mem) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN ok = 1 AND mem = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flagged GROUP BY 1 ORDER BY 1
+    """,
+    tags=("layout", "bloom-filter", "semi-join"),
+)
+def q196_bloom_filter_join(spark, sf_dir):
+    """BLOOM-FILTER SEMI-JOIN, fully deterministic: the urgent-order
+    key set builds a {_BLOOM_K}-hash, {_BLOOM_M}-bit filter (63-bit
+    words, positions from the repo's 28-bit sha device — identical on
+    every engine, unlike Spark's native murmur-based runtime filter);
+    probing the fact's distinct keys classifies each as bloom-pass or
+    reject, and the exact membership join quantifies FALSE POSITIVES
+    per order priority — the table you read before sizing a real
+    runtime filter (Spark's own bloom pushdown does this invisibly;
+    here the mechanism itself is a queryable, engine-portable object).
+
+    Scale shape: the filter is {_BLOOM_WORDS} words regardless of
+    corpus size — it broadcasts; probe cost is {_BLOOM_K} map-side
+    lookups per DISTINCT key; nothing pairwise, nothing corpus-grain
+    beyond the one distinct()."""
+    from sunat_rree_demo_spark.operators.dedup import base_hash_col
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey").distinct())
+
+    def positions(key_col):
+        return F.array(*[
+            base_hash_col(F.concat(key_col.cast("string"),
+                                   F.lit(f"#{i}"))) % _BLOOM_M
+            for i in range(_BLOOM_K)])
+
+    bloom = (urgent.select(F.explode(positions(F.col("o_orderkey")))
+                           .alias("pos"))
+             .select((F.col("pos") / 63).cast("bigint").alias("word"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pos % 63 AS INT))").alias("mk"))
+             .groupBy("word").agg(F.bit_or("mk").alias("m")))
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    pp = probe.select("k", F.explode(positions(F.col("k"))).alias("pos")) \
+        .withColumn("word", (F.col("pos") / 63).cast("bigint"))
+    hits = (
+        pp.join(F.broadcast(bloom), "word", "left")
+        .withColumn("hit", F.when(
+            F.col("m").isNotNull()
+            & (F.expr("(m >> CAST(pos % 63 AS INT)) & 1") == 1), 1)
+            .otherwise(0))
+        .groupBy("k").agg(F.min("hit").alias("ok"))
+    )
+    flagged = (
+        hits.join(o.select(F.col("o_orderkey").alias("k"),
+                           F.col("o_orderpriority").alias("priority")), "k")
+        .join(urgent.select(F.col("o_orderkey").alias("k"),
+                            F.lit(1).alias("mem")), "k", "left")
+        .withColumn("mem", F.coalesce("mem", F.lit(0)))
+    )
+    return (
+        flagged.groupBy("priority")
+        .agg(F.count("*").cast("bigint").alias("n_keys"),
+             F.sum("ok").cast("bigint").alias("n_bloom_pass"),
+             F.sum("mem").cast("bigint").alias("n_members"),
+             F.sum(F.when((F.col("ok") == 1) & (F.col("mem") == 0), 1)
+                   .otherwise(0)).cast("bigint").alias("n_false_pos"))
+        .orderBy("priority")
+    )
