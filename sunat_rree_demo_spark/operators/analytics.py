@@ -125,10 +125,16 @@ def pareto_frontier_2d(df: DataFrame, group_col: str,
 
 
 def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
-    """Pareto frontier / SKYLINE (Börzsönyi et al., ICDE'01) over two
-    criteria: keep rows where no other row is ≥ on ``max_col`` AND ≤ on
-    ``min_col`` with at least one strict inequality. Ties on both
-    dimensions survive together (neither dominates).
+    """GLOBAL Pareto frontier / SKYLINE (Börzsönyi et al., ICDE'01)
+    over two criteria: keep rows where no other row is ≥ on ``max_col``
+    AND ≤ on ``min_col`` with at least one strict inequality. Ties on
+    both dimensions survive together (neither dominates).
+
+    Complement of ``pareto_frontier_2d`` below: that one computes
+    PER-GROUP frontiers with a group-partitioned window sweep (q131);
+    this one answers the UNGROUPED question, where the window form
+    would be a data-grain single-partition sort — instead it exploits
+    distributivity.
 
     Scale design — skyline is DISTRIBUTIVE: skyline(A ∪ B) =
     skyline(skyline(A) ∪ skyline(B)), so phase 1 computes each

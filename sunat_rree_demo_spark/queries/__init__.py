@@ -86,7 +86,7 @@ _R6_NEW = (
     "q190_suffix_array_lcp_dups", "q191_skyline_suppliers",
     "q192_segmented_regression", "q193_recursive_bom",
     "q194_window_dedup_rank", "q195_bitmap_index_intersect",
-    "q196_bloom_filter_join", "q197_pagerank_nations",
+    "q196_bloom_filter_join", "q197_personalized_pagerank",
 )
 # longest-unchecked driver-green queries (last seen r03), plan-changed first
 _R6_FILLERS = (

@@ -510,7 +510,11 @@ def q191_skyline_suppliers(spark, sf_dir):
     oracle scale); the engine uses the distributive two-phase skyline
     sweep (operators/analytics.py ``skyline_2d``) — per-partition
     local skylines, then one pass over the bounded candidate union,
-    never an O(n²) self-join or a data-grain global window."""
+    never an O(n²) self-join or a data-grain global window. GLOBAL
+    complement of q131's per-brand frontier: without a partition key,
+    q131's window sweep (``pareto_frontier_2d``) would single-
+    partition the whole relation — this is the shape that scales
+    instead."""
     from sunat_rree_demo_spark.operators.analytics import skyline_2d
 
     li = t(spark, sf_dir, "lineitem")

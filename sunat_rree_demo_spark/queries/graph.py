@@ -240,7 +240,8 @@ def q177_copurchase_communities(spark, sf_dir):
 
 # --------------------------------------------------------------------- q197
 _PR_ROUNDS = 5
-_PR_EDGE_SQL = """
+_PPR_SEED_REGION = "AMERICA"
+_PR_EDGE_SQL = f"""
     e AS (
       SELECT s_nationkey AS src, c_nationkey AS dst,
              CAST(count(*) AS BIGINT) AS w
@@ -251,13 +252,19 @@ _PR_EDGE_SQL = """
       GROUP BY 1, 2
     ),
     ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY 1),
-    r0 AS (SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS r
-           FROM nation)"""
+    seed AS (
+      SELECT n_nationkey AS node,
+             CASE WHEN r_name = '{_PPR_SEED_REGION}' THEN 1 ELSE 0 END
+               AS is_seed
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    r0 AS (SELECT node, CAST(1000000 * is_seed AS BIGINT) AS r FROM seed)"""
 
 
-def _pagerank_oracle_sql(rounds: int = _PR_ROUNDS) -> str:
-    """Unrolled integer PageRank rounds as CTEs (the q167 unrolled-
-    Lloyd device): every engine computes identical int64 quotients."""
+def _ppr_oracle_sql(rounds: int = _PR_ROUNDS) -> str:
+    """Unrolled integer personalized-PageRank rounds as CTEs (the q167
+    unrolled-Lloyd device): every engine computes identical int64
+    quotients."""
     ctes = [_PR_EDGE_SQL]
     for k in range(1, rounds + 1):
         ctes.append(f"""
@@ -268,32 +275,39 @@ def _pagerank_oracle_sql(rounds: int = _PR_ROUNDS) -> str:
       GROUP BY 1
     ),
     r{k} AS (
-      SELECT p.node,
-             CAST(150000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
-      FROM r{k - 1} p LEFT JOIN c{k} c USING (node)
+      SELECT s.node,
+             CAST(150000 * s.is_seed + (85 * COALESCE(c.c, 0)) // 100
+                  AS BIGINT) AS r
+      FROM seed s LEFT JOIN c{k} c USING (node)
     )""")
     return f"""
     WITH {",".join(ctes)}
-    SELECT n.n_name AS nation, r.r AS rank_micro
-    FROM r{rounds} r JOIN nation n ON r.node = n.n_nationkey
+    SELECT n.n_name AS nation, s.is_seed = 1 AS in_seed,
+           r.r AS rank_micro
+    FROM r{rounds} r
+    JOIN seed s ON r.node = s.node
+    JOIN nation n ON r.node = n.n_nationkey
     ORDER BY rank_micro DESC, nation
     """
 
 
 @register(
-    "q197_pagerank_nations",
-    oracle=_pagerank_oracle_sql(),
-    tags=("graph", "pagerank", "iterative"),
+    "q197_personalized_pagerank",
+    oracle=_ppr_oracle_sql(),
+    tags=("graph", "pagerank", "personalized", "iterative"),
 )
-def q197_pagerank_nations(spark, sf_dir):
-    """Weighted PAGERANK over the nation trade graph (supplier nation →
-    customer nation, edge weight = line count), 5 damped
-    power-iteration rounds in EXACT int64 micro-units: contribution
-    floor(r·w / out_weight), update 0.15 + 0.85·Σ as integer quotients —
-    bit-reproducible on every engine and partitioning (the q167
-    unrolled-Lloyd verification device applied to graph iteration).
-    Dangling nodes keep the 0.15 floor (mass leak documented — the
-    standard simplified formulation).
+def q197_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PageRank / random-walk-with-restart over the
+    nation trade-volume graph (supplier nation -> customer nation,
+    edge weight = line count): the teleport vector is the AMERICA-
+    region seed set, so ranks answer "which nations does trade mass
+    flow to FROM the Americas" — the recommendation/expansion query
+    (Page et al. 1999 §6; RWR in graph recsys), distinct from q104's
+    global PageRank both in formulation (restart to a seed set, not
+    uniform) and in weighting (line counts vs trade value). 5 damped
+    rounds in EXACT int64 micro-units: contribution floor(r·w/out_w),
+    update 0.15·seed + 0.85·Σ as integer quotients — bit-reproducible
+    on every engine and partitioning.
 
     Scale shape: ONE fact scan builds the edge aggregate (map-side
     combine to src×dst grain — node²-bounded, tiny); every round is a
@@ -308,6 +322,7 @@ def q197_pagerank_nations(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
+    rg = t(spark, sf_dir, "region")
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -318,8 +333,13 @@ def q197_pagerank_nations(spark, sf_dir):
     )
     ow = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("tw"))
     ew = e.join(ow, "src")
-    nodes = n.select(F.col("n_nationkey").alias("node"))
-    r = nodes.withColumn("r", F.lit(1000000).cast("bigint"))
+    seed = (n.join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+            .select(F.col("n_nationkey").alias("node"),
+                    F.when(F.col("r_name") == _PPR_SEED_REGION, 1)
+                    .otherwise(0).alias("is_seed")))
+    r = seed.select(
+        "node", (F.lit(1000000) * F.col("is_seed")).cast("bigint")
+        .alias("r"))
     for _ in range(_PR_ROUNDS):
         contrib = (
             ew.join(r.withColumnRenamed("node", "src"), "src")
@@ -327,14 +347,16 @@ def q197_pagerank_nations(spark, sf_dir):
                     F.expr("(r * w) div tw").alias("ct"))
             .groupBy("node").agg(F.sum("ct").alias("c"))
         )
-        r = (nodes.join(contrib, "node", "left")
+        r = (seed.join(contrib, "node", "left")
              .select("node",
-                     (F.lit(150000)
+                     (F.lit(150000) * F.col("is_seed")
                       + F.expr("(85 * coalesce(c, CAST(0 AS BIGINT))) "
                                "div 100")).cast("bigint").alias("r")))
     return (
-        r.join(F.broadcast(n), r.node == n.n_nationkey)
+        r.join(F.broadcast(seed), "node")
+        .join(F.broadcast(n), r.node == n.n_nationkey)
         .select(F.col("n_name").alias("nation"),
+                (F.col("is_seed") == 1).alias("in_seed"),
                 F.col("r").alias("rank_micro"))
         .orderBy(F.desc("rank_micro"), "nation")
     )
