@@ -1,0 +1,205 @@
+"""Bloom-GATED streaming exact dedup: the at-scale ingest pattern where
+an approximate membership filter fronts the exact digest store so most
+genuinely-new documents never touch it.
+
+Per micro-batch:
+
+1. digest each doc (sha-256 of the content) and keep the min-id row per
+   digest WITHIN the batch;
+2. probe the accumulated Bloom filter (63-bit-word masks, positions from
+   the repo's engine-independent sha device — q196's filter as mutable
+   streaming state): any missing bit ⇒ DEFINITELY new, kept with no
+   exact lookup;
+3. only the bloom-positive remainder ("maybe") anti-joins the exact
+   committed digest store — the expensive membership join runs on the
+   (false positives + true dups) subset, not the batch;
+4. kept rows, their digests, per-batch gate stats, and the batch's new
+   bloom words are written to per-batch partitions; the bloom partition
+   is written LAST, so its ``_SUCCESS`` is the commit marker.
+
+EXACTNESS: the bloom is purely a routing gate — a false positive only
+costs one exact-store lookup, never a wrong drop — so the drained kept
+set equals batch ``operators.dedup.exact_dedup`` row-for-row when files
+arrive in ascending-id order (pinned by tests/test_bloom_stream.py,
+which also pins that false positives occurred and were caught). The
+accumulated filter is the bit_or of committed per-batch word masks —
+bitmap merge is associative/idempotent, which is what makes per-batch
+masks the exactly-once-friendly state representation.
+
+Exactly-once: a committed batch id short-circuits; a crash replay
+recomputes identical partitions (probes read committed state only) and
+overwrites them byte-identically — same protocol as the cms/novelty
+streams.
+
+Scale: the filter is O(words) regardless of corpus size and broadcasts;
+the digest store is touched only by the maybe subset (broadcast-sized
+per batch). When the store outgrows a plain scan, bucket it on the
+digest (operators.dedup_index's layout) so the anti-join prunes to
+matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sunat_rree_demo_spark.operators.dedup import base_hash_col
+from sunat_rree_demo_spark.operators.dedup_index import (
+    _hadoop_fs,
+    clear_commit_marker,
+)
+
+BATCH_COL = "batch_id"
+BLOOM_WORDS = 256                   #: m = 256·63 = 16128 bits
+BLOOM_K = 3                         #: hash functions
+BLOOM_M = BLOOM_WORDS * 63
+
+
+def bloom_batch_committed(spark: SparkSession, store_path: str,
+                          batch_id: int) -> bool:
+    fs, marker = _hadoop_fs(
+        spark, f"{store_path}/bloom/{BATCH_COL}={batch_id}/_SUCCESS")
+    return fs.exists(marker)
+
+
+def _committed_dirs(spark: SparkSession, store_path: str,
+                    table: str) -> list[str]:
+    fs, jroot = _hadoop_fs(spark, f"{store_path}/{table}")
+    out = []
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(f"{BATCH_COL}=")):
+                continue
+            if bloom_batch_committed(spark, store_path,
+                                     int(name.split("=", 1)[1])):
+                out.append(f"{store_path}/{table}/{name}")
+    return out
+
+
+def _positions(dg_col):
+    """The BLOOM_K word/bit positions of a digest column."""
+    return F.array(*[
+        base_hash_col(F.concat(dg_col, F.lit(f"#{i}"))) % BLOOM_M
+        for i in range(BLOOM_K)])
+
+
+def current_bloom(spark: SparkSession, store_path: str) -> DataFrame:
+    """(word, m): bit_or merge of every committed batch's masks."""
+    dirs = _committed_dirs(spark, store_path, "bloom")
+    if not dirs:
+        return spark.createDataFrame([], "word bigint, m bigint")
+    return (spark.read.parquet(*dirs)
+            .groupBy("word").agg(F.bit_or("m").alias("m")))
+
+
+def committed_digests(spark: SparkSession, store_path: str) -> DataFrame:
+    dirs = _committed_dirs(spark, store_path, "digests")
+    if not dirs:
+        return spark.createDataFrame([], "dg string")
+    return spark.read.parquet(*dirs).select("dg")
+
+
+def process_bloom_batch(spark: SparkSession, batch_df: DataFrame,
+                        batch_id: int, store_path: str,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
+    """One idempotent micro-batch of the bloom-gated dedup."""
+    if bloom_batch_committed(spark, store_path, batch_id):
+        return
+    uniq = (
+        batch_df.select(F.col(id_col),
+                        F.sha2(F.col(text_col), 256).alias("dg"))
+        .groupBy("dg").agg(F.min(id_col).alias(id_col))
+        .localCheckpoint()  # feeds the probe, stats, and both writes
+    )
+    n_docs = batch_df.count()
+    bloom = current_bloom(spark, store_path)
+    probed = (
+        uniq.select("dg", F.explode(_positions(F.col("dg"))).alias("pos"))
+        .withColumn("word", (F.col("pos") / 63).cast("bigint"))
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn("hit", F.when(
+            F.col("m").isNotNull()
+            & (F.expr("(m >> CAST(pos % 63 AS INT)) & 1") == 1), 1)
+            .otherwise(0))
+        .groupBy("dg").agg(F.min("hit").alias("all_hit"))
+        .localCheckpoint()  # routing decision read by three branches
+    )
+    definite_new = uniq.join(probed.filter("all_hit = 0"), "dg", "left_semi")
+    maybe = uniq.join(probed.filter("all_hit = 1"), "dg", "left_semi")
+    n_maybe = maybe.count()
+    if n_maybe:
+        # the ONLY path that touches the exact store
+        new_of_maybe = maybe.join(
+            committed_digests(spark, store_path), "dg", "left_anti")
+    else:
+        new_of_maybe = maybe  # empty: store never read
+    kept = definite_new.unionByName(new_of_maybe).localCheckpoint()
+    n_kept = kept.count()
+    n_definite = definite_new.count()
+    # bloom said "maybe seen" but the exact store said new -> these
+    # survivors are precisely the filter's false positives
+    n_false_pos = n_kept - n_definite
+    stats = spark.createDataFrame(
+        [(batch_id, n_docs, uniq.count(), n_definite, n_maybe,
+          n_false_pos, n_kept)],
+        "batch_id long, n_docs long, n_unique long, n_definite_new long, "
+        "n_maybe long, n_false_pos long, n_kept long")
+    (stats.write.mode("overwrite")
+     .parquet(f"{store_path}/stats/{BATCH_COL}={batch_id}"))
+    (kept.write.mode("overwrite")
+     .parquet(f"{store_path}/kept/{BATCH_COL}={batch_id}"))
+    (kept.select("dg").write.mode("overwrite")
+     .parquet(f"{store_path}/digests/{BATCH_COL}={batch_id}"))
+    clear_commit_marker(spark, f"{store_path}/bloom/{BATCH_COL}={batch_id}")
+    (kept.select(F.explode(_positions(F.col("dg"))).alias("pos"))
+     .select((F.col("pos") / 63).cast("bigint").alias("word"),
+             F.expr("shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(pos % 63 AS INT))").alias("mk"))
+     .groupBy("word").agg(F.bit_or("mk").alias("m"))
+     .write.mode("overwrite")
+     .parquet(f"{store_path}/bloom/{BATCH_COL}={batch_id}"))
+
+
+def run_bloom_dedup_stream(spark: SparkSession, docs_stream: DataFrame,
+                           store_path: str, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           timeout: int = 300) -> None:
+    """Drain the stream through ``process_bloom_batch`` (availableNow,
+    resumable from the checkpoint under the store)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_bloom_batch(spark, batch_df, batch_id, store_path,
+                            id_col=id_col, text_col=text_col)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = q.awaitTermination(timeout)
+    if not done:
+        q.stop()
+        raise TimeoutError(
+            f"bloom dedup stream did not drain within {timeout}s — the "
+            f"store holds only completed micro-batches (restart resumes "
+            f"from the stream checkpoint)")
+
+
+def load_kept(spark: SparkSession, store_path: str,
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, dg) of every kept row across committed batches."""
+    dirs = _committed_dirs(spark, store_path, "kept")
+    if not dirs:
+        return spark.createDataFrame([], f"dg string, {id_col} long")
+    return spark.read.parquet(*dirs)
+
+
+def load_gate_stats(spark: SparkSession, store_path: str) -> DataFrame:
+    dirs = _committed_dirs(spark, store_path, "stats")
+    if not dirs:
+        return spark.createDataFrame(
+            [], "batch_id long, n_docs long, n_unique long, "
+                "n_definite_new long, n_maybe long, n_false_pos long, "
+                "n_kept long")
+    return spark.read.parquet(*dirs)
