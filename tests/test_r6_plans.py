@@ -153,3 +153,34 @@ def test_skyline_matches_bruteforce(spark):
                    and (b[1] > a[1] or b[2] < a[2]) for b in rows)
     }
     assert got == brute
+
+
+def test_q193_bom_matches_closed_form(spark):
+    """The iterative explosion must equal the closed form: part p sits
+    at depth floor(log2(p)) with path_qty = prod of (1 + a % 3) over
+    the ancestor chain a = p, p>>1, ..., down to (but excluding) the
+    root — an independent pure-Python derivation of the same tree."""
+    from collections import defaultdict
+
+    from sunat_rree_demo_spark.queries import REGISTRY
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    got = {r.depth: (r.n_parts, r.total_qty)
+           for r in REGISTRY["q193_recursive_bom"]
+           .fn(spark, SF_SMOKE).collect()}
+
+    keys = [r.p_partkey for r in
+            load_table(spark, SF_SMOKE, "part")
+            .select("p_partkey").collect()]
+    agg = defaultdict(lambda: [0, 0])
+    for p in keys:
+        if p < 2:
+            continue
+        depth, qty, a = 0, 1, p
+        while a >= 2:
+            qty *= 1 + a % 3
+            a >>= 1
+            depth += 1
+        agg[depth][0] += 1
+        agg[depth][1] += qty
+    assert got == {d: tuple(v) for d, v in agg.items()} and got
