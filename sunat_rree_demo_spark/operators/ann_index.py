@@ -1,0 +1,124 @@
+"""Persisted IVF vector index — train once, lay the corpus out
+partitioned BY CELL, serve top-k from the probed cells' FILES only.
+The similarity-family twin of ``operators/dedup_index.py`` (same
+lifecycle: offline build, cheap recurring queries), and the on-disk
+form of q172's session-memoized fit.
+
+Layout under ``<path>/``:
+
+* ``centroids/`` — (cluster int, centroid array<bigint>): the k
+  micro-unit centroid rows (the Faiss-style coarse quantizer).
+* ``vectors/cluster=K/`` — (vec_id, embedding, d2): the corpus
+  partitioned by assigned cell. A search filters on the partition
+  column, so Spark's file index PRUNES every non-probed directory —
+  the on-disk analog of IVF inverted lists; I/O scales with
+  nprobe/k of the corpus, not the corpus
+  (pinned by tests/test_ann_index.py's PartitionFilters contract).
+
+Determinism: the fit is ``operators.clustering.kmeans_fit`` — exact
+int64 micro-unit Lloyd — so an index built twice from the same corpus
+is byte-identical, and index-served search results equal the
+session-fit q172 path row-for-row (test-pinned).
+
+Scale: the build is the k-means fit (bounded per-round partials) plus
+one partitioned write; k (cells) should grow ~sqrt(corpus) so both the
+centroid table and each cell stay manageable — at 10⁹ vectors, k≈32k
+centroids still broadcast (a few MB) and cells hold ~30k vectors. The
+probe-side scan reads nprobe directories with the query batch in the
+task closure (the q43/q172 device).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from sunat_rree_demo_spark.operators.clustering import (
+    kmeans_fit,
+    quantize_micros,
+)
+
+
+def write_ivf_index(emb: DataFrame, path: str, k: int = 8,
+                    iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Build the index at ``path`` (full overwrite): fit, then write
+    centroids and the cell-partitioned corpus."""
+    spark = emb.sparkSession
+    cent, assign = kmeans_fit(emb, k=k, iters=iters,
+                              id_col=id_col, vec_col=vec_col)
+    cent_df = spark.createDataFrame(
+        [(int(ci), [int(v) for v in cent[ci]]) for ci in range(k)],
+        "cluster int, centroid array<bigint>")
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    (emb.select(id_col, vec_col)
+     .join(assign.select(id_col, "cluster", "d2"), id_col)
+     .write.partitionBy("cluster").mode("overwrite")
+     .parquet(f"{path}/vectors"))
+
+
+def load_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    """(k × d) int64 centroid matrix, row i = cluster i."""
+    rows = (spark.read.parquet(f"{path}/centroids")
+            .orderBy("cluster").collect())
+    return np.asarray([r.centroid for r in rows], dtype=np.int64)
+
+
+def ivf_index_search(spark: SparkSession, path: str,
+                     queries: pd.DataFrame, topk: int = 5,
+                     nprobe: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k neighbors for a BOUNDED query batch served from the index:
+    probe cells chosen driver-side against the tiny centroid table
+    (ties → lower cluster), the corpus scan filtered to the probed
+    cells (directory-level pruning), one Arrow distance pass, per-query
+    top-k (ties → lower id). ``queries`` is a pandas frame with columns
+    (q_id, embedding); self-matches (n_id == q_id) are excluded, like
+    q172."""
+    cent = load_centroids(spark, path)
+    qmat = quantize_micros(queries[vec_col if vec_col in queries
+                                   else "embedding"])
+    q_ids = queries["q_id"].to_numpy(np.int64)
+    d2c = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(cent.shape[0]), d2c[qi]))
+        probes += [(int(q_ids[qi]), int(ci)) for ci in order[:nprobe]]
+    probe_df = spark.createDataFrame(probes, "q_id long, cluster int")
+    probed_cells = sorted({c for _, c in probes})
+
+    vecs = (spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("cluster").isin(probed_cells)))  # dir pruning
+    cand = (vecs.join(F.broadcast(probe_df), "cluster")
+            .filter(F.col(id_col) != F.col("q_id"))
+            .select("q_id", id_col, vec_col))
+
+    qindex = {int(v): i for i, v in enumerate(q_ids)}
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("d2", T.LongType()),
+    ])
+
+    def dists(batches, _qm=qmat, _qx=qindex):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xq = quantize_micros(pdf[vec_col])
+            qi = pdf["q_id"].map(_qx).to_numpy()
+            d2 = ((xq - _qm[qi]) ** 2).sum(axis=1)
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"].to_numpy(np.int64),
+                "n_id": pdf[id_col].to_numpy(np.int64),
+                "d2": d2.astype(np.int64)})
+
+    scored = cand.mapInPandas(dists, out_schema)
+    w = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "rank", "n_id", "d2")
+        .orderBy("q_id", "rank")
+    )
