@@ -8,12 +8,24 @@ Layout under ``<path>/``:
 
 * ``centroids/`` — (cluster int, centroid array<bigint>): the k
   micro-unit centroid rows (the Faiss-style coarse quantizer).
-* ``vectors/cluster=K/`` — (vec_id, embedding, d2): the corpus
-  partitioned by assigned cell. A search filters on the partition
-  column, so Spark's file index PRUNES every non-probed directory —
+* ``vectors/batch_id=N/cluster=K/`` — (vec_id, embedding, d2): each
+  ingest batch partitioned by assigned cell, under its own batch
+  directory. A search filters on the cell column, so Spark's file
+  index PRUNES every non-probed cell directory inside every batch —
   the on-disk analog of IVF inverted lists; I/O scales with
   nprobe/k of the corpus, not the corpus
-  (pinned by tests/test_ann_index.py's PartitionFilters contract).
+  (pinned by tests/test_ann_index.py's execution-pruning contract).
+
+Incremental lifecycle (the dedup_index protocol applied to vectors):
+the bootstrap build lands as ``batch_id=-1`` (negative space, never
+colliding with stream epochs); ``absorb_ivf_batch`` assigns new
+vectors under the FIXED stored centroids (``assign_under`` is
+stateless and deterministic) and OVERWRITES its own batch directory,
+whose ``_SUCCESS`` is the commit marker — replay-idempotent, torn
+batches invisible to ``committed_vector_dirs`` readers. Centroids
+stay frozen between offline refits (standard IVF practice: cell
+drift degrades recall slowly; refit + rewrite is the compaction
+analog).
 
 Determinism: the fit is ``operators.clustering.kmeans_fit`` — exact
 int64 micro-unit Lloyd — so an index built twice from the same corpus
@@ -41,11 +53,15 @@ from sunat_rree_demo_spark.operators.clustering import (
 )
 
 
+BATCH_COL = "batch_id"
+
+
 def write_ivf_index(emb: DataFrame, path: str, k: int = 8,
                     iters: int = 2, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> None:
     """Build the index at ``path`` (full overwrite): fit, then write
-    centroids and the cell-partitioned corpus."""
+    centroids and the cell-partitioned corpus as batch −1 (negative
+    space — stream epochs start at 0, see module docstring)."""
     spark = emb.sparkSession
     cent, assign = kmeans_fit(emb, k=k, iters=iters,
                               id_col=id_col, vec_col=vec_col)
@@ -56,7 +72,57 @@ def write_ivf_index(emb: DataFrame, path: str, k: int = 8,
     (emb.select(id_col, vec_col)
      .join(assign.select(id_col, "cluster", "d2"), id_col)
      .write.partitionBy("cluster").mode("overwrite")
-     .parquet(f"{path}/vectors"))
+     .parquet(f"{path}/vectors/{BATCH_COL}=-1"))
+
+
+def ivf_batch_committed(spark: SparkSession, path: str,
+                        batch_id: int) -> bool:
+    from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
+
+    fs, marker = _hadoop_fs(
+        spark, f"{path}/vectors/{BATCH_COL}={batch_id}/_SUCCESS")
+    return fs.exists(marker)
+
+
+def committed_vector_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Batch directories whose commit marker exists (torn writes are
+    invisible, the dedup_index/novelty reader rule)."""
+    from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
+
+    fs, jroot = _hadoop_fs(spark, f"{path}/vectors")
+    out = []
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(f"{BATCH_COL}=")):
+                continue
+            if ivf_batch_committed(spark, path,
+                                   int(name.split("=", 1)[1])):
+                out.append(f"{path}/vectors/{name}")
+    return out
+
+
+def absorb_ivf_batch(spark: SparkSession, new_emb: DataFrame, path: str,
+                     batch_id: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Idempotently absorb one identified vector batch: assign under
+    the FIXED stored centroids (stateless, deterministic) and
+    overwrite the batch's own cell-partitioned directory; ``_SUCCESS``
+    lands last as the commit marker."""
+    from sunat_rree_demo_spark.operators.clustering import assign_under
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        clear_commit_marker,
+    )
+
+    if ivf_batch_committed(spark, path, batch_id):
+        return
+    cent = load_centroids(spark, path)
+    assign = assign_under(new_emb, cent, id_col=id_col, vec_col=vec_col)
+    clear_commit_marker(spark, f"{path}/vectors/{BATCH_COL}={batch_id}")
+    (new_emb.select(id_col, vec_col)
+     .join(assign.select(id_col, "cluster", "d2"), id_col)
+     .write.partitionBy("cluster").mode("overwrite")
+     .parquet(f"{path}/vectors/{BATCH_COL}={batch_id}"))
 
 
 def load_centroids(spark: SparkSession, path: str) -> np.ndarray:
@@ -89,7 +155,12 @@ def ivf_index_search(spark: SparkSession, path: str,
     probe_df = spark.createDataFrame(probes, "q_id long, cluster int")
     probed_cells = sorted({c for _, c in probes})
 
-    vecs = (spark.read.parquet(f"{path}/vectors")
+    dirs = committed_vector_dirs(spark, path)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "q_id long, rank bigint, n_id long, d2 long")
+    vecs = (spark.read.option("basePath", f"{path}/vectors")
+            .parquet(*dirs)
             .filter(F.col("cluster").isin(probed_cells)))  # dir pruning
     cand = (vecs.join(F.broadcast(probe_df), "cluster")
             .filter(F.col(id_col) != F.col("q_id"))

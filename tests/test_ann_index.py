@@ -49,7 +49,7 @@ def test_probe_scan_prunes_cell_directories(spark, ivf_path):
 
     from tests.test_plan_contracts import plan_of
 
-    vecs = (spark.read.parquet(f"{ivf_path}/vectors")
+    vecs = (spark.read.parquet(f"{ivf_path}/vectors/batch_id=-1")
             .filter(F.col("cluster").isin([0, 3])))
     plan = plan_of(vecs)
     assert "PartitionFilters" in plan and "cluster" in plan
@@ -61,7 +61,7 @@ def test_probe_scan_prunes_cell_directories(spark, ivf_path):
     assert read
     assert all("cluster=0" in f or "cluster=3" in f for f in read)
     full = {r[0] for r in
-            spark.read.parquet(f"{ivf_path}/vectors")
+            spark.read.parquet(f"{ivf_path}/vectors/batch_id=-1")
             .select(F.input_file_name()).distinct().collect()}
     assert len(read) < len(full)
 
@@ -84,9 +84,70 @@ def test_index_build_is_reproducible(spark, ivf_path, tmp_path):
     assert np.array_equal(load_centroids(spark, ivf_path),
                           load_centroids(spark, again))
     a = {(r.vec_id, r.cluster) for r in
-         spark.read.parquet(f"{ivf_path}/vectors")
+         spark.read.parquet(f"{ivf_path}/vectors/batch_id=-1")
          .select("vec_id", "cluster").collect()}
     b = {(r.vec_id, r.cluster) for r in
-         spark.read.parquet(f"{again}/vectors")
+         spark.read.parquet(f"{again}/vectors/batch_id=-1")
          .select("vec_id", "cluster").collect()}
     assert a == b
+
+
+def test_absorb_batch_equals_monolithic_index(spark, tmp_path):
+    """bootstrap(80%) + absorb(20%) must serve searches identical to a
+    single index holding all vectors assigned under the SAME frozen
+    centroids — plus replay no-op and torn-batch invisibility."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.operators.ann_index import (
+        absorb_ivf_batch,
+        committed_vector_dirs,
+        ivf_index_search,
+        load_centroids,
+        write_ivf_index,
+    )
+    from sunat_rree_demo_spark.operators.clustering import assign_under
+    from sunat_rree_demo_spark.queries.clustering import _ITERS, _K
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter("vec_id % 5 != 0")
+    new = emb.filter("vec_id % 5 = 0")
+
+    inc = str(tmp_path / "inc")
+    write_ivf_index(old, inc, k=_K, iters=_ITERS)
+    absorb_ivf_batch(spark, new, inc, 0)
+
+    # monolithic twin: all vectors under the SAME frozen centroids
+    mono = str(tmp_path / "mono")
+    cent = load_centroids(spark, inc)
+    spark.read.parquet(f"{inc}/centroids").write.mode("overwrite") \
+        .parquet(f"{mono}/centroids")
+    (emb.select("vec_id", "embedding")
+     .join(assign_under(emb, cent).select("vec_id", "cluster", "d2"),
+           "vec_id")
+     .write.partitionBy("cluster").mode("overwrite")
+     .parquet(f"{mono}/vectors/batch_id=-1"))
+
+    qpd = (emb.filter("vec_id < 8")
+           .selectExpr("vec_id as q_id", "embedding")
+           .orderBy("q_id").toPandas())
+    got = [tuple(r) for r in
+           ivf_index_search(spark, inc, qpd, topk=5, nprobe=2).collect()]
+    want = [tuple(r) for r in
+            ivf_index_search(spark, mono, qpd, topk=5, nprobe=2).collect()]
+    assert got == want and got
+
+    # replay: committed batch short-circuits (directories unchanged)
+    before = sorted(committed_vector_dirs(spark, inc))
+    absorb_ivf_batch(spark, new, inc, 0)
+    assert sorted(committed_vector_dirs(spark, inc)) == before
+
+    # torn batch: marker removed -> invisible to searches, heals on replay
+    os.remove(f"{inc}/vectors/batch_id=0/_SUCCESS")
+    n_old_only = ivf_index_search(spark, inc, qpd, topk=5, nprobe=2)
+    only_old = {r.n_id for r in n_old_only.collect()}
+    assert all(v % 5 != 0 for v in only_old)  # new batch invisible
+    absorb_ivf_batch(spark, new, inc, 0)
+    assert sorted(committed_vector_dirs(spark, inc)) == before
