@@ -695,6 +695,11 @@ def q185_index_join_candidates(spark, sf_dir):
         import re
         import tempfile
 
+        from sunat_rree_demo_spark.sources.sinks import (
+            drop_stale_app_tables,
+        )
+
+        drop_stale_app_tables(spark, "xband_")
         root = tempfile.mkdtemp(prefix="xshard_idx_")
         d = t(spark, sf_dir, "documents")
         write_minhash_index(d.filter("doc_id % 2 = 0"), f"{root}/even")
@@ -755,6 +760,11 @@ def q187_bucketed_minhash_join(spark, sf_dir):
         import re
         import tempfile
 
+        from sunat_rree_demo_spark.sources.sinks import (
+            drop_stale_app_tables,
+        )
+
+        drop_stale_app_tables(spark, "xband_")
         root = tempfile.mkdtemp(prefix="full_idx_")
         write_minhash_index(t(spark, sf_dir, "documents"), root)
         try:

@@ -127,3 +127,37 @@ def write_zordered(df: DataFrame, path: str, zcol: str,
     (df.repartitionByRange(n_files, F.col(zcol))
        .sortWithinPartitions(zcol)
        .write.mode("overwrite").parquet(path))
+
+
+def drop_stale_app_tables(spark: SparkSession, prefix: str,
+                          ttl_hours: float = 6.0) -> None:
+    """Janitor for session-scoped bucketed artifacts: tables minted
+    with app-id-suffixed names (``<prefix>..._local_<millis>``) leave
+    one DIRECTORY generation per session in the shared warehouse — the
+    default in-memory catalog forgets the table entry when its session
+    ends, so only the files persist and ``DROP TABLE`` can never reach
+    them. Remove warehouse directories whose embedded session-start
+    timestamp is older than ``ttl_hours`` (old enough that the owning
+    session is certainly gone; a CONCURRENT session's directories are
+    younger and stay), and drop any same-named entry the CURRENT
+    catalog still holds. Called by the index-building queries
+    (q185/q187) at build time, so the warehouse stays bounded without
+    an external cron."""
+    import re
+    import time
+
+    from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
+
+    cutoff = time.time() * 1000 - ttl_hours * 3600 * 1000
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jroot = _hadoop_fs(spark, warehouse)
+    if not fs.exists(jroot):
+        return
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        m = re.search(r"local[_-](\d{13})$", name)
+        if m and int(m.group(1)) < cutoff:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            fs.delete(st.getPath(), True)

@@ -184,3 +184,27 @@ def test_q193_bom_matches_closed_form(spark):
         agg[depth][0] += 1
         agg[depth][1] += qty
     assert got == {d: tuple(v) for d, v in agg.items()} and got
+
+
+def test_warehouse_janitor_ttl(spark):
+    """drop_stale_app_tables removes only prefix-matching directories
+    whose embedded session timestamp is older than the TTL."""
+    import os
+
+    from sunat_rree_demo_spark.sources.sinks import drop_stale_app_tables
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    old = os.path.join(wh, "janitor_test_sf0_001_local_1000000000000")
+    young = os.path.join(wh, "janitor_test_sf0_001_local_9999999999999")
+    other = os.path.join(wh, "unrelated_local_1000000000000")
+    for d in (old, young, other):
+        os.makedirs(d, exist_ok=True)
+    try:
+        drop_stale_app_tables(spark, "janitor_test_", ttl_hours=1.0)
+        assert not os.path.exists(old)      # stale + matching: gone
+        assert os.path.exists(young)        # young: kept
+        assert os.path.exists(other)        # wrong prefix: kept
+    finally:
+        for d in (young, other):
+            if os.path.exists(d):
+                os.rmdir(d)
