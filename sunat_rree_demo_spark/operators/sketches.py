@@ -70,3 +70,62 @@ def cms_estimates(cms: DataFrame, probes: DataFrame,
         .agg(F.min(F.coalesce("c", F.lit(0).cast("bigint")))
              .alias("cms_est"))
     )
+
+
+# ------------------------------------------------- mergeable histogram
+#: default equi-width bin: $100 of a cent-quantized money value
+HIST_BIN_CENTS = 10000
+
+#: the (numerator, denominator, label) quantile probes q189 and the
+#: streaming sketch share
+QUANTILE_PROBES = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+def equi_width_histogram(df: DataFrame, cents: Column,
+                         width: int = HIST_BIN_CENTS) -> DataFrame:
+    """(bin, c) partial histogram of an exact-integer cent column —
+    THE mergeable quantile sketch: partials combine map-side within a
+    job, across jobs/shards/stream batches by bin-wise count addition
+    (associative + commutative), unlike rank-based sketches whose
+    merge is approximate."""
+    return (df.select((cents / width).cast("bigint").alias("bin"))
+            .groupBy("bin").agg(F.count("*").cast("bigint").alias("c")))
+
+
+def merge_histograms(parts: DataFrame) -> DataFrame:
+    """Bin-wise sum — the sketch merge."""
+    return parts.groupBy("bin").agg(F.sum("c").cast("bigint").alias("c"))
+
+
+def histogram_quantiles(hist: DataFrame,
+                        probes=QUANTILE_PROBES,
+                        width: int = HIST_BIN_CENTS) -> DataFrame:
+    """(quantile, est_usd) from a merged (bin, c) histogram: exact-
+    integer ceil-rank selection + floor interpolation inside the hit
+    bin — bit-identical on any engine or partitioning (the q189
+    device, shared verbatim with its streaming twin). Windows run
+    over the bounded bin domain, never rows."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy()
+    cum = (hist.withColumn("cum", F.sum("c").over(wc))
+           .withColumn("n", F.sum("c").over(wn)))
+    qs = spark.createDataFrame(list(probes), "qn long, qd long, qname string")
+    probe = cum.crossJoin(F.broadcast(qs)) \
+        .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
+    hit = (probe.filter(F.col("cum") >= F.col("r"))
+           .groupBy("qname").agg(F.min("bin").alias("bin")))
+    est = (
+        hit.join(cum, "bin")
+        .join(F.broadcast(qs), "qname")
+        .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
+        .withColumn("est_cents",
+                    F.col("bin") * width
+                    + F.expr(f"((r - (cum - c)) * {width}) div c"))
+    )
+    return (est.select(F.col("qname").alias("quantile"),
+                       (F.col("est_cents").cast("double") / 100.0)
+                       .alias("est_usd"))
+            .orderBy("quantile"))

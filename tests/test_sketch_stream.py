@@ -1,0 +1,98 @@
+"""Streaming mergeable histogram sketch: drained quantiles equal the
+batch operator AND q189's 'ALL' scope on the same data (three-way pin),
+compaction preserves the sketch exactly, replays are no-ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+_CENTS = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+
+
+@pytest.fixture(scope="module")
+def lineitem_three_files(spark, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("li_sketch_stream")
+    tbl = pq.read_table(f"{SF_SMOKE}/lineitem.parquet")
+    third = tbl.num_rows // 3
+    pq.write_table(tbl.slice(0, third), d / "part1.parquet")
+    pq.write_table(tbl.slice(third, third), d / "part2.parquet")
+    pq.write_table(tbl.slice(2 * third), d / "part3.parquet")
+    return str(d)
+
+
+def _cents_stream(spark, directory):
+    schema = spark.read.parquet(directory).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(directory)
+            .selectExpr(f"{_CENTS} AS price_cents"))
+
+
+def test_streamed_sketch_equals_batch_and_q189(spark, tmp_path,
+                                               lineitem_three_files):
+    from sunat_rree_demo_spark.operators.sketches import (
+        equi_width_histogram,
+        histogram_quantiles,
+    )
+    from sunat_rree_demo_spark.queries import REGISTRY
+    from sunat_rree_demo_spark.streaming.sketch_stream import (
+        load_sketch_quantiles,
+        run_sketch_stream,
+    )
+
+    store = str(tmp_path / "sketch_store")
+    run_sketch_stream(spark, _cents_stream(spark, lineitem_three_files),
+                      store)
+    got = {r.quantile: r.est_usd
+           for r in load_sketch_quantiles(spark, store).collect()}
+
+    full = (spark.read.parquet(lineitem_three_files)
+            .selectExpr(f"{_CENTS} AS price_cents"))
+    want = {r.quantile: r.est_usd for r in histogram_quantiles(
+        equi_width_histogram(full, F.col("price_cents"))).collect()}
+    assert got == want and set(got) == {"p50", "p90", "p99"}
+
+    # the registered q189's 'ALL' scope computes the same numbers
+    # (shared device) on the same lineitem rows
+    q189 = {r.quantile: r.est_usd
+            for r in REGISTRY["q189_quantile_sketch_merge"]
+            .fn(spark, SF_SMOKE).collect() if r.scope == "ALL"}
+    assert q189 == got
+
+
+def test_sketch_compaction_and_replay(spark, tmp_path):
+    from sunat_rree_demo_spark.streaming.sketch_stream import (
+        compact_sketch,
+        load_sketch_quantiles,
+        merged_sketch,
+        process_sketch_batch,
+    )
+
+    store = str(tmp_path / "c_store")
+    b0 = spark.createDataFrame([(100,), (250,), (999,)], "price_cents long")
+    b1 = spark.createDataFrame([(100,), (50_000,)], "price_cents long")
+    process_sketch_batch(spark, b0, 0, store, width=100)
+    process_sketch_batch(spark, b1, 1, store, width=100)
+    before = {(r.bin, r.c) for r in merged_sketch(spark, store).collect()}
+    q_before = [tuple(r) for r in
+                load_sketch_quantiles(spark, store, width=100).collect()]
+
+    process_sketch_batch(spark, b1, 1, store, width=100)  # replay no-op
+    assert {(r.bin, r.c)
+            for r in merged_sketch(spark, store).collect()} == before
+
+    compact_sketch(spark, store)
+    assert {(r.bin, r.c)
+            for r in merged_sketch(spark, store).collect()} == before
+    assert [tuple(r) for r in
+            load_sketch_quantiles(spark, store, width=100).collect()] \
+        == q_before
+    # post-compaction absorb keeps working (epoch ids unaffected)
+    process_sketch_batch(spark, b0, 2, store, width=100)
+    assert sum(c for _, c in
+               {(r.bin, r.c)
+                for r in merged_sketch(spark, store).collect()}) == 8
