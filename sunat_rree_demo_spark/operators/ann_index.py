@@ -193,3 +193,29 @@ def ivf_index_search(spark: SparkSession, path: str,
         .select("q_id", "rank", "n_id", "d2")
         .orderBy("q_id", "rank")
     )
+
+
+def forget_vectors(spark: SparkSession, path: str, ids: list,
+                   id_col: str = "vec_id") -> list[tuple[int, int]]:
+    """DELETION PROPAGATION for the vector index: drop the given ids,
+    rewriting only the (batch, cell) partitions that hold them — one
+    pruned scan locates them (each id lives in exactly one cell per
+    batch), untouched directories stay byte-identical (test-pinned).
+    Returns the touched (batch_id, cluster) pairs. OFFLINE maintenance
+    (not transactional against a concurrent absorb); centroids are
+    unchanged — deletion never moves surviving vectors between cells,
+    so searches stay consistent throughout."""
+    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    vecs = spark.read.option("basePath", f"{path}/vectors").parquet(
+        f"{path}/vectors")
+    touched = sorted(
+        (r[BATCH_COL], r["cluster"])
+        for r in vecs.join(F.broadcast(id_df), id_col, "left_semi")
+        .select(BATCH_COL, "cluster").distinct().collect())
+    for bid, cell in touched:
+        part = f"{path}/vectors/{BATCH_COL}={bid}/cluster={cell}"
+        keep = (spark.read.parquet(part)
+                .join(F.broadcast(id_df), id_col, "left_anti")
+                .localCheckpoint())
+        keep.write.mode("overwrite").parquet(part)
+    return touched

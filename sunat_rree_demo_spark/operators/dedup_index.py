@@ -329,3 +329,37 @@ def cross_index_candidates(spark: SparkSession, path_a: str, path_b: str,
     b = spark.table(table_b).select(
         "band", "bucket", F.col(id_col).alias("id2"))
     return a.join(b, ["band", "bucket"]).select("id1", "id2").distinct()
+
+
+def forget_ids(spark: SparkSession, path: str, ids: list,
+               id_col: str = "doc_id", k: int = MINHASH_K,
+               bands: int = LSH_BANDS) -> list[int]:
+    """DELETION PROPAGATION (right-to-be-forgotten): remove the given
+    doc ids from the index, rewriting ONLY the batch partitions that
+    contain them — one scan finds the touched batches (the id list
+    broadcasts), every untouched partition's files stay byte-identical
+    (test-pinned), so maintenance cost scales with the deletion's
+    spread, not the corpus. Band rows REGENERATE from the surviving
+    signatures (the compaction rule: bands are a pure function of
+    sigs, the tables cannot drift). Returns the touched batch ids.
+
+    OFFLINE maintenance like ``compact_minhash_index``: each touched
+    batch's marker is cleared first (committed-only readers skip it
+    mid-rewrite) and restored by the bands write, but the pass as a
+    whole is not transactional against a concurrent absorb."""
+    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    sigs = spark.read.parquet(f"{path}/sigs")
+    touched = sorted(
+        r[BATCH_COL]
+        for r in sigs.join(F.broadcast(id_df), id_col, "left_semi")
+        .select(BATCH_COL).distinct().collect())
+    for bid in touched:
+        keep = (spark.read.parquet(f"{path}/sigs/{BATCH_COL}={bid}")
+                .join(F.broadcast(id_df), id_col, "left_anti")
+                .localCheckpoint())  # sever lineage from files replaced
+        clear_commit_marker(spark, f"{path}/bands/{BATCH_COL}={bid}")
+        keep.write.mode("overwrite").parquet(
+            f"{path}/sigs/{BATCH_COL}={bid}")
+        band_rows(keep, id_col, k, bands).write.mode("overwrite").parquet(
+            f"{path}/bands/{BATCH_COL}={bid}")
+    return touched
