@@ -179,5 +179,17 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
         for pdf in it:
             yield sweep(pdf)
 
+    def run_whole(it):
+        # phase 2 MUST sweep the whole candidate set at once: Arrow
+        # hands the single coalesced partition over as MULTIPLE
+        # batches, and sweeping each batch independently would emit
+        # rows dominated by another batch's rows (caught by review —
+        # reproduced with >10k-row candidate sets; the per-batch form
+        # is only valid in phase 1, where any superset of the true
+        # skyline is acceptable input to phase 2)
+        chunks = [pdf for pdf in it if not pdf.empty]
+        if chunks:
+            yield sweep(pd.concat(chunks, ignore_index=True))
+
     local = df.mapInPandas(run, schema=schema)
-    return local.coalesce(1).mapInPandas(run, schema=schema)
+    return local.coalesce(1).mapInPandas(run_whole, schema=schema)

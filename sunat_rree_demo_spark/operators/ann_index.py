@@ -162,6 +162,15 @@ def ivf_index_search(spark: SparkSession, path: str,
     vecs = (spark.read.option("basePath", f"{path}/vectors")
             .parquet(*dirs)
             .filter(F.col("cluster").isin(probed_cells)))  # dir pruning
+    # re-ingested ids resolve latest-batch-wins at PROBED scale (the
+    # dedup_index rule): within the probed cells, only the newest copy
+    # of an id scores. Caveat shared with the dedup index: an edited
+    # vector whose new version moved to a NON-probed cell can still
+    # surface its stale location until ``compact_ivf_index`` runs —
+    # candidate-scale resolution never rescans the corpus.
+    wlatest = Window.partitionBy(id_col).orderBy(F.desc(BATCH_COL))
+    vecs = (vecs.withColumn("_vrn", F.row_number().over(wlatest))
+            .filter(F.col("_vrn") == 1).drop("_vrn"))
     cand = (vecs.join(F.broadcast(probe_df), "cluster")
             .filter(F.col(id_col) != F.col("q_id"))
             .select("q_id", id_col, vec_col))
@@ -195,27 +204,82 @@ def ivf_index_search(spark: SparkSession, path: str,
     )
 
 
+def _touch_marker(spark: SparkSession, dir_path: str) -> None:
+    """(Re)create ``dir_path/_SUCCESS`` — restores a batch's commit
+    marker after an in-place maintenance rewrite of its cell dirs."""
+    from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
+
+    fs, marker = _hadoop_fs(spark, f"{dir_path}/_SUCCESS")
+    fs.create(marker, True).close()
+
+
 def forget_vectors(spark: SparkSession, path: str, ids: list,
                    id_col: str = "vec_id") -> list[tuple[int, int]]:
     """DELETION PROPAGATION for the vector index: drop the given ids,
     rewriting only the (batch, cell) partitions that hold them — one
-    pruned scan locates them (each id lives in exactly one cell per
-    batch), untouched directories stay byte-identical (test-pinned).
+    committed-dirs scan locates them (torn batches stay untouched and
+    invisible, the module's reader rule), untouched directories stay
+    byte-identical (test-pinned). Each touched batch's commit marker
+    is CLEARED before its cells rewrite and restored after, so a
+    concurrent committed-gated search never torn-reads a cell
+    mid-overwrite (same discipline as dedup_index.forget_ids).
     Returns the touched (batch_id, cluster) pairs. OFFLINE maintenance
     (not transactional against a concurrent absorb); centroids are
     unchanged — deletion never moves surviving vectors between cells,
     so searches stay consistent throughout."""
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        clear_commit_marker,
+    )
+
+    dirs = committed_vector_dirs(spark, path)
+    if not dirs:
+        return []
     id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
-    vecs = spark.read.option("basePath", f"{path}/vectors").parquet(
-        f"{path}/vectors")
+    vecs = spark.read.option("basePath", f"{path}/vectors").parquet(*dirs)
     touched = sorted(
         (r[BATCH_COL], r["cluster"])
         for r in vecs.join(F.broadcast(id_df), id_col, "left_semi")
         .select(BATCH_COL, "cluster").distinct().collect())
+    by_batch: dict[int, list[int]] = {}
     for bid, cell in touched:
-        part = f"{path}/vectors/{BATCH_COL}={bid}/cluster={cell}"
-        keep = (spark.read.parquet(part)
-                .join(F.broadcast(id_df), id_col, "left_anti")
-                .localCheckpoint())
-        keep.write.mode("overwrite").parquet(part)
+        by_batch.setdefault(bid, []).append(cell)
+    for bid, cells in by_batch.items():
+        bdir = f"{path}/vectors/{BATCH_COL}={bid}"
+        clear_commit_marker(spark, bdir)
+        for cell in cells:
+            part = f"{bdir}/cluster={cell}"
+            keep = (spark.read.parquet(part)
+                    .join(F.broadcast(id_df), id_col, "left_anti")
+                    .localCheckpoint())
+            keep.write.mode("overwrite").parquet(part)
+        _touch_marker(spark, bdir)
     return touched
+
+
+def compact_ivf_index(spark: SparkSession, path: str,
+                      id_col: str = "vec_id") -> None:
+    """Collapse committed batches into one negative-id generation,
+    keeping the LATEST batch's row per vector id — reclaims re-ingest
+    duplicates and makes search results exact again for vectors whose
+    edit moved them between cells (see ``ivf_index_search``'s
+    candidate-scale latest-wins caveat). Same rules as
+    ``dedup_index.compact_minhash_index``: negative target id (never a
+    stream epoch), OFFLINE maintenance."""
+    from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
+
+    dirs = committed_vector_dirs(spark, path)
+    if not dirs:
+        return
+    bids = [int(d.rsplit("=", 1)[1]) for d in dirs]
+    target = min(min(bids), 0) - 1
+    vecs = spark.read.option("basePath", f"{path}/vectors").parquet(*dirs)
+    other = [c for c in vecs.columns if c not in (id_col, BATCH_COL)]
+    latest = (vecs.groupBy(id_col)
+              .agg(F.max_by(F.struct(*other), BATCH_COL).alias("_s"))
+              .select(id_col, *[F.col(f"_s.{c}").alias(c) for c in other])
+              .localCheckpoint())  # sever lineage from replaced files
+    fs, _ = _hadoop_fs(spark, path)
+    for d in dirs:
+        fs.delete(_hadoop_fs(spark, d)[1], True)
+    (latest.write.partitionBy("cluster").mode("overwrite")
+     .parquet(f"{path}/vectors/{BATCH_COL}={target}"))

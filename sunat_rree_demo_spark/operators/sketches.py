@@ -87,8 +87,16 @@ def equi_width_histogram(df: DataFrame, cents: Column,
     THE mergeable quantile sketch: partials combine map-side within a
     job, across jobs/shards/stream batches by bin-wise count addition
     (associative + commutative), unlike rank-based sketches whose
-    merge is approximate."""
-    return (df.select((cents / width).cast("bigint").alias("bin"))
+    merge is approximate.
+
+    Binning is exact-integer FLOOR division (via pmod — ``cast`` after
+    ``/`` would truncate toward zero and merge the first negative bin
+    into bin 0, diverging from DuckDB's ``//``; review finding r6), so
+    refunds/negative values bin identically on every engine, and the
+    decimal division stays exact beyond 2^53 cents."""
+    fdiv = ((cents - F.pmod(cents, F.lit(width))).cast("decimal(38,0)")
+            / width).cast("bigint")
+    return (df.select(fdiv.alias("bin"))
             .groupBy("bin").agg(F.count("*").cast("bigint").alias("c")))
 
 
@@ -99,33 +107,38 @@ def merge_histograms(parts: DataFrame) -> DataFrame:
 
 def histogram_quantiles(hist: DataFrame,
                         probes=QUANTILE_PROBES,
-                        width: int = HIST_BIN_CENTS) -> DataFrame:
-    """(quantile, est_usd) from a merged (bin, c) histogram: exact-
-    integer ceil-rank selection + floor interpolation inside the hit
-    bin — bit-identical on any engine or partitioning (the q189
-    device, shared verbatim with its streaming twin). Windows run
-    over the bounded bin domain, never rows."""
+                        width: int = HIST_BIN_CENTS,
+                        scope_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(…scope_cols, quantile, est_usd) from a merged (bin, c)
+    histogram: exact-integer ceil-rank selection + floor interpolation
+    inside the hit bin — bit-identical on any engine or partitioning.
+    ONE implementation shared by q189 (per-scope + 'ALL' merge) and the
+    streaming sketch (review finding r6: the inline q189 copy and this
+    device could drift). ``scope_cols`` partitions every window; with
+    no scopes the windows run over the single bounded bin domain."""
     from pyspark.sql import Window
 
     spark = hist.sparkSession
-    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.partitionBy()
+    sc = list(scope_cols)
+    wc = Window.partitionBy(*sc).orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy(*sc)
     cum = (hist.withColumn("cum", F.sum("c").over(wc))
            .withColumn("n", F.sum("c").over(wn)))
     qs = spark.createDataFrame(list(probes), "qn long, qd long, qname string")
     probe = cum.crossJoin(F.broadcast(qs)) \
         .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
     hit = (probe.filter(F.col("cum") >= F.col("r"))
-           .groupBy("qname").agg(F.min("bin").alias("bin")))
+           .groupBy(*sc, "qname").agg(F.min("bin").alias("bin")))
     est = (
-        hit.join(cum, "bin")
+        hit.join(cum, sc + ["bin"])
         .join(F.broadcast(qs), "qname")
         .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
         .withColumn("est_cents",
                     F.col("bin") * width
                     + F.expr(f"((r - (cum - c)) * {width}) div c"))
     )
-    return (est.select(F.col("qname").alias("quantile"),
+    return (est.select(*sc, F.col("qname").alias("quantile"),
                        (F.col("est_cents").cast("double") / 100.0)
                        .alias("est_usd"))
-            .orderBy("quantile"))
+            .orderBy(*sc, "quantile"))

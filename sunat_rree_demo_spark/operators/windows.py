@@ -145,11 +145,18 @@ def domain_rank(df: DataFrame, value_col: str, tiebreak_col: str,
     )
     in_group = F.row_number().over(
         Window.partitionBy(value_col).orderBy(tiebreak_col))
+    # eqNullSafe join: a NULL value group must rank too (plain equality
+    # would silently DROP null-valued rows and desync every downstream
+    # ntile bucket from the row_number twin, which sorts nulls first —
+    # review finding r6); the offsets window above orders nulls first
+    # exactly like the window form.
+    offs = offs.withColumnRenamed(value_col, "_dr_val")
     return (
         df.withColumn("_lrn", in_group)
-        .join(F.broadcast(offs), value_col)
+        .join(F.broadcast(offs),
+              F.col(value_col).eqNullSafe(F.col("_dr_val")))
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
-        .drop("_lrn", "_off")
+        .drop("_lrn", "_off", "_dr_val")
     )
 
 

@@ -771,7 +771,7 @@ def q187_bucketed_minhash_join(spark, sf_dir):
             app = spark.sparkContext.applicationId
         except Exception:  # Spark Connect has no sparkContext
             app = str(id(spark))
-        tn = "xbandall_" + re.sub(
+        tn = "xband_all_" + re.sub(
             r"\W", "_", f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_{app}")
         write_bucketed_bands(spark, root, tn)
         bands = spark.table(tn)

@@ -614,6 +614,9 @@ def q193_recursive_bom(spark, sf_dir):
         bom = levels[0]
         for lv in levels[1:]:
             bom = bom.unionByName(lv)
+        # every level is checkpointed; the cached edge frame would
+        # otherwise pin dead blocks for the session's lifetime
+        e.unpersist()
         return bom
 
     bom = session_memo(spark, _BOM_CACHE, (sf_dir, "bom"), build)

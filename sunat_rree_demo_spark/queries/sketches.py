@@ -148,40 +148,18 @@ def q189_quantile_sketch_merge(spark, sf_dir):
     — the cumulative window runs over that bounded bin domain, never
     rows. At 100 TB the same two-level merge handles per-executor then
     per-shard combination with no extra machinery."""
-    from pyspark.sql import Window
+    from sunat_rree_demo_spark.operators.sketches import (
+        HIST_BIN_CENTS,
+        histogram_quantiles,
+    )
 
     li = t(spark, sf_dir, "lineitem")
     h = (li.groupBy(
             F.col("l_returnflag").alias("scope"),
             (F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-             / 10000).cast("bigint").alias("bin"))
+             / HIST_BIN_CENTS).cast("bigint").alias("bin"))
          .agg(F.count("*").cast("bigint").alias("c")))
     merged = h.unionByName(
         h.groupBy("bin").agg(F.sum("c").cast("bigint").alias("c"))
         .select(F.lit("ALL").alias("scope"), "bin", "c"))
-    wc = Window.partitionBy("scope").orderBy("bin") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.partitionBy("scope")
-    cum = (merged.withColumn("cum", F.sum("c").over(wc))
-           .withColumn("n", F.sum("c").over(wn)))
-    qs = spark.createDataFrame(
-        [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")],
-        "qn long, qd long, qname string")
-    probe = cum.crossJoin(F.broadcast(qs)) \
-        .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
-    hit = (probe.filter(F.col("cum") >= F.col("r"))
-           .groupBy("scope", "qname").agg(F.min("bin").alias("bin")))
-    est = (
-        hit.join(cum, ["scope", "bin"])
-        .join(F.broadcast(qs), "qname")
-        .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
-        .withColumn("est_cents",
-                    F.col("bin") * 10000
-                    + F.expr("((r - (cum - c)) * 10000) div c"))
-    )
-    return (
-        est.select("scope", F.col("qname").alias("quantile"),
-                   (F.col("est_cents").cast("double") / 100.0)
-                   .alias("est_usd"))
-        .orderBy("scope", "quantile")
-    )
+    return histogram_quantiles(merged, scope_cols=("scope",))

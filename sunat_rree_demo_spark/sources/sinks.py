@@ -137,17 +137,23 @@ def drop_stale_app_tables(spark: SparkSession, prefix: str,
     default in-memory catalog forgets the table entry when its session
     ends, so only the files persist and ``DROP TABLE`` can never reach
     them. Remove warehouse directories whose embedded session-start
-    timestamp is older than ``ttl_hours`` (old enough that the owning
-    session is certainly gone; a CONCURRENT session's directories are
-    younger and stay), and drop any same-named entry the CURRENT
-    catalog still holds. Called by the index-building queries
-    (q185/q187) at build time, so the warehouse stays bounded without
-    an external cron."""
+    timestamp is older than ``ttl_hours`` (a CONCURRENT session's
+    directories are younger and stay), and drop any same-named entry
+    the CURRENT catalog still holds. The CURRENT session's own tables
+    are always skipped regardless of age — a session outliving the TTL
+    must not destroy tables its memoized DataFrames still read (review
+    finding r6). Called by the index-building queries (q185/q187) at
+    build time, so the warehouse stays bounded without an external
+    cron."""
     import re
     import time
 
     from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
 
+    try:
+        own = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    except Exception:  # Spark Connect has no sparkContext
+        own = None
     cutoff = time.time() * 1000 - ttl_hours * 3600 * 1000
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     fs, jroot = _hadoop_fs(spark, warehouse)
@@ -157,6 +163,8 @@ def drop_stale_app_tables(spark: SparkSession, prefix: str,
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(prefix)):
             continue
+        if own and name.endswith(own):
+            continue  # never reap the live session's own tables
         m = re.search(r"local[_-](\d{13})$", name)
         if m and int(m.group(1)) < cutoff:
             spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -151,3 +151,45 @@ def test_absorb_batch_equals_monolithic_index(spark, tmp_path):
     assert all(v % 5 != 0 for v in only_old)  # new batch invisible
     absorb_ivf_batch(spark, new, inc, 0)
     assert sorted(committed_vector_dirs(spark, inc)) == before
+
+
+def test_reingest_latest_wins_and_compaction(spark, tmp_path):
+    """A re-ingested vec_id must not occupy two top-k slots: probed-
+    scale latest-wins keeps only the newest copy; compaction collapses
+    the store to one row per id and preserves search results."""
+    import pandas as pd
+
+    from sunat_rree_demo_spark.operators.ann_index import (
+        absorb_ivf_batch,
+        compact_ivf_index,
+        committed_vector_dirs,
+        ivf_index_search,
+        write_ivf_index,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "reingest")
+    write_ivf_index(emb, path, k=4, iters=1)
+    # re-ship 10 existing ids with UNCHANGED embeddings (same cells)
+    reship = emb.filter("vec_id >= 100 and vec_id < 110")
+    absorb_ivf_batch(spark, reship, path, 0)
+
+    qpd = (emb.filter("vec_id < 4")
+           .selectExpr("vec_id as q_id", "embedding")
+           .orderBy("q_id").toPandas())
+    res = ivf_index_search(spark, path, qpd, topk=5, nprobe=2).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.q_id, []).append(r.n_id)
+    for q, nids in per_q.items():
+        assert len(nids) == len(set(nids)), (q, nids)  # no double slot
+
+    compact_ivf_index(spark, path)
+    dirs = committed_vector_dirs(spark, path)
+    assert len(dirs) == 1 and "batch_id=-2" in dirs[0]
+    res2 = [tuple(r) for r in
+            ivf_index_search(spark, path, qpd, topk=5, nprobe=2).collect()]
+    assert res2 == [tuple(r) for r in res]
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.groupBy("vec_id").count().filter("count > 1").count() == 0

@@ -190,3 +190,22 @@ def test_domain_rank_ntile_matches_window_ntile(spark):
         .collect()
     }
     assert small == {3: 1, 1: 2, 2: 3}
+
+
+def test_domain_rank_ranks_null_values(spark):
+    """r6 review fix: NULL values must rank (nulls first, like the
+    window twin), not silently vanish through the equality join."""
+    from pyspark.sql import Window, functions as F
+
+    from sunat_rree_demo_spark.operators.windows import domain_rank
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 4.0), (3, None), (4, 1.0)],
+        "id long, v double")
+    w = Window.orderBy(F.asc_nulls_first("v"), "id")
+    expected = {r["id"]: r["rn"] for r in
+                df.select("id", F.row_number().over(w).alias("rn"))
+                .collect()}
+    got = {r["id"]: r["rn"] for r in
+           domain_rank(df, "v", "id", "rn").collect()}
+    assert got == expected == {1: 1, 3: 2, 4: 3, 2: 4}

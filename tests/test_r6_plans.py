@@ -208,3 +208,24 @@ def test_warehouse_janitor_ttl(spark):
         for d in (young, other):
             if os.path.exists(d):
                 os.rmdir(d)
+
+
+def test_skyline_survives_multi_batch_candidates(spark):
+    """Regression (r6 review): phase 2 must sweep the WHOLE candidate
+    set — with >10k candidates Arrow splits the coalesced partition
+    into several batches, and a per-batch sweep would keep dominated
+    rows. 12k rows all dominated by one row must all be eliminated."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.operators.analytics import skyline_2d
+
+    n = 12_000
+    df = (spark.range(n)
+          .select(F.col("id"),
+                  (F.col("id") % 1000).alias("hi"),
+                  (F.lit(5000) + F.col("id") % 1000).alias("lo"))
+          .union(spark.range(1).select(
+              F.lit(n).alias("id"), F.lit(10_000).alias("hi"),
+              F.lit(0).alias("lo"))))
+    got = skyline_2d(df.repartition(7), "hi", "lo").collect()
+    assert [r.id for r in got] == [n]

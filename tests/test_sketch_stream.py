@@ -96,3 +96,19 @@ def test_sketch_compaction_and_replay(spark, tmp_path):
     assert sum(c for _, c in
                {(r.bin, r.c)
                 for r in merged_sketch(spark, store).collect()}) == 8
+
+
+def test_histogram_floor_bins_negative_values(spark):
+    """r6 review fix: negative cents bin by FLOOR division (DuckDB //),
+    never truncate-toward-zero — a -5000-cent refund lands in bin -1,
+    not bin 0."""
+    from sunat_rree_demo_spark.operators.sketches import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(-5000,), (-10000,), (-1,), (0,), (5000,), (10000,)],
+        "price_cents long")
+    got = {r.bin: r.c for r in equi_width_histogram(
+        df, F.col("price_cents"), width=10000).collect()}
+    assert got == {-1: 3, 0: 2, 1: 1}
