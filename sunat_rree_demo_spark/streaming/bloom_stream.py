@@ -13,9 +13,11 @@ Per micro-batch:
 3. only the bloom-positive remainder ("maybe") anti-joins the exact
    committed digest store — the expensive membership join runs on the
    (false positives + true dups) subset, not the batch;
-4. kept rows, their digests, per-batch gate stats, and the batch's new
-   bloom words are written to per-batch partitions; the bloom partition
-   is written LAST, so its ``_SUCCESS`` is the commit marker.
+4. per-batch gate stats, the kept digests, the batch's new bloom
+   words, and finally the kept rows are written to per-batch
+   partitions; the KEPT partition is written LAST, so its ``_SUCCESS``
+   is the commit marker — kept is the one table compaction never
+   rewrites, which keeps the gate stable across compactions.
 
 EXACTNESS: the bloom is purely a routing gate — a false positive only
 costs one exact-store lookup, never a wrong drop — so the drained kept
@@ -56,8 +58,10 @@ BLOOM_M = BLOOM_WORDS * 63
 
 def bloom_batch_committed(spark: SparkSession, store_path: str,
                           batch_id: int) -> bool:
+    """The batch marker lives on the KEPT table (written last; never
+    compacted away — see module docstring)."""
     fs, marker = _hadoop_fs(
-        spark, f"{store_path}/bloom/{BATCH_COL}={batch_id}/_SUCCESS")
+        spark, f"{store_path}/kept/{BATCH_COL}={batch_id}/_SUCCESS")
     return fs.exists(marker)
 
 
@@ -145,13 +149,14 @@ def process_bloom_batch(spark: SparkSession, batch_df: DataFrame,
           n_false_pos, n_kept)],
         "batch_id long, n_docs long, n_unique long, n_definite_new long, "
         "n_maybe long, n_false_pos long, n_kept long")
+    # the batch becomes uncommitted for the whole rewrite window (a
+    # crash replay re-enters here), then the kept write restores the
+    # marker LAST
+    clear_commit_marker(spark, f"{store_path}/kept/{BATCH_COL}={batch_id}")
     (stats.write.mode("overwrite")
      .parquet(f"{store_path}/stats/{BATCH_COL}={batch_id}"))
-    (kept.write.mode("overwrite")
-     .parquet(f"{store_path}/kept/{BATCH_COL}={batch_id}"))
     (kept.select("dg").write.mode("overwrite")
      .parquet(f"{store_path}/digests/{BATCH_COL}={batch_id}"))
-    clear_commit_marker(spark, f"{store_path}/bloom/{BATCH_COL}={batch_id}")
     (kept.select(F.explode(_positions(F.col("dg"))).alias("pos"))
      .select((F.col("pos") / 63).cast("bigint").alias("word"),
              F.expr("shiftleft(CAST(1 AS BIGINT), "
@@ -159,6 +164,8 @@ def process_bloom_batch(spark: SparkSession, batch_df: DataFrame,
      .groupBy("word").agg(F.bit_or("mk").alias("m"))
      .write.mode("overwrite")
      .parquet(f"{store_path}/bloom/{BATCH_COL}={batch_id}"))
+    (kept.write.mode("overwrite")
+     .parquet(f"{store_path}/kept/{BATCH_COL}={batch_id}"))
 
 
 def run_bloom_dedup_stream(spark: SparkSession, docs_stream: DataFrame,
@@ -203,3 +210,39 @@ def load_gate_stats(spark: SparkSession, store_path: str) -> DataFrame:
                 "n_definite_new long, n_maybe long, n_false_pos long, "
                 "n_kept long")
     return spark.read.parquet(*dirs)
+
+
+def compact_bloom_store(spark: SparkSession, store_path: str) -> None:
+    """Collapse committed digest/bloom batches into one negative-id
+    generation (kept/stats are history and stay). CRASH-SAFE in any
+    window without coordination, because this store's semantics are
+    set-idempotent: digests deduplicate through the anti-join and
+    bloom words merge by bit_or, so a crash that leaves BOTH the new
+    generation and not-yet-deleted old batches behind changes nothing
+    a probe computes — the new generation is written and committed
+    FIRST, old directories deleted after."""
+    from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
+
+    dirs_b = _committed_dirs(spark, store_path, "bloom")
+    if not dirs_b:
+        return
+    bids = [int(d.rsplit("=", 1)[1]) for d in dirs_b]
+    target = min(min(bids), 0) - 1
+    dirs_d = _committed_dirs(spark, store_path, "digests")
+    merged_dg = spark.read.parquet(*dirs_d).select("dg").distinct() \
+        .localCheckpoint()
+    merged_bloom = (spark.read.parquet(*dirs_b)
+                    .groupBy("word").agg(F.bit_or("m").alias("m"))
+                    .localCheckpoint())
+    (merged_dg.write.mode("overwrite")
+     .parquet(f"{store_path}/digests/{BATCH_COL}={target}"))
+    (merged_bloom.write.mode("overwrite")
+     .parquet(f"{store_path}/bloom/{BATCH_COL}={target}"))
+    # commit: an empty kept partition carries the target's marker
+    kept_schema = spark.read.parquet(
+        _committed_dirs(spark, store_path, "kept")[0]).schema
+    (spark.createDataFrame([], kept_schema).write.mode("overwrite")
+     .parquet(f"{store_path}/kept/{BATCH_COL}={target}"))
+    fs, _ = _hadoop_fs(spark, store_path)
+    for d in dirs_d + dirs_b:
+        fs.delete(_hadoop_fs(spark, d)[1], True)

@@ -136,12 +136,52 @@ def test_bloom_replay_and_torn_batch(spark, tmp_path):
     assert {(r.word, r.m)
             for r in current_bloom(spark, store).collect()} == words0
 
-    # torn batch: bloom marker missing -> invisible to readers
+    # torn batch: the kept-table commit marker missing -> invisible
     d1 = spark.createDataFrame([(9, "gamma")], "doc_id long, text string")
     process_bloom_batch(spark, d1, 1, store)
-    os.remove(f"{store}/bloom/batch_id=1/_SUCCESS")
+    os.remove(f"{store}/kept/batch_id=1/_SUCCESS")
     assert {r.doc_id for r in load_kept(spark, store).collect()} == {1, 3}
     # heal on replay
     process_bloom_batch(spark, d1, 1, store)
     assert {r.doc_id
             for r in load_kept(spark, store).collect()} == {1, 3, 9}
+
+
+def test_bloom_store_compaction(spark, tmp_path):
+    """Compaction collapses digests+bloom into one negative batch with
+    identical probe behavior; kept/stats history survives."""
+    from sunat_rree_demo_spark.streaming.bloom_stream import (
+        compact_bloom_store,
+        current_bloom,
+        committed_digests,
+        load_gate_stats,
+        load_kept,
+        process_bloom_batch,
+    )
+
+    store = str(tmp_path / "cb_store")
+    b0 = spark.createDataFrame([(1, "aa"), (2, "bb")],
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame([(3, "cc"), (4, "aa")],
+                               "doc_id long, text string")
+    process_bloom_batch(spark, b0, 0, store)
+    process_bloom_batch(spark, b1, 1, store)
+    bloom_pre = {(r.word, r.m)
+                 for r in current_bloom(spark, store).collect()}
+    dg_pre = {r.dg for r in committed_digests(spark, store).collect()}
+
+    compact_bloom_store(spark, store)
+    assert {(r.word, r.m)
+            for r in current_bloom(spark, store).collect()} == bloom_pre
+    assert {r.dg
+            for r in committed_digests(spark, store).collect()} == dg_pre
+    assert {r.doc_id for r in load_kept(spark, store).collect()} \
+        == {1, 2, 3}
+    assert load_gate_stats(spark, store).count() == 2
+
+    # the compacted store keeps deduplicating exactly
+    b2 = spark.createDataFrame([(9, "bb"), (10, "dd")],
+                               "doc_id long, text string")
+    process_bloom_batch(spark, b2, 2, store)
+    assert {r.doc_id for r in load_kept(spark, store).collect()} \
+        == {1, 2, 3, 10}
