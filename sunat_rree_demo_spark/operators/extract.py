@@ -102,3 +102,30 @@ def main_content(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(id_col, text_col).mapInPandas(
         pick, schema=f"{id_col} long, content string, "
                      "n_lines_kept int, n_lines_total int")
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair the classic double-encoding corruption ("Ã©" for "é"):
+    text that was UTF-8 encoded, then mis-decoded as Latin-1, re-reads
+    correctly after a Latin-1 round trip — ``decode(encode(s,
+    'ISO-8859-1'), 'UTF-8')``, pure JVM expressions. GUARDED: the
+    repair is used only when (a) the input shows mojibake lead bytes
+    (Â/Ã/â), (b) the Latin-1 bytes are genuinely valid UTF-8
+    (``is_valid_utf8`` on the bytes — checked BEFORE any decode
+    appears in an evaluated branch, since ANSI decode raises on
+    malformed input), and (c) it shortened the string (a genuine
+    repair always does; ASCII is a fixed point) — otherwise the
+    original passes through untouched, so clean text can never be
+    corrupted by the fixer."""
+    latin = F.encode(col, "ISO-8859-1")
+    looks_broken = col.rlike("[ÂÃâ]")
+    # validity must be checked on the BYTES (is_valid_utf8, Spark 4)
+    # BEFORE any decode appears in an evaluated branch: ANSI decode
+    # RAISES on malformed input, so the repair expression may only
+    # exist under the validity condition
+    repaired = F.decode(latin, "UTF-8")
+    return F.when(
+        looks_broken & F.is_valid_utf8(latin),
+        F.when(F.length(repaired) < F.length(col), repaired)
+        .otherwise(col)
+    ).otherwise(col)

@@ -98,3 +98,32 @@ def test_html_to_text_matches_stdlib_parser_on_text_nodes(spark):
     (txt,) = df.select(html_to_text(F.col("html")).alias("t")).first()
     got = [w for w in txt.split() if w.isascii() and w.isalpha()]
     assert got == expected and "fox" in got
+
+
+def test_fix_mojibake_repairs_and_passes_through(spark):
+    from sunat_rree_demo_spark.operators.extract import fix_mojibake
+
+    def moji(s):
+        return s.encode("utf-8").decode("latin-1")
+
+    rows = [
+        (1, moji("déjà vu café")),            # classic double-encode
+        (2, moji("naïve — “quoted” résumé")),  # punctuation mojibake
+        (3, "plain ascii stays"),              # fixed point
+        (4, "Ãberhaupt"),                      # broken-looking but the
+                                               # round trip is invalid
+        (5, "math: aÂ² + bÂ²"),  # Â² -> ²
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r.id: r.t for r in
+           df.select("id", fix_mojibake(F.col("s")).alias("t")).collect()}
+    assert got[1] == "déjà vu café"
+    assert got[2] == "naïve — “quoted” résumé"
+    assert got[3] == "plain ascii stays"
+    assert got[4] == "Ãberhaupt"               # untouched, not corrupted
+    assert got[5] == "math: a² + b²"
+    # idempotent: repairing repaired text changes nothing
+    again = {r.id: r.t for r in
+             df.select("id", fix_mojibake(
+                 fix_mojibake(F.col("s"))).alias("t")).collect()}
+    assert again == got
