@@ -147,7 +147,14 @@ def q189_quantile_sketch_merge(spark, sf_dir):
     combine (bin domain is price-range/100 ≈ 1k rows, data-independent)
     — the cumulative window runs over that bounded bin domain, never
     rows. At 100 TB the same two-level merge handles per-executor then
-    per-shard combination with no extra machinery."""
+    per-shard combination with no extra machinery.
+
+    Binning note: this query's inline bin (truncating cast, matching
+    its frozen SQL oracle's ``//`` on the POSITIVE price domain)
+    coincides with the floor-division general operator
+    (operators/sketches.py ``equi_width_histogram``) exactly because
+    l_extendedprice > 0; signed inputs must go through the operator
+    (negative-bin test in tests/test_sketch_stream.py)."""
     from sunat_rree_demo_spark.operators.sketches import (
         HIST_BIN_CENTS,
         histogram_quantiles,
