@@ -229,3 +229,43 @@ def test_skyline_survives_multi_batch_candidates(spark):
               F.lit(0).alias("lo"))))
     got = skyline_2d(df.repartition(7), "hi", "lo").collect()
     assert [r.id for r in got] == [n]
+
+
+def test_r6_simple_query_plan_shapes(spark):
+    """Cheap shape pins for the rest of the r6 slate: dims broadcast
+    (q192/q197), the dedup window is key-partitioned (q194), and the
+    bloom probe broadcasts the filter (q196)."""
+    from tests.test_plan_contracts import (
+        assert_windows_partitioned,
+        fresh,
+    )
+
+    p192 = plan_of(fresh("q192_segmented_regression")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p192 and "SortMergeJoin" not in p192
+
+    p194 = plan_of(fresh("q194_window_dedup_rank")(spark, SF_SMOKE))
+    assert_windows_partitioned(p194)
+
+    p196 = plan_of(fresh("q196_bloom_filter_join")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p196  # the 64-word filter broadcasts
+
+    p197 = plan_of(fresh("q197_personalized_pagerank")(spark, SF_SMOKE))
+    # the fact-fact edge build may sort-merge; the iteration itself
+    # must never degrade to a cartesian/nested-loop product
+    assert "CartesianProduct" not in p197
+    assert "BroadcastNestedLoopJoin" not in p197
+
+
+def test_q188_windows_are_source_grain(spark):
+    """q188's cumulative-cost window runs over the SOURCE aggregate
+    (domain-bounded), never documents: the window input must sit above
+    the source-grain HashAggregate."""
+    import re
+
+    from tests.test_plan_contracts import fresh
+
+    plan = plan_of(fresh("q188_tokens_per_dollar")(spark, SF_SMOKE))
+    # exactly one unpartitioned window (cum over ~20 source rows)
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs
+    assert re.search(r"Keys \[1\]: \[source#\d+\]", plan)
