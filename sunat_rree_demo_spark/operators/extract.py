@@ -50,11 +50,18 @@ def html_to_text(col: Column) -> Column:
     out = F.regexp_replace(out, r"(?i)<br[^>]*>|</p>|</div>|</li>|</tr>",
                            "\n")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    # decode order matters (review finding r6): '&amp;' must go LAST,
+    # or double-escaped entities double-decode — '&amp;lt;' means the
+    # literal text '&lt;', not '<' (html.parser decodes in ONE pass;
+    # a re-scanning replace chain only matches that if the '&'
+    # materializes after every other entity rule has run)
     for ent, ch in _ENTITIES.items():
-        out = F.replace(out, F.lit(ent), F.lit(ch))
+        if ent != "&amp;":
+            out = F.replace(out, F.lit(ent), F.lit(ch))
     # numeric entities: decimal and hex code points
     out = F.regexp_replace(out, r"&#[0-9]{1,7};", " ")
     out = F.regexp_replace(out, r"&#x[0-9a-fA-F]{1,6};", " ")
+    out = F.replace(out, F.lit("&amp;"), F.lit("&"))
     out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
     out = F.regexp_replace(out, r" ?\n ?", "\n")
     out = F.regexp_replace(out, r"\n{2,}", "\n")
@@ -117,15 +124,22 @@ def fix_mojibake(col: Column) -> Column:
     repair always does; ASCII is a fixed point) — otherwise the
     original passes through untouched, so clean text can never be
     corrupted by the fixer."""
+    # ANSI encode RAISES on characters outside Latin-1 (em-dashes,
+    # CJK, emoji — routine in mixed crawls), and ANSI decode raises on
+    # malformed bytes, so BOTH live strictly inside nested WHEN
+    # branches behind their pre-guards; plain & conjunctions are not
+    # enough (the optimizer may reorder conjuncts — only CASE WHEN
+    # guarantees conditional evaluation). Review finding r6, repro:
+    # 'Ã© broken plus — emdash' crashed the unguarded encode.
+    mappable_and_broken = col.rlike("[ÂÃâ]") \
+        & ~col.rlike("[^\u0000-\u00ff]")
     latin = F.encode(col, "ISO-8859-1")
-    looks_broken = col.rlike("[ÂÃâ]")
-    # validity must be checked on the BYTES (is_valid_utf8, Spark 4)
-    # BEFORE any decode appears in an evaluated branch: ANSI decode
-    # RAISES on malformed input, so the repair expression may only
-    # exist under the validity condition
     repaired = F.decode(latin, "UTF-8")
     return F.when(
-        looks_broken & F.is_valid_utf8(latin),
-        F.when(F.length(repaired) < F.length(col), repaired)
-        .otherwise(col)
+        mappable_and_broken,
+        F.when(
+            F.is_valid_utf8(latin),
+            F.when(F.length(repaired) < F.length(col), repaired)
+            .otherwise(col)
+        ).otherwise(col)
     ).otherwise(col)

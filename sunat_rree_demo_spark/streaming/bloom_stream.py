@@ -33,6 +33,11 @@ recomputes identical partitions (probes read committed state only) and
 overwrites them byte-identically — same protocol as the cms/novelty
 streams.
 
+STORE FORMAT: the commit marker has lived on the kept table since the
+format was finalized (pre-release within r6 — interim same-round
+commits briefly used bloom/_SUCCESS; no store from those commits is
+supported, rebuild rather than migrate).
+
 Scale: the filter is O(words) regardless of corpus size and broadcasts;
 the digest store is touched only by the maybe subset (broadcast-sized
 per batch). When the store outgrows a plain scan, bucket it on the
@@ -227,6 +232,8 @@ def compact_bloom_store(spark: SparkSession, store_path: str) -> None:
     if not dirs_b:
         return
     bids = [int(d.rsplit("=", 1)[1]) for d in dirs_b]
+    if len(dirs_b) == 1 and bids[0] < 0:
+        return  # already a single compacted generation: no-op
     target = min(min(bids), 0) - 1
     dirs_d = _committed_dirs(spark, store_path, "digests")
     merged_dg = spark.read.parquet(*dirs_d).select("dg").distinct() \
@@ -246,3 +253,9 @@ def compact_bloom_store(spark: SparkSession, store_path: str) -> None:
     fs, _ = _hadoop_fs(spark, store_path)
     for d in dirs_d + dirs_b:
         fs.delete(_hadoop_fs(spark, d)[1], True)
+    # superseded negative generations' EMPTY kept markers go too (the
+    # positive kept dirs are real history and stay); without this,
+    # periodic compaction leaks one marker partition per run
+    for bid in {b for b in bids if b < 0}:
+        fs.delete(_hadoop_fs(
+            spark, f"{store_path}/kept/{BATCH_COL}={bid}")[1], True)

@@ -127,3 +127,31 @@ def test_fix_mojibake_repairs_and_passes_through(spark):
              df.select("id", fix_mojibake(
                  fix_mojibake(F.col("s"))).alias("t")).collect()}
     assert again == got
+
+
+def test_fix_mojibake_survives_non_latin1_text(spark):
+    """r6 review crash repro: mojibake-class chars ALONGSIDE non-Latin-1
+    chars (em-dash, CJK, emoji) must pass through, not crash the ANSI
+    encode."""
+    from sunat_rree_demo_spark.operators.extract import fix_mojibake
+
+    rows = [(1, "Ã© broken plus — emdash"),
+            (2, "château’s café — 2024"),
+            (3, "Ã mixed with 日本語"),
+            (4, "emoji Â🙂")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r.id: r.t for r in
+           df.select("id", fix_mojibake(F.col("s")).alias("t")).collect()}
+    assert got == dict(rows)  # all untouched, none crashed
+
+
+def test_html_entities_double_escape_single_decode(spark):
+    """r6 review fix: '&amp;lt;' is the literal text '&lt;', never '<';
+    '&amp;#169;' survives as '&#169;' instead of being deleted."""
+    from sunat_rree_demo_spark.operators.extract import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>a &amp;lt;b&amp;gt; c &amp;#169; d &amp; e</p>")],
+        "id long, s string")
+    (txt,) = df.select(html_to_text(F.col("s")).alias("t")).first()
+    assert txt == "a &lt;b&gt; c &#169; d & e"

@@ -265,7 +265,9 @@ def test_q188_windows_are_source_grain(spark):
     from tests.test_plan_contracts import fresh
 
     plan = plan_of(fresh("q188_tokens_per_dollar")(spark, SF_SMOKE))
-    # exactly one unpartitioned window (cum over ~20 source rows)
+    # exactly ONE window, unpartitioned (its first spec argument is the
+    # sort column), over the source-grain aggregate
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
-    assert specs
+    assert len(set(specs)) == 1, specs
+    assert " ASC" in specs[0] or " DESC" in specs[0]
     assert re.search(r"Keys \[1\]: \[source#\d+\]", plan)
