@@ -113,3 +113,34 @@ def test_ann_index_forget(spark, tmp_path):
     assert all(r.n_id not in victims for r in after)
     vecs = spark.read.parquet(f"{path}/vectors")
     assert vecs.filter(vecs.vec_id.isin(victims)).count() == 0
+
+
+def test_forget_edge_cases(spark, tmp_path):
+    """Empty stores and never-present ids: no touched partitions, no
+    errors, byte-identical trees."""
+    from sunat_rree_demo_spark.operators.ann_index import (
+        forget_vectors,
+        write_ivf_index,
+    )
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        forget_ids,
+        write_minhash_index,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    # vector index without any committed dirs
+    assert forget_vectors(spark, str(tmp_path / "nothing"), [1, 2]) == []
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(30)
+    dpath = str(tmp_path / "didx")
+    write_minhash_index(d, dpath)
+    pre = _tree_state(dpath)
+    assert forget_ids(spark, dpath, [99_999_999]) == []
+    assert _tree_state(dpath) == pre      # absent id: nothing rewritten
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(40)
+    vpath = str(tmp_path / "vidx")
+    write_ivf_index(emb, vpath, k=2, iters=1)
+    pre = _tree_state(vpath)
+    assert forget_vectors(spark, vpath, [99_999_999]) == []
+    assert _tree_state(vpath) == pre

@@ -209,3 +209,34 @@ def test_domain_rank_ranks_null_values(spark):
     got = {r["id"]: r["rn"] for r in
            domain_rank(df, "v", "id", "rn").collect()}
     assert got == expected == {1: 1, 3: 2, 4: 3, 2: 4}
+
+
+def test_ntile_from_rank_property_grid(spark):
+    """ntile_from_rank equals Python's exact ntile partitioning for a
+    grid of (N, tiles) including N < tiles, N == tiles, remainders of
+    every residue class — one Spark job for the whole grid."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.operators.windows import ntile_from_rank
+
+    cases = [(n, t) for n in (1, 2, 3, 9, 10, 11, 23, 40, 97)
+             for t in (1, 2, 4, 10)]
+    rows = [(n, t, rn) for n, t in cases for rn in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n long, t long, rn long")
+    got = {}
+    for t in (1, 2, 4, 10):
+        part = df.filter(F.col("t") == t).withColumn(
+            "tile", ntile_from_rank(F.col("rn"), F.col("n"), t))
+        for r in part.collect():
+            got[(r.n, t, r.rn)] = r.tile
+
+    def py_ntile(n, tiles, rn):
+        q, rem = divmod(n, tiles)
+        boundary = rem * (q + 1)
+        if rn <= boundary:
+            return (rn - 1) // (q + 1) + 1
+        return rem + (rn - boundary - 1) // q + 1 if q else rn
+
+    for n, t in cases:
+        for rn in range(1, n + 1):
+            assert got[(n, t, rn)] == py_ntile(n, t, rn), (n, t, rn)
