@@ -259,3 +259,46 @@ def compact_bloom_store(spark: SparkSession, store_path: str) -> None:
     for bid in {b for b in bids if b < 0}:
         fs.delete(_hadoop_fs(
             spark, f"{store_path}/kept/{BATCH_COL}={bid}")[1], True)
+
+
+def forget_docs(spark: SparkSession, store_path: str, ids: list,
+                id_col: str = "doc_id") -> list[int]:
+    """DELETION PROPAGATION (right-to-be-forgotten) for the dedup
+    store: remove the given doc ids from the kept rows and their
+    digests from the exact store, rewriting only the touched batch
+    partitions (located by one broadcast scan; untouched partitions
+    stay byte-identical). The BLOOM WORDS ARE LEFT ALONE — a bloom
+    filter cannot unset bits, and it never needs to here: it is purely
+    a routing layer, so a stale bit only costs one exact-store lookup,
+    while the authoritative digest removal means a future re-ship of
+    the forgotten content is treated as NEW and kept (the correct RTBF
+    semantics: the content is genuinely forgotten, not silently
+    suppressed). Returns the touched batch ids. OFFLINE maintenance
+    (not transactional against a concurrent micro-batch); each touched
+    batch's kept marker is cleared first and restored by the kept
+    rewrite, so committed-gated readers never torn-read."""
+    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    dirs_k = _committed_dirs(spark, store_path, "kept")
+    if not dirs_k:
+        return []
+    kept = spark.read.option("basePath", f"{store_path}/kept") \
+        .parquet(*dirs_k)
+    touched = sorted(
+        r[BATCH_COL]
+        for r in kept.join(F.broadcast(id_df), id_col, "left_semi")
+        .select(BATCH_COL).distinct().collect())
+    for bid in touched:
+        kdir = f"{store_path}/kept/{BATCH_COL}={bid}"
+        batch_kept = spark.read.parquet(kdir)
+        keep = batch_kept.join(F.broadcast(id_df), id_col, "left_anti") \
+            .localCheckpoint()
+        drop_dgs = (batch_kept.join(F.broadcast(id_df), id_col,
+                                    "left_semi")
+                    .select("dg").localCheckpoint())
+        clear_commit_marker(spark, kdir)
+        (spark.read.parquet(f"{store_path}/digests/{BATCH_COL}={bid}")
+         .join(drop_dgs, "dg", "left_anti").localCheckpoint()
+         .write.mode("overwrite")
+         .parquet(f"{store_path}/digests/{BATCH_COL}={bid}"))
+        keep.write.mode("overwrite").parquet(kdir)
+    return touched

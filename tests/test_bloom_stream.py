@@ -185,3 +185,44 @@ def test_bloom_store_compaction(spark, tmp_path):
     process_bloom_batch(spark, b2, 2, store)
     assert {r.doc_id for r in load_kept(spark, store).collect()} \
         == {1, 2, 3, 10}
+
+
+def test_bloom_store_forget(spark, tmp_path):
+    """RTBF: forgotten docs leave kept + digests (touched partitions
+    only); the stale bloom bit is harmless — a re-ship of the
+    forgotten content is KEPT as new (genuine forgetting), routed
+    through the exact tier."""
+    from sunat_rree_demo_spark.streaming.bloom_stream import (
+        committed_digests,
+        forget_docs,
+        load_kept,
+        process_bloom_batch,
+    )
+
+    store = str(tmp_path / "fg_store")
+    b0 = spark.createDataFrame(
+        [(1, "secret text"), (2, "public text")],
+        "doc_id long, text string")
+    process_bloom_batch(spark, b0, 0, store)
+    n_dg = committed_digests(spark, store).count()
+
+    assert forget_docs(spark, store, [1]) == [0]
+    assert {r.doc_id for r in load_kept(spark, store).collect()} == {2}
+    assert committed_digests(spark, store).count() == n_dg - 1
+
+    # re-shipped forgotten content is bloom-positive (stale bit) but
+    # the exact tier finds no digest -> kept as new, fp accounted
+    b1 = spark.createDataFrame([(7, "secret text")],
+                               "doc_id long, text string")
+    process_bloom_batch(spark, b1, 1, store)
+    assert {r.doc_id for r in load_kept(spark, store).collect()} == {2, 7}
+    from sunat_rree_demo_spark.streaming.bloom_stream import (
+        load_gate_stats,
+    )
+
+    s1 = {r.batch_id: r for r in
+          load_gate_stats(spark, store).collect()}[1]
+    assert s1.n_maybe == 1 and s1.n_false_pos == 1 and s1.n_kept == 1
+
+    # absent ids: no-op
+    assert forget_docs(spark, store, [999]) == []
