@@ -44,8 +44,12 @@ def main() -> None:
     n_base = base.count()
 
     def replicate(k: int):
-        if k == 1:
-            return base
+        """SYMMETRIC preparation for every scale (review finding r6:
+        an asymmetric probe — checkpointed 10x vs parquet-backed 1x,
+        with the 10x materialization running before the 1x timings —
+        skews the growth ratios it exists to measure): each scale is
+        repartitioned and checkpointed identically, lazily, right
+        before ITS measurements."""
         out = base
         for i in range(1, k):
             out = out.unionByName(
@@ -53,10 +57,16 @@ def main() -> None:
                                 F.col("doc_id") + F.lit(i * 10_000_000)))
         return out.repartition(32).localCheckpoint()
 
+    import shutil
     import tempfile
 
+    # JVM/codegen warmup outside the measurements
+    doc_shingle_arrays(base.limit(50), "doc_id", "text", 5).count()
+
     results = {"n_replicas": n, "base_docs": n_base, "steps": {}}
-    for scale, docs in (("1x", replicate(1)), (f"{n}x", replicate(n))):
+    roots = []
+    for scale, k in (("1x", 1), (f"{n}x", n)):
+        docs = replicate(k)
         tag = {}
         t0 = time.monotonic()
         arr = doc_shingle_arrays(docs, "doc_id", "text", 5).localCheckpoint()
@@ -70,6 +80,7 @@ def main() -> None:
         tag["n_pairs"] = n_pairs
 
         root = tempfile.mkdtemp(prefix=f"probe_{scale}_")
+        roots.append(root)
         t0 = time.monotonic()
         write_minhash_index(docs.filter("doc_id % 2 = 0"), f"{root}/a")
         write_minhash_index(docs.filter("doc_id % 2 = 1"), f"{root}/b")
@@ -84,8 +95,10 @@ def main() -> None:
         results["steps"][scale] = tag
 
     # clean up the probe's warehouse tables (fixed names, no app id)
-    import shutil
-
+    # AND the temp index roots (two full MinHash trees per run
+    # otherwise accumulate under /tmp — review finding r6)
+    for root in roots:
+        shutil.rmtree(root, ignore_errors=True)
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir").removeprefix("file:")
     for scale in ("1x", f"{n}x"):

@@ -698,3 +698,28 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=PIXEL_STATS_SCHEMA)
+
+
+def sniff_media_type(payload: bytes) -> str:
+    """MIME type from magic bytes — the single source of truth for the
+    format signatures this module's decoders understand (PNG/JPEG/GIF/
+    BMP/TIFF dims, RIFF/WAVE and fLaC audio, ISO-BMFF video); anything
+    else is application/octet-stream. Used by the media_dir DataSource
+    and available to callers routing payloads to decoders."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if payload[:2] == b"\xff\xd8":
+        return "image/jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if payload[:2] == b"BM":
+        return "image/bmp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
+    if payload[:4] == b"fLaC":
+        return "audio/flac"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "video/mp4"
+    return "application/octet-stream"

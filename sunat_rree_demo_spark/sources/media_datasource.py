@@ -35,26 +35,12 @@ from pyspark.sql.datasource import (
 from sunat_rree_demo_spark.operators.multimodal import MEDIA_SCHEMA
 
 
-def sniff_media_type(payload: bytes) -> str:
-    """MIME type from magic bytes — the formats the multimodal decoders
-    understand, else application/octet-stream."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return "image/png"
-    if payload[:2] == b"\xff\xd8":
-        return "image/jpeg"
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return "image/gif"
-    if payload[:2] == b"BM":
-        return "image/bmp"
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        return "image/tiff"
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return "audio/wav"
-    if payload[:4] == b"fLaC":
-        return "audio/flac"
-    if len(payload) >= 12 and payload[4:8] == b"ftyp":
-        return "video/mp4"
-    return "application/octet-stream"
+#: re-exported from the multimodal module — one source of truth for
+#: magic-byte signatures (review finding r6: duplicating them here
+#: meant codec fixes needed synchronized edits in two files)
+from sunat_rree_demo_spark.operators.multimodal import (  # noqa: E402
+    sniff_media_type,
+)
 
 
 class FileGroupPartition(InputPartition):
@@ -69,6 +55,9 @@ class MediaDirReader(DataSourceReader):
             raise ValueError("media_dir needs option('path', directory)")
         self.glob = options.get("glob", "*")
         self.per_part = int(options.get("files_per_partition", "64"))
+        if self.per_part < 1:
+            raise ValueError(
+                f"files_per_partition must be >= 1, got {self.per_part}")
 
     def partitions(self):
         import glob as globmod

@@ -261,44 +261,81 @@ def compact_bloom_store(spark: SparkSession, store_path: str) -> None:
             spark, f"{store_path}/kept/{BATCH_COL}={bid}")[1], True)
 
 
+def _all_batch_dirs(spark: SparkSession, store_path: str,
+                    table: str) -> dict[int, str]:
+    """{batch_id: dir} for EVERY batch partition of ``table``,
+    including torn/uncommitted ones — maintenance passes must see
+    crash leftovers to heal them (the committed-only rule is for
+    PROBES, not for repair)."""
+    fs, jroot = _hadoop_fs(spark, f"{store_path}/{table}")
+    out = {}
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(f"{BATCH_COL}="):
+                out[int(name.split("=", 1)[1])] = \
+                    f"{store_path}/{table}/{name}"
+    return out
+
+
 def forget_docs(spark: SparkSession, store_path: str, ids: list,
                 id_col: str = "doc_id") -> list[int]:
     """DELETION PROPAGATION (right-to-be-forgotten) for the dedup
     store: remove the given doc ids from the kept rows and their
     digests from the exact store, rewriting only the touched batch
-    partitions (located by one broadcast scan; untouched partitions
-    stay byte-identical). The BLOOM WORDS ARE LEFT ALONE — a bloom
-    filter cannot unset bits, and it never needs to here: it is purely
-    a routing layer, so a stale bit only costs one exact-store lookup,
-    while the authoritative digest removal means a future re-ship of
-    the forgotten content is treated as NEW and kept (the correct RTBF
-    semantics: the content is genuinely forgotten, not silently
-    suppressed). Returns the touched batch ids. OFFLINE maintenance
-    (not transactional against a concurrent micro-batch); each touched
-    batch's kept marker is cleared first and restored by the kept
-    rewrite, so committed-gated readers never torn-read."""
+    partitions. Discovery scans ALL batch directories (not just
+    committed ones — review finding r6: a committed-only scan made a
+    crash between marker-clear and rewrite unhealable), and digests
+    are dropped from EVERY partition holding them, including the
+    negative-id generation a compaction produced (same finding: the
+    per-batch digest rewrite alone left forgotten digests alive in the
+    compacted generation, so re-shipped forgotten content stayed
+    suppressed).
+
+    The BLOOM WORDS ARE LEFT ALONE — a bloom filter cannot unset bits,
+    and it never needs to here: it is purely a routing layer, so a
+    stale bit only costs one exact-store lookup, while the
+    authoritative digest removal means a future re-ship of the
+    forgotten content is treated as NEW and kept (the correct RTBF
+    semantics). Returns the touched batch ids (kept and/or digest
+    side). OFFLINE maintenance like its index siblings: in-place
+    partition overwrites are not transactional against a concurrent
+    micro-batch, and a crash mid-OVERWRITE of one partition needs this
+    same pass re-run to finish healing (markers stay cleared until the
+    kept rewrite completes)."""
     id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
-    dirs_k = _committed_dirs(spark, store_path, "kept")
-    if not dirs_k:
+    kept_dirs = _all_batch_dirs(spark, store_path, "kept")
+    if not kept_dirs:
         return []
     kept = spark.read.option("basePath", f"{store_path}/kept") \
-        .parquet(*dirs_k)
-    touched = sorted(
+        .parquet(*kept_dirs.values())
+    touched_kept = sorted(
         r[BATCH_COL]
         for r in kept.join(F.broadcast(id_df), id_col, "left_semi")
         .select(BATCH_COL).distinct().collect())
-    for bid in touched:
-        kdir = f"{store_path}/kept/{BATCH_COL}={bid}"
-        batch_kept = spark.read.parquet(kdir)
-        keep = batch_kept.join(F.broadcast(id_df), id_col, "left_anti") \
-            .localCheckpoint()
-        drop_dgs = (batch_kept.join(F.broadcast(id_df), id_col,
-                                    "left_semi")
-                    .select("dg").localCheckpoint())
-        clear_commit_marker(spark, kdir)
-        (spark.read.parquet(f"{store_path}/digests/{BATCH_COL}={bid}")
-         .join(drop_dgs, "dg", "left_anti").localCheckpoint()
-         .write.mode("overwrite")
-         .parquet(f"{store_path}/digests/{BATCH_COL}={bid}"))
-        keep.write.mode("overwrite").parquet(kdir)
-    return touched
+    if not touched_kept:
+        return []
+    drop_dgs = (kept.join(F.broadcast(id_df), id_col, "left_semi")
+                .select("dg").distinct().localCheckpoint())
+    dg_dirs = _all_batch_dirs(spark, store_path, "digests")
+    dgs = spark.read.option("basePath", f"{store_path}/digests") \
+        .parquet(*dg_dirs.values())
+    touched_dgs = sorted(
+        r[BATCH_COL]
+        for r in dgs.join(F.broadcast(drop_dgs), "dg", "left_semi")
+        .select(BATCH_COL).distinct().collect())
+    all_touched = sorted(set(touched_kept) | set(touched_dgs))
+    # uncommit every touched batch for the whole rewrite window
+    for bid in all_touched:
+        clear_commit_marker(spark, kept_dirs[bid])
+    for bid in touched_dgs:
+        keep_dg = (spark.read.parquet(dg_dirs[bid])
+                   .join(F.broadcast(drop_dgs), "dg", "left_anti")
+                   .localCheckpoint())
+        keep_dg.write.mode("overwrite").parquet(dg_dirs[bid])
+    for bid in all_touched:
+        keep = (spark.read.parquet(kept_dirs[bid])
+                .join(F.broadcast(id_df), id_col, "left_anti")
+                .localCheckpoint())
+        keep.write.mode("overwrite").parquet(kept_dirs[bid])  # marker back
+    return all_touched

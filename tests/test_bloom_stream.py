@@ -226,3 +226,37 @@ def test_bloom_store_forget(spark, tmp_path):
 
     # absent ids: no-op
     assert forget_docs(spark, store, [999]) == []
+
+
+def test_bloom_store_forget_after_compaction(spark, tmp_path):
+    """r6 review fix: forgetting AFTER a compaction must drop the
+    digest from the negative generation too — otherwise a re-ship of
+    the forgotten content would stay suppressed as a dup."""
+    from sunat_rree_demo_spark.streaming.bloom_stream import (
+        compact_bloom_store,
+        committed_digests,
+        forget_docs,
+        load_kept,
+        process_bloom_batch,
+    )
+
+    store = str(tmp_path / "fgc_store")
+    b0 = spark.createDataFrame(
+        [(1, "forget me"), (2, "keep me")], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(3, "third text")], "doc_id long, text string")
+    process_bloom_batch(spark, b0, 0, store)
+    process_bloom_batch(spark, b1, 1, store)
+    compact_bloom_store(spark, store)
+
+    touched = forget_docs(spark, store, [1])
+    assert 0 in touched           # the kept partition holding doc 1
+    assert {r.doc_id for r in load_kept(spark, store).collect()} == {2, 3}
+    assert committed_digests(spark, store).count() == 2
+
+    # re-shipped forgotten content is genuinely NEW again
+    b2 = spark.createDataFrame([(9, "forget me")],
+                               "doc_id long, text string")
+    process_bloom_batch(spark, b2, 2, store)
+    assert {r.doc_id
+            for r in load_kept(spark, store).collect()} == {2, 3, 9}
