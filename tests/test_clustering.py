@@ -103,3 +103,68 @@ def test_balanced_sample_takes_min_of_cluster_size(spark):
     quota = {r.cluster: min(r.n_points, 10) for r in census.collect()}
     got = (df.groupBy("cluster").count().collect())
     assert {r.cluster: r["count"] for r in got} == quota
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """incremental_components over (labels, new edges) must equal a
+    from-scratch CC over the union edge set — merge, internal no-op,
+    new-subgraph, and new-node-attachment cases, plus label stability
+    for untouched components."""
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (31, 32)],
+        "id1 long, id2 long")
+    labels0 = connected_components(base)
+    base_labels = {r.node: r.comp for r in labels0.collect()}
+    assert base_labels[3] == 1 and base_labels[11] == 10
+
+    new = spark.createDataFrame(
+        [(3, 10),        # merges comp 1 with comp 10
+         (30, 32),       # internal edge: no-op for comp 30
+         (50, 51),       # brand-new component
+         (52, 20)],      # new node attaching to comp 20
+        "id1 long, id2 long")
+
+    got = {r.node: r.comp
+           for r in incremental_components(labels0, new).collect()}
+    want = {r.node: r.comp
+            for r in connected_components(
+                base.unionByName(new)).collect()}
+    assert got == want and want
+    assert got[11] == 1          # merged component adopts the global min
+    assert got[50] == 50 and got[51] == 50
+    assert got[52] == 20
+    # untouched component 30's labels did not churn
+    assert all(got[n] == base_labels[n] for n in (30, 31, 32))
+
+
+def test_incremental_components_batch_sequence(spark):
+    """Three sequential edge batches applied incrementally converge to
+    the same labeling as one full recompute — the ingest-loop shape
+    (a chain built across batches, forcing repeated merges)."""
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    batches = [
+        [(i, i + 1) for i in range(0, 20, 4)],          # 0-1,4-5,8-9,...
+        [(i + 1, i + 2) for i in range(0, 20, 4)],      # extend chains
+        [(i + 2, i + 4) for i in range(0, 16, 4)],      # weld into one
+    ]
+    all_edges = spark.createDataFrame(
+        [e for b in batches for e in b], "id1 long, id2 long")
+    labels = connected_components(
+        spark.createDataFrame(batches[0], "id1 long, id2 long"))
+    for b in batches[1:]:
+        labels = incremental_components(
+            labels, spark.createDataFrame(b, "id1 long, id2 long"))
+    got = {r.node: r.comp for r in labels.collect()}
+    want = {r.node: r.comp
+            for r in connected_components(all_edges).collect()}
+    assert got == want
+    assert set(got.values()) == {0}  # the welds fuse every chain into one
