@@ -264,22 +264,37 @@ def compact_ivf_index(spark: SparkSession, path: str,
     edit moved them between cells (see ``ivf_index_search``'s
     candidate-scale latest-wins caveat). Same rules as
     ``dedup_index.compact_minhash_index``: negative target id (never a
-    stream epoch), OFFLINE maintenance."""
+    stream epoch), OFFLINE maintenance.
+
+    CRASH-SAFE in any window without coordination (review finding r6:
+    the original delete-before-write ordering lost the whole corpus on
+    a crash between the deletes and the write): the compacted
+    generation is written and committed FIRST, old directories deleted
+    after — ``compact_bloom_store``'s ordering. Transient coexistence
+    is benign because every reader resolves latest-batch-wins and the
+    compacted generation carries the LOWEST batch id with exactly the
+    newest copy per vector id, so a reader that sees both picks the
+    original's newest row — identical values. A crash mid-delete
+    leaves survivors whose rows equal the compacted copies; re-running
+    this pass merges them away."""
     from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
 
     dirs = committed_vector_dirs(spark, path)
     if not dirs:
         return
     bids = [int(d.rsplit("=", 1)[1]) for d in dirs]
+    if len(dirs) == 1 and bids[0] < 0:
+        return  # already a single compacted generation: no-op
     target = min(min(bids), 0) - 1
     vecs = spark.read.option("basePath", f"{path}/vectors").parquet(*dirs)
     other = [c for c in vecs.columns if c not in (id_col, BATCH_COL)]
     latest = (vecs.groupBy(id_col)
               .agg(F.max_by(F.struct(*other), BATCH_COL).alias("_s"))
-              .select(id_col, *[F.col(f"_s.{c}").alias(c) for c in other])
-              .localCheckpoint())  # sever lineage from replaced files
+              .select(id_col, *[F.col(f"_s.{c}").alias(c) for c in other]))
+    (latest.write.partitionBy("cluster").mode("overwrite")
+     .parquet(f"{path}/vectors/{BATCH_COL}={target}"))
+    # the new generation is committed (its _SUCCESS landed with the
+    # write); only now retire the sources it replaced
     fs, _ = _hadoop_fs(spark, path)
     for d in dirs:
         fs.delete(_hadoop_fs(spark, d)[1], True)
-    (latest.write.partitionBy("cluster").mode("overwrite")
-     .parquet(f"{path}/vectors/{BATCH_COL}={target}"))

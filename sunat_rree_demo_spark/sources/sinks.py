@@ -136,15 +136,25 @@ def drop_stale_app_tables(spark: SparkSession, prefix: str,
     one DIRECTORY generation per session in the shared warehouse — the
     default in-memory catalog forgets the table entry when its session
     ends, so only the files persist and ``DROP TABLE`` can never reach
-    them. Remove warehouse directories whose embedded session-start
-    timestamp is older than ``ttl_hours`` (a CONCURRENT session's
-    directories are younger and stay), and drop any same-named entry
-    the CURRENT catalog still holds. The CURRENT session's own tables
-    are always skipped regardless of age — a session outliving the TTL
-    must not destroy tables its memoized DataFrames still read (review
-    finding r6). Called by the index-building queries (q185/q187) at
-    build time, so the warehouse stays bounded without an external
-    cron."""
+    them. Remove warehouse directories older than ``ttl_hours`` and
+    drop any same-named entry the CURRENT catalog still holds.
+    Staleness is keyed to max(embedded session-start millis, directory
+    MODIFICATION time) — the mtime is the actual build time, which for
+    a table minted hours into a long session is strictly later than
+    the session start, so a concurrent long-lived session's tables
+    survive as long as their builds are recent (review finding r6: the
+    name-timestamp key alone reaped a concurrent session's live tables
+    the moment that SESSION outlived the TTL, FileNotFound-ing its
+    memoized readers). The CURRENT session's own tables are always
+    skipped regardless of age — a session outliving the TTL must not
+    destroy tables its memoized DataFrames still read. Residual
+    constraint (cross-session coordination is out of scope for an
+    in-memory catalog): a FOREIGN session that built a table and then
+    idles past the TTL before re-reading can still lose it —
+    ``ttl_hours`` must exceed the longest expected build-to-last-read
+    gap, not the session lifetime. Called by the index-building
+    queries (q185/q187) at build time, so the warehouse stays bounded
+    without an external cron."""
     import re
     import time
 
@@ -166,6 +176,9 @@ def drop_stale_app_tables(spark: SparkSession, prefix: str,
         if own and name.endswith(own):
             continue  # never reap the live session's own tables
         m = re.search(r"local[_-](\d{13})$", name)
-        if m and int(m.group(1)) < cutoff:
+        if not m:
+            continue
+        born = max(int(m.group(1)), st.getModificationTime())
+        if born < cutoff:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             fs.delete(st.getPath(), True)

@@ -325,15 +325,25 @@ def forget_docs(spark: SparkSession, store_path: str, ids: list,
         for r in dgs.join(F.broadcast(drop_dgs), "dg", "left_semi")
         .select(BATCH_COL).distinct().collect())
     all_touched = sorted(set(touched_kept) | set(touched_dgs))
-    # uncommit every touched batch for the whole rewrite window
+    # uncommit every touched batch for the whole rewrite window; a
+    # digests dir can exist WITHOUT a kept twin — the torn leftover of
+    # a crash between process_bloom_batch's digests and kept writes
+    # (or between compaction's digests/bloom writes and its empty-kept
+    # marker) — and such a batch was never committed, so there is no
+    # marker to clear and no kept side to rewrite: only its digest
+    # side is scrubbed below (review finding r6: the unconditional
+    # kept_dirs[bid] raised KeyError and aborted the whole pass)
     for bid in all_touched:
-        clear_commit_marker(spark, kept_dirs[bid])
+        if bid in kept_dirs:
+            clear_commit_marker(spark, kept_dirs[bid])
     for bid in touched_dgs:
         keep_dg = (spark.read.parquet(dg_dirs[bid])
                    .join(F.broadcast(drop_dgs), "dg", "left_anti")
                    .localCheckpoint())
         keep_dg.write.mode("overwrite").parquet(dg_dirs[bid])
     for bid in all_touched:
+        if bid not in kept_dirs:
+            continue  # torn digests-only batch: no kept side exists
         keep = (spark.read.parquet(kept_dirs[bid])
                 .join(F.broadcast(id_df), id_col, "left_anti")
                 .localCheckpoint())

@@ -193,3 +193,55 @@ def test_reingest_latest_wins_and_compaction(spark, tmp_path):
     assert res2 == [tuple(r) for r in res]
     vecs = spark.read.parquet(f"{path}/vectors")
     assert vecs.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_ivf_compaction_write_first_coexistence(spark, tmp_path):
+    """Crash mid-delete leaves the compacted generation COEXISTING
+    with an absorbed batch (review finding r6: the delete-before-write
+    ordering instead had a total-corpus-loss window): latest-wins
+    keeps search results identical through the window, and a re-run
+    heals to a single generation."""
+    import shutil
+
+    from sunat_rree_demo_spark.operators.ann_index import (
+        absorb_ivf_batch,
+        committed_vector_dirs,
+        compact_ivf_index,
+        ivf_index_search,
+        write_ivf_index,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter("vec_id < 200")
+    path = str(tmp_path / "wf")
+    write_ivf_index(emb, path, k=4, iters=1)
+    absorb_ivf_batch(
+        spark, emb.filter("vec_id >= 150"), path, 0)
+    qpd = (emb.filter("vec_id < 3")
+           .selectExpr("vec_id as q_id", "embedding")
+           .orderBy("q_id").toPandas())
+    want = [tuple(r) for r in
+            ivf_index_search(spark, path, qpd, topk=5, nprobe=2).collect()]
+
+    snap = str(tmp_path / "snap0")
+    shutil.copytree(f"{path}/vectors/batch_id=0", snap)
+    compact_ivf_index(spark, path)
+    # crash mid-delete: batch 0 resurfaces next to generation -2
+    shutil.copytree(snap, f"{path}/vectors/batch_id=0")
+    dirs = committed_vector_dirs(spark, path)
+    assert {d.rsplit("=", 1)[1] for d in dirs} == {"-2", "0"}
+    got = [tuple(r) for r in
+           ivf_index_search(spark, path, qpd, topk=5, nprobe=2).collect()]
+    assert got == want  # coexistence benign under latest-wins
+    # the healing re-run collapses to one generation, results unchanged
+    compact_ivf_index(spark, path)
+    dirs = committed_vector_dirs(spark, path)
+    assert len(dirs) == 1 and dirs[0].endswith("batch_id=-3")
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.groupBy("vec_id").count().filter("count > 1").count() == 0
+    got = [tuple(r) for r in
+           ivf_index_search(spark, path, qpd, topk=5, nprobe=2).collect()]
+    assert got == want
+    # single-generation store: compaction is a no-op, not a rewrite
+    compact_ivf_index(spark, path)
+    assert committed_vector_dirs(spark, path) == dirs

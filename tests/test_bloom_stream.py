@@ -260,3 +260,48 @@ def test_bloom_store_forget_after_compaction(spark, tmp_path):
     process_bloom_batch(spark, b2, 2, store)
     assert {r.doc_id
             for r in load_kept(spark, store).collect()} == {2, 3, 9}
+
+
+def test_bloom_forget_heals_torn_digests_only_batch(spark, tmp_path):
+    """A digests dir without its kept twin — the leftover of a crash
+    between process_bloom_batch's digests and kept writes — must not
+    abort forget_docs (review finding r6: the unconditional
+    kept_dirs[bid] raised KeyError): the torn batch's digest side is
+    scrubbed, committed batches rewrite normally, and a re-ship of the
+    forgotten content is kept as new."""
+    import shutil
+
+    from sunat_rree_demo_spark.streaming.bloom_stream import (
+        forget_docs,
+        load_kept,
+        process_bloom_batch,
+    )
+
+    store = str(tmp_path / "torn_store")
+    process_bloom_batch(
+        spark, spark.createDataFrame([(1, "aa")],
+                                     "doc_id long, text string"), 0, store)
+    # torn batch 1: digests for "bb" land, crash before the kept write
+    process_bloom_batch(
+        spark, spark.createDataFrame([(2, "bb")],
+                                     "doc_id long, text string"), 1, store)
+    shutil.rmtree(f"{store}/kept/batch_id=1")
+    # batch 2 re-ships "bb": the torn batch is invisible to the probe,
+    # so doc 3 is kept and committed — its dg now lives in BOTH the
+    # committed batch-2 digests and the torn batch-1 digests
+    process_bloom_batch(
+        spark, spark.createDataFrame([(3, "bb")],
+                                     "doc_id long, text string"), 2, store)
+    assert {r.doc_id for r in load_kept(spark, store).collect()} == {1, 3}
+
+    touched = forget_docs(spark, store, [3])
+    assert touched == [1, 2]  # torn digest side healed too, no crash
+    assert {r.doc_id for r in load_kept(spark, store).collect()} == {1}
+    dgs = spark.read.parquet(f"{store}/digests")  # ALL partitions
+    assert dgs.count() == 1  # only "aa"'s digest anywhere in the store
+
+    # genuine forgetting: "bb" re-shipped later is treated as NEW
+    process_bloom_batch(
+        spark, spark.createDataFrame([(9, "bb")],
+                                     "doc_id long, text string"), 3, store)
+    assert {r.doc_id for r in load_kept(spark, store).collect()} == {1, 9}

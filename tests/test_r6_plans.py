@@ -188,24 +188,35 @@ def test_q193_bom_matches_closed_form(spark):
 
 def test_warehouse_janitor_ttl(spark):
     """drop_stale_app_tables removes only prefix-matching directories
-    whose embedded session timestamp is older than the TTL."""
+    that are stale on BOTH keys — embedded session timestamp AND
+    directory mtime (the actual build time): a concurrent session
+    older than the TTL whose table was built recently must survive
+    (review finding r6 — the name-timestamp key alone reaped it)."""
     import os
+    import time
 
     from sunat_rree_demo_spark.sources.sinks import drop_stale_app_tables
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     old = os.path.join(wh, "janitor_test_sf0_001_local_1000000000000")
     young = os.path.join(wh, "janitor_test_sf0_001_local_9999999999999")
+    # old SESSION (embedded ts stale) but fresh BUILD (mtime now):
+    # the long-lived concurrent session's live table
+    livecon = os.path.join(wh, "janitor_test_xb_local_1000000000001")
     other = os.path.join(wh, "unrelated_local_1000000000000")
-    for d in (old, young, other):
+    for d in (old, young, livecon, other):
         os.makedirs(d, exist_ok=True)
+    stale_s = time.time() - 48 * 3600
+    os.utime(old, (stale_s, stale_s))    # stale on both keys
+    os.utime(other, (stale_s, stale_s))
     try:
         drop_stale_app_tables(spark, "janitor_test_", ttl_hours=1.0)
-        assert not os.path.exists(old)      # stale + matching: gone
-        assert os.path.exists(young)        # young: kept
+        assert not os.path.exists(old)      # stale both keys: gone
+        assert os.path.exists(young)        # young name: kept
+        assert os.path.exists(livecon)      # old session, fresh build
         assert os.path.exists(other)        # wrong prefix: kept
     finally:
-        for d in (young, other):
+        for d in (young, livecon, other):
             if os.path.exists(d):
                 os.rmdir(d)
 

@@ -112,3 +112,63 @@ def test_histogram_floor_bins_negative_values(spark):
     got = {r.bin: r.c for r in equi_width_histogram(
         df, F.col("price_cents"), width=10000).collect()}
     assert got == {-1: 3, 0: 2, 1: 1}
+
+
+def test_sketch_compaction_crash_windows(spark, tmp_path):
+    """Write-first compaction + _COVERS supersession (review finding
+    r6: the delete-before-write ordering lost the histogram on a crash
+    between the deletes and the write): (a) an absorbed batch whose
+    directory a crashed delete phase left behind never double-counts,
+    (b) a committed target WITHOUT its marker — crash before _COVERS —
+    stays invisible and a re-run heals it under a fresh id, (c) the
+    already-compacted path reaps leftovers without rewriting."""
+    import os
+    import shutil
+
+    from sunat_rree_demo_spark.streaming.sketch_stream import (
+        compact_sketch,
+        merged_sketch,
+        process_sketch_batch,
+    )
+
+    def hist():
+        return {(r.bin, r.c)
+                for r in merged_sketch(spark, store).collect()}
+
+    store = str(tmp_path / "cw_store")
+    b0 = spark.createDataFrame([(100,), (250,), (999,)],
+                               "price_cents long")
+    b1 = spark.createDataFrame([(100,), (50_000,)], "price_cents long")
+    process_sketch_batch(spark, b0, 0, store, width=100)
+    process_sketch_batch(spark, b1, 1, store, width=100)
+    want = {(1, 2), (2, 1), (9, 1), (500, 1)}
+    assert hist() == want
+
+    snap = str(tmp_path / "snap1")
+    shutil.copytree(f"{store}/hist/batch_id=1", snap)
+    compact_sketch(spark, store)  # generation -1, _COVERS_1
+    # (a) crash mid-delete: the absorbed batch 1 resurfaces — the
+    # covers mark keeps it invisible, so no double count
+    shutil.copytree(snap, f"{store}/hist/batch_id=1")
+    assert hist() == want
+    # (c) a re-run reaps the leftover in place (no new generation)
+    compact_sketch(spark, store)
+    assert not os.path.exists(f"{store}/hist/batch_id=1")
+    assert os.path.exists(f"{store}/hist/batch_id=-1")
+    assert hist() == want
+
+    # (b) torn target: committed parquet (has _SUCCESS) but no covers
+    # marker — the crash window between the write and the marker
+    shutil.copytree(f"{store}/hist/batch_id=-1",
+                    f"{store}/hist/batch_id=-5")
+    for f in os.listdir(f"{store}/hist/batch_id=-5"):
+        if f.startswith("_COVERS_"):
+            os.remove(f"{store}/hist/batch_id=-5/{f}")
+    assert hist() == want  # invisible, not doubled
+    # healing run absorbs a fresh epoch too and reaps the torn target
+    process_sketch_batch(spark, b0, 2, store, width=100)
+    compact_sketch(spark, store)
+    left = [d for d in os.listdir(f"{store}/hist")
+            if d.startswith("batch_id=")]
+    assert left == ["batch_id=-6"]
+    assert hist() == {(1, 3), (2, 2), (9, 2), (500, 1)}
