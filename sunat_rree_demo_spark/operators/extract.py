@@ -143,3 +143,34 @@ def fix_mojibake(col: Column) -> Column:
             .otherwise(col)
         ).otherwise(col)
     ).otherwise(col)
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB single-quoted STANDARD string literal: quotes doubled,
+    backslashes left alone (no escape processing outside e'…')."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB oracle twin of ``html_to_text``: the SAME RE2
+    patterns and literal replaces, GENERATED from the same
+    ``_DROP_BLOCKS``/``_ENTITIES`` tables so the two engines cannot
+    drift (the q186 'oracle never sees the codec' device, applied to
+    markup). ``expr`` is any DuckDB VARCHAR expression."""
+    out = expr
+    for pat in _DROP_BLOCKS:
+        out = f"regexp_replace({out}, {_sql_str(pat)}, ' ', 'g')"
+    out = (f"regexp_replace({out}, "
+           "'(?i)<br[^>]*>|</p>|</div>|</li>|</tr>', e'\\n', 'g')")
+    out = f"regexp_replace({out}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, ch in _ENTITIES.items():
+        if ent != "&amp;":
+            out = f"replace({out}, {_sql_str(ent)}, {_sql_str(ch)})"
+    out = f"regexp_replace({out}, '&#[0-9]{{1,7}};', ' ', 'g')"
+    out = f"regexp_replace({out}, '&#x[0-9a-fA-F]{{1,6}};', ' ', 'g')"
+    out = f"replace({out}, '&amp;', '&')"
+    out = f"regexp_replace({out}, '[ \\t\\r\\f]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', e'\\n', 'g')"
+    out = f"regexp_replace({out}, '\\n{{2,}}', e'\\n', 'g')"
+    out = f"regexp_replace({out}, '^\\n+|\\n+$', '', 'g')"
+    return f"trim({out})"
