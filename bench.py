@@ -18,8 +18,11 @@ Measurement protocol (recorded in BASELINE.md):
   (Spark ``df.toArrow()``, DuckDB ``rel.arrow()``) so Catalyst cannot
   prune unreferenced projection/window columns the way a bare
   ``.count()`` would, and neither side pays Python-object conversion.
-- Two runs per query, report the faster (steady state); first-run
-  times are preserved under cold_sec in the detail file.
+- Two runs per query — three when run 2 hasn't converged to run 1
+  (>25% apart), which catches eager-build/cache-materialization
+  attribution (the r6 q167/q168 false regression) — report the
+  fastest (steady state); first-run times are preserved under
+  cold_sec in the detail file.
 """
 
 from __future__ import annotations
@@ -51,11 +54,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, q in REGISTRY.items():
+        # Two runs, plus a THIRD only when run 2 still differs >25%
+        # from run 1 — the signature of an eager session-memoized
+        # build (k-means fit, pair-graph checkpoint) or cache
+        # materialization landing inside rep 1 and leaving rep 2
+        # partially warm. The r6 q167/q168 "regression" was exactly
+        # this: rep 2 caught mid-materialization read 1.45s while the
+        # true steady state is ~0.5s (4-rep A/B, r7). Steady-state
+        # queries still cost two reps.
         runs = []
-        for _ in range(2):
+        for i in range(3):
             t0 = time.monotonic()
             q.fn(spark, sf_dir).toArrow()
             runs.append(time.monotonic() - t0)
+            if i >= 1 and runs[-1] <= 1.25 * runs[-2] \
+                    and runs[-2] <= 1.25 * runs[-1]:
+                break
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 

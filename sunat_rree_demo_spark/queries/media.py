@@ -113,3 +113,99 @@ def q186_png_pixel_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: 8×8 blocks per JPEG block-row (one block per character) → width 128
+_JPEG_BPR = 16
+
+
+@register(
+    "q201_jpeg_pixel_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_JPEG_BPR}) * {_JPEG_BPR}) AS s
+      FROM a WHERE length(s) >= {_JPEG_BPR}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_JPEG_BPR} * 8 AS INT) AS width,
+           CAST((n // {_JPEG_BPR}) * 8 AS INT) AS height,
+           CAST(64 * n AS BIGINT) AS n_pixels,
+           CAST((2 * 64 * sum(val) * 10000 + 64 * n)
+                // (2 * 64 * n) AS DOUBLE) / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q201_jpeg_pixel_stats(spark, sf_dir):
+    """Pixel statistics through a REAL baseline-JPEG encode→decode
+    round trip (the q186 device, pointed at the lossy format's
+    lossless-by-construction corner): each document's printable-ASCII
+    byte becomes one UNIFORM 8×8 block — a constant block's DCT is
+    pure DC, quant 1 stores it exactly, and the IDCT of a DC-only
+    block is float64-exact — so Spark's huffman + dequant + IDCT
+    pipeline must reproduce every source byte as 64 identical pixels.
+    The oracle never sees a JPEG: it computes the identical stats from
+    the characters at 64× pixel weight (the scale factor cancels in
+    the half-up integer mean). A huffman mis-decode, DC-prediction
+    slip or IDCT normalization error breaks the hash.
+
+    Scale shape: two Arrow-batched mapInPandas passes (encode, then
+    decode+stats) at document grain, no shuffle before the doc-grain
+    output sort; pixels never leave the task that decoded them."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_gray_blocks,
+        image_pixel_stats,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    src = (
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_JPEG_BPR}) * {_JPEG_BPR})"))
+        .filter(F.length("s") >= _JPEG_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(
+                    lambda s: encode_jpeg_gray_blocks(
+                        s.encode("ascii"), _JPEG_BPR)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_pixels"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,173 @@
+"""Baseline-JPEG codec: DC-only exactness (the q201 oracle device),
+general-coefficient entropy round trip vs an independent IDCT, restart
+markers, odd-dimension crop, a hand-assembled color image pinning the
+YCbCr path, and the honesty gates (progressive/subsampled/corrupt)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sunat_rree_demo_spark.operators.multimodal import (
+    _idct_matrix,
+    decode_jpeg_pixels,
+    encode_jpeg_coeff_blocks,
+    encode_jpeg_gray_blocks,
+)
+
+
+def _ref_pixels(blocks: np.ndarray, blocks_per_row: int) -> np.ndarray:
+    """Independent dequant(1)+IDCT+level-shift reference."""
+    a = _idct_matrix()
+    px = np.einsum("ux,nuv,vy->nxy", a,
+                   blocks.reshape(-1, 8, 8).astype(np.float64), a)
+    px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+    by = len(blocks) // blocks_per_row
+    return (px.reshape(by, blocks_per_row, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(by * 8, blocks_per_row * 8))
+
+
+def test_dc_only_round_trip_is_exact():
+    """Every printable byte value must come back as 64 identical
+    pixels — the lossless corner of the lossy format q201 rides."""
+    vals = bytes(range(32, 127)) + bytes([32])  # 96 = 6 rows of 16
+    w, h, ch, px = decode_jpeg_pixels(encode_jpeg_gray_blocks(vals, 16))
+    assert (w, h, ch) == (128, 48, 1)
+    arr = np.frombuffer(px, np.uint8).reshape(h, w)
+    blocks = (arr.reshape(h // 8, 8, w // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 64))
+    assert (blocks == np.frombuffer(vals, np.uint8)[:, None]).all()
+
+
+def test_general_coefficients_restarts_and_zrl():
+    """Sparse random AC content (sign extension, zero runs, ZRL, EOB)
+    through restart intervals decodes to exactly the reference IDCT —
+    the entropy layer is lossless, so any pixel diff is a decode bug."""
+    rng = np.random.RandomState(7)
+    n = 24
+    blocks = rng.randint(-80, 81, size=(n, 64)).astype(np.int64)
+    blocks[rng.rand(n, 64) < 0.6] = 0
+    blocks[:, 0] = rng.randint(-700, 701, n)
+    blocks[3, 1:] = 0          # DC-only block mid-stream
+    blocks[5, 1:63] = 0        # forces a long zero run + ZRL
+    blocks[5, 63] = 9
+    img = encode_jpeg_coeff_blocks(blocks, 8, restart_interval=5)
+    assert b"\xff\xdd" in img and b"\xff\xd0" in img  # DRI + RST0 real
+    w, h, ch, px = decode_jpeg_pixels(img)
+    assert (w, h, ch) == (64, 24, 1)
+    got = np.frombuffer(px, np.uint8).reshape(h, w)
+    assert (got == _ref_pixels(blocks, 8)).all()
+
+
+def test_odd_dimensions_crop():
+    """Declared WxH smaller than the MCU grid: decoder must crop the
+    padding rows/cols (the spec's right/bottom-edge rule)."""
+    blocks = np.zeros((4, 64), np.int64)
+    blocks[:, 0] = [8 * (v - 128) for v in (40, 90, 140, 190)]
+    img = encode_jpeg_coeff_blocks(blocks, 2, width=12, height=13)
+    w, h, ch, px = decode_jpeg_pixels(img)
+    assert (w, h, ch) == (12, 13, 1)
+    arr = np.frombuffer(px, np.uint8).reshape(h, w)
+    assert (arr[:8, :8] == 40).all() and (arr[:8, 8:] == 90).all()
+    assert (arr[8:, :8] == 140).all() and (arr[8:, 8:] == 190).all()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def test_color_ycbcr_conversion():
+    """Hand-assembled 3-component 4:4:4 DC-only JPEG (one MCU,
+    interleaved Y/Cb/Cr blocks, per-component DC predictors): the
+    decoded RGB must equal the JFIF conversion of the stored planes."""
+    y, cb, cr = 120, 60, 200
+
+    # canonical 5-bit DC table over categories 0..11; 2-bit AC EOB
+    dc_payload = bytes([0, 0, 0, 0, 12] + [0] * 11) + bytes(range(12))
+    ac_payload = bytes([0, 1] + [0] * 14) + b"\x00"
+
+    bits = []
+
+    def put(v: int, ln: int) -> None:
+        bits.extend(((v >> i) & 1) for i in range(ln - 1, -1, -1))
+
+    for val in (y, cb, cr):  # interleaved MCU, each pred starts at 0
+        diff = 8 * (val - 128)
+        size = abs(diff).bit_length()
+        put(size, 5)  # canonical code for category c is c itself here
+        put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        put(0, 2)     # AC EOB
+    while len(bits) % 8:
+        bits.append(1)
+    data = bytes(int("".join(map(str, bits[i:i + 8])), 2)
+                 for i in range(0, len(bits), 8))
+    assert 0xFF not in data  # no stuffing needed for this content
+
+    img = (b"\xff\xd8"
+           + _seg(0xFFDB, b"\x00" + bytes([1] * 64))
+           + _seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 3)
+                  + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+           + _seg(0xFFC4, b"\x00" + dc_payload)
+           + _seg(0xFFC4, b"\x10" + ac_payload)
+           + _seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00])
+                  + b"\x00\x3f\x00")
+           + data + b"\xff\xd9")
+    w, h, ch, px = decode_jpeg_pixels(img)
+    assert (w, h, ch) == (8, 8, 3)
+    got = np.frombuffer(px, np.uint8).reshape(8, 8, 3)
+    r = np.clip(round(y + 1.402 * (cr - 128)), 0, 255)
+    g = np.clip(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+                0, 255)
+    b = np.clip(round(y + 1.772 * (cb - 128)), 0, 255)
+    assert (got == np.array([r, g, b], np.uint8)).all()
+
+
+def test_gates_and_robustness():
+    vals = bytes([65] * 16)
+    img = encode_jpeg_gray_blocks(vals, 16)
+
+    assert decode_jpeg_pixels(b"\x89PNG\r\n\x1a\nxxxx") is None
+    assert decode_jpeg_pixels(b"") is None
+
+    prog = bytearray(img)
+    i = img.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # progressive
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_pixels(bytes(prog))
+
+    sub = bytearray(img)
+    sub[i + 11] = 0x22  # comp 0 sampling factors -> 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg_pixels(bytes(sub))
+
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(img[:len(img) // 2])  # truncated entropy data
+
+    # wrong-order garbage: entropy bytes where a marker must be
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\xff\xd8" + b"\x00\x01\x02\x03" + img[2:])
+
+
+def test_image_pixel_stats_routes_png_and_jpeg(spark):
+    """Mixed media batch: PNG rows decode via the PNG path, JPEGs via
+    the JPEG path, anything else yields null stats — one operator, one
+    schema (the multimodal routing contract)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_png_gray,
+        image_pixel_stats,
+    )
+
+    png = encode_png_gray(bytes([10, 20, 30, 40]), 2)
+    jpg = encode_jpeg_gray_blocks(bytes([50, 70] * 8), 16)
+    rows = [(1, bytearray(png)), (2, bytearray(jpg)), (3, b"not media")]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    assert (got[1].width, got[1].height, got[1].n_samples,
+            got[1].sum_val) == (2, 2, 4, 100)
+    assert (got[2].width, got[2].height, got[2].n_samples) \
+        == (128, 8, 1024)
+    assert got[2].sum_val == 64 * (50 + 70) * 8
+    assert got[2].min_val == 50 and got[2].max_val == 70
+    assert got[3].width is None and got[3].sum_val is None
