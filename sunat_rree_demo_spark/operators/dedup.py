@@ -60,7 +60,14 @@ def shingles(tok, n: int = 5):
     ``list_distinct(list_transform(range(1, len-n+2), i ->
     array_to_string(tk[i:i+n-1], ' ')))``). Documents shorter than n
     tokens yield an empty array (an unguarded ``sequence(1, size-n+1)``
-    runs DESCENDING for short docs and crashes ``slice``)."""
+    runs DESCENDING for short docs and crashes ``slice``).
+
+    CALLER CONTRACT: pass a MATERIALIZED token column (an alias from a
+    projection), not an inline ``tokenize(text)`` expression — the
+    lambda embeds ``tok`` and interpreted HOFs re-evaluate embedded
+    subtrees per element, so an inline tokenizer goes O(len²) (the r7
+    bigram/winnowing finding; production shingling rides the
+    mapInPandas ``shingle_arrays`` path and is unaffected)."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(tok) - (n - 1)),

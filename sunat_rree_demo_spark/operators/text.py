@@ -418,12 +418,18 @@ def _bpe_train(words, rounds: int):
 
     out = None
     for r in range(1, rounds + 1):
-        sym = F.split(F.trim(F.col("s")), sep)
-        adj = F.transform(
-            F.sequence(F.lit(1), F.size(sym) - 1),
-            lambda i: F.struct(F.element_at(sym, i).alias("l"),
-                               F.element_at(sym, i + 1).alias("r")))
+        # zip-of-slices over the split-once symbol array — never
+        # element_at(split(s), i) inside the lambda, which re-splits
+        # per element (the O(len²) interpreted-HOF trap, see
+        # bigram_surprisal)
+        sym = F.col("_sym")
+        adj = F.zip_with(
+            F.slice(sym, 1, F.size(sym) - 1),
+            F.slice(sym, 2, F.size(sym) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")))
         pairs = rep.select(
+            F.split(F.trim(F.col("s")), sep).alias("_sym"), "c"
+        ).select(
             F.explode(F.when(F.size(sym) >= 2, adj)
                       .otherwise(F.array().cast(
                           "array<struct<l:string,r:string>>"))).alias("p"),
@@ -506,19 +512,29 @@ def bigram_surprisal(df, id_col: str, text_col: str):
     map-side combine, joined back to the SAME exploded rows; unigram
     counts join on w1 (vocabulary-grain, AQE broadcasts when small);
     the vocabulary size rides a broadcast 1-row frame. Docs with < 2
-    tokens surface with n_bigrams = 0, surprisal 0."""
-    tok = tokens(F.col(text_col))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - 1),
-        lambda i: F.struct(F.element_at(tok, i).alias("w1"),
-                           F.element_at(tok, i + 1).alias("w2")))
-    bg = (df.select(F.col(id_col),
-                    F.explode(F.when(F.size(tok) >= 2, bigrams)
-                              .otherwise(F.array().cast(
-                                  "array<struct<w1:string,w2:string>>")))
-                    .alias("b"))
+    tokens surface with n_bigrams = 0, surprisal 0.
+
+    Bigram assembly is zip-of-slices over a MATERIALIZED token column,
+    never ``element_at(tokens(text), i)`` inside the index lambda —
+    interpreted HOF lambdas re-evaluate embedded subtrees PER ELEMENT,
+    so the inlined form re-tokenized the document once per bigram,
+    O(len²) (r7 measurement: 13.4s → 1.2s first execution at sf0.1).
+    The slice form stays O(len) even if the optimizer collapses the
+    projection."""
+    tk = F.col("_tok")
+    toks = df.select(F.col(id_col),
+                     tokens(F.col(text_col)).alias("_tok"))
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (toks.select(F.col(id_col),
+                      F.explode(F.when(F.size(tk) >= 2, bigrams)
+                                .otherwise(F.array().cast(
+                                    "array<struct<w1:string,w2:string>>")))
+                      .alias("b"))
           .select(id_col, "b.w1", "b.w2"))
-    uc = (df.select(F.explode(tok).alias("w1"))
+    uc = (toks.select(F.explode(tk).alias("w1"))
           .groupBy("w1").agg(F.count("*").cast("bigint").alias("_c1")))
     vs = uc.agg(F.count("*").cast("bigint").alias("_v"))
     bc = (bg.groupBy("w1", "w2")

@@ -197,6 +197,45 @@ def _unpushed_filters(plan: str) -> list[Finding]:
     return []
 
 
+_LAMBDA_HOT = re.compile(
+    r"split\(|sha2\(|regexp_replace\(|regexp_extract\(|conv\(|"
+    r"from_json\(|sentences\(")
+
+
+def _lambda_bodies(plan: str):
+    for m in re.finditer(r"lambdafunction\(", plan):
+        i, depth = m.end(), 1
+        j = i
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        yield plan[i:j]
+
+
+def _hot_lambdas(plan: str) -> list[Finding]:
+    """An expensive expression (tokenizer split, sha2, regexp, parse)
+    INSIDE a higher-order-function lambda body: interpreted HOFs
+    re-evaluate embedded subtrees once PER ELEMENT, so an inlined
+    tokenizer turns a linear pass O(len²) — the r7 bigram/winnowing
+    finding (13.4s → 1.2s at sf0.1 from materializing the array into
+    a column and slicing it). Warning, not error: a genuinely cheap
+    per-element hash can be sanctioned, but it should be reviewed."""
+    hits = sorted({m.group(0).rstrip("(")
+                   for body in _lambda_bodies(plan)
+                   for m in [_LAMBDA_HOT.search(body)] if m})
+    if hits:
+        return [Finding(
+            "warning", "HOT_LAMBDA",
+            f"expensive expression(s) {hits} inside a HOF lambda body:"
+            " interpreted lambdas re-evaluate embedded subtrees per"
+            " element (O(len\u00b2) for an inlined tokenizer) -"
+            " materialize the array into a column and slice/zip it")]
+    return []
+
+
 def _exchanges(plan: str) -> list[Finding]:
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     single = plan.count("Exchange SinglePartition")
@@ -215,6 +254,6 @@ def audit_plan_str(plan: str) -> list[Finding]:
     first."""
     findings = (_joins(plan) + _python_stages(plan)
                 + _global_windows(plan) + _unpushed_filters(plan)
-                + _exchanges(plan))
+                + _hot_lambdas(plan) + _exchanges(plan))
     rank = {"error": 0, "warning": 1, "info": 2}
     return sorted(findings, key=lambda f: (rank[f.severity], f.code))

@@ -242,18 +242,22 @@ def q108_pmi_collocations(spark, sf_dir):
     candidate join keys on the word (vocabulary-sized, AQE broadcasts
     when small)."""
     d = t(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    uni = d.select(F.explode(tok).alias("w"))
+    # zip-of-slices over a materialized token column — the inlined
+    # element_at(tokens(text), i) lambda re-tokenized per element
+    # (O(len²); the interpreted-HOF trap, see text.bigram_surprisal)
+    tk = F.col("_tok")
+    toks = d.select(tokens(F.col("text")).alias("_tok"))
+    uni = toks.select(F.explode(tk).alias("w"))
     uc = uni.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
     tu = uc.agg(F.sum("c").cast("bigint").alias("t_u"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - 1),
-        lambda i: F.struct(F.element_at(tok, i).alias("w1"),
-                           F.element_at(tok, i + 1).alias("w2")))
-    bg = (d.select(F.explode(F.when(F.size(tok) >= 2, bigrams)
-                             .otherwise(F.array()
-                                        .cast("array<struct<w1:string,"
-                                              "w2:string>>"))).alias("b"))
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (toks.select(F.explode(F.when(F.size(tk) >= 2, bigrams)
+                                .otherwise(F.array()
+                                           .cast("array<struct<w1:string,"
+                                                 "w2:string>>"))).alias("b"))
           .select("b.w1", "b.w2"))
     bc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n"))
     tb = bc.agg(F.sum("n").cast("bigint").alias("t_b"))

@@ -609,13 +609,17 @@ def q181_winnowing_fingerprints(spark, sf_dir):
     n-gram explode, per-doc partitioned windows (no global sort), a
     fingerprint-grain df aggregate with map-side combine."""
     d = t(spark, sf_dir, "documents")
+    # n-gram assembly slices a SPLIT-ONCE token column: the inlined
+    # form re-split the text inside the index lambda, once per window
+    # position (O(len²); the interpreted-HOF trap, see
+    # text.bigram_surprisal — r7: 6.2s → ~1s first execution)
     grams = (
-        d.select("doc_id", F.posexplode(F.expr(f"""
-            CASE WHEN size(split(trim(text), '\\\\s+')) >= {_WIN_N} THEN
-              transform(sequence(1, size(split(trim(text), '\\\\s+'))
-                                    - {_WIN_N} + 1),
-                i -> array_join(slice(split(trim(text), '\\\\s+'), i,
-                                      {_WIN_N}), ' '))
+        d.select("doc_id",
+                 F.expr("split(trim(text), '\\\\s+')").alias("_tok"))
+        .select("doc_id", F.posexplode(F.expr(f"""
+            CASE WHEN size(_tok) >= {_WIN_N} THEN
+              transform(sequence(1, size(_tok) - {_WIN_N} + 1),
+                i -> array_join(slice(_tok, i, {_WIN_N}), ' '))
             ELSE array() END""")).alias("_p", "g"))
         .select("doc_id", (F.col("_p") + 1).alias("pos"),
                 F.conv(F.substring(F.sha2(F.col("g"), 256), 1, 7), 16, 10)

@@ -107,3 +107,24 @@ def test_headline_queries_have_no_error_findings(spark):
         df = REGISTRY[name].fn.__wrapped__(spark, SF_SMOKE)
         errs = codes(audit(df), "error")
         assert not errs, f"{name}: {errs}"
+
+
+def test_hot_lambda_flagged_materialized_not(spark):
+    """An inline tokenizer inside a transform lambda is the O(len²)
+    interpreted-HOF trap (r7 finding); the zip-of-slices form over a
+    materialized column must stay clean."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    tok = F.split(F.trim("text"), r"\s+")
+    bad = df.select(F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.element_at(tok, i)).alias("x"))
+    assert "HOT_LAMBDA" in codes(audit(bad), "warning")
+
+    tk = F.col("_tok")
+    good = (df.select(tok.alias("_tok"))
+            .select(F.zip_with(F.slice(tk, 1, F.size(tk) - 1),
+                               F.slice(tk, 2, F.size(tk) - 1),
+                               lambda a, b: F.concat(a, b)).alias("x")))
+    assert "HOT_LAMBDA" not in codes(audit(good))
