@@ -1,0 +1,154 @@
+"""Scale-robustness probe for the PERSISTED-STATE surfaces (r7,
+completing scripts/scale_probe.py's batch-operator probe per the r6
+verdict): IVF absorb over many batches, bloom-store compaction under
+filter saturation, and incremental connected components under a skewed
+merge storm — the three r6 lifecycle surfaces whose costs could
+secretly grow with accumulated STATE rather than with the batch.
+
+Claims under test (each a SCALE.md row):
+
+* ``absorb_ivf_batch`` cost is flat in the number of already-absorbed
+  batches (stateless assign under fixed centroids — no corpus rescan),
+  and search degrades only with committed-file count until
+  ``compact_ivf_index`` restores single-generation layout.
+* ``process_bloom_batch`` cost is flat in accumulated history (the
+  probe is one bounded bloom-word read + a digest anti-join), and
+  ``compact_bloom_store`` wall grows ~linearly in distinct digests.
+* ``incremental_components`` cost tracks the AFFECTED subgraph, not
+  the full labeling: a hub batch that merges many clusters at 10×
+  corpus must not cost 10× the 1× storm.
+
+Usage: python scripts/scale_probe_state.py [N] [sf_dir] (defaults 10,
+sf0.1). Local experiment over derived data; testdata stays untouched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.operators.ann_index import (
+        absorb_ivf_batch,
+        compact_ivf_index,
+        ivf_index_search,
+        write_ivf_index,
+    )
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+    from sunat_rree_demo_spark.session import get_spark
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from sunat_rree_demo_spark.streaming.bloom_stream import (
+        compact_bloom_store,
+        load_kept,
+        process_bloom_batch,
+    )
+
+    spark = get_spark("scale_probe_state")
+    results: dict = {"n_replicas": n, "steps": {}}
+    root = tempfile.mkdtemp(prefix="probe_state_")
+
+    # ---------------------------------------------------------- IVF
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    n_emb = emb.count()
+    qpd = (emb.filter("vec_id < 8")
+           .selectExpr("vec_id as q_id", "embedding").toPandas())
+    ivf = {}
+    write_ivf_index(emb, f"{root}/ivf", k=8, iters=1)
+    ivf_index_search(spark, f"{root}/ivf", qpd).count()  # warm path
+    t0 = time.monotonic()
+    ivf["search_1gen_sec"] = None
+    ivf_index_search(spark, f"{root}/ivf", qpd).count()
+    ivf["search_1gen_sec"] = round(time.monotonic() - t0, 2)
+    # absorb n batches of fresh ids; record first vs last absorb wall
+    per_batch = []
+    for b in range(n):
+        batch = emb.select(
+            (F.col("vec_id") + (b + 1) * 10_000_000).alias("vec_id"),
+            "embedding").limit(500).localCheckpoint()
+        t0 = time.monotonic()
+        absorb_ivf_batch(spark, batch, f"{root}/ivf", b)
+        per_batch.append(round(time.monotonic() - t0, 2))
+    ivf["absorb_first_sec"], ivf["absorb_last_sec"] = \
+        per_batch[0], per_batch[-1]
+    t0 = time.monotonic()
+    ivf_index_search(spark, f"{root}/ivf", qpd).count()
+    ivf[f"search_{n + 1}gen_sec"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    compact_ivf_index(spark, f"{root}/ivf")
+    ivf["compact_sec"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    ivf_index_search(spark, f"{root}/ivf", qpd).count()
+    ivf["search_compacted_sec"] = round(time.monotonic() - t0, 2)
+    ivf["n_vectors"] = n_emb + n * 500
+    results["steps"]["ivf"] = ivf
+
+    # -------------------------------------------------------- bloom
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    bloom = {}
+    store = f"{root}/bloom"
+    per_batch = []
+    for b in range(n):
+        batch = docs.select(
+            (F.col("doc_id") + b * 10_000_000).alias("doc_id"),
+            F.concat(F.lit(f"r{b} "), "text").alias("text"))
+        t0 = time.monotonic()
+        process_bloom_batch(spark, batch, b, store)
+        per_batch.append(round(time.monotonic() - t0, 2))
+    bloom["batch_first_sec"], bloom["batch_last_sec"] = \
+        per_batch[0], per_batch[-1]
+    t0 = time.monotonic()
+    compact_bloom_store(spark, store)
+    bloom["compact_sec"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    process_bloom_batch(
+        spark, docs.select(
+            (F.col("doc_id") + (n + 1) * 10_000_000).alias("doc_id"),
+            F.concat(F.lit("fresh "), "text").alias("text")),
+        n + 1, store)
+    bloom["batch_after_compact_sec"] = round(time.monotonic() - t0, 2)
+    bloom["n_kept"] = load_kept(spark, store).count()
+    results["steps"]["bloom"] = bloom
+
+    # ----------------------------------------- incremental CC storm
+    # labeling over k disjoint chains, then ONE hub batch that merges
+    # every 10th cluster into a single component (the skewed storm)
+    cc = {}
+    for scale, k in (("1x", 20_000), (f"{n}x", 20_000 * n)):
+        base_edges = (spark.range(k)
+                      .select((F.col("id") * 2).alias("id1"),
+                              (F.col("id") * 2 + 1).alias("id2"))
+                      .repartition(32).localCheckpoint())
+        labels = connected_components(base_edges).localCheckpoint()
+        storm = (spark.range(k // 10)
+                 .select(F.lit(0).cast("bigint").alias("id1"),
+                         (F.col("id") * 20).alias("id2"))
+                 .localCheckpoint())
+        t0 = time.monotonic()
+        upd = incremental_components(labels, storm)
+        n_comp = upd.select("comp").distinct().count()
+        cc[f"storm_{scale}_sec"] = round(time.monotonic() - t0, 2)
+        cc[f"n_components_{scale}"] = n_comp
+    results["steps"]["cc"] = cc
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

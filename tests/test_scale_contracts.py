@@ -508,3 +508,103 @@ def test_pq_encode_has_no_shuffle(spark):
     # fan_out's round-robin spread of the single small split is the one
     # allowed exchange; no hashpartitioning anywhere
     assert "Exchange hashpartitioning" not in head, plan
+
+
+# ------------------------------------------------- r7 state-surface tripwires
+# (scripts/scale_probe_state.py is the measured 10x companion; these pin
+# the structural properties the probe's flat timings rely on)
+
+
+def test_ivf_absorb_never_rescans_corpus(spark, tmp_path):
+    """absorb_ivf_batch is stateless assign-under-fixed-centroids: it
+    must succeed with the ENTIRE existing vector corpus moved away —
+    any plan that rescans absorbed batches would throw here, and at
+    scale would turn per-batch cost from O(batch) into O(corpus)."""
+    import shutil
+
+    from sunat_rree_demo_spark.operators.ann_index import (
+        absorb_ivf_batch,
+        committed_vector_dirs,
+        write_ivf_index,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    path = str(tmp_path / "norescan")
+    write_ivf_index(emb, path, k=2, iters=1)
+    hidden = str(tmp_path / "hidden")
+    shutil.move(f"{path}/vectors", hidden)
+    newb = emb.selectExpr("vec_id + 1000000 AS vec_id", "embedding")
+    absorb_ivf_batch(spark, newb, path, 0)  # corpus gone: must not care
+    assert committed_vector_dirs(spark, path) \
+        == [f"{path}/vectors/batch_id=0"]
+    # restore: the store must be whole again for readers
+    shutil.move(f"{hidden}/batch_id=-1", f"{path}/vectors/batch_id=-1")
+    assert len(committed_vector_dirs(spark, path)) == 2
+
+
+def test_bloom_gate_exact_under_saturation(spark, tmp_path):
+    """A saturated bloom filter (distinct digests >> filter bits /
+    hashes) degrades COST (everything routes to the exact tier), never
+    CORRECTNESS: a fresh all-new batch must be kept in full, and the
+    recorded false-positive counts must show the filter actually
+    saturated rather than the test being too small."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.streaming.bloom_stream import (
+        BLOOM_M,
+        load_gate_stats,
+        load_kept,
+        process_bloom_batch,
+    )
+
+    store = str(tmp_path / "sat_store")
+    n = 6_000  # k=3 hashes: ~18k insertions into 16k bits -> saturated
+    assert 3 * n > BLOOM_M
+    big = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique-doc-"), F.col("id")).alias("text"))
+    process_bloom_batch(spark, big, 0, store)
+    fresh = spark.range(n, n + 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique-doc-"), F.col("id")).alias("text"))
+    process_bloom_batch(spark, fresh, 1, store)
+    assert load_kept(spark, store).count() == n + 500  # zero wrong drops
+    s = {r.batch_id: r for r in load_gate_stats(spark, store).collect()}
+    assert s[1].n_false_pos > 0          # the filter WAS saturated
+    assert s[1].n_kept == 500
+    # and a true-dup replay batch still drops everything
+    process_bloom_batch(spark, fresh, 2, store)
+    assert load_kept(spark, store).count() == n + 500
+
+
+def test_incremental_cc_skewed_merge_storm(spark):
+    """One hub batch that merges every 10th cluster into a single
+    component (the skewed storm): the incremental update must equal a
+    full recompute over base+storm edges — min-label adoption, mass
+    merges and untouched-cluster passthrough all at once."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    k = 1_000
+    base = spark.range(k).select((F.col("id") * 2).alias("id1"),
+                                 (F.col("id") * 2 + 1).alias("id2"))
+    labels = connected_components(base).localCheckpoint()
+    storm = spark.range(k // 10).select(
+        F.lit(0).cast("bigint").alias("id1"),
+        (F.col("id") * 20).alias("id2"))
+    got = {(r.node, r.comp) for r in
+           incremental_components(labels, storm).collect()}
+    want = {(r.node, r.comp) for r in
+            connected_components(base.unionByName(storm)).collect()}
+    assert got == want
+    # the storm really was skewed: one giant component absorbed k/10
+    # clusters (2k/10 nodes), everything else is untouched pairs
+    comp_sizes = {}
+    for _n, c in got:
+        comp_sizes[c] = comp_sizes.get(c, 0) + 1
+    assert max(comp_sizes.values()) == 2 * (k // 10)
