@@ -38,35 +38,46 @@ _ENTITIES = {
 }
 
 
+#: the FULL ordered extraction pipeline, shared verbatim by the Column
+#: chain and the DuckDB SQL generator (review finding r7: only the two
+#: table loops were generated before; the other ten steps were
+#: hand-duplicated literals — an edit to one side silently broke the
+#: q198 twin). (kind, pattern-or-literal, replacement); decode order
+#: matters: '&amp;' must go LAST, or double-escaped entities
+#: double-decode — '&amp;lt;' means the literal text '&lt;', not '<'
+#: (html.parser decodes in ONE pass; a re-scanning replace chain only
+#: matches that if the '&' materializes after every other entity rule
+#: has run — review finding r6). The final regex exists because trim()
+#: strips spaces only, not edge newlines.
+_H2T_STEPS: tuple[tuple[str, str, str], ...] = tuple(
+    [("re", pat, " ") for pat in _DROP_BLOCKS]
+    + [("re", r"(?i)<br[^>]*>|</p>|</div>|</li>|</tr>", "\n"),
+       ("re", r"(?s)<[^>]+>", " ")]
+    + [("lit", ent, ch) for ent, ch in _ENTITIES.items()
+       if ent != "&amp;"]
+    + [("re", r"&#[0-9]{1,7};", " "),           # decimal code points
+       ("re", r"&#x[0-9a-fA-F]{1,6};", " "),    # hex code points
+       ("lit", "&amp;", "&"),
+       ("re", r"[ \t\r\f]+", " "),
+       ("re", r" ?\n ?", "\n"),
+       ("re", r"\n{2,}", "\n"),
+       ("re", r"^\n+|\n+$", "")]
+)
+
+
 def html_to_text(col: Column) -> Column:
     """Markup-stripped text: drop script/style/head/comment blocks,
     turn block-level tag boundaries into spaces, strip remaining tags,
-    decode common + numeric character entities, collapse whitespace.
-    A chain of JVM ``regexp_replace``/``replace`` expressions — stays
-    inside codegen, no Python, no shuffle."""
+    decode common + numeric character entities, collapse whitespace —
+    ``_H2T_STEPS`` applied in order as JVM ``regexp_replace``/
+    ``replace`` expressions; stays inside codegen, no Python, no
+    shuffle."""
     out = col
-    for pat in _DROP_BLOCKS:
-        out = F.regexp_replace(out, pat, " ")
-    out = F.regexp_replace(out, r"(?i)<br[^>]*>|</p>|</div>|</li>|</tr>",
-                           "\n")
-    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
-    # decode order matters (review finding r6): '&amp;' must go LAST,
-    # or double-escaped entities double-decode — '&amp;lt;' means the
-    # literal text '&lt;', not '<' (html.parser decodes in ONE pass;
-    # a re-scanning replace chain only matches that if the '&'
-    # materializes after every other entity rule has run)
-    for ent, ch in _ENTITIES.items():
-        if ent != "&amp;":
-            out = F.replace(out, F.lit(ent), F.lit(ch))
-    # numeric entities: decimal and hex code points
-    out = F.regexp_replace(out, r"&#[0-9]{1,7};", " ")
-    out = F.regexp_replace(out, r"&#x[0-9a-fA-F]{1,6};", " ")
-    out = F.replace(out, F.lit("&amp;"), F.lit("&"))
-    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
-    out = F.regexp_replace(out, r" ?\n ?", "\n")
-    out = F.regexp_replace(out, r"\n{2,}", "\n")
-    # trim() strips spaces only — newlines at the edges need the regex
-    out = F.regexp_replace(out, r"^\n+|\n+$", "")
+    for kind, pat, rep in _H2T_STEPS:
+        if kind == "re":
+            out = F.regexp_replace(out, pat, rep)
+        else:
+            out = F.replace(out, F.lit(pat), F.lit(rep))
     return F.trim(out)
 
 
@@ -82,8 +93,19 @@ def main_content(docs: DataFrame, id_col: str = "doc_id",
 
     Per-document Python with per-line state — the honest mapInPandas
     case (a window over lines per doc would shuffle line grain for no
-    reason); Arrow-batched, zero shuffle."""
+    reason); Arrow-batched, zero shuffle.
+
+    WORD RULE: a word is a maximal run of non-SPACE characters
+    (``ln.split(" ")`` with empties dropped) — deliberately narrower
+    than Python's ``str.split()``, whose Unicode-whitespace set
+    (tabs, \x0b, NBSP, …) has no exact RE2/DuckDB twin; the q199
+    oracle's ``regexp_extract_all(ln, '[^ ]+')`` matches this rule
+    byte-for-byte (review finding r7: the two rules diverged on tabs,
+    latent until a non-space-separated corpus arrived)."""
     import pandas as pd
+
+    def _wc(ln: str) -> int:
+        return sum(1 for w in ln.split(" ") if w)
 
     def pick(it):
         for pdf in it:
@@ -92,15 +114,14 @@ def main_content(docs: DataFrame, id_col: str = "doc_id",
                 lines = (s or "").split("\n")
                 runs, cur = [], []
                 for ln in lines:
-                    if len(ln.split()) >= min_words:
+                    if _wc(ln) >= min_words:
                         cur.append(ln)
                     elif cur:
                         runs.append(cur)
                         cur = []
                 if cur:
                     runs.append(cur)
-                best = max(runs, key=lambda r: sum(len(x.split())
-                                                   for x in r),
+                best = max(runs, key=lambda r: sum(_wc(x) for x in r),
                            default=[])
                 out.append((did, "\n".join(best), len(best), len(lines)))
             yield pd.DataFrame(out, columns=[
@@ -152,25 +173,20 @@ def _sql_str(s: str) -> str:
 
 
 def html_to_text_sql(expr: str) -> str:
-    """The DuckDB oracle twin of ``html_to_text``: the SAME RE2
-    patterns and literal replaces, GENERATED from the same
-    ``_DROP_BLOCKS``/``_ENTITIES`` tables so the two engines cannot
-    drift (the q186 'oracle never sees the codec' device, applied to
-    markup). ``expr`` is any DuckDB VARCHAR expression."""
+    """The DuckDB oracle twin of ``html_to_text``: GENERATED from the
+    same ``_H2T_STEPS`` table the Column chain iterates — every
+    pattern, literal and ordering decision exists in exactly one place,
+    so the two engines cannot drift (the q186 'oracle never sees the
+    codec' device, applied to markup). ``expr`` is any DuckDB VARCHAR
+    expression. Replacement newlines render as e'\\n' escape-string
+    literals; patterns pass through as standard literals (DuckDB does
+    not escape-process them, RE2 sees the backslashes)."""
     out = expr
-    for pat in _DROP_BLOCKS:
-        out = f"regexp_replace({out}, {_sql_str(pat)}, ' ', 'g')"
-    out = (f"regexp_replace({out}, "
-           "'(?i)<br[^>]*>|</p>|</div>|</li>|</tr>', e'\\n', 'g')")
-    out = f"regexp_replace({out}, '(?s)<[^>]+>', ' ', 'g')"
-    for ent, ch in _ENTITIES.items():
-        if ent != "&amp;":
-            out = f"replace({out}, {_sql_str(ent)}, {_sql_str(ch)})"
-    out = f"regexp_replace({out}, '&#[0-9]{{1,7}};', ' ', 'g')"
-    out = f"regexp_replace({out}, '&#x[0-9a-fA-F]{{1,6}};', ' ', 'g')"
-    out = f"replace({out}, '&amp;', '&')"
-    out = f"regexp_replace({out}, '[ \\t\\r\\f]+', ' ', 'g')"
-    out = f"regexp_replace({out}, ' ?\\n ?', e'\\n', 'g')"
-    out = f"regexp_replace({out}, '\\n{{2,}}', e'\\n', 'g')"
-    out = f"regexp_replace({out}, '^\\n+|\\n+$', '', 'g')"
+    for kind, pat, rep in _H2T_STEPS:
+        if kind == "re":
+            sql_rep = "e'\\n'" if rep == "\n" else _sql_str(rep)
+            out = (f"regexp_replace({out}, {_sql_str(pat)}, "
+                   f"{sql_rep}, 'g')")
+        else:
+            out = f"replace({out}, {_sql_str(pat)}, {_sql_str(rep)})"
     return f"trim({out})"

@@ -1031,6 +1031,11 @@ def decode_jpeg_pixels(payload: bytes) \
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # spec B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker — skip them or a legal stream misparses as corrupt
+        # (review finding r7)
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker in _JPEG_SOF_GATED:
             raise NotImplementedError(_JPEG_SOF_GATED[marker])

@@ -153,9 +153,13 @@ def compact_sketch(spark: SparkSession, store_path: str) -> None:
     if len(dirs) == 1 and bids[0] < 0:
         # already a single compacted generation: keep it as the target
         # (no rewrite) but still fall through to the reaping loop — a
-        # crash mid-delete can leave superseded/torn leftovers behind
+        # crash mid-delete can leave superseded/torn leftovers behind.
+        # `is None` guard, not `or`: stream epochs start at 0, so a
+        # legitimate _COVERS_0 is falsy (review finding r7 — the `or`
+        # form skipped reaping a crash-left batch_id=0 forever)
         target = bids[0]
-        covers = _covers_of(spark, dirs[0]) or -1
+        cov = _covers_of(spark, dirs[0])
+        covers = cov if cov is not None else -1
     else:
         # lower than ANY existing dir — including torn targets a
         # crashed compaction left behind, so the rebuild never
@@ -166,7 +170,8 @@ def compact_sketch(spark: SparkSession, store_path: str) -> None:
         merged.write.mode("overwrite").parquet(tdir)
         covers = max([b for b in bids if b >= 0], default=-1)
         if min(bids) < 0:  # absorbed generation's covers carry over
-            covers = max(covers, _covers_of(spark, dirs[0]) or -1)
+            cov = _covers_of(spark, dirs[0])
+            covers = max(covers, cov if cov is not None else -1)
         fs.create(_hadoop_fs(spark, f"{tdir}/_COVERS_{covers}")[1],
                   True).close()
     # the target is visible now; retire everything it absorbed or

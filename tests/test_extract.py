@@ -155,3 +155,19 @@ def test_html_entities_double_escape_single_decode(spark):
         "id long, s string")
     (txt,) = df.select(html_to_text(F.col("s")).alias("t")).first()
     assert txt == "a &lt;b&gt; c &#169; d & e"
+
+
+def test_main_content_word_rule_is_space_only(spark):
+    """The word count is SPACE-separated runs, not Python str.split()
+    Unicode whitespace (review finding r7: the oracle's '[^ ]+' rule
+    diverged from str.split() on tabs) — a tab-joined token pair is
+    ONE word, so a 5-token tab line fails min_words=5 while its
+    space-separated twin qualifies."""
+    from sunat_rree_demo_spark.operators.extract import main_content
+
+    docs = spark.createDataFrame(
+        [(1, "a\tb c\td e\nw1 w2 w3 w4 w5")],  # line1: 3 words, line2: 5
+        "doc_id long, text string")
+    got = main_content(docs, min_words=5).collect()[0]
+    assert got.content == "w1 w2 w3 w4 w5"
+    assert (got.n_lines_kept, got.n_lines_total) == (1, 2)

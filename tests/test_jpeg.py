@@ -171,3 +171,16 @@ def test_image_pixel_stats_routes_png_and_jpeg(spark):
     assert got[2].sum_val == 64 * (50 + 70) * 8
     assert got[2].min_val == 50 and got[2].max_val == 70
     assert got[3].width is None and got[3].sum_val is None
+
+
+def test_fill_bytes_before_markers_accepted():
+    """JPEG B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker (review finding r7: the segment walk misparsed them as a
+    marker named 0xFF and read garbage lengths)."""
+    vals = bytes([60, 200] * 8)
+    img = encode_jpeg_gray_blocks(vals, 16)
+    i = img.index(b"\xff\xdb")
+    padded = img[:i] + b"\xff\xff\xff" + img[i:]
+    w, h, ch, px = decode_jpeg_pixels(padded)
+    assert (w, h, ch) == (128, 8, 1)
+    assert decode_jpeg_pixels(img)[3] == px

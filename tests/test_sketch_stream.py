@@ -172,3 +172,33 @@ def test_sketch_compaction_crash_windows(spark, tmp_path):
             if d.startswith("batch_id=")]
     assert left == ["batch_id=-6"]
     assert hist() == {(1, 3), (2, 2), (9, 2), (500, 1)}
+
+
+def test_sketch_heal_reaps_batch_zero_leftover(spark, tmp_path):
+    """Stream epochs start at 0, so _COVERS_0 is a legitimate falsy
+    marker value (review finding r7: `_covers_of(...) or -1` treated
+    it as absent and the single-generation heal path never reaped a
+    crash-left batch_id=0)."""
+    import os
+    import shutil
+
+    from sunat_rree_demo_spark.streaming.sketch_stream import (
+        compact_sketch,
+        merged_sketch,
+        process_sketch_batch,
+    )
+
+    store = str(tmp_path / "z_store")
+    b0 = spark.createDataFrame([(100,), (250,)], "price_cents long")
+    process_sketch_batch(spark, b0, 0, store, width=100)
+    want = {(r.bin, r.c) for r in merged_sketch(spark, store).collect()}
+    snap = str(tmp_path / "snap0")
+    shutil.copytree(f"{store}/hist/batch_id=0", snap)
+    compact_sketch(spark, store)  # gen -1, _COVERS_0
+    shutil.copytree(snap, f"{store}/hist/batch_id=0")  # crash mid-delete
+    assert {(r.bin, r.c)
+            for r in merged_sketch(spark, store).collect()} == want
+    compact_sketch(spark, store)  # heal must reap the 0-covered leftover
+    assert not os.path.exists(f"{store}/hist/batch_id=0")
+    assert {(r.bin, r.c)
+            for r in merged_sketch(spark, store).collect()} == want
