@@ -57,7 +57,8 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # round-7 additions (first driver check) — append here when registering
 _R7_NEW = (
     "q198_html_to_text", "q199_main_content", "q200_fix_mojibake",
-    "q201_jpeg_pixel_stats",
+    "q201_jpeg_pixel_stats", "q202_sliding_window_chunks",
+    "q203_lsh_band_scurve",
 )
 # longest-unchecked driver-green queries (last row r03), plan-changed first
 _R7_FILLERS = (

@@ -573,3 +573,64 @@ def q179_hybrid_rrf_fusion(spark, sf_dir):
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(_RRF_OUT)
     )
+
+
+# --------------------------------------------------------------------- q202
+_CHUNK_W = 16   #: tokens per chunk window
+_CHUNK_S = 8    #: stride (overlap = W - S)
+
+
+@register(
+    "q202_sliding_window_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             list_transform(range(1, len(tk) + 1, {_CHUNK_S}),
+                            i -> array_to_string(
+                                   tk[i:i + {_CHUNK_W - 1}], ' '))
+               AS chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(chunks) AS BIGINT) AS n_chunks,
+           sha256(array_to_string(chunks, '|')) AS chunks_sha
+    FROM c ORDER BY doc_id
+    """,
+    tags=("corpus", "chunking", "rag", "llm-pipeline"),
+)
+def q202_sliding_window_chunks(spark, sf_dir):
+    """Sliding-window document chunking with overlap (window
+    {W} tokens, stride {S} — the RAG/embedding-prep shape: overlap
+    keeps boundary-spanning context retrievable, cf. q96's disjoint
+    chunks which exist for dedup). Emits per doc the token count,
+    chunk count (= floor((len−1)/S)+1, trailing partial window kept),
+    and the sha-256 of the '|'-joined chunk texts — the digest pins
+    every chunk boundary and every token of every chunk cross-engine
+    without shipping 25k chunk rows through the driver compare.
+
+    Scale shape: one narrow map over the scan (zip/slice over a
+    materialized token column — the r7 HOT_LAMBDA discipline; slice is
+    O(W) per chunk), no shuffle before the doc-grain sort. At 100 TB
+    the chunk EXPLODE (one row per chunk feeding an embedding model)
+    would be the next operator; this query is its boundary oracle."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.col("_tok")
+    starts = F.sequence(F.lit(1), F.size(tk), F.lit(_CHUNK_S))
+    chunks = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(tk, i, _CHUNK_W)))
+    return (
+        d.select("doc_id", tokens(F.col("text")).alias("_tok"))
+        .select("doc_id",
+                F.size(tk).cast("bigint").alias("n_tokens"),
+                chunks.alias("_chunks"))
+        .select("doc_id", "n_tokens",
+                F.size("_chunks").cast("bigint").alias("n_chunks"),
+                F.sha2(F.array_join("_chunks", "|"), 256)
+                .alias("chunks_sha"))
+        .orderBy("doc_id")
+    )

@@ -19,6 +19,7 @@ from sunat_rree_demo_spark.operators.dedup import (
     _minhash_params,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -874,3 +875,104 @@ def q190_suffix_array_lcp_dups(spark, sf_dir):
     return d.mapInPandas(
         sa, schema="doc_id long, n_suffixes long, lrs_len long"
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- q203
+def _q203_oracle() -> str:
+    """Generated from the operator's own (a, b) permutation constants
+    and band layout, like ``_minhash_oracle_sql`` — one source of
+    truth for signatures AND band geometry."""
+    params = _minhash_params()
+    sig_cols = ",\n             ".join(
+        f"min(({a} * bh + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    r = MINHASH_K // LSH_BANDS
+    eq_sum = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    band_sum = " + ".join(
+        "CASE WHEN " + " AND ".join(
+            f"s1.mh{bi * r + j} = s2.mh{bi * r + j}" for j in range(r))
+        + " THEN 1 ELSE 0 END"
+        for bi in range(LSH_BANDS))
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM h GROUP BY doc_id
+    ),
+    p AS (
+      SELECT ({eq_sum}) AS eq, ({band_sum}) AS n_bands
+      FROM sig s1 JOIN sig s2
+        ON s2.doc_id - s1.doc_id BETWEEN 1 AND 3
+    )
+    SELECT CAST((eq * 10) // {MINHASH_K} AS BIGINT) AS sim_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN n_bands >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collided,
+           CAST(sum(n_bands) AS BIGINT) AS sum_bands
+    FROM p GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "q203_lsh_band_scurve",
+    oracle=_q203_oracle(),
+    tags=("dedup", "lsh", "tuning"),
+)
+def q203_lsh_band_scurve(spark, sf_dir):
+    """EMPIRICAL LSH S-curve over a deterministic pair spectrum — the
+    banding-parameter tuning diagnostic run before committing (bands,
+    rows) at corpus scale: for id-adjacent pairs (each doc vs its next
+    3 ids — a spectrum of similarities including the non-candidates an
+    LSH-candidate-only view never shows), bucket by signature agreement
+    (eq·10 div k deciles) and report how many pairs collide in ≥1 of
+    the {LSH_BANDS} bands and the total bands matched. Reading the
+    table IS the S-curve: collision rate per similarity decile — if
+    mid-similarity buckets collide too often the bands are too coarse
+    (shrink r), if high buckets miss, too fine. All integers from the
+    signatures themselves (no pow(), whose libm rounding differs
+    across engines); the oracle re-derives signatures AND band
+    geometry from the same constants.
+
+    Scale shape: signatures ride the doc-grain Arrow pass; the pair
+    spectrum is an EQUI-join (offset explode → id2 key), never a
+    nested loop; everything after is a tiny grouped aggregate. At
+    100 TB the same query runs on a SAMPLE of ids — the diagnostic
+    needs a spectrum, not the corpus."""
+    d = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text")
+    r = MINHASH_K // LSH_BANDS
+    pairs = (
+        sig.select(F.col("doc_id").alias("id1"),
+                   F.col("sig").alias("sig1"),
+                   F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)]))
+                   .alias("_d"))
+        .withColumn("id2", F.col("id1") + F.col("_d"))
+        .join(sig.select(F.col("doc_id").alias("id2"),
+                         F.col("sig").alias("sig2")), "id2")
+    )
+    eq = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    band_hit = [
+        F.when(
+            F.array_min(F.array(*[
+                (F.element_at("sig1", bi * r + j + 1)
+                 == F.element_at("sig2", bi * r + j + 1)).cast("int")
+                for j in range(r)])) == 1, 1).otherwise(0)
+        for bi in range(LSH_BANDS)
+    ]
+    n_bands = sum(band_hit[1:], band_hit[0])
+    return (
+        pairs.select(eq.alias("_eq"), n_bands.alias("_nb"))
+        .select(F.expr(f"(_eq * 10) div {MINHASH_K}").cast("bigint")
+                .alias("sim_bucket"), "_nb")
+        .groupBy("sim_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"),
+             F.sum(F.when(F.col("_nb") >= 1, 1).otherwise(0))
+             .cast("bigint").alias("n_collided"),
+             F.sum("_nb").cast("bigint").alias("sum_bands"))
+        .orderBy("sim_bucket")
+    )
