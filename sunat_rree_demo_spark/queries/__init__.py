@@ -58,7 +58,7 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 _R7_NEW = (
     "q198_html_to_text", "q199_main_content", "q200_fix_mojibake",
     "q201_jpeg_pixel_stats", "q202_sliding_window_chunks",
-    "q203_lsh_band_scurve",
+    "q203_lsh_band_scurve", "q204_curation_summary",
 )
 # longest-unchecked driver-green queries (last row r03), plan-changed first
 _R7_FILLERS = (

@@ -54,9 +54,13 @@ def corpus_shingle_arrays(spark, sf_dir: str, n: int = 5):
 
 
 #: shared shingle/token CTEs (the tokenizer contract of operators.text)
-_SHINGLE_CTE = """
+def shingle_cte(src: str = "documents") -> str:
+    """The toks→sh→h CTE chain over any (doc_id, text) relation —
+    parameterized so survivor-set pipelines (q204's curation funnel)
+    shingle the SAME way as the corpus-wide oracles, from one text."""
+    return """
     toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM {src}
     ),
     sh AS (
       SELECT doc_id,
@@ -70,7 +74,10 @@ _SHINGLE_CTE = """
              ('0x' || substr(sha256(shingle), 1, {hexlen}))::BIGINT AS bh
       FROM sh
     )
-""".format(hexlen=HASH_HEX_LEN)
+""".format(src=src, hexlen=HASH_HEX_LEN)
+
+
+_SHINGLE_CTE = shingle_cte()
 
 
 def _minhash_cand_ctes() -> str:

@@ -12,6 +12,7 @@ from pyspark.sql import Window, functions as F
 
 from sunat_rree_demo_spark.operators.components import connected_components
 from sunat_rree_demo_spark.operators.dedup import (
+    MINHASH_K,
     contamination_overlap,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -596,3 +597,114 @@ def q170_cluster_safe_split(spark, sf_dir):
              F.sum("n_chars").alias("total_chars"))
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------- q204
+def _q204_oracle() -> str:
+    """The ENTIRE default curation recipe (plans.curate.curate →
+    curate_summary) as one DuckDB statement, assembled from the same
+    shared devices the per-stage oracles use: q36's quality expression,
+    q39's exact-dedup canon, the MinHash pipeline generated from the
+    operator constants (shingles over the SURVIVOR set via
+    ``shingle_cte('docs2')``), q61's recursive closure, the election
+    window, and q62's sha-bucket split — so a drift in ANY stage
+    breaks this hash even if the stage's own oracle still passes."""
+    from sunat_rree_demo_spark.queries.dedup import (
+        _minhash_cand_ctes,
+        shingle_cte,
+    )
+
+    eq_sum = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    return f"""
+    WITH RECURSIVE
+    q1 AS (
+      SELECT doc_id, text, lang,
+             round(0.5 * (CAST(len(list_distinct(tk)) AS DOUBLE)
+                          / CAST(len(tk) AS DOUBLE))
+                   + 0.5 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0),
+                   4) AS qual,
+             CAST(len(tk) AS BIGINT) AS n_tokens
+      FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS tk
+            FROM documents)
+    ),
+    kept1 AS (SELECT * FROM q1 WHERE qual >= 0.25),
+    canon AS (SELECT min(doc_id) AS doc_id
+              FROM kept1 GROUP BY sha256(text)),
+    docs2 AS (SELECT k.* FROM kept1 k JOIN canon USING (doc_id)),
+    {shingle_cte('docs2')},
+    {_minhash_cand_ctes()},
+    pairs AS (
+      SELECT id1, id2 FROM cand
+      JOIN sig s1 ON id1 = s1.doc_id
+      JOIN sig s2 ON id2 = s2.doc_id
+      WHERE round(({eq_sum}) / {float(MINHASH_K)}, 4) >= 0.3
+    ),
+    uedges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM uedges
+      UNION
+      SELECT e.a, r.comp FROM uedges e JOIN reach r ON e.b = r.node
+    ),
+    clabels AS (
+      SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node
+    ),
+    losers AS (
+      SELECT doc_id FROM (
+        SELECT d.doc_id,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY d.qual DESC, d.doc_id) AS rn
+        FROM clabels l JOIN docs2 d ON l.node = d.doc_id)
+      WHERE rn > 1
+    ),
+    final AS (
+      SELECT * FROM docs2
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    sp AS (
+      SELECT CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'validation'
+                  ELSE 'test' END AS split,
+             qual, n_tokens
+      FROM (SELECT ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)),
+                                      1, 7))::BIGINT % 100 AS b,
+                   qual, n_tokens
+            FROM final)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(qual), 4) AS avg_quality
+    FROM sp GROUP BY 1 ORDER BY split
+    """
+
+
+@register(
+    "q204_curation_summary",
+    memoize=False,  # LSH pairs + CC election are documented-eager
+    oracle=_q204_oracle(),
+    tags=("llm-pipeline", "curation", "end-to-end"),
+)
+def q204_curation_summary(spark, sf_dir):
+    """THE end-to-end curation funnel with its default gates —
+    quality ≥ 0.25 → exact dedup → MinHash-LSH near-dup clustering →
+    best-per-cluster election → sha-bucket split → packing — rolled up
+    per split (plans.curate.curate → curate_summary, the composed job
+    a 100 TB pretraining pipeline runs). Every stage already has its
+    own oracle-checked query (q36/q39/q41/q61/q62/q66); this slot
+    verifies their COMPOSITION: the survivor set each stage hands the
+    next, cross-engine, in one hash.
+
+    Scale shape: the plan is the operators' own (broadcast gates,
+    banded LSH shuffle on survivors, bounded election windows,
+    per-shard packing sorts) — a filter chain over the corpus that
+    never materializes a second copy."""
+    from sunat_rree_demo_spark.plans.curate import curate, curate_summary
+
+    d = t(spark, sf_dir, "documents")
+    return curate_summary(curate(d))
