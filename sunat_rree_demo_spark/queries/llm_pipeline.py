@@ -708,3 +708,89 @@ def q204_curation_summary(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return curate_summary(curate(d))
+
+
+# --------------------------------------------------------------------- q205
+def _q205_oracle() -> str:
+    """Exact-Jaccard truth pairs vs MinHash-estimate predicted pairs,
+    both generated from the shared single-copy pipelines
+    (JACCARD_PAIRS_SELECT / the operator-constant MinHash CTEs), so
+    the eval itself cannot drift from the operators it measures."""
+    from sunat_rree_demo_spark.queries.dedup import (
+        _SHINGLE_CTE,
+        _minhash_cand_ctes,
+    )
+
+    eq_sum = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    return f"""
+    WITH truth AS ({JACCARD_PAIRS_SELECT}),
+    pred AS (
+      WITH {_SHINGLE_CTE},
+      {_minhash_cand_ctes()}
+      SELECT id1, id2 FROM cand
+      JOIN sig s1 ON id1 = s1.doc_id
+      JOIN sig s2 ON id2 = s2.doc_id
+      WHERE round(({eq_sum}) / {float(MINHASH_K)}, 4) >= 0.3
+    ),
+    hit AS (SELECT count(*) AS n FROM truth JOIN pred
+            USING (id1, id2)),
+    c AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+                 (SELECT count(*) FROM pred) AS n_pred,
+                 (SELECT n FROM hit) AS n_hit)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_pred > 0 THEN
+             CAST((2 * 10000 * n_hit + n_pred) // (2 * n_pred)
+                  AS DOUBLE) / 10000.0 ELSE NULL END AS precision_4dp,
+           CASE WHEN n_truth > 0 THEN
+             CAST((2 * 10000 * n_hit + n_truth) // (2 * n_truth)
+                  AS DOUBLE) / 10000.0 ELSE NULL END AS recall_4dp
+    FROM c
+    """
+
+
+@register(
+    "q205_lsh_eval",
+    memoize=False,  # both pair pipelines are documented-eager (q40/q41)
+    oracle=_q205_oracle(),
+    tags=("llm-pipeline", "dedup", "eval"),
+)
+def q205_lsh_eval(spark, sf_dir):
+    """Precision/recall of the MinHash-LSH near-dup detector against
+    the EXACT 5-gram Jaccard ≥ 0.3 ground truth — the measure-before-
+    trust eval a pipeline runs before letting an approximate detector
+    delete data (q203 reads the S-curve; this reads the consequence).
+    False positives come from MinHash over-estimates near the
+    threshold, false negatives from under-estimates and band misses —
+    both engines count the same three sets and apply the half-up 4dp
+    integer device with zero-denominator guards.
+
+    Scale shape: the truth side is the session-memoized exact pair
+    graph (shared with q61/q65/q68), the predicted side the banded
+    LSH pipeline; the comparison is a pair-key join of two
+    candidate-scale frames — at 100 TB this eval runs on a SAMPLED
+    id range, same plan."""
+    d = t(spark, sf_dir, "documents")
+    truth = dup_pair_edges(spark, sf_dir)
+    pred = minhash_lsh_pairs(d, "doc_id", "text",
+                             threshold=0.3).select("id1", "id2")
+    # three 1-row scalar frames crossJoined into one declarative plan
+    # (the sanctioned scalar-frame nested loop) — no driver collects
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    np_ = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
+    nh = (truth.join(pred, ["id1", "id2"])
+          .agg(F.count("*").cast("bigint").alias("n_hit")))
+
+    def _hu(num: str, den: str):
+        return F.when(
+            F.col(den) > 0,
+            F.expr(f"(2 * 10000 * {num} + {den}) div (2 * {den})")
+            .cast("double") / 10000.0)
+
+    return (nt.crossJoin(np_).crossJoin(nh)
+            .select("n_truth", "n_pred", "n_hit",
+                    _hu("n_hit", "n_pred").alias("precision_4dp"),
+                    _hu("n_hit", "n_truth").alias("recall_4dp")))
