@@ -784,7 +784,10 @@ _IDCT_A = None  # built lazily; numpy import is module-level already
 
 
 class _BitWriter:
-    """MSB-first bit sink with JPEG 0xFF byte stuffing."""
+    """MSB-first bit sink with JPEG 0xFF byte stuffing. Bits land in
+    GROUPS (one shift per code, bytes drained as they fill) — the
+    per-bit loop made q201's encode the dominant cold cost at sf0.1
+    (r7 measurement)."""
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -792,14 +795,15 @@ class _BitWriter:
         self.nbits = 0
 
     def put(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # stuffing
-                self.acc, self.nbits = 0, 0
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # stuffing
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -848,18 +852,27 @@ def encode_jpeg_coeff_blocks(blocks: "np.ndarray",
     w = width if width is not None else blocks_per_row * 8
     h = height if height is not None else (n // blocks_per_row) * 8
 
-    # one pass to collect emitted symbols; second pass to encode
+    # one pass to collect emitted symbols; second pass to encode.
+    # zigzag reorder + last-nonzero are ONE vectorized numpy pass, not
+    # 64 Python element reads per block (r7: the per-block list
+    # comprehension dominated q201's cold encode at sf0.1)
+    arr = np.asarray(blocks, dtype=np.int64)
+    zz_all = arr[:, list(_JPEG_ZIGZAG)]
+    nz = zz_all[:, 1:] != 0
+    last_all = np.where(nz.any(axis=1),
+                        63 - nz[:, ::-1].argmax(axis=1), 0)
+    zz_lists = zz_all.tolist()
     dc_syms, ac_syms = set(), set()
 
     def walk(emit, on_restart=None) -> None:
         pred = 0
-        for bi, b in enumerate(blocks):
-            diff = int(b[0]) - pred
-            pred = int(b[0])
+        for bi in range(n):
+            zz = zz_lists[bi]
+            diff = zz[0] - pred
+            pred = zz[0]
             emit(True, _bit_category(diff), diff)
-            zz = [int(b[_JPEG_ZIGZAG[k]]) for k in range(64)]
             k, run = 1, 0
-            last = max((i for i in range(1, 64) if zz[i]), default=0)
+            last = int(last_all[bi])
             while k <= last:
                 if zz[k] == 0:
                     run += 1
@@ -932,69 +945,29 @@ def encode_jpeg_gray_blocks(vals: bytes, blocks_per_row: int) -> bytes:
     return encode_jpeg_coeff_blocks(blocks, blocks_per_row)
 
 
-class _BitReader:
-    """MSB-first bit source over entropy-coded JPEG data: un-stuffs
-    0xFF00, stops at any real marker (caller handles RSTn)."""
-
-    def __init__(self, buf: bytes, pos: int) -> None:
-        self.buf = buf
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                raise _AtMarker(self.pos)
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if not self.nbits:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_past_marker(self) -> int:
-        """Skip to and consume the next marker (RSTn handling);
-        returns the marker byte."""
-        self.acc, self.nbits = 0, 0
-        while self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] == 0x00:
-            self.pos += 1
-        m = self.buf[self.pos + 1]
-        self.pos += 2
-        return m
-
-
-class _AtMarker(Exception):
-    """Bit reader hit a real (non-stuffed) marker."""
-
-    def __init__(self, pos: int) -> None:
-        self.pos = pos
-
-
-def _huff_decode(br: "_BitReader", table: dict[tuple[int, int], int]) \
-        -> int:
-    code, ln = 0, 0
-    while ln < 17:
-        code = (code << 1) | br.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad huffman code")
+def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Split the scan's entropy-coded data into its restart segments:
+    scan for real markers (skipping stuffed 0xFF00 and 0xFF fill
+    bytes), cut at every RSTn, stop at the first non-RST marker (EOI
+    or the next segment). Returns the RAW (still-stuffed) segments."""
+    segs = []
+    start = i = pos
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(payload):
+            raise ValueError("entropy data ended early")
+        m = payload[j + 1]
+        if m == 0x00:
+            i = j + 2
+            continue
+        if m == 0xFF:  # fill byte inside the scan
+            i = j + 1
+            continue
+        segs.append(payload[start:j])
+        if 0xD0 <= m <= 0xD7:
+            start = i = j + 2
+            continue
+        return segs
 
 
 def _extend(v: int, size: int) -> int:
@@ -1113,52 +1086,91 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
     bx, by = (w + 7) // 8, (h + 7) // 8
     nmcu = bx * by
     coeffs = np.zeros((ncomp, nmcu, 64), np.int64)
-    br = _BitReader(payload, pos)
-    preds = [0] * ncomp
+    # Big-int bit reads over unstuffed restart segments — the per-bit
+    # reader class made q201's decode the dominant cold cost at sf0.1
+    # (121 s → seconds, r7 measurement). Each segment becomes one
+    # Python int; a huffman symbol costs ~code-length dict probes on a
+    # 16-bit peek and magnitude bits cost one shift.
+    tabs = {key: htabs[key] for key in htabs}
+    zz = _JPEG_ZIGZAG
     mcu = 0
-    while mcu < nmcu:
-        try:
+    for seg in _entropy_segments(payload, pos):
+        raw = seg.replace(b"\xff\x00", b"\xff")
+        data_bits = len(raw) * 8
+        big = int.from_bytes(raw + b"\x00\x00", "big")
+        nbits = data_bits + 16
+        bpos = 0
+        preds = [0] * ncomp
+        end = min(nmcu, mcu + restart) if restart else nmcu
+        while mcu < end:
             for ci, dct, act in scan:
-                dc_t = htabs[(0, dct)]
-                ac_t = htabs[(1, act)]
                 blk = coeffs[ci, mcu]
-                size = _huff_decode(br, dc_t)
-                diff = _extend(br.bits(size), size) if size else 0
-                preds[ci] += diff
-                blk[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(br, ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, sz = sym >> 4, sym & 0x0F
-                    if sz == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16  # ZRL
+                for phase in (0, 1):
+                    table = tabs[(phase, dct if phase == 0 else act)]
+                    if phase == 0:
+                        peek = (big >> (nbits - bpos - 16)) & 0xFFFF
+                        for ln in range(1, 17):
+                            size = table.get((ln, peek >> (16 - ln)))
+                            if size is not None:
+                                bpos += ln
+                                break
+                        else:
+                            raise ValueError("bad huffman code")
+                        if size:
+                            v = (big >> (nbits - bpos - size)) \
+                                & ((1 << size) - 1)
+                            bpos += size
+                            preds[ci] += _extend(v, size)
+                        blk[0] = preds[ci]
                         continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    blk[_JPEG_ZIGZAG[k]] = _extend(br.bits(sz), sz)
-                    k += 1
+                    k = 1
+                    while k < 64:
+                        peek = (big >> (nbits - bpos - 16)) & 0xFFFF
+                        for ln in range(1, 17):
+                            sym = table.get((ln, peek >> (16 - ln)))
+                            if sym is not None:
+                                bpos += ln
+                                break
+                        else:
+                            raise ValueError("bad huffman code")
+                        if sym == 0x00:  # EOB
+                            break
+                        run, sz = sym >> 4, sym & 0x0F
+                        if sz == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        v = (big >> (nbits - bpos - sz)) \
+                            & ((1 << sz) - 1)
+                        bpos += sz
+                        blk[zz[k]] = _extend(v, sz)
+                        k += 1
             mcu += 1
-            if restart and mcu % restart == 0 and mcu < nmcu:
-                m = br.align_past_marker()
-                if not 0xD0 <= m <= 0xD7:
-                    raise ValueError("expected RSTn")
-                preds = [0] * ncomp
-        except _AtMarker:
-            raise ValueError("entropy data ended early")
+            if bpos > data_bits:  # read into the zero padding
+                raise ValueError("entropy data ended early")
+        if mcu >= nmcu:
+            break
+    if mcu < nmcu:
+        raise ValueError("entropy data ended early")
     if _IDCT_A is None:
         _IDCT_A = _idct_matrix()
     a = _IDCT_A
+    # one (n,64)x(64,64) GEMM instead of a per-image einsum: M[uv,xy] =
+    # a[u,x]*a[v,y], so deq_flat @ M is the full 2-D IDCT of every
+    # block at once (the einsum was the second cold hotspot after the
+    # per-bit reader, r7 profile). DC-only exactness is unchanged: the
+    # DC pixel is the single product F00*M[0,xy] either way.
+    m = np.einsum("ux,vy->uvxy", a, a).reshape(64, 64)
     planes = []
     for ci, (cid, tq) in enumerate(comps):
         if tq not in qtabs:
             raise ValueError(f"missing quant table {tq}")
-        deq = (coeffs[ci] * qtabs[tq][None, :]).reshape(-1, 8, 8)
-        px = np.einsum("ux,nuv,vy->nxy", a, deq.astype(np.float64), a)
+        deq = (coeffs[ci] * qtabs[tq][None, :]).astype(np.float64)
+        px = (deq @ m).reshape(-1, 8, 8)
         px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
         # blocks back to raster: (by, bx, 8, 8) -> (by*8, bx*8), crop
         plane = (px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)

@@ -170,9 +170,13 @@ def q201_jpeg_pixel_stats(spark, sf_dir):
         encode_jpeg_gray_blocks,
         image_pixel_stats,
     )
+    from sunat_rree_demo_spark.operators.skew import fan_out
 
     d = t(spark, sf_dir, "documents")
-    src = (
+    # the codec passes are CPU-bound Python over a SMALL parquet input
+    # (one split) — without the fan_out every encode+decode serializes
+    # on one core (r7: 54s -> ~3s cold at sf0.1 on local[32])
+    src = fan_out(
         d.select(F.col("doc_id").alias("media_id"),
                  F.regexp_replace("text", "[^ -~]", "").alias("s"))
         .withColumn("s", F.expr(
