@@ -1091,7 +1091,6 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
     # (121 s → seconds, r7 measurement). Each segment becomes one
     # Python int; a huffman symbol costs ~code-length dict probes on a
     # 16-bit peek and magnitude bits cost one shift.
-    tabs = {key: htabs[key] for key in htabs}
     zz = _JPEG_ZIGZAG
     mcu = 0
     for seg in _entropy_segments(payload, pos):
@@ -1106,7 +1105,7 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
             for ci, dct, act in scan:
                 blk = coeffs[ci, mcu]
                 for phase in (0, 1):
-                    table = tabs[(phase, dct if phase == 0 else act)]
+                    table = htabs[(phase, dct if phase == 0 else act)]
                     if phase == 0:
                         peek = (big >> (nbits - bpos - 16)) & 0xFFFF
                         for ln in range(1, 17):

@@ -165,11 +165,20 @@ def elect_and_pack(kept: DataFrame, edges: DataFrame,
 
 
 def curate_summary(curated: DataFrame) -> DataFrame:
-    """Per-split rollup of the curated corpus."""
+    """Per-split rollup of the curated corpus. The mean quality rides
+    the half-up INTEGER device over exact 10⁻⁴ quality units (quality
+    is round(·, 4), so ×10⁴ + round is exact) — a float avg of
+    doubles is summed in partition order and can split a .00005 tie
+    differently per engine or even per run (review finding r7; the
+    q146 lesson)."""
+    qu = F.round(F.col("quality") * 10000).cast("bigint")
     return (
         curated.groupBy("split")
-        .agg(F.count("*").alias("n_docs"),
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
              F.sum("n_tokens").alias("total_tokens"),
-             F.round(F.avg("quality"), 4).alias("avg_quality"))
+             F.sum(qu).alias("_qu"))
+        .select("split", "n_docs", "total_tokens",
+                (F.expr("(2 * _qu + n_docs) div (2 * n_docs)")
+                 .cast("double") / 10000.0).alias("avg_quality"))
         .orderBy("split")
     )

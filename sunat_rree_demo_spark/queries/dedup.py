@@ -112,25 +112,45 @@ def _minhash_cand_ctes() -> str:
     )"""
 
 
+def minhash_eq_sum() -> str:
+    """Σ [s1.mh_i = s2.mh_i] over the signature components — the ONE
+    copy of the agreement count every estimate/S-curve oracle embeds
+    (review finding r7: four hand-copies had accumulated)."""
+    return " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+
+
+def minhash_est_pairs_select(threshold: float,
+                             with_estimate: bool = False,
+                             extra_where: str = "") -> str:
+    """The estimate-filtered candidate-pair SELECT (requires the
+    sig/cand CTEs from ``_minhash_cand_ctes`` in scope) — shared by
+    q41/q185 (with the estimate column), q204's funnel and q205's eval
+    (pair keys only), so the estimate rounding and threshold handling
+    exist in exactly one place."""
+    est = f"round(({minhash_eq_sum()}) / {float(MINHASH_K)}, 4)"
+    cols = "id1, id2" + (f",\n           {est} AS jaccard_est"
+                         if with_estimate else "")
+    return f"""SELECT {cols}
+    FROM cand
+    JOIN sig s1 ON id1 = s1.doc_id
+    JOIN sig s2 ON id2 = s2.doc_id
+    WHERE {est} >= {threshold}
+          {extra_where}"""
+
+
 def _minhash_oracle_sql(threshold: float = 0.3,
                         extra_where: str = "") -> str:
     """The full MinHash+LSH pipeline in DuckDB SQL, generated from the
     operator's own (a, b) constants and band layout. ``extra_where``
     appends a pair-level predicate (q185 restricts to cross-shard
     pairs) so variants stay candidate-identical with q41."""
-    eq_sum = " + ".join(
-        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
-        for i in range(MINHASH_K))
     return f"""
     WITH {_SHINGLE_CTE},
     {_minhash_cand_ctes()}
-    SELECT id1, id2,
-           round(({eq_sum}) / {float(MINHASH_K)}, 4) AS jaccard_est
-    FROM cand
-    JOIN sig s1 ON id1 = s1.doc_id
-    JOIN sig s2 ON id2 = s2.doc_id
-    WHERE round(({eq_sum}) / {float(MINHASH_K)}, 4) >= {threshold}
-          {extra_where}
+    {minhash_est_pairs_select(threshold, with_estimate=True,
+                              extra_where=extra_where)}
     ORDER BY id1, id2
     """
 
@@ -894,9 +914,7 @@ def _q203_oracle() -> str:
         f"min(({a} * bh + {b}) % {MERSENNE_P}) AS mh{i}"
         for i, (a, b) in enumerate(params))
     r = MINHASH_K // LSH_BANDS
-    eq_sum = " + ".join(
-        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
-        for i in range(MINHASH_K))
+    eq_sum = minhash_eq_sum()
     band_sum = " + ".join(
         "CASE WHEN " + " AND ".join(
             f"s1.mh{bi * r + j} = s2.mh{bi * r + j}" for j in range(r))
@@ -925,6 +943,7 @@ def _q203_oracle() -> str:
 
 @register(
     "q203_lsh_band_scurve",
+    memoize=False,  # builder checkpoints the signature frame (eager)
     oracle=_q203_oracle(),
     tags=("dedup", "lsh", "tuning"),
 )
@@ -948,8 +967,16 @@ def q203_lsh_band_scurve(spark, sf_dir):
     nested loop; everything after is a tiny grouped aggregate. At
     100 TB the same query runs on a SAMPLE of ids — the diagnostic
     needs a spectrum, not the corpus."""
-    d = t(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, "doc_id", "text")
+    from sunat_rree_demo_spark.operators.dedup import (
+        _signatures_from_shingle_arrays,
+    )
+
+    # signatures derive from the session-memoized shingle arrays (no
+    # re-shingling) and are checkpointed once for the self-join's two
+    # references (review finding r7: the bare operator call ran the
+    # corpus-wide Python pass twice per execution)
+    sig = _signatures_from_shingle_arrays(
+        corpus_shingle_arrays(spark, sf_dir), "doc_id").localCheckpoint()
     r = MINHASH_K // LSH_BANDS
     pairs = (
         sig.select(F.col("doc_id").alias("id1"),

@@ -611,12 +611,10 @@ def _q204_oracle() -> str:
     breaks this hash even if the stage's own oracle still passes."""
     from sunat_rree_demo_spark.queries.dedup import (
         _minhash_cand_ctes,
+        minhash_est_pairs_select,
         shingle_cte,
     )
 
-    eq_sum = " + ".join(
-        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
-        for i in range(MINHASH_K))
     return f"""
     WITH RECURSIVE
     q1 AS (
@@ -636,10 +634,7 @@ def _q204_oracle() -> str:
     {shingle_cte('docs2')},
     {_minhash_cand_ctes()},
     pairs AS (
-      SELECT id1, id2 FROM cand
-      JOIN sig s1 ON id1 = s1.doc_id
-      JOIN sig s2 ON id2 = s2.doc_id
-      WHERE round(({eq_sum}) / {float(MINHASH_K)}, 4) >= 0.3
+      {minhash_est_pairs_select(0.3)}
     ),
     uedges AS (
       SELECT id1 AS a, id2 AS b FROM pairs
@@ -679,7 +674,9 @@ def _q204_oracle() -> str:
     SELECT split,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(avg(qual), 4) AS avg_quality
+           CAST((2 * sum(CAST(round(qual * 10000) AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+             AS avg_quality
     FROM sp GROUP BY 1 ORDER BY split
     """
 
@@ -719,20 +716,15 @@ def _q205_oracle() -> str:
     from sunat_rree_demo_spark.queries.dedup import (
         _SHINGLE_CTE,
         _minhash_cand_ctes,
+        minhash_est_pairs_select,
     )
 
-    eq_sum = " + ".join(
-        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
-        for i in range(MINHASH_K))
     return f"""
     WITH truth AS ({JACCARD_PAIRS_SELECT}),
     pred AS (
       WITH {_SHINGLE_CTE},
       {_minhash_cand_ctes()}
-      SELECT id1, id2 FROM cand
-      JOIN sig s1 ON id1 = s1.doc_id
-      JOIN sig s2 ON id2 = s2.doc_id
-      WHERE round(({eq_sum}) / {float(MINHASH_K)}, 4) >= 0.3
+      {minhash_est_pairs_select(0.3)}
     ),
     hit AS (SELECT count(*) AS n FROM truth JOIN pred
             USING (id1, id2)),
@@ -774,9 +766,15 @@ def q205_lsh_eval(spark, sf_dir):
     candidate-scale frames — at 100 TB this eval runs on a SAMPLED
     id range, same plan."""
     d = t(spark, sf_dir, "documents")
+    from sunat_rree_demo_spark.queries.dedup import corpus_shingle_arrays
+
     truth = dup_pair_edges(spark, sf_dir)
-    pred = minhash_lsh_pairs(d, "doc_id", "text",
-                             threshold=0.3).select("id1", "id2")
+    # arr= derives signatures from the session-memoized shingle arrays
+    # the truth side just used — no second corpus shingling pass
+    # (review finding r7)
+    pred = minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.3,
+        arr=corpus_shingle_arrays(spark, sf_dir)).select("id1", "id2")
     # three 1-row scalar frames crossJoined into one declarative plan
     # (the sanctioned scalar-frame nested loop) — no driver collects
     nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))

@@ -182,6 +182,10 @@ _EAGER_BUILDERS = {
     # q151 eagerly checkpoints the MinHash signatures (banding + two
     # estimate branches read them — same policy as q41)
     "q151_minhash_containment",
+    # r7: q203 checkpoints the memoized-array-derived signatures for
+    # its self-join's two references; q204/q205 compose the q40/q41
+    # pair machinery (documented-eager) inside the curate/eval plans
+    "q203_lsh_band_scurve", "q204_curation_summary", "q205_lsh_eval",
     # q167/q168 share the session-memoized k-means fit: the Lloyd loop
     # (one bounded-partials job per round) plus the assignment persist
     # are documented-eager at first touch (operators/clustering.py)
