@@ -364,3 +364,172 @@ def q173_cluster_label_purity(spark, sf_dir):
                 .alias("purity"))
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------- q206
+_RECALL_K = 5
+_NPROBES = (1, 2, 4)
+
+
+def _q206_oracle() -> str:
+    """Per-nprobe IVF recall vs the exact brute-force top-k, every
+    stage int64-exact on the unrolled-Lloyd CTEs (probe ties → lower
+    cluster, neighbor ties → lower vec_id), so recall is a ratio of
+    exact integers — no float search geometry anywhere."""
+    ivf_ctes = ",\n    ".join(
+        f"""ivf{np} AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY d2, n_id) AS rk
+        FROM dist WHERE prn <= {np}) WHERE rk <= {_RECALL_K})"""
+        for np in _NPROBES)
+    unions = "\n    UNION ALL\n    ".join(
+        f"""SELECT {np} AS nprobe,
+           (SELECT count(*) FROM ivf{np} JOIN bru5 USING (q_id, n_id))
+             AS n_hits"""
+        for np in _NPROBES)
+    return _kmeans_oracle_cte(_K, _ITERS) + f"""
+    , pc AS (
+      SELECT q_id, cluster, rn FROM (
+        SELECT qd.vec_id AS q_id, cd.cluster,
+               row_number() OVER (PARTITION BY qd.vec_id
+                 ORDER BY SUM((qd.x - cd.c) * (qd.x - cd.c)), cd.cluster)
+                 AS rn
+        FROM qd JOIN c{_ITERS}d cd USING (ord)
+        WHERE qd.vec_id < 8
+        GROUP BY qd.vec_id, cd.cluster) WHERE rn <= {max(_NPROBES)}),
+    dist AS (
+      SELECT c.q_id, c.n_id, c.prn,
+             CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+      FROM (SELECT pc.q_id, af.vec_id AS n_id, pc.rn AS prn
+            FROM pc JOIN af USING (cluster)
+            WHERE af.vec_id <> pc.q_id) c
+      JOIN qd a ON a.vec_id = c.q_id
+      JOIN qd b ON b.vec_id = c.n_id AND b.ord = a.ord
+      GROUP BY c.q_id, c.n_id, c.prn),
+    bru AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+      FROM qd a JOIN qd b ON a.ord = b.ord AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < 8 GROUP BY 1, 2),
+    bru5 AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY d2, n_id) AS rk
+        FROM bru) WHERE rk <= {_RECALL_K}),
+    {ivf_ctes},
+    npos AS (SELECT CAST(count(*) AS BIGINT) AS n_possible FROM bru5)
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           n_possible,
+           CAST((2 * 10000 * n_hits + n_possible) // (2 * n_possible)
+                AS DOUBLE) / 10000.0 AS recall_4dp
+    FROM ({unions}), npos
+    ORDER BY nprobe
+    """
+
+
+@register(
+    "q206_ivf_recall_curve",
+    oracle=_q206_oracle(),
+    memoize=False,  # shares the session-memoized fit (documented-eager)
+    tags=("clustering", "similarity", "ann-ivf", "eval"),
+)
+def q206_ivf_recall_curve(spark, sf_dir):
+    """Recall@{k} of the IVF index as nprobe sweeps {probes} — the
+    measure-before-trust eval for the similarity family (q205's twin:
+    that one grades the dedup detector, this grades the ANN index):
+    IVF top-{k} under the REAL session-shared k-means fit, intersected
+    with the exact brute-force top-{k} over the same int64 micro-unit
+    geometry, per probe depth. Reading the curve answers the 100 TB
+    deployment question — how many cells must a probe touch before
+    recall clears the product bar — before the corpus is laid out.
+
+    Scale shape: ONE candidate distance pass at the deepest probe
+    depth tagged with each cell's probe rank (shallower depths are
+    row filters, not rescans); the brute side is one Arrow block-
+    distance pass over the corpus (the q43 device — at production
+    scale it runs on a sampled query set, same plan); the comparison
+    joins bounded k-row-per-query frames."""
+    from sunat_rree_demo_spark.operators.clustering import quantize_micros
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent, assign = _fitted(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (emb.filter(F.col("vec_id") < 8)
+             .select("vec_id", "embedding").orderBy("vec_id").toPandas())
+    qmat = quantize_micros(qrows["embedding"])
+    q_ids = qrows["vec_id"].to_numpy()
+    d2c = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(cent.shape[0]), d2c[qi]))
+        probes += [(int(q_ids[qi]), int(ci), rk + 1)
+                   for rk, ci in enumerate(order[:max(_NPROBES)])]
+    probe_df = spark.createDataFrame(
+        probes, "q_id long, cluster int, prn int")
+
+    qindex = {int(v): i for i, v in enumerate(q_ids)}
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("prn", T.IntegerType()),
+        T.StructField("d2", T.LongType()),
+    ])
+
+    def dists(batches, _qm=qmat, _qx=qindex):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xq = quantize_micros(pdf["embedding"])
+            qi = pdf["q_id"].map(_qx).to_numpy()
+            d2 = ((xq - _qm[qi]) ** 2).sum(axis=1)
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"].to_numpy(np.int64),
+                "n_id": pdf["vec_id"].to_numpy(np.int64),
+                "prn": pdf["prn"].to_numpy(np.int32),
+                "d2": d2.astype(np.int64)})
+
+    cand = (assign.join(F.broadcast(probe_df), "cluster")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .join(emb, "vec_id")
+            .select("q_id", "vec_id", "prn", "embedding"))
+    ivf_scored = cand.mapInPandas(dists, out_schema).localCheckpoint()
+
+    # brute side: same distance pass with every vector as a candidate
+    brute_cand = (emb.crossJoin(
+        F.broadcast(spark.createDataFrame(
+            [(int(v),) for v in q_ids], "q_id long")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.lit(0).alias("prn"), "embedding"))
+    bru = brute_cand.mapInPandas(dists, out_schema)
+    wq = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    bru5 = (bru.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= _RECALL_K).select("q_id", "n_id")
+            .localCheckpoint())
+    npos = bru5.agg(F.count("*").cast("bigint").alias("n_possible"))
+
+    parts = []
+    for np_ in _NPROBES:
+        top = (ivf_scored.filter(F.col("prn") <= np_)
+               .withColumn("rk", F.row_number().over(wq))
+               .filter(F.col("rk") <= _RECALL_K).select("q_id", "n_id"))
+        parts.append(
+            top.join(bru5, ["q_id", "n_id"])
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(F.lit(np_).cast("bigint").alias("nprobe"), "n_hits"))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return (
+        out.crossJoin(F.broadcast(npos))
+        .select("nprobe", "n_hits", "n_possible",
+                (F.expr("(2 * 10000 * n_hits + n_possible)"
+                        " div (2 * n_possible)").cast("double") / 10000.0)
+                .alias("recall_4dp"))
+        .orderBy("nprobe")
+    )

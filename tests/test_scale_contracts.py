@@ -186,6 +186,9 @@ _EAGER_BUILDERS = {
     # its self-join's two references; q204/q205 compose the q40/q41
     # pair machinery (documented-eager) inside the curate/eval plans
     "q203_lsh_band_scurve", "q204_curation_summary", "q205_lsh_eval",
+    # q206 checkpoints the tagged IVF candidate scores + brute top-k
+    # for the three probe-depth consumers, over the session fit
+    "q206_ivf_recall_curve",
     # q167/q168 share the session-memoized k-means fit: the Lloyd loop
     # (one bounded-partials job per round) plus the assignment persist
     # are documented-eager at first touch (operators/clustering.py)
