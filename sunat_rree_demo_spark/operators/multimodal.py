@@ -1186,3 +1186,21 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
         out = np.stack([r, g, b], axis=-1).astype(np.uint8)
         return (w, h, 3, out.tobytes())
     raise NotImplementedError(f"{ncomp}-component JPEG")
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int = 8000,
+                     channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE PCM-16 encoder (stdlib struct only): the
+    audio twin of ``encode_png_gray``/``encode_jpeg_gray_blocks`` —
+    PCM is lossless, so a decode recovers the given int16 samples
+    bit-exactly, which is what lets the q207 oracle compute frame
+    energies straight from the source characters."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(pcm)) + pcm
+              + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

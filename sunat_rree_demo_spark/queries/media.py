@@ -213,3 +213,97 @@ def q201_jpeg_pixel_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: q207 audio construction: sample rate / frame window give 160
+#: samples per 20 ms frame; each printable char becomes ONE int16
+#: sample, (ascii − 79) << 8 — symmetric around 0, |s| ≤ 12032
+_WAV_RATE = 8000
+_WAV_FRAME_MS = 20
+_WAV_SPF = _WAV_RATE * _WAV_FRAME_MS // 1000
+
+
+@register(
+    "q207_wav_frame_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 79) * 256)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM a WHERE length(s) >= 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             sum(CAST(smp AS BIGINT) * smp) AS ssq
+      FROM v GROUP BY 1, 2
+    )
+    SELECT doc_id, frame_no, n_samples,
+           round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 4) AS rms_4dp
+    FROM f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "codec", "audio"),
+)
+def q207_wav_frame_energy(spark, sf_dir):
+    """Per-frame RMS energy through a REAL WAV encode→decode round
+    trip — the audio member of the q186/q201 device family (the
+    multimodal plumbing now has an oracle-verified REAL decode in all
+    three served modalities: PNG, baseline JPEG, PCM WAV): each
+    document's printable chars become int16 PCM samples in a genuine
+    RIFF/WAVE container, Spark walks the chunk list back with
+    ``pcm_frame_energy`` (20 ms frames at 8 kHz = 160 samples), and
+    the oracle computes the identical energies straight from the
+    characters. Exactness: PCM is lossless, the energy sum is int64,
+    and the only float ops (int→double divide, sqrt) are IEEE
+    correctly-rounded — bit-identical in both engines before the 4dp
+    round.
+
+    Scale shape: fan_out → one Arrow-batched encode pass → one decode
+    + frame-energy pass; output is frame grain with no shuffle before
+    the output sort (silence-trim/VAD pipelines consume it there)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(lambda s: encode_wav_pcm16(
+                    (np.frombuffer(s.encode("ascii"), np.uint8)
+                     .astype(np.int64) - 79) * 256,
+                    rate=_WAV_RATE)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        pcm_frame_energy(media, frame_ms=_WAV_FRAME_MS)
+        .select(F.col("media_id").alias("doc_id"),
+                "frame_no", "n_samples",
+                F.round("rms", 4).alias("rms_4dp"))
+        .orderBy("doc_id", "frame_no")
+    )
