@@ -1198,9 +1198,11 @@ def encode_wav_pcm16(samples: "np.ndarray", rate: int = 8000,
     import struct
 
     pcm = np.asarray(samples, dtype="<i2").tobytes()
+    # 16-bit samples: len(pcm) is always even, so the RIFF odd-chunk
+    # pad byte can never be needed here (review finding r7: a pad
+    # branch was unreachable armor)
     fmt = struct.pack("<HHIIHH", 1, channels, rate,
                       rate * channels * 2, channels * 2, 16)
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
-              + b"data" + struct.pack("<I", len(pcm)) + pcm
-              + (b"\x00" if len(pcm) & 1 else b""))
+              + b"data" + struct.pack("<I", len(pcm)) + pcm)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

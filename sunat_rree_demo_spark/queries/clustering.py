@@ -208,6 +208,62 @@ _NPROBE = 2
 _NEIGHBORS = 5
 
 
+def _probe_rows(cent, qmat, q_ids, nprobe: int,
+                with_rank: bool = False) -> list[tuple]:
+    """Driver-side probe selection against the (k × d) centroid
+    matrix: the ``nprobe`` nearest cells per query, ties → lower
+    cluster — ONE copy shared by q172 and q206 (review finding r7:
+    the loop had been duplicated)."""
+    d2c = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    rows = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(cent.shape[0]), d2c[qi]))
+        rows += [((int(q_ids[qi]), int(ci), rk + 1) if with_rank
+                  else (int(q_ids[qi]), int(ci)))
+                 for rk, ci in enumerate(order[:nprobe])]
+    return rows
+
+
+def _micro_dist_kernel(qmat, qindex, with_prn: bool = False):
+    """(mapInPandas generator, schema) computing exact int64
+    micro-unit distances from each candidate row's embedding to its
+    query — the single copy of q172/q206's distance kernel; ``prn``
+    (probe rank) is threaded through when requested."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sunat_rree_demo_spark.operators.clustering import (
+        quantize_micros,
+    )
+
+    fields = [
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+    ]
+    if with_prn:
+        fields.append(T.StructField("prn", T.IntegerType()))
+    fields.append(T.StructField("d2", T.LongType()))
+    schema = T.StructType(fields)
+
+    def dists(batches, _qm=qmat, _qx=qindex):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xq = quantize_micros(pdf["embedding"])
+            qi = pdf["q_id"].map(_qx).to_numpy()
+            d2 = ((xq - _qm[qi]) ** 2).sum(axis=1)
+            out = {
+                "q_id": pdf["q_id"].to_numpy(np.int64),
+                "n_id": pdf["vec_id"].to_numpy(np.int64),
+            }
+            if with_prn:
+                out["prn"] = pdf["prn"].to_numpy(np.int32)
+            out["d2"] = d2.astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return dists, schema
+
+
 @register(
     "q172_ivf_kmeans_topk",
     oracle=_kmeans_oracle_cte(_K, _ITERS) + f"""
@@ -265,39 +321,15 @@ def q172_ivf_kmeans_topk(spark, sf_dir):
 
     qmat = quantize_micros(qrows["embedding"])          # (Q, d) int64
     q_ids = qrows["vec_id"].to_numpy()
-    # probe selection: d2 to every centroid, ties -> lower cluster
-    d2c = (((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2))
-    probes = []
-    for qi in range(len(q_ids)):
-        order = np.lexsort((np.arange(cent.shape[0]), d2c[qi]))
-        probes += [(int(q_ids[qi]), int(ci)) for ci in order[:_NPROBE]]
+    probes = _probe_rows(cent, qmat, q_ids, _NPROBE)
     probe_df = spark.createDataFrame(probes, "q_id long, cluster int")
 
     cand = (assign.join(F.broadcast(probe_df), "cluster")
             .filter(F.col("vec_id") != F.col("q_id"))
             .select("q_id", "vec_id"))
 
-    import pandas as pd
-    from pyspark.sql import types as T
-
     qindex = {int(v): i for i, v in enumerate(q_ids)}
-    out_schema = T.StructType([
-        T.StructField("q_id", T.LongType()),
-        T.StructField("n_id", T.LongType()),
-        T.StructField("d2", T.LongType()),
-    ])
-
-    def dists(batches, _qm=qmat, _qx=qindex):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            xq = quantize_micros(pdf["embedding"])
-            qi = pdf["q_id"].map(_qx).to_numpy()
-            d2 = ((xq - _qm[qi]) ** 2).sum(axis=1)
-            yield pd.DataFrame({
-                "q_id": pdf["q_id"].to_numpy(np.int64),
-                "n_id": pdf["vec_id"].to_numpy(np.int64),
-                "d2": d2.astype(np.int64)})
+    dists, out_schema = _micro_dist_kernel(qmat, qindex)
 
     scored = (cand.join(emb, "vec_id")
               .select("q_id", "vec_id", "embedding")
@@ -377,18 +409,18 @@ def _q206_oracle() -> str:
     cluster, neighbor ties → lower vec_id), so recall is a ratio of
     exact integers — no float search geometry anywhere."""
     ivf_ctes = ",\n    ".join(
-        f"""ivf{np} AS (
+        f"""ivf{np_} AS (
       SELECT q_id, n_id FROM (
         SELECT q_id, n_id,
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY d2, n_id) AS rk
-        FROM dist WHERE prn <= {np}) WHERE rk <= {_RECALL_K})"""
-        for np in _NPROBES)
+        FROM dist WHERE prn <= {np_}) WHERE rk <= {_RECALL_K})"""
+        for np_ in _NPROBES)
     unions = "\n    UNION ALL\n    ".join(
-        f"""SELECT {np} AS nprobe,
-           (SELECT count(*) FROM ivf{np} JOIN bru5 USING (q_id, n_id))
+        f"""SELECT {np_} AS nprobe,
+           (SELECT count(*) FROM ivf{np_} JOIN bru5 USING (q_id, n_id))
              AS n_hits"""
-        for np in _NPROBES)
+        for np_ in _NPROBES)
     return _kmeans_oracle_cte(_K, _ITERS) + f"""
     , pc AS (
       SELECT q_id, cluster, rn FROM (
@@ -438,11 +470,11 @@ def _q206_oracle() -> str:
     tags=("clustering", "similarity", "ann-ivf", "eval"),
 )
 def q206_ivf_recall_curve(spark, sf_dir):
-    """Recall@{k} of the IVF index as nprobe sweeps {probes} — the
+    """Recall@5 of the IVF index as nprobe sweeps 1/2/4 — the
     measure-before-trust eval for the similarity family (q205's twin:
     that one grades the dedup detector, this grades the ANN index):
-    IVF top-{k} under the REAL session-shared k-means fit, intersected
-    with the exact brute-force top-{k} over the same int64 micro-unit
+    IVF top-5 under the REAL session-shared k-means fit, intersected
+    with the exact brute-force top-5 over the same int64 micro-unit
     geometry, per probe depth. Reading the curve answers the 100 TB
     deployment question — how many cells must a probe touch before
     recall clears the product bar — before the corpus is laid out.
@@ -455,44 +487,19 @@ def q206_ivf_recall_curve(spark, sf_dir):
     joins bounded k-row-per-query frames."""
     from sunat_rree_demo_spark.operators.clustering import quantize_micros
 
-    import pandas as pd
-    from pyspark.sql import types as T
-
     cent, assign = _fitted(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
     qrows = (emb.filter(F.col("vec_id") < 8)
              .select("vec_id", "embedding").orderBy("vec_id").toPandas())
     qmat = quantize_micros(qrows["embedding"])
     q_ids = qrows["vec_id"].to_numpy()
-    d2c = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probes = []
-    for qi in range(len(q_ids)):
-        order = np.lexsort((np.arange(cent.shape[0]), d2c[qi]))
-        probes += [(int(q_ids[qi]), int(ci), rk + 1)
-                   for rk, ci in enumerate(order[:max(_NPROBES)])]
+    probes = _probe_rows(cent, qmat, q_ids, max(_NPROBES),
+                         with_rank=True)
     probe_df = spark.createDataFrame(
         probes, "q_id long, cluster int, prn int")
 
     qindex = {int(v): i for i, v in enumerate(q_ids)}
-    out_schema = T.StructType([
-        T.StructField("q_id", T.LongType()),
-        T.StructField("n_id", T.LongType()),
-        T.StructField("prn", T.IntegerType()),
-        T.StructField("d2", T.LongType()),
-    ])
-
-    def dists(batches, _qm=qmat, _qx=qindex):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            xq = quantize_micros(pdf["embedding"])
-            qi = pdf["q_id"].map(_qx).to_numpy()
-            d2 = ((xq - _qm[qi]) ** 2).sum(axis=1)
-            yield pd.DataFrame({
-                "q_id": pdf["q_id"].to_numpy(np.int64),
-                "n_id": pdf["vec_id"].to_numpy(np.int64),
-                "prn": pdf["prn"].to_numpy(np.int32),
-                "d2": d2.astype(np.int64)})
+    dists, out_schema = _micro_dist_kernel(qmat, qindex, with_prn=True)
 
     cand = (assign.join(F.broadcast(probe_df), "cluster")
             .filter(F.col("vec_id") != F.col("q_id"))

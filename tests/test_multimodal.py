@@ -495,8 +495,9 @@ def test_image_pixel_stats_and_real_codec_dims(spark):
 def test_wav_encoder_round_trips_and_meta_parses():
     """encode_wav_pcm16 produces a genuine RIFF/WAVE container: the
     module's own chunk-walkers recover the samples bit-exactly
-    (PCM is lossless — the q207 device) and the header meta parses;
-    odd-length data chunks carry their RIFF pad byte."""
+    (PCM is lossless — the q207 device) and the header meta parses.
+    (16-bit samples make the data chunk always even, so RIFF's
+    odd-chunk pad byte is structurally out of scope here.)"""
     import numpy as np
 
     from sunat_rree_demo_spark.operators.multimodal import (
@@ -515,9 +516,7 @@ def test_wav_encoder_round_trips_and_meta_parses():
     meta = decode_audio_meta(wav)
     assert meta is not None
 
-    # odd byte count (3 samples x 1 channel = 6 bytes is even; force
-    # odd via a 1-byte... PCM16 data is always even, so pad never
-    # fires for mono16 — pin that the even path is byte-exact instead)
+    # single-sample container: smallest valid stream stays byte-exact
     wav2 = encode_wav_pcm16(np.array([7], dtype=np.int16))
     _, _, d2 = _wav_pcm16_data(wav2)
     assert np.frombuffer(d2, "<i2").tolist() == [7]
