@@ -17,6 +17,10 @@ Claims under test (each a SCALE.md row):
 * ``incremental_components`` cost tracks the AFFECTED subgraph, not
   the full labeling: a hub batch that merges many clusters at 10×
   corpus must not cost 10× the 1× storm.
+* the END-TO-END curation funnel (plans.curate, q204's plan) holds its
+  wall time when the corpus grows 10× with every doc gaining 9
+  near-identical replicas — the banded-LSH + CC core absorbs a 100×
+  pair-count explosion without a quadratic stage.
 
 Usage: python scripts/scale_probe_state.py [N] [sf_dir] (defaults 10,
 sf0.1). Local experiment over derived data; testdata stays untouched.
@@ -144,6 +148,27 @@ def main() -> None:
         cc[f"storm_{scale}_sec"] = round(time.monotonic() - t0, 2)
         cc[f"n_components_{scale}"] = n_comp
     results["steps"]["cc"] = cc
+
+    # ------------------------------------------------ curation funnel
+    from sunat_rree_demo_spark.plans.curate import (
+        curate,
+        curate_summary,
+    )
+
+    fun = {}
+    curate(docs.limit(200)).count()  # warm the composed plan's paths
+    for scale, k in (("1x", 1), (f"{n}x", n)):
+        # symmetric prep at BOTH scales (the scale_probe discipline)
+        corpus = docs
+        for i in range(1, k):
+            corpus = corpus.unionByName(docs.withColumn(
+                "doc_id", F.col("doc_id") + (i * 10_000_000)))
+        corpus = corpus.repartition(32).localCheckpoint()
+        t0 = time.monotonic()
+        summary = curate_summary(curate(corpus)).collect()
+        fun[f"wall_{scale}_sec"] = round(time.monotonic() - t0, 2)
+        fun[f"survivors_{scale}"] = int(sum(r.n_docs for r in summary))
+    results["steps"]["funnel"] = fun
 
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(results))
