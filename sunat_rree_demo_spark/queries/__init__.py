@@ -60,7 +60,7 @@ _R7_NEW = (
     "q201_jpeg_pixel_stats", "q202_sliding_window_chunks",
     "q203_lsh_band_scurve", "q204_curation_summary",
     "q205_lsh_eval", "q206_ivf_recall_curve",
-    "q207_wav_frame_energy",
+    "q207_wav_frame_energy", "q208_k_anonymity",
 )
 # longest-unchecked driver-green queries (last row r03), plan-changed first
 _R7_FILLERS = (

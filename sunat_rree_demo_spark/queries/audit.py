@@ -257,3 +257,77 @@ def q140_psi_drift(spark, sf_dir):
                 (F.col("psi_u") / float(_PSI_U)).alias("psi"))
         .orderBy("year")
     )
+
+
+# --------------------------------------------------------------------- q208
+_KANON = 10  #: minimum cell size for the release bar
+
+
+@register(
+    "q208_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    gen AS (
+      SELECT segment, nation, CAST(sum(n) AS BIGINT) AS n_gen
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN n < {_KANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_cells,
+           CAST(sum(CASE WHEN n < {_KANON} THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_cell,
+           CAST(sum(CASE WHEN n < {_KANON} AND n_gen >= {_KANON}
+                         THEN n ELSE 0 END) AS BIGINT)
+             AS n_rescued_by_generalizing
+    FROM cells JOIN gen USING (segment, nation)
+    GROUP BY segment ORDER BY segment
+    """,
+    tags=("audit", "privacy", "k-anonymity"),
+)
+def q208_k_anonymity(spark, sf_dir):
+    """K-anonymity audit over the quasi-identifier tuple (segment,
+    nation, account-balance bucket) — the release-gate check a
+    training-data pipeline runs on structured joins before export
+    (Sweeney 2002; completes the governance family: q64 redacts free
+    text, forget_* propagate deletions, this measures linkage risk in
+    the TABLES). Per segment: identifier cells, cells under k={k},
+    rows at risk, the smallest cell, and how many at-risk rows a ONE-
+    LEVEL generalization (dropping the balance bucket) would rescue —
+    the classic suppress-vs-generalize decision, quantified.
+
+    Scale shape: two stacked hash aggregates (cell grain, then the
+    generalized superset via a second map-side-combined groupBy) and
+    one broadcast-sized join — the corpus shuffles once on the cell
+    key; all arithmetic is exact integers."""
+    c = t(spark, sf_dir, "customer")
+    cells = (c.select(
+                F.col("c_mktsegment").alias("segment"),
+                F.col("c_nationkey").alias("nation"),
+                F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+                .alias("bal_bucket"))
+             .groupBy("segment", "nation", "bal_bucket")
+             .agg(F.count("*").alias("n")))
+    gen = (cells.groupBy("segment", "nation")
+           .agg(F.sum("n").cast("bigint").alias("n_gen")))
+    small = F.col("n") < _KANON
+    return (
+        cells.join(gen, ["segment", "nation"])
+        .groupBy("segment")
+        .agg(F.count("*").cast("bigint").alias("n_cells"),
+             F.sum(F.when(small, 1).otherwise(0)).cast("bigint")
+             .alias("n_small_cells"),
+             F.sum(F.when(small, F.col("n")).otherwise(0)).cast("bigint")
+             .alias("n_rows_at_risk"),
+             F.min("n").cast("bigint").alias("min_cell"),
+             F.sum(F.when(small & (F.col("n_gen") >= _KANON),
+                          F.col("n")).otherwise(0)).cast("bigint")
+             .alias("n_rescued_by_generalizing"))
+        .orderBy("segment")
+    )
