@@ -111,6 +111,22 @@ def _existing_batch_ids(spark: SparkSession, path: str) -> list[int]:
     return out
 
 
+def retry_transient_write(write_fn) -> None:
+    """Run an idempotent overwrite-mode write, retrying ONCE on
+    TASK_WRITE_FAILED: local[*] runs with spark.task.maxFailures=1, so
+    a single transient storage blip (observed on this box: intermittent
+    EIO under load, r7) kills the whole job where a real cluster would
+    re-run the task. Overwrite semantics make the retry safe; a second
+    failure is genuine and propagates (same guard as
+    sinks.write_bucketed_table)."""
+    try:
+        write_fn()
+    except Exception as exc:  # noqa: BLE001 - retry-once, then re-raise
+        if "TASK_WRITE_FAILED" not in str(exc):
+            raise
+        write_fn()
+
+
 def clear_commit_marker(spark: SparkSession, dir_path: str) -> None:
     """Delete ``dir_path/_SUCCESS`` before an overwrite-rewrite of a
     committed-only-read partition: ``mode("overwrite")`` deletes the
@@ -169,10 +185,13 @@ def absorb_batch(docs: DataFrame, path: str, batch_id: int,
         sig = minhash_signatures(docs, id_col, text_col, n, k) \
             .localCheckpoint()
     clear_commit_marker(spark, f"{path}/bands/{BATCH_COL}={batch_id}")
-    sig.write.mode("overwrite").parquet(
-        f"{path}/sigs/{BATCH_COL}={batch_id}")
-    band_rows(sig, id_col, k, bands).write.mode("overwrite").parquet(
-        f"{path}/bands/{BATCH_COL}={batch_id}")
+    retry_transient_write(
+        lambda: sig.write.mode("overwrite").parquet(
+            f"{path}/sigs/{BATCH_COL}={batch_id}"))
+    retry_transient_write(
+        lambda: band_rows(sig, id_col, k, bands)
+        .write.mode("overwrite").parquet(
+            f"{path}/bands/{BATCH_COL}={batch_id}"))
 
 
 def append_minhash_index(docs: DataFrame, path: str, **kw) -> None:
