@@ -148,15 +148,29 @@ def main() -> int:
         if only and name not in only:
             continue
         n_run += 1
-        try:
+
+        def _run_once():
             sdf = q.fn(spark, sf_dir)
             if q.oracle is None:
                 n = sdf.count()
                 print(f"  {name}: rows-only check, {n} rows")
-                continue
-            problems = compare(name, sdf, con.sql(q.oracle))
-        except Exception as e:  # noqa: BLE001
-            problems = [f"EXCEPTION {type(e).__name__}: {e}"]
+                return None
+            return compare(name, sdf, con.sql(q.oracle))
+
+        # ONE retry for EXCEPTION-class failures only — this box
+        # developed intermittent EIO under load mid-r7 (task write
+        # failures with spark.task.maxFailures=1 in local mode kill
+        # whole jobs); a HASH/ROWS mismatch is a real correctness
+        # signal and is NEVER retried.
+        try:
+            problems = _run_once()
+        except Exception:  # noqa: BLE001 - infra retry, then report
+            try:
+                problems = _run_once()
+            except Exception as e:  # noqa: BLE001
+                problems = [f"EXCEPTION {type(e).__name__}: {e}"]
+        if problems is None:
+            continue
         if problems:
             failed.append(name)
             print(f"✗ {name}")
