@@ -157,17 +157,29 @@ def main() -> int:
                 return None
             return compare(name, sdf, con.sql(q.oracle))
 
-        # ONE retry for EXCEPTION-class failures only — this box
+        # ONE retry for TRANSIENT-signature failures only — this box
         # developed intermittent EIO under load mid-r7 (task write
         # failures with spark.task.maxFailures=1 in local mode kill
-        # whole jobs); a HASH/ROWS mismatch is a real correctness
-        # signal and is NEVER retried.
+        # whole jobs). The retry is LOUD (printed) so flakiness stays
+        # measurable, gated on the shared storage-blip signatures so a
+        # genuinely flaky product bug still fails the gate, and a
+        # HASH/ROWS mismatch is a real correctness signal and is
+        # NEVER retried.
+        from sunat_rree_demo_spark.operators.dedup_index import (
+            TRANSIENT_WRITE_ERRORS,
+        )
+
         try:
             problems = _run_once()
-        except Exception:  # noqa: BLE001 - infra retry, then report
-            try:
-                problems = _run_once()
-            except Exception as e:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001 - maybe-infra, gate it
+            if any(t in str(e) for t in TRANSIENT_WRITE_ERRORS):
+                print(f"  {name}: transient storage failure "
+                      f"({type(e).__name__}) — retrying once")
+                try:
+                    problems = _run_once()
+                except Exception as e2:  # noqa: BLE001
+                    problems = [f"EXCEPTION {type(e2).__name__}: {e2}"]
+            else:
                 problems = [f"EXCEPTION {type(e).__name__}: {e}"]
         if problems is None:
             continue

@@ -111,19 +111,30 @@ def _existing_batch_ids(spark: SparkSession, path: str) -> list[int]:
     return out
 
 
-def retry_transient_write(write_fn) -> None:
-    """Run an idempotent overwrite-mode write, retrying ONCE on
-    TASK_WRITE_FAILED: local[*] runs with spark.task.maxFailures=1, so
-    a single transient storage blip (observed on this box: intermittent
-    EIO under load, r7) kills the whole job where a real cluster would
-    re-run the task. Overwrite semantics make the retry safe; a second
-    failure is genuine and propagates (same guard as
-    sinks.write_bucketed_table)."""
+#: error signatures of this box's intermittent storage blips (r7):
+#: a failed task write, or EIO surfacing as an unopenable shuffle /
+#: data file. Real correctness failures never match these.
+TRANSIENT_WRITE_ERRORS = ("TASK_WRITE_FAILED", "Input/output error",
+                          "FileNotFoundException")
+
+
+def retry_transient_write(write_fn, cleanup=None) -> None:
+    """Run an idempotent overwrite-mode write, retrying ONCE on a
+    transient storage signature: local[*] runs with
+    spark.task.maxFailures=1, so a single blip (observed on this box:
+    intermittent EIO under load, r7) kills the whole job where a real
+    cluster would re-run the task. Overwrite semantics make the retry
+    safe; a second failure — or any non-transient error — propagates.
+    ``cleanup`` runs between attempts (e.g. DROP TABLE for a torn
+    saveAsTable). The ONE copy of the policy: sinks.write_bucketed_table
+    and the index writes all route through here."""
     try:
         write_fn()
     except Exception as exc:  # noqa: BLE001 - retry-once, then re-raise
-        if "TASK_WRITE_FAILED" not in str(exc):
+        if not any(t in str(exc) for t in TRANSIENT_WRITE_ERRORS):
             raise
+        if cleanup is not None:
+            cleanup()
         write_fn()
 
 
@@ -158,9 +169,11 @@ def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
     bnd = band_rows(sig, id_col, k, bands)
     for df, table in ((sig, "sigs"), (bnd, "bands")):
-        (df.withColumn(BATCH_COL, F.lit(batch_id))
-         .write.partitionBy(BATCH_COL).mode("overwrite")
-         .parquet(f"{path}/{table}"))
+        retry_transient_write(
+            lambda df=df, table=table:
+            df.withColumn(BATCH_COL, F.lit(batch_id))
+            .write.partitionBy(BATCH_COL).mode("overwrite")
+            .parquet(f"{path}/{table}"))
 
 
 def absorb_batch(docs: DataFrame, path: str, batch_id: int,
@@ -237,9 +250,11 @@ def compact_minhash_index(spark: SparkSession, path: str,
               .localCheckpoint())  # sever lineage from the files being replaced
     for df, table in ((latest, "sigs"),
                       (band_rows(latest, id_col, k, bands), "bands")):
-        (df.withColumn(BATCH_COL, F.lit(bid))
-         .write.partitionBy(BATCH_COL).mode("overwrite")
-         .parquet(f"{path}/{table}"))
+        retry_transient_write(
+            lambda df=df, table=table:
+            df.withColumn(BATCH_COL, F.lit(bid))
+            .write.partitionBy(BATCH_COL).mode("overwrite")
+            .parquet(f"{path}/{table}"))
 
 
 def write_bucketed_bands(spark: SparkSession, index_path: str,
@@ -377,8 +392,13 @@ def forget_ids(spark: SparkSession, path: str, ids: list,
                 .join(F.broadcast(id_df), id_col, "left_anti")
                 .localCheckpoint())  # sever lineage from files replaced
         clear_commit_marker(spark, f"{path}/bands/{BATCH_COL}={bid}")
-        keep.write.mode("overwrite").parquet(
-            f"{path}/sigs/{BATCH_COL}={bid}")
-        band_rows(keep, id_col, k, bands).write.mode("overwrite").parquet(
-            f"{path}/bands/{BATCH_COL}={bid}")
+        retry_transient_write(
+            lambda keep=keep, bid=bid:
+            keep.write.mode("overwrite").parquet(
+                f"{path}/sigs/{BATCH_COL}={bid}"))
+        retry_transient_write(
+            lambda keep=keep, bid=bid:
+            band_rows(keep, id_col, k, bands)
+            .write.mode("overwrite").parquet(
+                f"{path}/bands/{BATCH_COL}={bid}"))
     return touched

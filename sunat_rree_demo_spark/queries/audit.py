@@ -297,7 +297,7 @@ def q208_k_anonymity(spark, sf_dir):
     training-data pipeline runs on structured joins before export
     (Sweeney 2002; completes the governance family: q64 redacts free
     text, forget_* propagate deletions, this measures linkage risk in
-    the TABLES). Per segment: identifier cells, cells under k={k},
+    the TABLES). Per segment: identifier cells, cells under k=10,
     rows at risk, the smallest cell, and how many at-risk rows a ONE-
     LEVEL generalization (dropping the balance bucket) would rescue —
     the classic suppress-vs-generalize decision, quantified.

@@ -31,28 +31,21 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
     (``spark.sql.requireAllClusterKeysForCoPartition``), a table
     bucketed on a subset of the join keys is planned with the bucketing
     disabled and shuffles anyway."""
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        retry_transient_write,
+    )
+
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
-
-    def _write() -> None:
-        (df.write.mode(mode)
-           .bucketBy(n_buckets, *cols)
-           .sortBy(*cols)
-           .format("parquet")
-           .saveAsTable(name))
-
-    # ONE retry on TASK_WRITE_FAILED-class errors: local[*] runs with
-    # spark.task.maxFailures=1, so a single transient storage blip
-    # (observed on this box: intermittent EIO under load, r7) kills
-    # the whole job where a real cluster would re-run the task. The
-    # overwrite mode makes the retry idempotent; anything failing
-    # twice is a genuine error and propagates.
-    try:
-        _write()
-    except Exception as exc:  # noqa: BLE001 - retry-once, then re-raise
-        if "TASK_WRITE_FAILED" not in str(exc):
-            raise
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        _write()
+    # retry-once on transient storage blips (the shared policy — see
+    # retry_transient_write); a torn saveAsTable leaves a catalog
+    # entry, so the between-attempts cleanup drops it first
+    retry_transient_write(
+        lambda: (df.write.mode(mode)
+                 .bucketBy(n_buckets, *cols)
+                 .sortBy(*cols)
+                 .format("parquet")
+                 .saveAsTable(name)),
+        cleanup=lambda: spark.sql(f"DROP TABLE IF EXISTS {name}"))
 
 
 def upsert_partitioned(spark: SparkSession, updates: DataFrame, path: str,
