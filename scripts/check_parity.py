@@ -143,6 +143,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failed = []
+    retried: list[str] = []
     n_run = 0
     for name, q in REGISTRY.items():
         if only and name not in only:
@@ -160,21 +161,24 @@ def main() -> int:
         # ONE retry for TRANSIENT-signature failures only — this box
         # developed intermittent EIO under load mid-r7 (task write
         # failures with spark.task.maxFailures=1 in local mode kill
-        # whole jobs). The retry is LOUD (printed) so flakiness stays
-        # measurable, gated on the shared storage-blip signatures so a
-        # genuinely flaky product bug still fails the gate, and a
-        # HASH/ROWS mismatch is a real correctness signal and is
-        # NEVER retried.
+        # whole jobs). The retry is LOUD (printed AND counted in the
+        # machine-readable summary line, so flakiness reaches the
+        # verdict, not just scrollback — review finding r7), gated on
+        # the narrowed storage-blip policy (a FileNotFoundException on
+        # a DATA path — the signature of the r6 janitor bug — is NOT
+        # retried, only scratch/commit paths are), and a HASH/ROWS
+        # mismatch is a real correctness signal and is NEVER retried.
         from sunat_rree_demo_spark.operators.dedup_index import (
-            TRANSIENT_WRITE_ERRORS,
+            is_transient_storage_error,
         )
 
         try:
             problems = _run_once()
         except Exception as e:  # noqa: BLE001 - maybe-infra, gate it
-            if any(t in str(e) for t in TRANSIENT_WRITE_ERRORS):
+            if is_transient_storage_error(e):
                 print(f"  {name}: transient storage failure "
                       f"({type(e).__name__}) — retrying once")
+                retried.append(name)
                 try:
                     problems = _run_once()
                 except Exception as e2:  # noqa: BLE001
@@ -191,7 +195,20 @@ def main() -> int:
         else:
             print(f"✓ {name}")
     print(f"\n{n_run - len(failed)}/{n_run} queries match")
+    # machine-readable gate record: retries are part of the result, so
+    # a run that only passed thanks to blip retries is distinguishable
+    # from a clean run; >2 retries in one run is no longer "a blip" and
+    # fails the gate outright.
+    import json
+
+    print(json.dumps({"gate": "parity", "run": n_run,
+                      "matched": n_run - len(failed), "failed": failed,
+                      "retries": len(retried), "retried": retried}))
     spark.stop()
+    if len(retried) > 2:
+        print(f"FAIL: {len(retried)} transient retries in one run — "
+              "that is not a blip; treating the gate as failed")
+        return 1
     return 1 if failed else 0
 
 

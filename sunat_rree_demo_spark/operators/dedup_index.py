@@ -112,10 +112,30 @@ def _existing_batch_ids(spark: SparkSession, path: str) -> list[int]:
 
 
 #: error signatures of this box's intermittent storage blips (r7):
-#: a failed task write, or EIO surfacing as an unopenable shuffle /
-#: data file. Real correctness failures never match these.
-TRANSIENT_WRITE_ERRORS = ("TASK_WRITE_FAILED", "Input/output error",
-                          "FileNotFoundException")
+#: a failed task write, or a raw EIO bubbling out of the JVM. Real
+#: correctness failures never match these.
+TRANSIENT_WRITE_ERRORS = ("TASK_WRITE_FAILED", "Input/output error")
+
+#: FileNotFoundException is transient ONLY on Spark-managed scratch /
+#: commit paths (a shuffle or temp file an EIO blip made unopenable);
+#: a missing DATA file is a genuine bug — a janitor reaping a live
+#: table or a torn-batch read surfaces with the same exception class
+#: (r6 actually shipped one), so the bare class name must never be a
+#: retry ticket (review finding r7).
+_FNF_SCRATCH_MARKERS = ("blockmgr-", "_temporary", "shuffle_",
+                        ".spark-staging", "temp_shuffle_")
+
+
+def is_transient_storage_error(exc: BaseException) -> bool:
+    """THE one test for 'this failure is a storage blip, retrying is
+    safe': a task-write failure / raw EIO signature anywhere in the
+    message, or a FileNotFoundException whose path is Spark scratch
+    (shuffle, block manager, output-committer temp) rather than data."""
+    s = str(exc)
+    if any(t in s for t in TRANSIENT_WRITE_ERRORS):
+        return True
+    return ("FileNotFoundException" in s
+            and any(m in s for m in _FNF_SCRATCH_MARKERS))
 
 
 def retry_transient_write(write_fn, cleanup=None) -> None:
@@ -131,7 +151,7 @@ def retry_transient_write(write_fn, cleanup=None) -> None:
     try:
         write_fn()
     except Exception as exc:  # noqa: BLE001 - retry-once, then re-raise
-        if not any(t in str(exc) for t in TRANSIENT_WRITE_ERRORS):
+        if not is_transient_storage_error(exc):
             raise
         if cleanup is not None:
             cleanup()

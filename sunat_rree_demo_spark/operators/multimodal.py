@@ -674,7 +674,14 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     (sum, min, max, count) over all channel samples so downstream
     means can use the half-up integer device — float means would break
     cross-engine parity. Payloads in neither format yield all-null
-    stats (metadata-only rows); malformed streams raise (fail loud).
+    stats (metadata-only rows), and so do well-formed-but-gated codec
+    variants (progressive JPEG, Adam7 PNG, …): a real crawl batch is
+    mixed, and one progressive JPEG — the common web encoding — must
+    degrade like a GIF or WebP payload does, not abort the whole
+    aggregate job (review finding r7). Only genuinely CORRUPT streams
+    raise (ValueError): silent wrong pixels must never reach a stats
+    aggregate, but "we honestly don't decode this yet" is a null, not
+    a crash.
 
     Scale shape: one mapInPandas pass, no shuffle — stats land at media
     grain and any corpus-level aggregate shuffles only the tiny stats
@@ -687,9 +694,12 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 dec = None
                 if payload is not None:
-                    dec = decode_png_pixels(bytes(payload))
-                    if dec is None:
-                        dec = decode_jpeg_pixels(bytes(payload))
+                    try:
+                        dec = decode_png_pixels(bytes(payload))
+                        if dec is None:
+                            dec = decode_jpeg_pixels(bytes(payload))
+                    except NotImplementedError:
+                        dec = None  # gated variant: degrade, don't abort
                 if dec is None:
                     rows.append((mid, None, None, None, None, None,
                                  None, None))
@@ -949,9 +959,16 @@ def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
     """Split the scan's entropy-coded data into its restart segments:
     scan for real markers (skipping stuffed 0xFF00 and 0xFF fill
     bytes), cut at every RSTn, stop at the first non-RST marker (EOI
-    or the next segment). Returns the RAW (still-stuffed) segments."""
+    or the next segment). Returns the RAW (still-stuffed) segments.
+
+    A marker may be preceded by a RUN of 0xFF fill bytes (B.1.1.2);
+    the cut lands at the FIRST fill of the run, not at the marker's
+    own 0xFF, so no fill byte leaks into a segment as phantom trailing
+    1-bits (review finding r7 — benign while MCU counts bound reads,
+    but it quietly widened the torn-stream check)."""
     segs = []
     start = i = pos
+    fill_start = None  # first 0xFF of the current contiguous fill run
     while True:
         j = payload.find(b"\xff", i)
         if j < 0 or j + 1 >= len(payload):
@@ -959,11 +976,15 @@ def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
         m = payload[j + 1]
         if m == 0x00:
             i = j + 2
+            fill_start = None  # that 0xFF was stuffed data, not fill
             continue
         if m == 0xFF:  # fill byte inside the scan
-            i = j + 1
-            continue
-        segs.append(payload[start:j])
+            if fill_start is None:
+                fill_start = j
+            i = j + 1  # next find() returns j+1 (it is 0xFF): a run
+            continue   # stays contiguous by construction
+        segs.append(payload[start:j if fill_start is None else fill_start])
+        fill_start = None
         if 0xD0 <= m <= 0xD7:
             start = i = j + 2
             continue

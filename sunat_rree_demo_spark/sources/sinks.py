@@ -36,15 +36,27 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
     )
 
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+
+    def _write() -> None:
+        (df.write.mode(mode)
+         .bucketBy(n_buckets, *cols)
+         .sortBy(*cols)
+         .format("parquet")
+         .saveAsTable(name))
+
+    if mode != "overwrite":
+        # retry_transient_write's contract is idempotent-overwrite-only:
+        # retrying an append double-appends, and the DROP-TABLE cleanup
+        # would discard every pre-existing row to salvage one batch
+        # (review finding r7). Non-overwrite writes run plain — a blip
+        # fails loud and the caller decides.
+        _write()
+        return
     # retry-once on transient storage blips (the shared policy — see
     # retry_transient_write); a torn saveAsTable leaves a catalog
     # entry, so the between-attempts cleanup drops it first
     retry_transient_write(
-        lambda: (df.write.mode(mode)
-                 .bucketBy(n_buckets, *cols)
-                 .sortBy(*cols)
-                 .format("parquet")
-                 .saveAsTable(name)),
+        _write,
         cleanup=lambda: spark.sql(f"DROP TABLE IF EXISTS {name}"))
 
 

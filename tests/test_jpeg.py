@@ -173,6 +173,45 @@ def test_image_pixel_stats_routes_png_and_jpeg(spark):
     assert got[3].width is None and got[3].sum_val is None
 
 
+def test_entropy_segment_cut_excludes_fill_run():
+    """A fill-byte run before an in-scan RST/EOI must be cut at the
+    FIRST fill 0xFF — no fill byte may leak into a segment as phantom
+    trailing bits (review finding r7)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _entropy_segments,
+    )
+
+    payload = b"AB\xff\xff\xff\xd0CD\xff\xff\xd9"
+    assert _entropy_segments(payload, 0) == [b"AB", b"CD"]
+    # stuffed 0xFF00 stays in the raw segment; a fill run after it
+    # still cuts clean
+    payload2 = b"A\xff\x00B\xff\xff\xff\xff\xd9"
+    assert _entropy_segments(payload2, 0) == [b"A\xff\x00B"]
+
+
+def test_pixel_stats_degrade_gated_variants(spark):
+    """A mixed crawl batch with one progressive JPEG (the common web
+    encoding) and one 16-bit PNG must yield null-stats rows for those,
+    not abort the aggregate job (review finding r7) — while a decodable
+    sibling in the same batch still gets real stats."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_png_gray,
+        image_pixel_stats,
+    )
+
+    good = encode_jpeg_gray_blocks(bytes([90] * 16), 16)
+    prog = bytearray(good)
+    prog[good.index(b"\xff\xc0") + 1] = 0xC2  # progressive SOF2
+    png = bytearray(encode_png_gray(bytes([1, 2, 3, 4]), 2))
+    png[24] = 16  # IHDR bit depth -> 16 (gated; CRC is not checked)
+    rows = [(1, bytearray(good)), (2, prog), (3, png)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    assert got[1].n_samples == 1024 and got[1].sum_val == 1024 * 90
+    assert got[2].width is None and got[2].n_samples is None
+    assert got[3].width is None and got[3].n_samples is None
+
+
 def test_fill_bytes_before_markers_accepted():
     """JPEG B.1.1.2 allows any number of 0xFF fill bytes before a
     marker (review finding r7: the segment walk misparsed them as a
