@@ -510,6 +510,12 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
 #: samples per pixel by PNG color type (RFC 2083 §4.1.1)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Adam7 pass geometry (x_start, y_start, x_step, y_step) — RFC 2083
+#: §2.6: seven sub-images, each filtered independently like a
+#: full image (prior row resets per pass)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
@@ -523,14 +529,37 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _filter_row(row: bytes, prior: bytes, f: int) -> bytes:
+    """Apply PNG row filter ``f`` to one grayscale scanline (bpp=1)."""
+    width = len(row)
+    if f == 0:
+        return bytes(row)
+    if f == 1:      # Sub
+        return bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+                     for i in range(width))
+    if f == 2:      # Up
+        return bytes((row[i] - prior[i]) & 0xFF for i in range(width))
+    if f == 3:      # Average
+        return bytes((row[i] - (((row[i - 1] if i else 0)
+                                 + prior[i]) >> 1)) & 0xFF
+                     for i in range(width))
+    return bytes((row[i] - _paeth(row[i - 1] if i else 0,
+                                  prior[i],
+                                  prior[i - 1] if i else 0)) & 0xFF
+                 for i in range(width))  # Paeth
+
+
 def encode_png_gray(pixels: bytes, width: int,
-                    filter_choice: str = "cycle") -> bytes:
+                    filter_choice: str = "cycle",
+                    interlace: bool = False) -> bytes:
     """8-bit grayscale PNG encoder, stdlib-only. ``filter_choice``:
     ``"none"`` writes filter 0 rows; ``"cycle"`` rotates through all
     five row filters (None/Sub/Up/Average/Paeth) so a decode of the
     result exercises every unfilter path — the property q186 rides:
     encode(text bytes) → decode → stats must equal stats computed
-    straight from the bytes."""
+    straight from the bytes. ``interlace=True`` writes the Adam7
+    layout (seven independently-filtered sub-images, RFC 2083 §2.6) —
+    the q210 twin device for the interlaced decode path."""
     import struct
     import zlib
 
@@ -543,47 +572,90 @@ def encode_png_gray(pixels: bytes, width: int,
                 + struct.pack(">I", zlib.crc32(typ + data)))
 
     raw = bytearray()
-    prior = bytes(width)
-    for j in range(height):
-        row = pixels[j * width:(j + 1) * width]
-        f = (j % 5) if filter_choice == "cycle" else 0
-        raw.append(f)
-        if f == 0:
-            raw += row
-        elif f == 1:    # Sub
-            raw += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
-                         for i in range(width))
-        elif f == 2:    # Up
-            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(width))
-        elif f == 3:    # Average
-            raw += bytes((row[i] - (((row[i - 1] if i else 0)
-                                     + prior[i]) >> 1)) & 0xFF
-                         for i in range(width))
-        else:           # Paeth
-            raw += bytes((row[i] - _paeth(row[i - 1] if i else 0,
-                                          prior[i],
-                                          prior[i - 1] if i else 0)) & 0xFF
-                         for i in range(width))
-        prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: NO scanlines at all
+            prior = bytes(pw)
+            for j in range(ph):
+                base = (y0 + j * dy) * width + x0
+                row = bytes(pixels[base + i * dx] for i in range(pw))
+                f = (j % 5) if filter_choice == "cycle" else 0
+                raw.append(f)
+                raw += _filter_row(row, prior, f)
+                prior = row
+    else:
+        prior = bytes(width)
+        for j in range(height):
+            row = pixels[j * width:(j + 1) * width]
+            f = (j % 5) if filter_choice == "cycle" else 0
+            raw.append(f)
+            raw += _filter_row(row, prior, f)
+            prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0,
+                       1 if interlace else 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
 
 
+def _unfilter_rows(raw: bytes, off: int, n_rows: int, stride: int,
+                   ch: int) -> tuple[bytearray, int]:
+    """Invert the five PNG row filters over ``n_rows`` scanlines of
+    ``stride`` bytes starting at ``raw[off]`` (each preceded by its
+    filter byte); the prior row starts as zeros — which is exactly the
+    per-pass reset Adam7 needs, so both the sequential image and each
+    interlace sub-image route through this ONE implementation. Returns
+    (pixels, offset-after-the-last-scanline)."""
+    end = off + n_rows * (stride + 1)
+    if end > len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(n_rows * stride)
+    prior = bytes(stride)
+    for j in range(n_rows):
+        f = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        off += stride + 1
+        if f == 1:      # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif f == 3:    # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prior[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[j * stride:(j + 1) * stride] = line
+        prior = bytes(line)
+    return out, off
+
+
 def decode_png_pixels(payload: bytes) \
         -> tuple[int, int, int, bytes] | None:
-    """(width, height, channels, samples) for an 8-bit non-interlaced
-    PNG — REAL pixel decode, stdlib-only: chunk walk, zlib-inflate the
-    concatenated IDAT stream, invert the five row filters, expand
-    palette indices through PLTE. ``samples`` is row-major,
-    channel-interleaved (grayscale → 1 byte/pixel, RGB → 3, …).
+    """(width, height, channels, samples) for an 8-bit PNG, sequential
+    or Adam7-interlaced — REAL pixel decode, stdlib-only: chunk walk,
+    zlib-inflate the concatenated IDAT stream, invert the five row
+    filters, expand palette indices through PLTE. ``samples`` is
+    row-major, channel-interleaved (grayscale → 1 byte/pixel,
+    RGB → 3, …).
 
     Returns None for non-PNG payloads (callers fall back to metadata-
     only handling); raises ``NotImplementedError`` for the PNG variants
-    whose decode is structurally different (Adam7 interlace, 1/2/4/16-
-    bit depths) and ``ValueError`` for corrupt streams — silent wrong
-    pixels must never reach a stats aggregate."""
+    whose decode is structurally different (1/2/4/16-bit depths — see
+    COVERAGE.md for the 16-bit decision) and ``ValueError`` for corrupt
+    streams — silent wrong pixels must never reach a stats aggregate.
+    Adam7 interlace decodes for real since r8: seven sub-images, each
+    unfiltered independently, scattered back on the pass grid."""
     import struct
     import zlib
 
@@ -608,41 +680,33 @@ def decode_png_pixels(payload: bytes) \
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color, _comp, _filt, interlace = ihdr
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG (8-bit only)")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color]
-    stride = width * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    out = bytearray(height * stride)
-    prior = bytes(stride)
-    for j in range(height):
-        f = raw[j * (stride + 1)]
-        line = bytearray(raw[j * (stride + 1) + 1:(j + 1) * (stride + 1)])
-        if f == 1:      # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:    # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif f == 3:    # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
-        elif f == 4:    # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                ul = prior[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad PNG filter type {f}")
-        out[j * stride:(j + 1) * stride] = line
-        prior = bytes(line)
+    if interlace:
+        arr = np.zeros((height, width, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries NO scanlines
+            sub, off = _unfilter_rows(raw, off, ph, pw * ch, ch)
+            arr[y0::dy, x0::dx] = (np.frombuffer(bytes(sub), np.uint8)
+                                   .reshape(ph, pw, ch))
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        out = bytearray(arr.tobytes())
+    else:
+        stride = width * ch
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out, _ = _unfilter_rows(raw, 0, height, stride, ch)
     if color == 3:      # palette: expand indices to RGB triples
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -748,8 +812,12 @@ def sniff_media_type(payload: bytes) -> str:
 # restart markers, DC prediction, AC run-lengths — is LOSSLESS and
 # fully implemented, so quantized coefficients are recovered exactly;
 # dequantization and the IDCT ride one numpy matrix pair per image.
+# r8 adds the interleaved multi-component scan with chroma
+# subsampling (4:2:0 / 4:2:2 / 4:4:0 — sampling factors 1..2), which
+# is what a real crawl's images actually use; upsampling is sample
+# replication (nearest), documented and pinned by the golden tests.
 # Progressive (SOF2), arithmetic coding (SOF9+), lossless JPEG and
-# subsampled chroma stay honestly gated behind NotImplementedError —
+# sampling factors >2 stay honestly gated behind NotImplementedError —
 # wrong pixels must never silently reach a stats aggregate.
 
 #: zigzag scan position -> natural (row-major) coefficient index
@@ -840,66 +908,92 @@ def _bit_category(v: int) -> int:
     return abs(v).bit_length()
 
 
-def encode_jpeg_coeff_blocks(blocks: "np.ndarray",
-                             blocks_per_row: int,
-                             width: int | None = None,
-                             height: int | None = None,
-                             restart_interval: int = 0) -> bytes:
-    """Grayscale baseline JPEG from QUANTIZED coefficient blocks
-    (shape (n, 64), natural order, quant table all ones): the entropy
-    layer is lossless, so a decode recovers the given coefficients
-    bit-exactly — the device the q201 oracle and the codec tests ride.
-    Huffman tables are minimal canonical tables over the symbols
-    actually emitted (a real decoder reads them from DHT like any
-    other table). Not a general encoder: no quantization choice, no
-    subsampling, no optimization — the DECODER is the product, this is
-    its test/ingest harness (like ``encode_png_gray``)."""
+def encode_jpeg_components(comps: list[tuple["np.ndarray", int, int]],
+                           mcus_per_row: int,
+                           width: int | None = None,
+                           height: int | None = None,
+                           restart_interval: int = 0) -> bytes:
+    """Baseline JPEG from QUANTIZED coefficient blocks, general
+    interleaved-MCU form (r8): ``comps`` is a list of
+    ``(blocks, h_samp, v_samp)`` — component ci contributes
+    ``h_samp×v_samp`` data units per MCU, its ``blocks`` array is
+    (n_mcus·h·v, 64) in that component's block-grid raster order,
+    natural (row-major) coefficient order, quant table all ones. The
+    entropy layer is lossless, so a decode recovers the given
+    coefficients bit-exactly — the device the q201/q209 oracles and
+    the codec tests ride. One shared DC + AC huffman table pair over
+    every component's emitted symbols (components may legally share
+    tables). Not a general encoder: no quantization choice, no
+    optimization — the DECODER is the product, this is its test/ingest
+    harness (like ``encode_png_gray``). ``restart_interval`` counts
+    MCUs, per spec."""
     import struct
 
-    n = len(blocks)
-    if n % blocks_per_row:
-        raise ValueError("blocks must tile whole rows")
-    w = width if width is not None else blocks_per_row * 8
-    h = height if height is not None else (n // blocks_per_row) * 8
+    nc = len(comps)
+    if not 1 <= nc <= 3:
+        raise ValueError("1..3 components")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    n_mcus = len(comps[0][0]) // (comps[0][1] * comps[0][2])
+    for blocks, hs, vs in comps:
+        if len(blocks) != n_mcus * hs * vs:
+            raise ValueError("component block counts disagree on MCUs")
+    if n_mcus % mcus_per_row:
+        raise ValueError("blocks must tile whole MCU rows")
+    w = width if width is not None else mcus_per_row * 8 * hmax
+    h = height if height is not None \
+        else (n_mcus // mcus_per_row) * 8 * vmax
 
     # one pass to collect emitted symbols; second pass to encode.
     # zigzag reorder + last-nonzero are ONE vectorized numpy pass, not
     # 64 Python element reads per block (r7: the per-block list
     # comprehension dominated q201's cold encode at sf0.1)
-    arr = np.asarray(blocks, dtype=np.int64)
-    zz_all = arr[:, list(_JPEG_ZIGZAG)]
-    nz = zz_all[:, 1:] != 0
-    last_all = np.where(nz.any(axis=1),
-                        63 - nz[:, ::-1].argmax(axis=1), 0)
-    zz_lists = zz_all.tolist()
+    zz_lists, last_alls = [], []
+    for blocks, _hs, _vs in comps:
+        arr = np.asarray(blocks, dtype=np.int64)
+        zz_all = arr[:, list(_JPEG_ZIGZAG)]
+        nz = zz_all[:, 1:] != 0
+        last_alls.append(np.where(nz.any(axis=1),
+                                  63 - nz[:, ::-1].argmax(axis=1), 0))
+        zz_lists.append(zz_all.tolist())
+    # (ci, per-MCU block index offsets) in interleaved emission order
+    unit_order = [(ci, v, hh)
+                  for ci in range(nc)
+                  for v in range(comps[ci][2])
+                  for hh in range(comps[ci][1])]
     dc_syms, ac_syms = set(), set()
 
     def walk(emit, on_restart=None) -> None:
-        pred = 0
-        for bi in range(n):
-            zz = zz_lists[bi]
-            diff = zz[0] - pred
-            pred = zz[0]
-            emit(True, _bit_category(diff), diff)
-            k, run = 1, 0
-            last = int(last_all[bi])
-            while k <= last:
-                if zz[k] == 0:
-                    run += 1
-                    if run == 16:
-                        emit(False, 0xF0, 0)  # ZRL
+        preds = [0] * nc
+        for mcu in range(n_mcus):
+            my, mx = divmod(mcu, mcus_per_row)
+            for ci, v, hh in unit_order:
+                hs, vs = comps[ci][1], comps[ci][2]
+                bi = (my * vs + v) * (mcus_per_row * hs) + mx * hs + hh
+                zz = zz_lists[ci][bi]
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                emit(True, _bit_category(diff), diff)
+                k, run = 1, 0
+                last = int(last_alls[ci][bi])
+                while k <= last:
+                    if zz[k] == 0:
+                        run += 1
+                        if run == 16:
+                            emit(False, 0xF0, 0)  # ZRL
+                            run = 0
+                    else:
+                        emit(False, (run << 4) | _bit_category(zz[k]),
+                             zz[k])
                         run = 0
-                else:
-                    emit(False, (run << 4) | _bit_category(zz[k]), zz[k])
-                    run = 0
-                k += 1
-            if last < 63:
-                emit(False, 0x00, 0)  # EOB
-            if restart_interval and (bi + 1) % restart_interval == 0 \
-                    and bi + 1 < n:
-                pred = 0  # RSTn resets the DC predictor
+                    k += 1
+                if last < 63:
+                    emit(False, 0x00, 0)  # EOB
+            if restart_interval and (mcu + 1) % restart_interval == 0 \
+                    and mcu + 1 < n_mcus:
+                preds = [0] * nc  # RSTn resets every DC predictor
                 if on_restart is not None:
-                    on_restart((bi + 1) // restart_interval - 1)
+                    on_restart((mcu + 1) // restart_interval - 1)
 
     walk(lambda is_dc, sym, _v:
          (dc_syms if is_dc else ac_syms).add(sym))
@@ -928,15 +1022,69 @@ def encode_jpeg_coeff_blocks(blocks: "np.ndarray",
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     qt = seg(0xFFDB, b"\x00" + bytes([1] * 64))  # table 0, all ones
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
-              + bytes([1, 0x11, 0]))  # comp 1, 1x1 sampling, qt 0
+    sof_comps = b"".join(
+        bytes([ci + 1, (hs << 4) | vs, 0])
+        for ci, (_b, hs, vs) in enumerate(comps))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
     dht = seg(0xFFC4, b"\x00" + dc_payload) \
         + seg(0xFFC4, b"\x10" + ac_payload)
-    sos = seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    sos = seg(0xFFDA, bytes([nc]) + sos_comps + b"\x00\x3f\x00")
     dri = seg(0xFFDD, struct.pack(">H", restart_interval)) \
         if restart_interval else b""
     return (b"\xff\xd8" + qt + sof + dri + dht + sos + bw.flush()
             + b"\xff\xd9")
+
+
+def encode_jpeg_coeff_blocks(blocks: "np.ndarray",
+                             blocks_per_row: int,
+                             width: int | None = None,
+                             height: int | None = None,
+                             restart_interval: int = 0) -> bytes:
+    """Grayscale baseline JPEG from QUANTIZED coefficient blocks
+    (shape (n, 64), natural order, quant table all ones) — the 1×1
+    single-component corner of ``encode_jpeg_components`` (MCU = one
+    block, so ``restart_interval`` counts blocks exactly as in r7)."""
+    return encode_jpeg_components([(blocks, 1, 1)], blocks_per_row,
+                                  width, height, restart_interval)
+
+
+def encode_jpeg_color_dc_mcus(y_vals: bytes, cb_vals: bytes,
+                              cr_vals: bytes, mcus_per_row: int,
+                              samp: tuple[int, int] = (2, 2)) -> bytes:
+    """DC-only COLOR baseline JPEG with subsampled chroma: MCU i is a
+    uniform patch — its ``samp``-many Y blocks all carry ``y_vals[i]``
+    and its single Cb/Cr blocks carry ``cb_vals[i]``/``cr_vals[i]``
+    (chroma sampling 1×1 against Y at ``samp``, so (2,2) is 4:2:0 and
+    (2,1) is 4:2:2). Uniform blocks are the lossless corner: pure-DC
+    coefficients store exactly, the IDCT is float64-exact, and
+    replication upsampling of a uniform chroma block is the identity —
+    so the decoded 16×16 (or 16×8) patch is EXACTLY the YCbCr→RGB of
+    the three stored bytes, computable by an oracle that never sees a
+    JPEG (the q209 device, extending q201's grayscale form)."""
+    hs, vs = samp
+    n = len(y_vals)
+    if not n or len(cb_vals) != n or len(cr_vals) != n:
+        raise ValueError("per-MCU value arrays must be equal nonzero "
+                         "length")
+    if n % mcus_per_row:
+        raise ValueError("vals must tile whole MCU rows")
+    mcu_rows = n // mcus_per_row
+    yv = np.frombuffer(y_vals, np.uint8).astype(np.int64)
+    # expand each MCU's Y value onto its vs×hs block-grid positions
+    grid = np.repeat(np.repeat(yv.reshape(mcu_rows, mcus_per_row),
+                               vs, axis=0), hs, axis=1)
+    yb = np.zeros((n * hs * vs, 64), np.int64)
+    yb[:, 0] = 8 * (grid.reshape(-1) - 128)
+    chroma = []
+    for vals in (cb_vals, cr_vals):
+        cb = np.zeros((n, 64), np.int64)
+        cb[:, 0] = 8 * (np.frombuffer(vals, np.uint8)
+                        .astype(np.int64) - 128)
+        chroma.append(cb)
+    return encode_jpeg_components(
+        [(yb, hs, vs), (chroma[0], 1, 1), (chroma[1], 1, 1)],
+        mcus_per_row)
 
 
 def encode_jpeg_gray_blocks(vals: bytes, blocks_per_row: int) -> bytes:
@@ -999,19 +1147,22 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg_pixels(payload: bytes) \
         -> tuple[int, int, int, bytes] | None:
     """(width, height, channels, samples) for a baseline sequential
-    (SOF0) huffman JPEG with 4:4:4 / grayscale sampling — REAL pixel
-    decode, stdlib+numpy only: segment walk, canonical huffman from
-    DHT, DC prediction + AC run-lengths with byte unstuffing and
-    restart markers, dequantize, one vectorized IDCT over all blocks,
-    YCbCr→RGB for 3-component images. ``samples`` is row-major,
-    channel-interleaved, like ``decode_png_pixels``.
+    (SOF0) huffman JPEG — REAL pixel decode, stdlib+numpy only:
+    segment walk, canonical huffman from DHT, DC prediction + AC
+    run-lengths with byte unstuffing and restart markers, interleaved
+    MCUs with chroma subsampling (sampling factors 1..2: 4:4:4, 4:2:2,
+    4:2:0, 4:4:0), dequantize, one vectorized IDCT over all blocks,
+    replication (nearest) chroma upsampling, YCbCr→RGB for
+    3-component images. ``samples`` is row-major, channel-interleaved,
+    like ``decode_png_pixels``.
 
     Returns None for non-JPEG payloads; NotImplementedError for the
-    honestly-gated variants (progressive/arithmetic/lossless/
-    subsampled chroma — see ``_JPEG_SOF_GATED``); ValueError for
-    corrupt streams. Scale note: entropy decode is per-bit Python at
-    image grain inside Arrow batches (the PNG unfilter trade-off);
-    dequant+IDCT+color convert are numpy over all blocks at once."""
+    honestly-gated variants (progressive/arithmetic/lossless — see
+    ``_JPEG_SOF_GATED`` — plus sampling factors >2 and multi-scan
+    baseline); ValueError for corrupt streams. Scale note: entropy
+    decode is big-int Python at image grain inside Arrow batches (the
+    PNG unfilter trade-off); dequant+IDCT+upsample+color convert are
+    numpy over all blocks at once."""
     import struct
 
     global _IDCT_A
@@ -1074,10 +1225,17 @@ def decode_jpeg_pixels(payload: bytes) \
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0x0F
+                if ncomp == 1:
+                    # a single-component frame decodes as a plain
+                    # ceil(w/8)×ceil(h/8) block grid whatever the
+                    # declared factors (T.81 A.2.2: Hi/Hmax = 1)
+                    hs = vs = 1
+                elif not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise NotImplementedError(
-                        "subsampled chroma (4:4:4/grayscale only)")
-                comps.append((cid, tq))
+                        f"sampling factors {hs}x{vs} (1..2 only — "
+                        "4:4:4/4:2:2/4:2:0/4:4:0)")
+                comps.append((cid, hs, vs, tq))
             sof = (w, h, comps)
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
@@ -1085,11 +1243,15 @@ def decode_jpeg_pixels(payload: bytes) \
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(sof[2]):
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG (one interleaved scan "
+                    "covering every frame component only)")
             scan = []  # (component index, dc table id, ac table id)
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
-                idx = next(i for i, (cid, _) in enumerate(sof[2])
-                           if cid == cs)
+                idx = next(i for i, c in enumerate(sof[2])
+                           if c[0] == cs)
                 scan.append((idx, tt >> 4, tt & 0x0F))
             pos = pos + 2 + ln
             return _decode_scan(payload, pos, sof, scan, qtabs,
@@ -1099,14 +1261,33 @@ def decode_jpeg_pixels(payload: bytes) \
 
 
 def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
-    """Entropy-decode the single SOF0 4:4:4 scan and finish the
-    pipeline (dequant → IDCT → crop → interleave → color convert)."""
+    """Entropy-decode the single interleaved SOF0 scan (general
+    sampling factors 1..2) and finish the pipeline (dequant → IDCT →
+    crop → replication-upsample → interleave → color convert).
+
+    MCU geometry (T.81 A.2.3): the image tiles into
+    ceil(w/8Hmax) × ceil(h/8Vmax) MCUs; each MCU carries Hi×Vi data
+    units per component in raster order, so component ci's block grid
+    is (mcus_y·Vi) × (mcus_x·Hi) with right/bottom padding blocks
+    cropped after the IDCT. The degenerate all-1x1 case reduces to the
+    r7 grayscale/4:4:4 path (one block per component per MCU)."""
     global _IDCT_A
     w, h, comps = sof
     ncomp = len(comps)
-    bx, by = (w + 7) // 8, (h + 7) // 8
-    nmcu = bx * by
-    coeffs = np.zeros((ncomp, nmcu, 64), np.int64)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    nmcu = mcus_x * mcus_y
+    # per-component coefficient planes, indexed [block_row, block_col]
+    coeffs = [np.zeros((mcus_y * vs * mcus_x * hs, 64), np.int64)
+              for _, hs, vs, _ in comps]
+    # (ci, per-MCU block row, per-MCU block col) in emission order —
+    # precomputed once so the hot loop does one add per block index
+    unit_order = [(ci, v, hh, dct, act)
+                  for ci, dct, act in scan
+                  for v in range(comps[ci][2])
+                  for hh in range(comps[ci][1])]
     # Big-int bit reads over unstuffed restart segments — the per-bit
     # reader class made q201's decode the dominant cold cost at sf0.1
     # (121 s → seconds, r7 measurement). Each segment becomes one
@@ -1123,8 +1304,11 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
         preds = [0] * ncomp
         end = min(nmcu, mcu + restart) if restart else nmcu
         while mcu < end:
-            for ci, dct, act in scan:
-                blk = coeffs[ci, mcu]
+            my, mx = divmod(mcu, mcus_x)
+            for ci, v, hh, dct, act in unit_order:
+                hs, vs = comps[ci][1], comps[ci][2]
+                bpr = mcus_x * hs
+                blk = coeffs[ci][(my * vs + v) * bpr + mx * hs + hh]
                 for phase in (0, 1):
                     table = htabs[(phase, dct if phase == 0 else act)]
                     if phase == 0:
@@ -1137,10 +1321,10 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
                         else:
                             raise ValueError("bad huffman code")
                         if size:
-                            v = (big >> (nbits - bpos - size)) \
+                            v2 = (big >> (nbits - bpos - size)) \
                                 & ((1 << size) - 1)
                             bpos += size
-                            preds[ci] += _extend(v, size)
+                            preds[ci] += _extend(v2, size)
                         blk[0] = preds[ci]
                         continue
                     k = 1
@@ -1164,10 +1348,10 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
                         k += run
                         if k > 63:
                             raise ValueError("AC run past block end")
-                        v = (big >> (nbits - bpos - sz)) \
+                        v2 = (big >> (nbits - bpos - sz)) \
                             & ((1 << sz) - 1)
                         bpos += sz
-                        blk[zz[k]] = _extend(v, sz)
+                        blk[zz[k]] = _extend(v2, sz)
                         k += 1
             mcu += 1
             if bpos > data_bits:  # read into the zero padding
@@ -1186,24 +1370,37 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
     # DC pixel is the single product F00*M[0,xy] either way.
     m = np.einsum("ux,vy->uvxy", a, a).reshape(64, 64)
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
         if tq not in qtabs:
             raise ValueError(f"missing quant table {tq}")
+        bx, by = mcus_x * hs, mcus_y * vs
         deq = (coeffs[ci] * qtabs[tq][None, :]).astype(np.float64)
         px = (deq @ m).reshape(-1, 8, 8)
-        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
-        # blocks back to raster: (by, bx, 8, 8) -> (by*8, bx*8), crop
+        px = np.clip(np.floor(px + 0.5) + 128, 0, 255).astype(np.uint8)
+        # blocks back to raster, crop to the COMPONENT's dims
+        # ceil(w·Hi/Hmax) × ceil(h·Vi/Vmax) (A.1.1), then upsample by
+        # sample replication to full resolution and crop to (h, w)
+        cw = (w * hs + hmax - 1) // hmax
+        ch_ = (h * vs + vmax - 1) // vmax
         plane = (px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
-                 .reshape(by * 8, bx * 8)[:h, :w])
-        planes.append(plane.astype(np.int64))
+                 .reshape(by * 8, bx * 8)[:ch_, :cw])
+        if hs != hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs != vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        planes.append(plane[:h, :w].astype(np.int64))
     if ncomp == 1:
         return (w, h, 1, planes[0].astype(np.uint8).tobytes())
     if ncomp == 3:  # JFIF YCbCr -> RGB
+        # floor(x+0.5), NOT np.round: half-to-even vs half-away drift
+        # on exact-.5 values would break the cross-engine oracle device
+        # (q209) — floor(+0.5) is expressible identically in SQL, and
+        # for the clip-to-[0,255] range it matches round-half-up
         y, cb, cr = planes
-        r = np.clip(np.round(y + 1.402 * (cr - 128)), 0, 255)
-        g = np.clip(np.round(y - 0.344136 * (cb - 128)
-                             - 0.714136 * (cr - 128)), 0, 255)
-        b = np.clip(np.round(y + 1.772 * (cb - 128)), 0, 255)
+        r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+        g = np.clip(np.floor(y - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5), 0, 255)
+        b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
         out = np.stack([r, g, b], axis=-1).astype(np.uint8)
         return (w, h, 3, out.tobytes())
     raise NotImplementedError(f"{ncomp}-component JPEG")

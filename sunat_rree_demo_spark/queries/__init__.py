@@ -41,58 +41,56 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
 # the FIRST 50 registry entries in iteration order (see BASELINE.md "Driver
-# correctness snapshot cap").  After round 6 the union of CORRECTNESS_r01-r06
-# covers every query registered through q197, so the round-7 window is new
-# r7 queries (first driver check — highest priority) followed by the
-# longest-unchecked driver-green queries: all 47 whose last row is r03, the
-# five whose physical plans changed in r5 first (q68/q40/q41/q61/q65 — their
-# re-check was deferred from r6 when the r6 window filled, review finding
-# r6).  Every _R7_NEW addition displaces the lowest-priority filler to the
-# r8 rotation; displaced fillers stay driver-green via their historical rows
-# and the identical local exact-hash gate (scripts/check_parity.py).
+# correctness snapshot cap").  The union of CORRECTNESS_r01-r07 covers every
+# query registered through q208 (207 ever green; q46 rows-only by design), so
+# the round-8 window is new r8 queries (first driver check — highest
+# priority) followed by the longest-unchecked driver-green queries: the 8
+# whose last row is r03 (displaced when the r7 window filled), then r04-era
+# queries.  58 candidates compete for the remaining slots, so 10 r04-era
+# queries whose plans are simple single-stage relational shapes unchanged
+# since r04 (q02-q07, q10-q13) defer to r9; displaced fillers stay
+# driver-green via their historical rows and the identical local exact-hash
+# gate (scripts/check_parity.py), which runs all 200+ queries every round.
 # Registration itself is unchanged; this only re-orders the dict.
 # tests/test_driver_window.py asserts every registered query has either a
 # historical CORRECTNESS row or a slot in the current window.
 # ---------------------------------------------------------------------------
-# round-7 additions (first driver check) — append here when registering
-_R7_NEW = (
-    "q198_html_to_text", "q199_main_content", "q200_fix_mojibake",
-    "q201_jpeg_pixel_stats", "q202_sliding_window_chunks",
-    "q203_lsh_band_scurve", "q204_curation_summary",
-    "q205_lsh_eval", "q206_ivf_recall_curve",
-    "q207_wav_frame_energy", "q208_k_anonymity",
+# round-8 additions (first driver check) — append here when registering
+_R8_NEW = (
+    "q209_jpeg_color_stats",
+    "q210_adam7_png_stats",
 )
-# longest-unchecked driver-green queries (last row r03), plan-changed first
-_R7_FILLERS = (
-    "q68_dup_clusters_two_phase", "q40_ngram_jaccard_pairs",
-    "q41_minhash_lsh_pairs", "q61_dup_clusters",
-    "q65_cluster_representatives", "q01_annual_balance",
-    "q18_quarterly_rollup", "q19_annual_performance",
-    "q20_region_revenue", "q21_seasonality_matrix",
-    "q23_ytd_vs_prior", "q24_kpi_monthly",
-    "q25_kpi_prod_monthly", "q26_rolling_trend",
-    "q27_sigma_outliers", "q28_ranked_in_group",
-    "q30_tumbling_hourly", "q31_sliding_windows",
-    "q32_sessionization", "q33_event_dedup",
-    "q34_json_extract", "q35_token_stats",
-    "q36_quality_score", "q37_lang_id",
-    "q38_fingerprint", "q39_exact_dedup",
-    "q42_simhash", "q43_cosine_topk",
-    "q44_embedding_near_dup", "q47_rollup_subtotals",
-    "q48_trade_roundtrip", "q49_correlation",
-    "q50_robust_outliers", "q51_tfidf_top_terms",
-    "q52_json_map_explode", "q53_cube",
-    "q55_calendar_yoy", "q56_asof_join",
-    "q57_range_join", "q58_embedding_norms",
-    "q59_quality_ranked_docs", "q60_range_frame_window",
-    "q62_hash_split", "q63_decontaminate",
-    "q64_redact_scrub", "q66_pack_sequences",
-    "q67_label_centroids",
+# longest-unchecked driver-green queries: last row r03 first, then r04
+_R8_FILLERS = (
+    "q58_embedding_norms", "q59_quality_ranked_docs",
+    "q60_range_frame_window", "q62_hash_split",
+    "q63_decontaminate", "q64_redact_scrub",
+    "q66_pack_sequences", "q67_label_centroids",
+    "q08_topn_categories", "q09_top_abs",
+    "q14_coverage_ratio", "q15_bool_count_surplus",
+    "q16_string_funcs", "q17_date_funcs",
+    "q22_monthly_profile", "q29_tail_window",
+    "q94_rolling_active_users", "q95_native_unpivot",
+    "q96_chunk_dedup", "q97_prefix_filter_pairs",
+    "q98_bm25_topk", "q99_rca_matrix",
+    "q100_hhi_concentration", "q101_cusum_drift",
+    "q102_benford_digits", "q106_rolling_correlation",
+    "q108_pmi_collocations", "q109_weighted_median",
+    "q110_kmv_set_ops", "q111_linear_interpolation",
+    "q112_embedding_covariance", "q126_bpe_merges",
+    "q127_chunk_dedup_rewrite", "q128_retrieval_eval",
+    "q129_inverted_index", "q130_hard_negatives",
+    "q131_pareto_frontier", "q132_bigram_surprisal",
+    "q133_vocab_coverage", "q134_pq_encode",
+    "q135_count_min_sketch", "q136_top_event_paths",
+    "q137_bpe_apply", "q138_ngram_novelty",
+    "q139_share_of_parent", "q140_psi_drift",
+    "q141_multi_touch_attribution", "q142_customer_set_ops",
 )
-_R7_WINDOW = tuple(
-    n for n in (_R7_NEW + _R7_FILLERS) if n in REGISTRY
+_R8_WINDOW = tuple(
+    n for n in (_R8_NEW + _R8_FILLERS) if n in REGISTRY
 )[:50]
-_head = {n: REGISTRY[n] for n in _R7_WINDOW}
+_head = {n: REGISTRY[n] for n in _R8_WINDOW}
 _tail = {n: q for n, q in REGISTRY.items() if n not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

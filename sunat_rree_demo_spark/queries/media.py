@@ -115,6 +115,105 @@ def q186_png_pixel_stats(spark, sf_dir):
     )
 
 
+#: q210 interlaced-PNG width — deliberately NOT a multiple of 8 so
+#: every Adam7 pass has a ragged edge (partial pass widths exercise
+#: the per-pass ceil geometry)
+_PNG7_W = 21
+
+
+@register(
+    "q210_adam7_png_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_PNG7_W}) * {_PNG7_W}) AS s
+      FROM a WHERE length(s) >= {_PNG7_W}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_PNG7_W} AS INT) AS width,
+           CAST(n // {_PNG7_W} AS INT) AS height,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST((2 * sum(val) * 10000 + n) // (2 * n) AS DOUBLE)
+             / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q210_adam7_png_stats(spark, sf_dir):
+    """Pixel statistics through a REAL **Adam7-interlaced** PNG
+    encode→decode round trip (r8 — closes the last structural PNG
+    gate): documents' printable-ASCII bytes become genuine interlaced
+    grayscale PNGs (seven independently-filtered sub-images, filters
+    still cycling all five types within each pass), Spark inverts the
+    interlace — per-pass unfilter with per-pass prior-row reset, then
+    the scatter back onto the pass grid — and reduces to exact-integer
+    pixel stats. The oracle computes the identical stats straight from
+    the characters, so a pass-geometry slip (wrong origin/step, a
+    phantom scanline for an empty pass, prior-row leakage across
+    passes) breaks the hash. Width {_PNG7_W} is deliberately not a
+    multiple of 8: every pass has ragged-edge partial rows.
+
+    Scale shape: identical to q186 — two Arrow-batched mapInPandas
+    passes at document grain, no shuffle before the doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_png_gray,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_PNG7_W}) * {_PNG7_W})"))
+        .filter(F.length("s") >= _PNG7_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(
+                    lambda s: encode_png_gray(s.encode("ascii"),
+                                              _PNG7_W, interlace=True)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_pixels"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: 8×8 blocks per JPEG block-row (one block per character) → width 128
 _JPEG_BPR = 16
 
@@ -206,6 +305,132 @@ def q201_jpeg_pixel_stats(spark, sf_dir):
             F.col("media_id").alias("doc_id"),
             "width", "height",
             F.col("n_samples").cast("bigint").alias("n_pixels"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: q209 color construction: 16×16 MCUs (4:2:0) per character → 8 MCUs
+#: per row = 128 px wide; chroma derived from the same byte so the
+#: oracle can recompute everything from the characters
+_MCU_PR = 8
+
+
+@register(
+    "q209_jpeg_color_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_MCU_PR}) * {_MCU_PR}) AS s
+      FROM a WHERE length(s) >= {_MCU_PR}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    ),
+    rgb AS (
+      SELECT doc_id, n,
+             CAST(least(greatest(floor(
+               val + 1.402 * (val + 64 - 128) + 0.5), 0), 255)
+               AS BIGINT) AS r,
+             CAST(least(greatest(floor(
+               val - 0.344136 * (255 - val - 128)
+                   - 0.714136 * (val + 64 - 128) + 0.5), 0), 255)
+               AS BIGINT) AS g,
+             CAST(least(greatest(floor(
+               val + 1.772 * (255 - val - 128) + 0.5), 0), 255)
+               AS BIGINT) AS b
+      FROM v
+    )
+    SELECT doc_id,
+           CAST({_MCU_PR} * 16 AS INT) AS width,
+           CAST((n // {_MCU_PR}) * 16 AS INT) AS height,
+           CAST(768 * n AS BIGINT) AS n_samples,
+           CAST((2 * 256 * sum(r + g + b) * 10000 + 768 * n)
+                // (2 * 768 * n) AS DOUBLE) / 10000.0 AS mean_val,
+           CAST(min(least(r, g, b)) AS INT) AS min_val,
+           CAST(max(greatest(r, g, b)) AS INT) AS max_val
+    FROM rgb GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q209_jpeg_color_stats(spark, sf_dir):
+    """Pixel statistics through a REAL 4:2:0 COLOR baseline-JPEG
+    encode→decode round trip — the r8 extension of the q201 device to
+    the encoding real crawl images actually use (interleaved MCUs,
+    subsampled chroma, YCbCr→RGB): each document's printable-ASCII
+    byte becomes one uniform 16×16 MCU (four DC-only Y blocks carrying
+    the byte, one Cb block = 255−byte, one Cr block = byte+64), so the
+    decoded RGB patch is EXACTLY the floor(x+0.5) color conversion of
+    those three values — uniform blocks store losslessly, the IDCT is
+    float64-exact, and replication upsampling of a uniform chroma
+    block is the identity. The oracle never sees a JPEG: it recomputes
+    r/g/b per character with the same IEEE-double expressions (the
+    decoder uses floor(x+0.5) rather than round() precisely so both
+    engines share the rounding rule) and aggregates at 256× pixel
+    weight. An interleave-order slip, chroma-upsample bug, DC
+    predictor mix-up across components or color-matrix error breaks
+    the hash.
+
+    Scale shape: fan_out → one Arrow-batched encode pass → one decode
+    + stats pass at document grain; pixels never leave the task that
+    decoded them (no shuffle before the doc-grain output sort)."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_color_dc_mcus,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_MCU_PR}) * {_MCU_PR})"))
+        .filter(F.length("s") >= _MCU_PR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(s: str) -> bytes:
+            y = s.encode("ascii")
+            arr = np.frombuffer(y, np.uint8).astype(np.int64)
+            cb = (255 - arr).astype(np.uint8).tobytes()
+            cr = (arr + 64).astype(np.uint8).tobytes()
+            return encode_jpeg_color_dc_mcus(y, cb, cr, _MCU_PR,
+                                             samp=(2, 2))
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(mk),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
             (F.expr("(2 * sum_val * 10000 + n_samples) "
                     "div (2 * n_samples)").cast("double") / 10000.0)
             .alias("mean_val"),

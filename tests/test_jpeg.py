@@ -124,6 +124,111 @@ def test_color_ycbcr_conversion():
     assert (got == np.array([r, g, b], np.uint8)).all()
 
 
+def _rgb_ref(y, cb, cr):
+    """The decoder's documented YCbCr→RGB: floor(x+0.5), clip —
+    chosen over np.round so the q209 oracle can reproduce it in SQL."""
+    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+    g = np.clip(np.floor(y - 0.344136 * (cb - 128)
+                         - 0.714136 * (cr - 128) + 0.5), 0, 255)
+    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("samp", [(2, 2), (2, 1), (1, 2)])
+def test_color_dc_only_subsampled_exact(samp):
+    """4:2:0 / 4:2:2 / 4:4:0 DC-only color: every MCU must decode to a
+    uniform patch whose RGB is exactly the conversion of its three
+    stored bytes — uniform blocks + replication upsampling are the
+    lossless corner the q209 oracle rides."""
+    hs, vs = samp
+    n, mpr = 12, 4
+    rng = np.random.RandomState(42)
+    yv = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+    cbv = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+    crv = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_color_dc_mcus,
+    )
+
+    img = encode_jpeg_color_dc_mcus(yv, cbv, crv, mpr, samp=samp)
+    w, h, ch, px = decode_jpeg_pixels(img)
+    assert (w, h, ch) == (mpr * 8 * hs, (n // mpr) * 8 * vs, 3)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    pw, ph = 8 * hs, 8 * vs  # MCU patch size
+    for i in range(n):
+        my, mx = divmod(i, mpr)
+        patch = got[my * ph:(my + 1) * ph, mx * pw:(mx + 1) * pw]
+        exp = _rgb_ref(np.float64(yv[i]), np.float64(cbv[i]),
+                       np.float64(crv[i]))
+        assert (patch == exp).all(), f"MCU {i} ({yv[i]},{cbv[i]},{crv[i]})"
+
+
+def test_color_420_general_coefficients_and_restarts():
+    """Random AC content through the interleaved 4:2:0 scan with
+    restart markers: compare against an independent plane pipeline
+    (einsum IDCT → raster assembly → crop → replicate-upsample →
+    floor-convert). Catches MCU block-ordering slips the DC-only
+    uniform test can't see."""
+    rng = np.random.RandomState(11)
+    mcus_x, mcus_y = 3, 2
+    w, h = mcus_x * 16 - 5, mcus_y * 16 - 3  # odd dims: crop matters
+
+    def rand_blocks(n):
+        b = rng.randint(-60, 61, size=(n, 64)).astype(np.int64)
+        b[rng.rand(n, 64) < 0.7] = 0
+        b[:, 0] = rng.randint(-500, 501, n)
+        return b
+
+    yb = rand_blocks(mcus_x * mcus_y * 4)
+    cbb = rand_blocks(mcus_x * mcus_y)
+    crb = rand_blocks(mcus_x * mcus_y)
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_components,
+    )
+
+    img = encode_jpeg_components(
+        [(yb, 2, 2), (cbb, 1, 1), (crb, 1, 1)], mcus_x,
+        width=w, height=h, restart_interval=2)
+    assert b"\xff\xdd" in img and b"\xff\xd0" in img
+    gw, gh, ch, px = decode_jpeg_pixels(img)
+    assert (gw, gh, ch) == (w, h, 3)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+
+    a = _idct_matrix()
+
+    def plane(blocks, hs, vs):
+        p = np.einsum("ux,nuv,vy->nxy", a,
+                      blocks.reshape(-1, 8, 8).astype(np.float64), a)
+        p = np.clip(np.floor(p + 0.5) + 128, 0, 255)
+        bx, by = mcus_x * hs, mcus_y * vs
+        p = (p.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+             .reshape(by * 8, bx * 8))
+        cw, chh = -(-w * hs // 2), -(-h * vs // 2)
+        p = p[:chh, :cw]
+        p = np.repeat(np.repeat(p, 2 // hs, axis=1), 2 // vs, axis=0)
+        return p[:h, :w]
+
+    exp = _rgb_ref(plane(yb, 2, 2), plane(cbb, 1, 1), plane(crb, 1, 1))
+    assert (got == exp).all()
+
+
+def test_color_444_via_components_matches_handmade_path():
+    """encode_jpeg_components at all-1x1 color must agree with the
+    hand-assembled 4:4:4 image device (same decoder output for the
+    same stored planes)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_color_dc_mcus,
+    )
+
+    img = encode_jpeg_color_dc_mcus(b"\x78", b"\x3c", b"\xc8", 1,
+                                    samp=(1, 1))
+    w, h, ch, px = decode_jpeg_pixels(img)
+    assert (w, h, ch) == (8, 8, 3)
+    got = np.frombuffer(px, np.uint8).reshape(8, 8, 3)
+    exp = _rgb_ref(np.float64(120), np.float64(60), np.float64(200))
+    assert (got == exp).all()
+
+
 def test_gates_and_robustness():
     vals = bytes([65] * 16)
     img = encode_jpeg_gray_blocks(vals, 16)
@@ -137,10 +242,25 @@ def test_gates_and_robustness():
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg_pixels(bytes(prog))
 
+    # a single-COMPONENT frame ignores declared sampling factors
+    # (T.81 A.2.2: Hi/Hmax = 1) — r8, where multi-component
+    # subsampling became a real decode path
     sub = bytearray(img)
     sub[i + 11] = 0x22  # comp 0 sampling factors -> 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
-        decode_jpeg_pixels(bytes(sub))
+    assert decode_jpeg_pixels(bytes(sub))[3] == decode_jpeg_pixels(img)[3]
+
+    # multi-component factors OUTSIDE 1..2 (e.g. 4:1:1's 4x1) stay
+    # honestly gated
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_color_dc_mcus,
+    )
+
+    color = encode_jpeg_color_dc_mcus(b"\x40", b"\x80", b"\x80", 1)
+    j = color.index(b"\xff\xc0")
+    wide = bytearray(color)
+    wide[j + 11] = 0x41  # Y sampling -> 4x1
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg_pixels(bytes(wide))
 
     with pytest.raises(ValueError):
         decode_jpeg_pixels(img[:len(img) // 2])  # truncated entropy data

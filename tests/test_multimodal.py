@@ -436,12 +436,14 @@ def test_png_decode_rejects_and_gates():
                 + struct.pack(">I", zlib.crc32(typ + data)))
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # interlaced / 16-bit: honestly gated, not silently wrong
+    # Adam7 decodes for real since r8: a 1x1 interlaced image is one
+    # pass-1 scanline (filter 0 + pixel), passes 2-7 empty
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
-    with _pytest.raises(NotImplementedError, match="interlace"):
-        decode_png_pixels(sig + chunk(b"IHDR", ihdr_i)
-                          + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
-                          + chunk(b"IEND", b""))
+    assert decode_png_pixels(
+        sig + chunk(b"IHDR", ihdr_i)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x2a"))
+        + chunk(b"IEND", b"")) == (1, 1, 1, b"\x2a")
+    # 16-bit: honestly gated, not silently wrong (COVERAGE.md decision)
     ihdr_16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     with _pytest.raises(NotImplementedError, match="16-bit"):
         decode_png_pixels(sig + chunk(b"IHDR", ihdr_16)
@@ -520,3 +522,71 @@ def test_wav_encoder_round_trips_and_meta_parses():
     wav2 = encode_wav_pcm16(np.array([7], dtype=np.int16))
     _, _, d2 = _wav_pcm16_data(wav2)
     assert np.frombuffer(d2, "<i2").tolist() == [7]
+
+
+def test_adam7_round_trip_all_filters_and_ragged_edges():
+    """Adam7 decode (r8): encode→decode must reproduce the source
+    bytes for shapes that hit every geometry corner — widths/heights
+    not multiples of 8 (ragged pass edges), dimensions small enough
+    that some passes are EMPTY (a 1x1 image has only pass 1; empty
+    passes carry no scanlines at all), and the filter cycle running
+    independently inside each pass."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_gray,
+    )
+
+    rng = np.random.RandomState(8)
+    for w, h in [(1, 1), (2, 2), (3, 9), (7, 5), (8, 8), (21, 6),
+                 (16, 17), (5, 1), (1, 12)]:
+        px = rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+        img = encode_png_gray(px, w, interlace=True)
+        assert img[28] == 1  # IHDR interlace flag really set
+        got = decode_png_pixels(img)
+        assert got == (w, h, 1, px), f"{w}x{h}"
+
+
+def test_adam7_pass_geometry_is_spec_exact():
+    """8x8 pass pixel counts are the spec's worked example:
+    1,1,2,4,8,16,32 (RFC 2083 §2.6)."""
+    from sunat_rree_demo_spark.operators.multimodal import _ADAM7
+
+    counts = [((8 - x0 + dx - 1) // dx) * ((8 - y0 + dy - 1) // dy)
+              for x0, y0, dx, dy in _ADAM7]
+    assert counts == [1, 1, 2, 4, 8, 16, 32]
+
+
+def test_adam7_trailing_garbage_raises():
+    """Interlaced stream with extra bytes after the last pass must
+    fail loud (torn/corrupt), mirroring the sequential length check."""
+    import pytest as _pytest
+    import struct
+    import zlib
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_gray,
+    )
+
+    img = encode_png_gray(bytes(range(16)), 4, interlace=True)
+    # rebuild with one garbage byte appended INSIDE the zlib stream
+    sig_end = 8
+    pos = sig_end
+    parts = {}
+    while pos + 8 <= len(img):
+        (clen,) = struct.unpack(">I", img[pos:pos + 4])
+        typ = img[pos + 4:pos + 8]
+        parts[typ] = img[pos + 8:pos + 8 + clen]
+        pos += 12 + clen
+    raw = zlib.decompress(parts[b"IDAT"]) + b"\x00"
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    bad = (img[:sig_end] + chunk(b"IHDR", parts[b"IHDR"])
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_png_pixels(bad)
