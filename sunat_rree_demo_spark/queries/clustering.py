@@ -227,8 +227,10 @@ def _probe_rows(cent, qmat, q_ids, nprobe: int,
 def _micro_dist_kernel(qmat, qindex, with_prn: bool = False):
     """(mapInPandas generator, schema) computing exact int64
     micro-unit distances from each candidate row's embedding to its
-    query — the single copy of q172/q206's distance kernel; ``prn``
-    (probe rank) is threaded through when requested."""
+    query — q172's candidate-paired distance kernel (q206 grew its own
+    block form in r8: corpus-once input, in-kernel probe tagging and
+    per-batch partial top-k); ``prn`` (probe rank) is threaded
+    through when requested."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -479,15 +481,20 @@ def q206_ivf_recall_curve(spark, sf_dir):
     deployment question — how many cells must a probe touch before
     recall clears the product bar — before the corpus is laid out.
 
-    Scale shape: ONE candidate distance pass at the deepest probe
-    depth tagged with each cell's probe rank (shallower depths are
-    row filters, not rescans); the brute side is one Arrow block-
-    distance pass over the corpus (the q43 device — at production
-    scale it runs on a sampled query set, same plan); the comparison
-    joins bounded k-row-per-query frames."""
+    Scale shape (r8 — this closed the round-7 2.01× ratio flag): ONE
+    exact distance pass over (query × corpus), serving BOTH sides of
+    the comparison — the brute-force truth is its top-k, and the IVF
+    result at every probe depth is a FILTER of the same scored frame
+    (a candidate is in the depth-np result iff its cell's probe rank
+    ≤ np), because IVF scores candidates with the identical metric it
+    would have computed in its own pass. The r7 shape paid the
+    distance kernel twice (an IVF candidate pass + the brute pass);
+    the eval needs the union of both, and the brute pass IS that
+    union. At production scale the pass runs on a sampled query set
+    (bounded rows/query), same plan."""
     from sunat_rree_demo_spark.operators.clustering import quantize_micros
 
-    cent, assign = _fitted(spark, sf_dir)
+    cent, _assign = _fitted(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
     qrows = (emb.filter(F.col("vec_id") < 8)
              .select("vec_id", "embedding").orderBy("vec_id").toPandas())
@@ -495,45 +502,90 @@ def q206_ivf_recall_curve(spark, sf_dir):
     q_ids = qrows["vec_id"].to_numpy()
     probes = _probe_rows(cent, qmat, q_ids, max(_NPROBES),
                          with_rank=True)
-    probe_df = spark.createDataFrame(
-        probes, "q_id long, cluster int, prn int")
+    probe_lut = {(q, c): rk for q, c, rk in probes}
 
-    qindex = {int(v): i for i, v in enumerate(q_ids)}
-    dists, out_schema = _micro_dist_kernel(qmat, qindex, with_prn=True)
+    # the one distance pass: each corpus vector crosses ALL queries
+    # INSIDE the kernel (the q43 block device) — a crossJoin would
+    # ship every embedding array through Arrow |queries| times; this
+    # ships the corpus once. Each row's cell probe rank per query is
+    # derived in-kernel (998 = outside the deepest probe set; the
+    # cluster is the argmin-distance centroid, ties → lower — exactly
+    # the fit's assignment rule): no assignment join. And because
+    # top-k is DISTRIBUTIVE over batches, the kernel emits only each
+    # batch's top-k per (query, depth-class) — the global windows
+    # re-rank a bounded pool (≤ tasks × queries × 4k rows), never the
+    # full query×corpus score matrix.
+    import pandas as pd
 
-    cand = (assign.join(F.broadcast(probe_df), "cluster")
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .join(emb, "vec_id")
-            .select("q_id", "vec_id", "prn", "embedding"))
-    ivf_scored = cand.mapInPandas(dists, out_schema).localCheckpoint()
+    from sunat_rree_demo_spark.operators.clustering import (
+        quantize_micros as _qm,
+    )
 
-    # brute side: same distance pass with every vector as a candidate
-    brute_cand = (emb.crossJoin(
-        F.broadcast(spark.createDataFrame(
-            [(int(v),) for v in q_ids], "q_id long")))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.lit(0).alias("prn"), "embedding"))
-    bru = brute_cand.mapInPandas(dists, out_schema)
+    out_schema = ("q_id long, n_id long, prn int, d2 long")
+    qm, qid_arr = qmat, q_ids.astype(np.int64)
+    qindex_pos = {int(v): i for i, v in enumerate(qid_arr)}
+    nq, k_cells = len(qid_arr), cent.shape[0]
+    rank_mat = np.full((nq, k_cells), 998, np.int32)
+    for (q, c), rk in probe_lut.items():
+        rank_mat[qindex_pos[q], c] = rk
+
+    def dists(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xq = _qm(pdf["embedding"])
+            nid = pdf["vec_id"].to_numpy(np.int64)
+            d2 = ((xq[:, None, :] - qm[None, :, :]) ** 2).sum(axis=2)
+            cd = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            cl = cd.argmin(axis=1)  # ties -> lower cluster (fit rule)
+            prn = rank_mat[:, cl]  # (nq, nb)
+            outs = []
+            for j in range(nq):
+                keep = nid != qid_arr[j]
+                dj, nj, pj = d2[keep, j], nid[keep], prn[j, keep]
+                order = np.lexsort((nj, dj))
+                sel: set[int] = set()
+                ps = pj[order]
+                for np_ in (*_NPROBES, 999):  # 999 = the brute class
+                    cls = order[ps <= np_][:_RECALL_K]
+                    sel.update(cls.tolist())
+                rows = np.fromiter(sel, np.int64, len(sel))
+                outs.append(pd.DataFrame({
+                    "q_id": np.full(len(rows), qid_arr[j]),
+                    "n_id": nj[rows], "prn": pj[rows].astype(np.int32),
+                    "d2": dj[rows].astype(np.int64)}))
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = (emb.select("vec_id", "embedding")
+              .mapInPandas(dists, out_schema).localCheckpoint())
     wq = Window.partitionBy("q_id").orderBy("d2", "n_id")
-    bru5 = (bru.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= _RECALL_K).select("q_id", "n_id")
-            .localCheckpoint())
+    bru5 = (scored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= _RECALL_K).select("q_id", "n_id"))
     npos = bru5.agg(F.count("*").cast("bigint").alias("n_possible"))
 
-    parts = []
-    for np_ in _NPROBES:
-        top = (ivf_scored.filter(F.col("prn") <= np_)
-               .withColumn("rk", F.row_number().over(wq))
-               .filter(F.col("rk") <= _RECALL_K).select("q_id", "n_id"))
-        parts.append(
-            top.join(bru5, ["q_id", "n_id"])
-            .agg(F.count("*").cast("bigint").alias("n_hits"))
-            .select(F.lit(np_).cast("bigint").alias("nprobe"), "n_hits"))
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionByName(x)
+    # every probe depth in ONE windowed pass: replicate each scored
+    # row onto the depths whose probe set contains its cell, rank
+    # within (query, depth), keep top-k, count hits against the truth
+    # in a single aggregation — the r7 shape ran a window + join + agg
+    # PER depth and paid the per-job overhead three times over
+    depths = spark.createDataFrame([(d,) for d in _NPROBES],
+                                   "nprobe int")
+    wqd = Window.partitionBy("q_id", "nprobe").orderBy("d2", "n_id")
+    hits = (scored.join(F.broadcast(depths),
+                        F.col("prn") <= F.col("nprobe"))
+            .withColumn("rk", F.row_number().over(wqd))
+            .filter(F.col("rk") <= _RECALL_K)
+            .join(bru5, ["q_id", "n_id"])
+            .groupBy("nprobe")
+            .agg(F.count("*").alias("hits")))
+    # a depth with ZERO hits yields no group — restore it as 0 (the
+    # oracle's per-depth scalar counts always emit a row)
+    hits = (depths.join(hits, "nprobe", "left")
+            .select(F.col("nprobe").cast("bigint").alias("nprobe"),
+                    F.coalesce("hits", F.lit(0)).cast("bigint")
+                    .alias("n_hits")))
     return (
-        out.crossJoin(F.broadcast(npos))
+        hits.crossJoin(F.broadcast(npos))
         .select("nprobe", "n_hits", "n_possible",
                 (F.expr("(2 * 10000 * n_hits + n_possible)"
                         " div (2 * n_possible)").cast("double") / 10000.0)
