@@ -1002,11 +1002,17 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str,
     ``max_hamming ≤ bands−1`` (asserted). Candidates are then verified
     with the exact popcount of the XOR — both engines' ``bit_count``.
 
-    Returns (id1, id2, hamming ≤ max_hamming). Scale shape is exactly
-    MinHash-LSH's: shuffle key (band, slice-value), never the raw
-    fingerprint; the verify join touches candidates only. Skewed
-    bands (e.g. an all-zeros slice over short docs) fan out like hot
-    LSH buckets — the same salting/cutoff remedies apply."""
+    Returns (id1, id2, hamming ≤ max_hamming), each pair exactly once.
+    Scale shape is exactly MinHash-LSH's: shuffle key (band,
+    slice-value), never the raw fingerprint; the verify join touches
+    candidates only. Pair dedup is the FIRST-MATCHING-BAND rule — a
+    pair sharing several bands is kept only in the lowest one, decided
+    by a pure expression over the XOR of the two fingerprints — so no
+    DISTINCT shuffle exists at all (r8: the distinct over the
+    multi-band candidate fan-out was 6 of q149's 6.4 cold seconds; a
+    filter costs nothing and needs no exchange). Skewed bands (e.g. an
+    all-zeros slice over short docs) fan out like hot LSH buckets —
+    the same salting/cutoff remedies apply."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding with {bands} bands only guarantees recall for "
@@ -1027,13 +1033,19 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str,
         bb.alias("a").join(bb.alias("b"), ["band", "bv"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id1"),
-                F.col(f"b.{id_col}").alias("id2"))
-        .distinct()
+                F.col(f"b.{id_col}").alias("id2"), "band")
     )
     f1 = fp.select(F.col(id_col).alias("id1"), F.col("simhash").alias("_h1"))
     f2 = fp.select(F.col(id_col).alias("id2"), F.col("simhash").alias("_h2"))
+    # the lowest band whose slices agree ⇔ lowest zero slice of the
+    # XOR; every candidate row knows its own band, so equality with
+    # the first match keeps exactly one row per pair
+    first_band = "CASE " + " ".join(
+        f"WHEN (shiftright(_h1 ^ _h2, {b * width}) & {mask}) = 0 "
+        f"THEN {b}" for b in range(bands)) + " END"
     return (
         cand.join(f1, "id1").join(f2, "id2")
+        .filter(F.expr(f"band = ({first_band})"))
         .select("id1", "id2",
                 F.expr("CAST(bit_count(_h1 ^ _h2) AS BIGINT)")
                 .alias("hamming"))
@@ -1056,16 +1068,21 @@ def simhash(docs: DataFrame, id_col: str, text_col: str,
         .select(F.col(id_col), F.explode(F.array_distinct(tok)).alias("_t"))
         .withColumn("_h", base_hash_col(F.col("_t")))
     )
+    # per-bit expressions as SQL strings, ONE py4j parse each: the
+    # Column-algebra form (shiftright→bitwiseAND→when→otherwise→alias
+    # per bit) cost ~6 py4j round trips × bits and dominated q149's
+    # cold time — ~2 s of pure plan construction at bits=28 (r8
+    # profile; the JVM parses a string expression in microseconds)
     votes = rows.groupBy(id_col).agg(*[
-        F.sum(F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"v{i}")
+        F.expr(f"sum(CASE WHEN (shiftright(_h, {i}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS v{i}")
         for i in range(bits)
     ])
-    fp = sum(
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(bits)
-    )
-    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    fp = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits))
+    return votes.select(
+        F.col(id_col), F.expr(f"CAST({fp} AS BIGINT) AS simhash"))
 
 
 def hamming64(a, b):

@@ -174,7 +174,8 @@ def clear_commit_marker(spark: SparkSession, dir_path: str) -> None:
 def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         k: int = MINHASH_K, bands: int = LSH_BANDS,
-                        batch_id: int = -1) -> None:
+                        batch_id: int = -1,
+                        sig: DataFrame | None = None) -> None:
     """Materialize the index from scratch (full overwrite) as batch
     ``batch_id``. Incremental growth goes through ``absorb_batch``
     (idempotent) or ``append_minhash_index``.
@@ -184,9 +185,18 @@ def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     with foreachBatch epochs, which start at 0 — a bootstrap at
     batch_id=0 would look uncommitted to ``batch_committed`` and the
     stream's genuine epoch 0 would absorb-overwrite the whole corpus
-    partition with one micro-batch."""
+    partition with one micro-batch.
+
+    A caller that already materialized the signatures passes them via
+    ``sig`` (same contract as ``absorb_batch``) — a signature is a
+    pure per-doc function, so sharding one checkpointed corpus pass
+    into several index builds (q185's even/odd shards) writes
+    identical indexes to two independent passes at half the Python
+    shingle/minhash cost."""
     spark = docs.sparkSession
-    sig = minhash_signatures(docs, id_col, text_col, n, k).localCheckpoint()
+    if sig is None:
+        sig = minhash_signatures(docs, id_col, text_col, n,
+                                 k).localCheckpoint()
     bnd = band_rows(sig, id_col, k, bands)
     for df, table in ((sig, "sigs"), (bnd, "bands")):
         retry_transient_write(
