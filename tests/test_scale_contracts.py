@@ -615,3 +615,37 @@ def test_incremental_cc_skewed_merge_storm(spark):
     for _n, c in got:
         comp_sizes[c] = comp_sizes.get(c, 0) + 1
     assert max(comp_sizes.values()) == 2 * (k // 10)
+
+
+def test_front_door_extraction_is_narrow_jvm_pass(spark):
+    """r8 tripwire for the crawl front door (SCALE.md "front door"
+    rows): markup→text extraction must stay a narrow whole-stage JVM
+    pass fused with the scan — no Exchange, no Python eval. The 10×
+    probe's flatness claim rests on exactly this shape."""
+    from pyspark.sql import functions as F
+
+    from sunat_rree_demo_spark.operators.extract import html_to_text
+    from sunat_rree_demo_spark.queries.extraction import _HTML_EXPR
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(docs.selectExpr("doc_id", f"{_HTML_EXPR} AS html")
+                   .select("doc_id",
+                           html_to_text(F.col("html")).alias("text")))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
+
+
+def test_media_pixel_decode_has_no_shuffle(spark):
+    """r8 tripwire: the media decode pass is one Arrow-batched
+    mapInPandas at media grain — pixels never cross an Exchange (the
+    SCALE.md front-door row measured it linear in bytes; a shuffle
+    sneaking in would make it linear in bytes SHUFFLED)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        image_pixel_stats,
+    )
+
+    media = spark.range(4).selectExpr(
+        "id AS media_id", "CAST('x' AS BINARY) AS content")
+    plan = plan_of(image_pixel_stats(media))
+    assert "Exchange" not in plan
