@@ -204,8 +204,7 @@ def main() -> None:
                                 "content": s.map(mk)})
 
     front = {}
-    base_markup = docs.selectExpr("doc_id", "lang", "text").selectExpr(
-        "doc_id", f"{_HTML_EXPR} AS html")
+    base_markup = docs.selectExpr("doc_id", f"{_HTML_EXPR} AS html")
     # warm the composed paths once
     curate(base_markup.limit(50).select(
         "doc_id", html_to_text(F.col("html")).alias("text"))).count()

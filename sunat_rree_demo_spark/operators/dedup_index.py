@@ -129,13 +129,21 @@ _FNF_SCRATCH_MARKERS = ("blockmgr-", "_temporary", "shuffle_",
 def is_transient_storage_error(exc: BaseException) -> bool:
     """THE one test for 'this failure is a storage blip, retrying is
     safe': a task-write failure / raw EIO signature anywhere in the
-    message, or a FileNotFoundException whose path is Spark scratch
-    (shuffle, block manager, output-committer temp) rather than data."""
+    message, or a FileNotFoundException whose OWN path is Spark
+    scratch (shuffle, block manager, output-committer temp) rather
+    than data. The marker must sit on the same line as the exception
+    mention — a Py4J trace can carry a data-file FNF plus an
+    unrelated '_temporary' cleanup frame further down, and matching
+    anywhere would hand that genuine bug a retry (review finding
+    r8)."""
     s = str(exc)
     if any(t in s for t in TRANSIENT_WRITE_ERRORS):
         return True
-    return ("FileNotFoundException" in s
-            and any(m in s for m in _FNF_SCRATCH_MARKERS))
+    for seg in s.split("FileNotFoundException")[1:]:
+        line = seg.split("\n", 1)[0]
+        if any(m in line for m in _FNF_SCRATCH_MARKERS):
+            return True
+    return False
 
 
 def retry_transient_write(write_fn, cleanup=None) -> None:

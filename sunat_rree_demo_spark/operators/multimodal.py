@@ -739,7 +739,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     means can use the half-up integer device — float means would break
     cross-engine parity. Payloads in neither format yield all-null
     stats (metadata-only rows), and so do well-formed-but-gated codec
-    variants (progressive JPEG, Adam7 PNG, …): a real crawl batch is
+    variants (progressive JPEG, 16-bit PNG, …): a real crawl batch is
     mixed, and one progressive JPEG — the common web encoding — must
     degrade like a GIF or WebP payload does, not abort the whole
     aggregate job (review finding r7). Only genuinely CORRUPT streams

@@ -224,13 +224,13 @@ def _probe_rows(cent, qmat, q_ids, nprobe: int,
     return rows
 
 
-def _micro_dist_kernel(qmat, qindex, with_prn: bool = False):
+def _micro_dist_kernel(qmat, qindex):
     """(mapInPandas generator, schema) computing exact int64
     micro-unit distances from each candidate row's embedding to its
     query — q172's candidate-paired distance kernel (q206 grew its own
     block form in r8: corpus-once input, in-kernel probe tagging and
-    per-batch partial top-k); ``prn`` (probe rank) is threaded
-    through when requested."""
+    per-batch partial top-k, so the prn-threading flag this kernel
+    once carried is gone)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -238,14 +238,11 @@ def _micro_dist_kernel(qmat, qindex, with_prn: bool = False):
         quantize_micros,
     )
 
-    fields = [
+    schema = T.StructType([
         T.StructField("q_id", T.LongType()),
         T.StructField("n_id", T.LongType()),
-    ]
-    if with_prn:
-        fields.append(T.StructField("prn", T.IntegerType()))
-    fields.append(T.StructField("d2", T.LongType()))
-    schema = T.StructType(fields)
+        T.StructField("d2", T.LongType()),
+    ])
 
     def dists(batches, _qm=qmat, _qx=qindex):
         for pdf in batches:
@@ -254,14 +251,11 @@ def _micro_dist_kernel(qmat, qindex, with_prn: bool = False):
             xq = quantize_micros(pdf["embedding"])
             qi = pdf["q_id"].map(_qx).to_numpy()
             d2 = ((xq - _qm[qi]) ** 2).sum(axis=1)
-            out = {
+            yield pd.DataFrame({
                 "q_id": pdf["q_id"].to_numpy(np.int64),
                 "n_id": pdf["vec_id"].to_numpy(np.int64),
-            }
-            if with_prn:
-                out["prn"] = pdf["prn"].to_numpy(np.int32)
-            out["d2"] = d2.astype(np.int64)
-            yield pd.DataFrame(out)
+                "d2": d2.astype(np.int64),
+            })
 
     return dists, schema
 
@@ -517,10 +511,6 @@ def q206_ivf_recall_curve(spark, sf_dir):
     # full query×corpus score matrix.
     import pandas as pd
 
-    from sunat_rree_demo_spark.operators.clustering import (
-        quantize_micros as _qm,
-    )
-
     out_schema = ("q_id long, n_id long, prn int, d2 long")
     qm, qid_arr = qmat, q_ids.astype(np.int64)
     qindex_pos = {int(v): i for i, v in enumerate(qid_arr)}
@@ -533,7 +523,7 @@ def q206_ivf_recall_curve(spark, sf_dir):
         for pdf in batches:
             if not len(pdf):
                 continue
-            xq = _qm(pdf["embedding"])
+            xq = quantize_micros(pdf["embedding"])
             nid = pdf["vec_id"].to_numpy(np.int64)
             d2 = ((xq[:, None, :] - qm[None, :, :]) ** 2).sum(axis=2)
             cd = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

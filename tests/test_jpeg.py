@@ -19,11 +19,15 @@ from sunat_rree_demo_spark.operators.multimodal import (
 
 
 def _ref_pixels(blocks: np.ndarray, blocks_per_row: int) -> np.ndarray:
-    """Independent dequant(1)+IDCT+level-shift reference."""
+    """Independent dequant(1)+IDCT+level-shift reference. floor(x+0.5)
+    is the decoder's DOCUMENTED rounding rule (r8 — chosen so the q209
+    SQL oracle can reproduce it); the reference must pin the same rule
+    or a decoder flip back to np.round would slip through whenever the
+    test's IDCT outputs avoid exact .5."""
     a = _idct_matrix()
     px = np.einsum("ux,nuv,vy->nxy", a,
                    blocks.reshape(-1, 8, 8).astype(np.float64), a)
-    px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+    px = np.clip(np.floor(px + 0.5) + 128, 0, 255).astype(np.uint8)
     by = len(blocks) // blocks_per_row
     return (px.reshape(by, blocks_per_row, 8, 8)
             .transpose(0, 2, 1, 3).reshape(by * 8, blocks_per_row * 8))

@@ -34,6 +34,21 @@ def test_transient_signatures_detected():
         "task_2024/part-00000.parquet"))
 
 
+def test_scratch_marker_on_other_line_is_not_transient():
+    """A data-file FNF whose TRACE happens to mention scratch paths in
+    later frames must not be classified transient: the marker counts
+    only on the exception's own line (review finding r8)."""
+    assert not is_transient_storage_error(RuntimeError(
+        "java.io.FileNotFoundException: spark-warehouse/t/part-0.parquet"
+        " (No such file or directory)\n"
+        "\tat org.apache.spark...\n"
+        "\tSuppressed: cleanup of /tmp/x/_temporary/0 failed"))
+    # but the marker on the SAME line stays retryable
+    assert is_transient_storage_error(RuntimeError(
+        "java.io.FileNotFoundException: /tmp/x/_temporary/0/part-0 "
+        "(Input error)\n\tat org..."))
+
+
 def test_missing_data_file_is_not_transient():
     """The r6 janitor bug's signature — FileNotFoundException on a DATA
     path — must NOT be retried: a second chance there blurs a real
