@@ -828,10 +828,10 @@ _JPEG_ZIGZAG = (
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
 
-#: SOF markers this decoder refuses, by reason (baseline = 0xC0 only)
+#: SOF markers this decoder refuses, by reason (baseline SOF0 and —
+#: since r8 — progressive SOF2 decode for real)
 _JPEG_SOF_GATED = {
     0xC1: "extended sequential JPEG (SOF1)",
-    0xC2: "progressive JPEG (SOF2)",
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
@@ -1049,6 +1049,269 @@ def encode_jpeg_coeff_blocks(blocks: "np.ndarray",
                                   width, height, restart_interval)
 
 
+def encode_jpeg_progressive(comps: list[tuple["np.ndarray", int, int]],
+                            mcus_per_row: int,
+                            width: int | None = None,
+                            height: int | None = None,
+                            al: int = 1) -> bytes:
+    """Progressive (SOF2) JPEG from QUANTIZED coefficient blocks — the
+    test/ingest harness for ``decode_jpeg_pixels``' progressive path
+    (r8), mirroring the scan script real encoders emit: an interleaved
+    DC-first scan at successive-approximation ``Al=al``, per-component
+    AC-first scans over TWO spectral bands (1..5, 6..63 — exercising
+    spectral selection), then one DC-refinement and per-band
+    AC-refinement scan per approximation bit. Same quant-1/no-choices
+    philosophy as ``encode_jpeg_components``: the entropy layers are
+    exact, so a decode recovers the given coefficients bit-for-bit and
+    the progressive pixels equal the baseline pixels for the same
+    blocks (the cross-check the golden tests ride).
+
+    Per T.81 G.1: DC point transform is an ARITHMETIC shift, AC is
+    magnitude truncation toward zero; AC scans are single-component
+    non-interleaved over the component's own ceil block grid (padding
+    blocks of the MCU grid carry no AC — harmless, they are cropped)."""
+    import struct
+
+    nc = len(comps)
+    if not 1 <= nc <= 3:
+        raise ValueError("1..3 components")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    n_mcus = len(comps[0][0]) // (comps[0][1] * comps[0][2])
+    for blocks, hs, vs in comps:
+        if len(blocks) != n_mcus * hs * vs:
+            raise ValueError("component block counts disagree on MCUs")
+    if n_mcus % mcus_per_row:
+        raise ValueError("blocks must tile whole MCU rows")
+    mcus_x = mcus_per_row
+    mcus_y = n_mcus // mcus_per_row
+    w = width if width is not None else mcus_x * 8 * hmax
+    h = height if height is not None else mcus_y * 8 * vmax
+    zz = list(_JPEG_ZIGZAG)
+    bands = ((1, 5), (6, 63))
+
+    # interleaved MCU-order DC block list: (ci, flat index)
+    dc_order = []
+    for mcu in range(n_mcus):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (_b, hs, vs) in enumerate(comps):
+            bpr = mcus_x * hs
+            dc_order += [(ci, (my * vs + v) * bpr + mx * hs + hh)
+                         for v in range(vs) for hh in range(hs)]
+
+    def comp_grid(ci):
+        """The component's non-interleaved block indexes (A.2.2)."""
+        _b, hs, vs = comps[ci]
+        cw = (w * hs + hmax - 1) // hmax
+        ch_ = (h * vs + vmax - 1) // vmax
+        stride = mcus_x * hs
+        return [r * stride + c
+                for r in range((ch_ + 7) // 8)
+                for c in range((cw + 7) // 8)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(scan_comps: list[int], ss, se, ah, al_) -> bytes:
+        body = bytes([len(scan_comps)]) + b"".join(
+            bytes([ci + 1, 0x00]) for ci in scan_comps) \
+            + bytes([ss, se, (ah << 4) | al_])
+        return seg(0xFFDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64))  # quant 0, all ones
+    sof_comps = b"".join(bytes([ci + 1, (hs << 4) | vs, 0])
+                         for ci, (_b, hs, vs) in enumerate(comps))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+
+    def scan_payload(emit_fn, cls: int) -> bytes:
+        """Two-pass: collect symbols → canonical table → DHT + bits."""
+        syms: set[int] = set()
+        emit_fn(lambda s, v=0, n=0: syms.add(s), None)
+        if not syms:
+            return b""  # pure raw-bit scan (DC refinement): no DHT
+        payload, codes = _canonical_codes(sorted(syms),
+                                          5 if cls == 0 else 8)
+        dht = seg(0xFFC4, bytes([(cls << 4)]) + payload)
+        bw = _BitWriter()
+
+        def emit(sym, extra=0, nb=0):
+            code, ln = codes[sym]
+            bw.put(code, ln)
+            if nb:
+                bw.put(extra, nb)
+
+        emit_fn(emit, bw)
+        return dht + bw.flush()
+
+    # ---- scan 1: interleaved DC first (Ah=0, Al=al) ----------------
+    def dc_first(emit, bw):
+        preds = [0] * nc
+        for ci, bi in dc_order:
+            v = int(comps[ci][0][bi][0]) >> al  # arithmetic shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _bit_category(diff)
+            emit(size, diff if diff > 0 else diff + (1 << size) - 1,
+                 size)
+
+    body = scan_payload(dc_first, 0)
+    out += body + sos(list(range(nc)), 0, 0, 0, al)[:0]  # placeholder
+    # (DHT must precede its SOS; rebuild in the right order)
+    out = out[:len(out) - len(body)]
+    dht_end = body.rfind(b"\xff\xda")  # never present; body = dht+bits
+    # body = DHT segment(s) + entropy bits; split at the DHT length
+    (dlen,) = struct.unpack(">H", body[2:4])
+    dht_seg, bits = body[:2 + dlen], body[2 + dlen:]
+    out += dht_seg + sos(list(range(nc)), 0, 0, 0, al) + bits
+
+    # ---- AC first scans per component per band (Al=al) -------------
+    def make_ac_first(ci, ss, se):
+        grid = comp_grid(ci)
+        blocks = comps[ci][0]
+
+        def run(emit, bw):
+            eobrun = 0
+
+            def flush():
+                nonlocal eobrun
+                if not eobrun:
+                    return
+                r = eobrun.bit_length() - 1
+                emit(r << 4, eobrun - (1 << r), r)
+                eobrun = 0
+
+            for bi in grid:
+                blk = blocks[bi]
+                r = 0
+                emitted = False
+                for k in range(ss, se + 1):
+                    v = int(blk[zz[k]])
+                    tv = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if tv == 0:
+                        r += 1
+                        continue
+                    flush()
+                    while r > 15:
+                        emit(0xF0, 0, 0)  # ZRL
+                        r -= 16
+                    size = _bit_category(tv)
+                    emit((r << 4) | size,
+                         tv if tv > 0 else tv + (1 << size) - 1, size)
+                    r = 0
+                    emitted = True
+                if r or not emitted:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+            flush()
+
+        return run
+
+    # careful: a block whose band is all-zero AFTER point transform
+    # must join the EOB run even when it emitted nothing — handled by
+    # `r or not emitted` above (r==0 happens when the band ends on a
+    # just-emitted coefficient)
+    for ci in range(nc):
+        for ss, se in bands:
+            body = scan_payload(make_ac_first(ci, ss, se), 1)
+            (dlen,) = struct.unpack(">H", body[2:4])
+            out += body[:2 + dlen] + sos([ci], ss, se, 0, al) \
+                + body[2 + dlen:]
+
+    # ---- refinement passes, one approximation bit at a time --------
+    for a in range(al, 0, -1):
+        # DC refinement: raw bits, no huffman, no DHT
+        bw = _BitWriter()
+        for ci, bi in dc_order:
+            bw.put((int(comps[ci][0][bi][0]) >> (a - 1)) & 1, 1)
+        out += sos(list(range(nc)), 0, 0, a, a - 1) + bw.flush()
+
+        for ci in range(nc):
+            for ss, se in bands:
+                body = scan_payload(
+                    _make_ac_refine(comps[ci][0], comp_grid(ci), zz,
+                                    ss, se, a), 1)
+                (dlen,) = struct.unpack(">H", body[2:4])
+                out += body[:2 + dlen] + sos([ci], ss, se, a, a - 1) \
+                    + body[2 + dlen:]
+
+    return bytes(out + b"\xff\xd9")
+
+
+def _make_ac_refine(blocks, grid, zz, ss, se, a):
+    """AC refinement scan emitter (T.81 G.1.2.3 encode side, the
+    libjpeg encode_mcu_AC_refine shape): correction bits buffer after
+    the symbol that flushes them; EOB runs buffer their blocks'
+    correction bits until the run itself flushes."""
+    al_ = a - 1
+
+    def run(emit, bw):
+        eobrun = 0
+        be: list[int] = []  # correction bits pending with the EOB run
+
+        def put_bits(bits):
+            if bw is not None:
+                for b in bits:
+                    bw.put(b, 1)
+
+        def flush():
+            nonlocal eobrun, be
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            emit(r << 4, eobrun - (1 << r), r)
+            put_bits(be)
+            eobrun = 0
+            be = []
+
+        for bi in grid:
+            blk = blocks[bi]
+            vals = [int(blk[zz[k]]) for k in range(ss, se + 1)]
+            ts = [abs(v) >> al_ for v in vals]
+            # last newly-nonzero position; trailing zeros/corrections
+            # past it fold into the EOB run (G.7: no dangling ZRLs)
+            eob_at = max((i for i, t in enumerate(ts) if t == 1),
+                         default=-1)
+            r = 0
+            br: list[int] = []
+            emitted = False
+            for i, t in enumerate(ts):
+                if t == 0:
+                    r += 1
+                    continue
+                # flush ZRLs at ANY nonzero coefficient (libjpeg
+                # encode_mcu_AC_refine): this keeps each ZRL's
+                # buffered correction bits inside its own 16-zero
+                # window — deferring the flush to the newly-nonzero
+                # coefficient attached bits for coefficients the
+                # decoder only passes in LATER symbols (the r8 desync
+                # this rewrite fixed)
+                while r > 15 and i <= eob_at:
+                    flush()
+                    emit(0xF0, 0, 0)
+                    r -= 16
+                    put_bits(br)
+                    br = []
+                if t > 1:  # history-nonzero: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush()
+                emit((r << 4) | 1, 1 if vals[i] >= 0 else 0, 1)
+                put_bits(br)
+                br = []
+                r = 0
+                emitted = True
+            if r or br or not emitted:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    return run
+
+
 def encode_jpeg_color_dc_mcus(y_vals: bytes, cb_vals: bytes,
                               cr_vals: bytes, mcus_per_row: int,
                               samp: tuple[int, int] = (2, 2)) -> bytes:
@@ -1062,6 +1325,26 @@ def encode_jpeg_color_dc_mcus(y_vals: bytes, cb_vals: bytes,
     so the decoded 16×16 (or 16×8) patch is EXACTLY the YCbCr→RGB of
     the three stored bytes, computable by an oracle that never sees a
     JPEG (the q209 device, extending q201's grayscale form)."""
+    return encode_jpeg_components(
+        _color_dc_components(y_vals, cb_vals, cr_vals, mcus_per_row,
+                             samp), mcus_per_row)
+
+
+def encode_jpeg_color_dc_progressive(y_vals: bytes, cb_vals: bytes,
+                                     cr_vals: bytes, mcus_per_row: int,
+                                     samp: tuple[int, int] = (2, 2),
+                                     ) -> bytes:
+    """The ``encode_jpeg_color_dc_mcus`` device through the PROGRESSIVE
+    (SOF2) scan script — interleaved subsampled DC first + refinement
+    scans carry all the information, the spectral AC scans are pure
+    EOB runs — so the q211 oracle can verify the progressive decode
+    path with the same never-sees-a-JPEG character arithmetic."""
+    return encode_jpeg_progressive(
+        _color_dc_components(y_vals, cb_vals, cr_vals, mcus_per_row,
+                             samp), mcus_per_row)
+
+
+def _color_dc_components(y_vals, cb_vals, cr_vals, mcus_per_row, samp):
     hs, vs = samp
     n = len(y_vals)
     if not n or len(cb_vals) != n or len(cr_vals) != n:
@@ -1082,9 +1365,7 @@ def encode_jpeg_color_dc_mcus(y_vals: bytes, cb_vals: bytes,
         cb[:, 0] = 8 * (np.frombuffer(vals, np.uint8)
                         .astype(np.int64) - 128)
         chroma.append(cb)
-    return encode_jpeg_components(
-        [(yb, hs, vs), (chroma[0], 1, 1), (chroma[1], 1, 1)],
-        mcus_per_row)
+    return [(yb, hs, vs), (chroma[0], 1, 1), (chroma[1], 1, 1)]
 
 
 def encode_jpeg_gray_blocks(vals: bytes, blocks_per_row: int) -> bytes:
@@ -1103,11 +1384,13 @@ def encode_jpeg_gray_blocks(vals: bytes, blocks_per_row: int) -> bytes:
     return encode_jpeg_coeff_blocks(blocks, blocks_per_row)
 
 
-def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
-    """Split the scan's entropy-coded data into its restart segments:
+def _scan_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data into its restart segments:
     scan for real markers (skipping stuffed 0xFF00 and 0xFF fill
     bytes), cut at every RSTn, stop at the first non-RST marker (EOI
-    or the next segment). Returns the RAW (still-stuffed) segments.
+    or the next scan's header). Returns the RAW (still-stuffed)
+    segments plus the offset of the terminating marker's 0xFF — the
+    multi-scan progressive walk resumes parsing there (r8).
 
     A marker may be preceded by a RUN of 0xFF fill bytes (B.1.1.2);
     the cut lands at the FIRST fill of the run, not at the marker's
@@ -1136,7 +1419,13 @@ def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
         if 0xD0 <= m <= 0xD7:
             start = i = j + 2
             continue
-        return segs
+        return segs, j
+
+
+def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Single-scan view of ``_scan_segments`` (the baseline path never
+    needs the end offset)."""
+    return _scan_segments(payload, pos)[0]
 
 
 def _extend(v: int, size: int) -> int:
@@ -1173,6 +1462,9 @@ def decode_jpeg_pixels(payload: bytes) \
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     restart = 0
+    progressive = False
+    coeffs = None  # progressive: accumulated across scans
+    geom = None    # (mcus_x, mcus_y)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -1188,6 +1480,9 @@ def decode_jpeg_pixels(payload: bytes) \
             break
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xC2:  # SOF2 progressive: same header as SOF0
+            progressive = True
+            marker = 0xC0
         if marker == 0xDB:  # DQT: one or more tables
             o = 0
             while o < len(body):
@@ -1243,20 +1538,40 @@ def decode_jpeg_pixels(payload: bytes) \
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(sof[2]):
-                raise NotImplementedError(
-                    "multi-scan baseline JPEG (one interleaved scan "
-                    "covering every frame component only)")
             scan = []  # (component index, dc table id, ac table id)
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 idx = next(i for i, c in enumerate(sof[2])
                            if c[0] == cs)
                 scan.append((idx, tt >> 4, tt & 0x0F))
-            pos = pos + 2 + ln
-            return _decode_scan(payload, pos, sof, scan, qtabs,
-                                htabs, restart)
+            if not progressive:
+                if ns != len(sof[2]):
+                    raise NotImplementedError(
+                        "multi-scan baseline JPEG (one interleaved "
+                        "scan covering every frame component only)")
+                pos = pos + 2 + ln
+                return _decode_scan(payload, pos, sof, scan, qtabs,
+                                    htabs, restart)
+            # progressive: accumulate this scan into the coefficient
+            # arrays and keep walking — the image finishes at EOI
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coeffs is None:
+                w, h, comps = sof
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                geom = ((w + 8 * hmax - 1) // (8 * hmax),
+                        (h + 8 * vmax - 1) // (8 * vmax))
+                coeffs = [np.zeros(
+                    (geom[1] * vs * geom[0] * hs, 64), np.int64)
+                    for _, hs, vs, _ in comps]
+            pos = _prog_scan(coeffs, payload, pos + 2 + ln, sof, scan,
+                             htabs, restart, ss, se,
+                             ahal >> 4, ahal & 0x0F, *geom)
+            continue
         pos += 2 + ln
+    if progressive and coeffs is not None:
+        return _finish_jpeg(coeffs, sof, qtabs, *geom)
     raise ValueError("JPEG without SOS scan")
 
 
@@ -1360,6 +1675,183 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
             break
     if mcu < nmcu:
         raise ValueError("entropy data ended early")
+    return _finish_jpeg(coeffs, sof, qtabs, mcus_x, mcus_y)
+
+
+def _prog_scan(coeffs, payload, pos, sof, scan, htabs, restart,
+               ss, se, ah, al, mcus_x, mcus_y) -> int:
+    """Decode ONE progressive scan (T.81 G.1.2) into the accumulated
+    coefficient arrays and return the offset of the terminating
+    marker. Four cases: DC first (diff-coded at reduced precision,
+    stored << Al), DC refinement (one raw bit ORed in at Al — exact
+    for negatives because Python ints are two's complement), AC first
+    (run-lengths + EOBRUN over the Ss..Se band, values << Al), AC
+    refinement (correction bits for history-nonzero coefficients,
+    ±1<<Al insertions for newly-nonzero ones, EOBRUN blocks still
+    carrying correction sweeps). DC scans may interleave several
+    components (MCU order); AC scans cover ONE component in its own
+    non-interleaved block grid (G.1.2 requirement, enforced).
+    Restart segments reset DC predictors and the EOB run."""
+    w, h, comps = sof
+    zz = _JPEG_ZIGZAG
+    dc = ss == 0
+    if dc and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if not dc and len(scan) != 1:
+        raise ValueError("progressive AC scan must cover exactly one "
+                         "component")
+    if not dc and not 1 <= ss <= se <= 63:
+        raise ValueError("bad progressive spectral band")
+
+    # unit = the restart-counted element: an MCU for an interleaved
+    # scan, a single block for a non-interleaved one. Each unit lists
+    # (component index, flat block index, dc table, ac table).
+    units: list[list[tuple[int, int, int, int]]] = []
+    if len(scan) > 1:  # interleaved (DC) scan: MCU order
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            unit = []
+            for ci, dct, act in scan:
+                hs, vs = comps[ci][1], comps[ci][2]
+                bpr = mcus_x * hs
+                unit += [(ci, (my * vs + v) * bpr + mx * hs + hh,
+                          dct, act)
+                         for v in range(vs) for hh in range(hs)]
+            units.append(unit)
+    else:  # non-interleaved: the component's OWN ceil grid (A.2.2)
+        ci, dct, act = scan[0]
+        hs, vs = comps[ci][1], comps[ci][2]
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        cw = (w * hs + hmax - 1) // hmax
+        ch_ = (h * vs + vmax - 1) // vmax
+        cbw, cbh = (cw + 7) // 8, (ch_ + 7) // 8
+        stride = mcus_x * hs
+        units = [[(ci, r * stride + c, dct, act)]
+                 for r in range(cbh) for c in range(cbw)]
+
+    n_units = len(units)
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    segs, end = _scan_segments(payload, pos)
+    for seg in segs:
+        raw = seg.replace(b"\xff\x00", b"\xff")
+        data_bits = len(raw) * 8
+        big = int.from_bytes(raw + b"\x00\x00", "big")
+        nbits = data_bits + 16
+        bpos = 0
+        preds = [0] * len(comps)
+        eobrun = 0
+
+        def huff(table):
+            nonlocal bpos
+            peek = (big >> (nbits - bpos - 16)) & 0xFFFF
+            for ln_ in range(1, 17):
+                sym = table.get((ln_, peek >> (16 - ln_)))
+                if sym is not None:
+                    bpos += ln_
+                    return sym
+            raise ValueError("bad huffman code")
+
+        def receive(nb):
+            nonlocal bpos
+            v = (big >> (nbits - bpos - nb)) & ((1 << nb) - 1)
+            bpos += nb
+            return v
+
+        stop = min(n_units, unit + restart) if restart else n_units
+        while unit < stop:
+            for ci, bi, dct, act in units[unit]:
+                blk = coeffs[ci][bi]
+                if dc and ah == 0:      # DC first
+                    size = huff(htabs[(0, dct)])
+                    if size:
+                        preds[ci] += _extend(receive(size), size)
+                    blk[0] = preds[ci] << al
+                elif dc:                # DC refinement: one raw bit
+                    if receive(1):
+                        blk[0] = int(blk[0]) | p1
+                elif ah == 0:           # AC first
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = huff(htabs[(1, act)])
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        blk[zz[k]] = _extend(receive(s), s) << al
+                        k += 1
+                else:                   # AC refinement (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = huff(htabs[(1, act)])
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += receive(r)
+                                    break  # -> EOB correction sweep
+                                val = 0    # ZRL: 16 zero-history skips
+                            elif s == 1:
+                                val = p1 if receive(1) else m1
+                            else:
+                                raise ValueError(
+                                    "bad AC refinement symbol")
+                            while k <= se:
+                                c = int(blk[zz[k]])
+                                if c:
+                                    if receive(1) and not c & p1:
+                                        blk[zz[k]] = \
+                                            c + (p1 if c >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                blk[zz[k]] = val
+                            k += 1
+                    if eobrun:
+                        # EOB block: correction bits only, for every
+                        # remaining history-nonzero coefficient
+                        while k <= se:
+                            c = int(blk[zz[k]])
+                            if c and receive(1) and not c & p1:
+                                blk[zz[k]] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+            unit += 1
+            if bpos > data_bits:
+                raise ValueError("entropy data ended early")
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError("entropy data ended early")
+    return end
+
+
+def _finish_jpeg(coeffs, sof, qtabs, mcus_x, mcus_y):
+    """Shared back half of the decode (baseline AND progressive, r8):
+    dequant → one-GEMM IDCT → component-dim crop → replication
+    upsample → crop to (h, w) → YCbCr→RGB."""
+    global _IDCT_A
+    w, h, comps = sof
+    ncomp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     if _IDCT_A is None:
         _IDCT_A = _idct_matrix()
     a = _IDCT_A

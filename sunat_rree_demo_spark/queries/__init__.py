@@ -46,11 +46,12 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # the round-8 window is new r8 queries (first driver check — highest
 # priority) followed by the longest-unchecked driver-green queries: the 8
 # whose last row is r03 (displaced when the r7 window filled), then r04-era
-# queries.  58 candidates compete for the remaining slots, so 10 r04-era
-# queries whose plans are simple single-stage relational shapes unchanged
-# since r04 (q02-q07, q10-q13) defer to r9; displaced fillers stay
-# driver-green via their historical rows and the identical local exact-hash
-# gate (scripts/check_parity.py), which runs all 200+ queries every round.
+# queries.  58 candidates compete for the remaining 47 slots, so 11
+# r04-era queries with simple single-stage relational plans unchanged
+# since r04 (q02-q07, q10-q13, and q142 truncated by the [:50] cap)
+# defer to r9; displaced fillers stay driver-green via their historical
+# rows and the identical local exact-hash gate (scripts/check_parity.py),
+# which runs all 200+ queries every round.
 # Registration itself is unchanged; this only re-orders the dict.
 # tests/test_driver_window.py asserts every registered query has either a
 # historical CORRECTNESS row or a slot in the current window.
@@ -59,6 +60,7 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 _R8_NEW = (
     "q209_jpeg_color_stats",
     "q210_adam7_png_stats",
+    "q211_progressive_jpeg_stats",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

@@ -240,11 +240,20 @@ def test_gates_and_robustness():
     assert decode_jpeg_pixels(b"\x89PNG\r\n\x1a\nxxxx") is None
     assert decode_jpeg_pixels(b"") is None
 
+    # flipping a BASELINE stream's SOF marker to SOF2 yields a LYING
+    # stream (its single scan claims the full spectral band, illegal
+    # for progressive) — fails loud as corrupt, since r8 made real
+    # progressive streams decodable
     prog = bytearray(img)
     i = img.index(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(prog))
+
+    ext = bytearray(img)
+    ext[i + 1] = 0xC1  # extended sequential: still honestly gated
+    with pytest.raises(NotImplementedError, match="extended"):
+        decode_jpeg_pixels(bytes(ext))
 
     # a single-COMPONENT frame ignores declared sampling factors
     # (T.81 A.2.2: Hi/Hmax = 1) — r8, where multi-component
@@ -314,10 +323,10 @@ def test_entropy_segment_cut_excludes_fill_run():
 
 
 def test_pixel_stats_degrade_gated_variants(spark):
-    """A mixed crawl batch with one progressive JPEG (the common web
-    encoding) and one 16-bit PNG must yield null-stats rows for those,
-    not abort the aggregate job (review finding r7) — while a decodable
-    sibling in the same batch still gets real stats."""
+    """A mixed crawl batch with one extended-sequential JPEG (gated)
+    and one 16-bit PNG must yield null-stats rows for those, not abort
+    the aggregate job (review finding r7) — while a decodable sibling
+    in the same batch still gets real stats."""
     from sunat_rree_demo_spark.operators.multimodal import (
         encode_png_gray,
         image_pixel_stats,
@@ -325,7 +334,7 @@ def test_pixel_stats_degrade_gated_variants(spark):
 
     good = encode_jpeg_gray_blocks(bytes([90] * 16), 16)
     prog = bytearray(good)
-    prog[good.index(b"\xff\xc0") + 1] = 0xC2  # progressive SOF2
+    prog[good.index(b"\xff\xc0") + 1] = 0xC1  # SOF1 extended (gated)
     png = bytearray(encode_png_gray(bytes([1, 2, 3, 4]), 2))
     png[24] = 16  # IHDR bit depth -> 16 (gated; CRC is not checked)
     rows = [(1, bytearray(good)), (2, prog), (3, png)]
@@ -347,3 +356,90 @@ def test_fill_bytes_before_markers_accepted():
     w, h, ch, px = decode_jpeg_pixels(padded)
     assert (w, h, ch) == (128, 8, 1)
     assert decode_jpeg_pixels(img)[3] == px
+
+
+# ------------------------------------------------------------- progressive
+def test_progressive_grayscale_matches_baseline():
+    """Progressive (SOF2) decode must produce EXACTLY the pixels the
+    baseline pipeline produces for the same quantized blocks: both
+    entropy layers are lossless, so the full scan script (interleaved
+    DC first, two spectral AC bands, successive-approximation DC and
+    AC refinements with EOBRUN + correction bits) must reconstruct
+    the coefficients bit-for-bit."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(21)
+    n = 24
+    blocks = rng.randint(-90, 91, size=(n, 64)).astype(np.int64)
+    blocks[rng.rand(n, 64) < 0.55] = 0
+    blocks[:, 0] = rng.randint(-800, 801, n)
+    blocks[4, 1:] = 0           # DC-only block (pure EOBRUN member)
+    blocks[7, 1:62] = 0         # long zero run crossing both bands
+    blocks[7, 62] = 1           # newly-nonzero only at the last bit
+    blocks[9, 1:] = 0
+    blocks[9, 5] = -1           # refinement-scan-only coefficient
+
+    base = decode_jpeg_pixels(encode_jpeg_coeff_blocks(blocks, 8))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(
+        [(blocks, 1, 1)], 8))
+    assert prog[:3] == base[:3] == (64, 24, 1)
+    assert prog[3] == base[3]
+
+
+def test_progressive_color_420_matches_baseline():
+    """The same cross-check for 4:2:0 color: interleaved DC scans over
+    subsampled components, per-component non-interleaved AC scans on
+    each component's OWN ceil grid, odd crop dims."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_components,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    mcus_x, mcus_y = 3, 2
+    w, h = mcus_x * 16 - 7, mcus_y * 16 - 2
+
+    def rand_blocks(n):
+        b = rng.randint(-70, 71, size=(n, 64)).astype(np.int64)
+        b[rng.rand(n, 64) < 0.7] = 0
+        b[:, 0] = rng.randint(-600, 601, n)
+        return b
+
+    comps = [(rand_blocks(mcus_x * mcus_y * 4), 2, 2),
+             (rand_blocks(mcus_x * mcus_y), 1, 1),
+             (rand_blocks(mcus_x * mcus_y), 1, 1)]
+    base = decode_jpeg_pixels(encode_jpeg_components(
+        comps, mcus_x, width=w, height=h))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(
+        comps, mcus_x, width=w, height=h))
+    assert prog[:3] == base[:3] == (w, h, 3)
+    assert prog[3] == base[3]
+
+
+def test_progressive_deeper_approximation_and_sparse():
+    """al=2 (two refinement rounds per band) over a sparse matrix —
+    exercises repeated correction-bit passes where |v|>>Al crosses
+    1 on different scans — and an all-zero-AC image (pure EOBRUN
+    everywhere)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 16
+    blocks = rng.randint(-7, 8, size=(n, 64)).astype(np.int64)
+    blocks[rng.rand(n, 64) < 0.8] = 0
+    blocks[:, 0] = rng.randint(-100, 101, n)
+    base = decode_jpeg_pixels(encode_jpeg_coeff_blocks(blocks, 4))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(
+        [(blocks, 1, 1)], 4, al=2))
+    assert prog[3] == base[3]
+
+    dconly = np.zeros((8, 64), np.int64)
+    dconly[:, 0] = [8 * (v - 128) for v in range(40, 200, 20)]
+    base = decode_jpeg_pixels(encode_jpeg_coeff_blocks(dconly, 4))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(
+        [(dconly, 1, 1)], 4))
+    assert prog[3] == base[3]
