@@ -739,13 +739,14 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     means can use the half-up integer device — float means would break
     cross-engine parity. Payloads in neither format yield all-null
     stats (metadata-only rows), and so do well-formed-but-gated codec
-    variants (progressive JPEG, 16-bit PNG, …): a real crawl batch is
-    mixed, and one progressive JPEG — the common web encoding — must
-    degrade like a GIF or WebP payload does, not abort the whole
-    aggregate job (review finding r7). Only genuinely CORRUPT streams
-    raise (ValueError): silent wrong pixels must never reach a stats
-    aggregate, but "we honestly don't decode this yet" is a null, not
-    a crash.
+    variants (extended-sequential or arithmetic-coded JPEG, 16-bit
+    PNG, …): a real crawl batch is mixed, and one gated-variant image
+    must degrade like a GIF or WebP payload does, not abort the whole
+    aggregate job (review finding r7; progressive JPEG and Adam7 PNG
+    left this list in r8 — they decode for real now). Only genuinely
+    CORRUPT streams raise (ValueError): silent wrong pixels must never
+    reach a stats aggregate, but "we honestly don't decode this yet"
+    is a null, not a crash.
 
     Scale shape: one mapInPandas pass, no shuffle — stats land at media
     grain and any corpus-level aggregate shuffles only the tiny stats
@@ -813,12 +814,14 @@ def sniff_media_type(payload: bytes) -> str:
 # fully implemented, so quantized coefficients are recovered exactly;
 # dequantization and the IDCT ride one numpy matrix pair per image.
 # r8 adds the interleaved multi-component scan with chroma
-# subsampling (4:2:0 / 4:2:2 / 4:4:0 — sampling factors 1..2), which
-# is what a real crawl's images actually use; upsampling is sample
+# subsampling (4:2:0 / 4:2:2 / 4:4:0 — sampling factors 1..2) AND the
+# progressive (SOF2) mode — multi-scan coefficient accumulation,
+# spectral selection, successive approximation — which together cover
+# what a real crawl's images actually use; upsampling is sample
 # replication (nearest), documented and pinned by the golden tests.
-# Progressive (SOF2), arithmetic coding (SOF9+), lossless JPEG and
-# sampling factors >2 stay honestly gated behind NotImplementedError —
-# wrong pixels must never silently reach a stats aggregate.
+# Arithmetic coding (SOF9+), lossless JPEG and sampling factors >2
+# stay honestly gated behind NotImplementedError — wrong pixels must
+# never silently reach a stats aggregate.
 
 #: zigzag scan position -> natural (row-major) coefficient index
 _JPEG_ZIGZAG = (
@@ -1124,12 +1127,12 @@ def encode_jpeg_progressive(comps: list[tuple["np.ndarray", int, int]],
                          for ci, (_b, hs, vs) in enumerate(comps))
     out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
 
-    def scan_payload(emit_fn, cls: int) -> bytes:
-        """Two-pass: collect symbols → canonical table → DHT + bits."""
+    def scan_payload(emit_fn, cls: int) -> tuple[bytes, bytes]:
+        """Two-pass: collect symbols → canonical table → (DHT segment,
+        entropy bits) — returned apart so callers interleave the SOS
+        header between them without re-parsing segment lengths."""
         syms: set[int] = set()
         emit_fn(lambda s, v=0, n=0: syms.add(s), None)
-        if not syms:
-            return b""  # pure raw-bit scan (DC refinement): no DHT
         payload, codes = _canonical_codes(sorted(syms),
                                           5 if cls == 0 else 8)
         dht = seg(0xFFC4, bytes([(cls << 4)]) + payload)
@@ -1142,7 +1145,7 @@ def encode_jpeg_progressive(comps: list[tuple["np.ndarray", int, int]],
                 bw.put(extra, nb)
 
         emit_fn(emit, bw)
-        return dht + bw.flush()
+        return dht, bw.flush()
 
     # ---- scan 1: interleaved DC first (Ah=0, Al=al) ----------------
     def dc_first(emit, bw):
@@ -1155,15 +1158,8 @@ def encode_jpeg_progressive(comps: list[tuple["np.ndarray", int, int]],
             emit(size, diff if diff > 0 else diff + (1 << size) - 1,
                  size)
 
-    body = scan_payload(dc_first, 0)
-    out += body + sos(list(range(nc)), 0, 0, 0, al)[:0]  # placeholder
-    # (DHT must precede its SOS; rebuild in the right order)
-    out = out[:len(out) - len(body)]
-    dht_end = body.rfind(b"\xff\xda")  # never present; body = dht+bits
-    # body = DHT segment(s) + entropy bits; split at the DHT length
-    (dlen,) = struct.unpack(">H", body[2:4])
-    dht_seg, bits = body[:2 + dlen], body[2 + dlen:]
-    out += dht_seg + sos(list(range(nc)), 0, 0, 0, al) + bits
+    dht, bits = scan_payload(dc_first, 0)
+    out += dht + sos(list(range(nc)), 0, 0, 0, al) + bits
 
     # ---- AC first scans per component per band (Al=al) -------------
     def make_ac_first(ci, ss, se):
@@ -1214,10 +1210,8 @@ def encode_jpeg_progressive(comps: list[tuple["np.ndarray", int, int]],
     # just-emitted coefficient)
     for ci in range(nc):
         for ss, se in bands:
-            body = scan_payload(make_ac_first(ci, ss, se), 1)
-            (dlen,) = struct.unpack(">H", body[2:4])
-            out += body[:2 + dlen] + sos([ci], ss, se, 0, al) \
-                + body[2 + dlen:]
+            dht, bits = scan_payload(make_ac_first(ci, ss, se), 1)
+            out += dht + sos([ci], ss, se, 0, al) + bits
 
     # ---- refinement passes, one approximation bit at a time --------
     for a in range(al, 0, -1):
@@ -1229,12 +1223,10 @@ def encode_jpeg_progressive(comps: list[tuple["np.ndarray", int, int]],
 
         for ci in range(nc):
             for ss, se in bands:
-                body = scan_payload(
+                dht, bits = scan_payload(
                     _make_ac_refine(comps[ci][0], comp_grid(ci), zz,
                                     ss, se, a), 1)
-                (dlen,) = struct.unpack(">H", body[2:4])
-                out += body[:2 + dlen] + sos([ci], ss, se, a, a - 1) \
-                    + body[2 + dlen:]
+                out += dht + sos([ci], ss, se, a, a - 1) + bits
 
     return bytes(out + b"\xff\xd9")
 
@@ -1433,20 +1425,36 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _htab(htabs, cls: int, tid: int):
+    """Huffman table lookup that keeps a malformed stream inside the
+    documented corrupt-stream taxonomy: a scan naming a table no DHT
+    defined is a ValueError, not a KeyError — progressive streams
+    deliver tables incrementally between scans, so the miss is a
+    realistic corruption (review finding r8)."""
+    try:
+        return htabs[(cls, tid)]
+    except KeyError:
+        raise ValueError(
+            f"scan references undefined huffman table "
+            f"(class {cls}, id {tid})") from None
+
+
 def decode_jpeg_pixels(payload: bytes) \
         -> tuple[int, int, int, bytes] | None:
     """(width, height, channels, samples) for a baseline sequential
-    (SOF0) huffman JPEG — REAL pixel decode, stdlib+numpy only:
-    segment walk, canonical huffman from DHT, DC prediction + AC
-    run-lengths with byte unstuffing and restart markers, interleaved
-    MCUs with chroma subsampling (sampling factors 1..2: 4:4:4, 4:2:2,
-    4:2:0, 4:4:0), dequantize, one vectorized IDCT over all blocks,
+    (SOF0) or progressive (SOF2) huffman JPEG — REAL pixel decode,
+    stdlib+numpy only: segment walk, canonical huffman from DHT, DC
+    prediction + AC run-lengths with byte unstuffing and restart
+    markers, interleaved MCUs with chroma subsampling (sampling
+    factors 1..2: 4:4:4, 4:2:2, 4:2:0, 4:4:0), progressive multi-scan
+    accumulation (spectral selection + successive approximation,
+    ``_prog_scan``), dequantize, one vectorized IDCT over all blocks,
     replication (nearest) chroma upsampling, YCbCr→RGB for
     3-component images. ``samples`` is row-major, channel-interleaved,
     like ``decode_png_pixels``.
 
     Returns None for non-JPEG payloads; NotImplementedError for the
-    honestly-gated variants (progressive/arithmetic/lossless — see
+    honestly-gated variants (arithmetic/lossless/extended — see
     ``_JPEG_SOF_GATED`` — plus sampling factors >2 and multi-scan
     baseline); ValueError for corrupt streams. Scale note: entropy
     decode is big-int Python at image grain inside Arrow batches (the
@@ -1625,7 +1633,8 @@ def _decode_scan(payload, pos, sof, scan, qtabs, htabs, restart):
                 bpr = mcus_x * hs
                 blk = coeffs[ci][(my * vs + v) * bpr + mx * hs + hh]
                 for phase in (0, 1):
-                    table = htabs[(phase, dct if phase == 0 else act)]
+                    table = _htab(htabs, phase,
+                                  dct if phase == 0 else act)
                     if phase == 0:
                         peek = (big >> (nbits - bpos - 16)) & 0xFFFF
                         for ln in range(1, 17):
@@ -1764,7 +1773,7 @@ def _prog_scan(coeffs, payload, pos, sof, scan, htabs, restart,
             for ci, bi, dct, act in units[unit]:
                 blk = coeffs[ci][bi]
                 if dc and ah == 0:      # DC first
-                    size = huff(htabs[(0, dct)])
+                    size = huff(_htab(htabs, 0, dct))
                     if size:
                         preds[ci] += _extend(receive(size), size)
                     blk[0] = preds[ci] << al
@@ -1777,7 +1786,7 @@ def _prog_scan(coeffs, payload, pos, sof, scan, htabs, restart,
                         continue
                     k = ss
                     while k <= se:
-                        sym = huff(htabs[(1, act)])
+                        sym = huff(_htab(htabs, 1, act))
                         r, s = sym >> 4, sym & 0x0F
                         if s == 0:
                             if r == 15:
@@ -1796,7 +1805,7 @@ def _prog_scan(coeffs, payload, pos, sof, scan, htabs, restart,
                     k = ss
                     if eobrun == 0:
                         while k <= se:
-                            sym = huff(htabs[(1, act)])
+                            sym = huff(_htab(htabs, 1, act))
                             r, s = sym >> 4, sym & 0x0F
                             if s == 0:
                                 if r != 15:

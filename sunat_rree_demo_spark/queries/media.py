@@ -514,7 +514,7 @@ def q211_progressive_jpeg_stats(spark, sf_dir):
     EOB runs for DC-only content), then DC and AC refinement passes —
     so a successive-approximation slip, EOBRUN mis-count, refinement
     correction-bit desync or scan-accumulation bug breaks the hash.
-    The oracle is q209's character arithmetic at width {_PROG_PR}·16.
+    The oracle is q209's character arithmetic at width 112.
 
     Scale shape: identical to q209 — fan_out → Arrow-batched encode →
     one decode+stats pass, no shuffle before the doc-grain sort."""
