@@ -321,7 +321,7 @@ def q201_jpeg_pixel_stats(spark, sf_dir):
 #: Cr), so uncapped sf0.1 encode was 11.6 s cold (120-cap still 6.7) for zero extra
 #: verification power — the decode path is equally exercised per MCU
 _MCU_PR = 8
-_MCU_CAP = 64
+_MCU_CAP = 32
 
 
 @register(
