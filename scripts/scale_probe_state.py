@@ -183,6 +183,7 @@ def main() -> None:
     from sunat_rree_demo_spark.operators.extract import html_to_text
     from sunat_rree_demo_spark.operators.multimodal import (
         encode_jpeg_color_dc_mcus,
+        encode_jpeg_color_dc_progressive,
         image_pixel_stats,
     )
     from sunat_rree_demo_spark.queries.extraction import _HTML_EXPR
@@ -192,16 +193,26 @@ def main() -> None:
 
     def to_media(it):
         for pdf in it:
-            def mk(s: str) -> bytes:
-                b = s.encode("ascii")[:64].ljust(8, b"A")
+            def mk(row) -> bytes:
+                did, s = row
+                # 24-char cap: the progressive encoder is ~14 Python
+                # passes per image, and this synthesis is PREP, not
+                # the measured decode step — 64-char images made the
+                # 10x prep alone outlast the probe budget
+                b = s.encode("ascii")[:24].ljust(8, b"A")
                 b = b[:len(b) - len(b) % 8]
                 arr = np.frombuffer(b, np.uint8).astype(np.int64)
-                return encode_jpeg_color_dc_mcus(
+                # alternate baseline / progressive per doc — a real
+                # crawl's image mix (r8: both decode for real)
+                enc = (encode_jpeg_color_dc_mcus if did % 2
+                       else encode_jpeg_color_dc_progressive)
+                return enc(
                     b, (255 - arr).astype(np.uint8).tobytes(),
                     (arr % 192 + 32).astype(np.uint8).tobytes(), 8)
             s = (pdf["text"].str.replace(r"[^ -~]", "", regex=True))
-            yield pd.DataFrame({"media_id": pdf["doc_id"],
-                                "content": s.map(mk)})
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "content": list(map(mk, zip(pdf["doc_id"], s)))})
 
     front = {}
     base_markup = docs.selectExpr("doc_id", f"{_HTML_EXPR} AS html")

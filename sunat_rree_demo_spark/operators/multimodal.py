@@ -551,25 +551,40 @@ def _filter_row(row: bytes, prior: bytes, f: int) -> bytes:
 
 def encode_png_gray(pixels: bytes, width: int,
                     filter_choice: str = "cycle",
-                    interlace: bool = False) -> bytes:
-    """8-bit grayscale PNG encoder, stdlib-only. ``filter_choice``:
-    ``"none"`` writes filter 0 rows; ``"cycle"`` rotates through all
-    five row filters (None/Sub/Up/Average/Paeth) so a decode of the
-    result exercises every unfilter path — the property q186 rides:
-    encode(text bytes) → decode → stats must equal stats computed
-    straight from the bytes. ``interlace=True`` writes the Adam7
-    layout (seven independently-filtered sub-images, RFC 2083 §2.6) —
-    the q210 twin device for the interlaced decode path."""
+                    interlace: bool = False,
+                    depth: int = 8) -> bytes:
+    """Grayscale PNG encoder, stdlib-only, depths 1/2/4/8.
+    ``filter_choice``: ``"none"`` writes filter 0 rows; ``"cycle"``
+    rotates through all five row filters (None/Sub/Up/Average/Paeth)
+    so a decode of the result exercises every unfilter path — the
+    property q186 rides: encode(text bytes) → decode → stats must
+    equal stats computed straight from the bytes. ``interlace=True``
+    writes the Adam7 layout (seven independently-filtered sub-images,
+    RFC 2083 §2.6) — the q210 twin device for the interlaced decode
+    path. Sub-byte depths pack samples MSB-first per scanline (final
+    byte zero-padded) and filter the PACKED bytes, per spec; every
+    ``pixels`` value must be < 2**depth."""
     import struct
     import zlib
 
     if width <= 0 or len(pixels) % width:
         raise ValueError("pixels must be height x width bytes")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("depth must be 1/2/4/8")
+    if depth < 8 and any(p >= (1 << depth) for p in pixels):
+        raise ValueError(f"sample value out of range for {depth}-bit")
     height = len(pixels) // width
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data)))
+
+    def pack(row: bytes) -> bytes:
+        if depth == 8:
+            return bytes(row)
+        bits = np.unpackbits(np.frombuffer(bytes(row), np.uint8)
+                             .reshape(-1, 1), axis=1)[:, -depth:]
+        return np.packbits(bits.reshape(-1)).tobytes()
 
     raw = bytearray()
     if interlace:
@@ -578,23 +593,24 @@ def encode_png_gray(pixels: bytes, width: int,
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass: NO scanlines at all
-            prior = bytes(pw)
+            prior = bytes((pw * depth + 7) // 8)
             for j in range(ph):
                 base = (y0 + j * dy) * width + x0
-                row = bytes(pixels[base + i * dx] for i in range(pw))
+                row = pack(bytes(pixels[base + i * dx]
+                                 for i in range(pw)))
                 f = (j % 5) if filter_choice == "cycle" else 0
                 raw.append(f)
                 raw += _filter_row(row, prior, f)
                 prior = row
     else:
-        prior = bytes(width)
+        prior = bytes((width * depth + 7) // 8)
         for j in range(height):
-            row = pixels[j * width:(j + 1) * width]
+            row = pack(pixels[j * width:(j + 1) * width])
             f = (j % 5) if filter_choice == "cycle" else 0
             raw.append(f)
             raw += _filter_row(row, prior, f)
             prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 0, 0, 0,
                        1 if interlace else 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -640,19 +656,35 @@ def _unfilter_rows(raw: bytes, off: int, n_rows: int, stride: int,
     return out, off
 
 
+def _unpack_samples(rows: bytes, n_rows: int, stride: int, depth: int,
+                    spr: int) -> bytes:
+    """Unpack ``depth``-bit (1/2/4) samples from byte-packed scanlines
+    (MSB-first within each byte, RFC 2083 §2.3), dropping the padding
+    bits of each row's final byte: one output byte per SAMPLE."""
+    a = np.frombuffer(bytes(rows), np.uint8).reshape(n_rows, stride)
+    bits = np.unpackbits(a, axis=1).reshape(n_rows, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)[:, :spr] \
+        .tobytes()
+
+
 def decode_png_pixels(payload: bytes) \
         -> tuple[int, int, int, bytes] | None:
-    """(width, height, channels, samples) for an 8-bit PNG, sequential
-    or Adam7-interlaced — REAL pixel decode, stdlib-only: chunk walk,
-    zlib-inflate the concatenated IDAT stream, invert the five row
-    filters, expand palette indices through PLTE. ``samples`` is
-    row-major, channel-interleaved (grayscale → 1 byte/pixel,
-    RGB → 3, …).
+    """(width, height, channels, samples) for a 1/2/4/8-bit PNG,
+    sequential or Adam7-interlaced — REAL pixel decode, stdlib-only:
+    chunk walk, zlib-inflate the concatenated IDAT stream, invert the
+    five row filters (byte-grain, per spec, so sub-byte depths reuse
+    the same unfilter), unpack packed sample bits, expand palette
+    indices through PLTE. ``samples`` is row-major,
+    channel-interleaved, ONE BYTE PER SAMPLE; sub-byte grayscale
+    reports the RAW stored level (0..2^depth−1), not a scaled 8-bit
+    rendering — this is an analytics engine, stats are over stored
+    values.
 
     Returns None for non-PNG payloads (callers fall back to metadata-
-    only handling); raises ``NotImplementedError`` for the PNG variants
-    whose decode is structurally different (1/2/4/16-bit depths — see
-    COVERAGE.md for the 16-bit decision) and ``ValueError`` for corrupt
+    only handling); raises ``NotImplementedError`` for 16-bit depth
+    (a PERMANENT gate — see COVERAGE.md: 16-bit samples would silently
+    change the stats columns' meaning) and ``ValueError`` for corrupt
     streams — silent wrong pixels must never reach a stats aggregate.
     Adam7 interlace decodes for real since r8: seven sub-images, each
     unfiltered independently, scattered back on the pass grid."""
@@ -680,14 +712,24 @@ def decode_png_pixels(payload: bytes) \
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG (8-bit only)")
+    if depth == 16:
+        raise NotImplementedError("16-bit PNG (8-bit only)")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad PNG bit depth {depth}")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"{depth}-bit PNG with color type {color} "
+                         "(spec allows sub-byte only for grayscale/"
+                         "palette)")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
+
+    def row_bytes(n_samples: int) -> int:
+        return (n_samples * depth + 7) // 8  # packed scanline width
+
     if interlace:
         arr = np.zeros((height, width, ch), np.uint8)
         off = 0
@@ -696,17 +738,23 @@ def decode_png_pixels(payload: bytes) \
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass carries NO scanlines
-            sub, off = _unfilter_rows(raw, off, ph, pw * ch, ch)
+            stride = row_bytes(pw * ch)
+            sub, off = _unfilter_rows(raw, off, ph, stride, ch)
+            if depth < 8:
+                sub = _unpack_samples(sub, ph, stride, depth, pw * ch)
             arr[y0::dy, x0::dx] = (np.frombuffer(bytes(sub), np.uint8)
                                    .reshape(ph, pw, ch))
         if off != len(raw):
             raise ValueError("PNG pixel data length mismatch")
         out = bytearray(arr.tobytes())
     else:
-        stride = width * ch
+        stride = row_bytes(width * ch)
         if len(raw) != height * (stride + 1):
             raise ValueError("PNG pixel data length mismatch")
         out, _ = _unfilter_rows(raw, 0, height, stride, ch)
+        if depth < 8:
+            out = bytearray(_unpack_samples(out, height, stride,
+                                            depth, width * ch))
     if color == 3:      # palette: expand indices to RGB triples
         if plte is None:
             raise ValueError("palette PNG without PLTE")

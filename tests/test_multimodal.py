@@ -590,3 +590,82 @@ def test_adam7_trailing_garbage_raises():
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="length mismatch"):
         decode_png_pixels(bad)
+
+
+def test_sub_byte_png_round_trips():
+    """1/2/4-bit grayscale PNGs decode for real (r8): packed MSB-first
+    samples, byte-grain filters on the PACKED scanlines, ragged final
+    bytes, both sequential and Adam7 — decode(encode(px)) == px with
+    RAW stored levels (0..2^depth−1), one byte per sample."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_gray,
+    )
+
+    rng = np.random.RandomState(9)
+    for depth in (1, 2, 4):
+        for w, h in [(1, 1), (3, 5), (17, 4), (21, 6)]:
+            px = rng.randint(0, 1 << depth, w * h).astype(
+                np.uint8).tobytes()
+            for inter in (False, True):
+                img = encode_png_gray(px, w, interlace=inter,
+                                      depth=depth)
+                assert decode_png_pixels(img) == (w, h, 1, px), \
+                    (depth, w, h, inter)
+    # out-of-range sample values fail at encode time, loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out of range"):
+        encode_png_gray(bytes([4]), 1, depth=2)
+
+
+def test_sub_byte_palette_png():
+    """4-bit palette PNG: packed indices expand through PLTE to RGB
+    triples — the common icon/logo encoding in a web crawl."""
+    import struct
+    import zlib
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    rows = b"".join(b"\x00" + bytes([(r[0] << 4) | r[1], r[2] << 4])
+                    for r in ([0, 1, 2], [2, 1, 0]))
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0)
+    img = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(rows))
+           + chunk(b"IEND", b""))
+    w, h, ch, px = decode_png_pixels(img)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px == bytes([10, 20, 30, 40, 50, 60, 70, 80, 90,
+                        70, 80, 90, 40, 50, 60, 10, 20, 30])
+
+
+def test_sub_byte_with_color_type_rejected():
+    """Sub-byte depths are spec-legal only for grayscale/palette; an
+    RGB IHDR claiming 4-bit is corrupt, not gated."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 4, 2, 0, 0, 0)  # RGB @ 4-bit
+    img = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="color type"):
+        decode_png_pixels(img)
