@@ -767,6 +767,194 @@ def decode_png_pixels(payload: bytes) \
     return (width, height, ch, bytes(out))
 
 
+# --------------------------------------------------------------- GIF pixels
+# Real GIF decode (r8): LZW is fully specified and needs no codec
+# library — variable-width LSB-first codes, dict growth to 12 bits,
+# clear/EOI, the KwKwK (code == next_code) corner — plus the 4-pass
+# row interlace and palette expansion. First image block only (an
+# animated GIF's later frames need disposal/compositing state — out
+# of scope for pixel STATS; documented).
+
+#: GIF interlace passes: (row start, row step) — GIF89a spec appendix E
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
+    """LZW decompression for GIF image data (LSB-first bit packing,
+    variable code width min_code+1 .. 12, clear/EOI codes, KwKwK)."""
+    if not 2 <= min_code <= 8:
+        raise ValueError("bad LZW minimum code size")
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    bpos = 0
+    size = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while bpos + size <= nbits:
+        code = (big >> bpos) & ((1 << size) - 1)
+        bpos += size
+        if code == clear:
+            table = table[:eoi + 1]
+            size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+        prev = entry
+    raise ValueError("LZW stream ended without EOI")
+
+
+def decode_gif_pixels(payload: bytes) \
+        -> tuple[int, int, int, bytes] | None:
+    """(width, height, 3, rgb_samples) for a GIF87a/89a payload — REAL
+    pixel decode, stdlib-only: logical screen descriptor, global/local
+    palette, extension-block skip, LZW decompression of the FIRST
+    image block, 4-pass interlace reorder, palette→RGB expansion.
+    Frames after the first need disposal/compositing state and are out
+    of scope for pixel stats (the first frame IS the poster frame).
+    Transparency is ignored — stats run over stored palette colors.
+
+    Returns None for non-GIF payloads; ValueError for corrupt
+    streams (same taxonomy as the PNG/JPEG decoders)."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer before any image
+            raise ValueError("GIF without an image block")
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+        left, top, iw, ih, ip = struct.unpack("<HHHHB",
+                                              payload[pos + 1:pos + 10])
+        pos += 10
+        pal = gct
+        if ip & 0x80:  # local color table
+            n = 2 << (ip & 0x07)
+            pal = payload[pos:pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        if not iw or not ih:
+            raise ValueError("empty GIF image descriptor")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            chunk = payload[pos + 1:pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated GIF data sub-block")
+            data += chunk
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(data), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data short")
+        idx = idx[:iw * ih]
+        if ip & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+            order = [r for start, step in _GIF_PASSES
+                     for r in range(start, ih, step)]
+            seq = [b""] * ih
+            for src, dst in enumerate(order):
+                seq[dst] = rows[src]
+            idx = b"".join(seq)
+        arr = np.frombuffer(idx, np.uint8)
+        if int(arr.max()) * 3 + 3 > len(pal):
+            raise ValueError("GIF palette index out of range")
+        rgb = (np.frombuffer(pal, np.uint8)
+               .reshape(-1, 3)[arr].astype(np.uint8))
+        # dims are the IMAGE descriptor's (the common whole-screen
+        # frame); a sub-rectangle frame reports its own dims — stats
+        # still cover exactly the stored pixels
+        return (iw, ih, 3, rgb.tobytes())
+    raise ValueError("GIF without an image block")
+
+
+def encode_gif_gray(pixels: bytes, width: int,
+                    interlace: bool = False) -> bytes:
+    """Grayscale GIF encoder (identity 256-entry palette, the
+    'uncompressed GIF' LZW form: 9-bit literal codes with a CLEAR
+    every 254 symbols so the decoder's table never forces a width
+    bump) — the q212 device twin: decode(encode(bytes)) returns each
+    source byte as an (v,v,v) RGB pixel, so the oracle computes stats
+    straight from the characters. Real compressed streams'
+    dict-growth/KwKwK decode paths are pinned separately by
+    handcrafted-bitstream tests."""
+    import struct
+
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixels must be height x width bytes")
+    height = len(pixels) // width
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT 256
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                 0x40 if interlace else 0x00)
+    if interlace:
+        order = [r for start, step in _GIF_PASSES
+                 for r in range(start, height, step)]
+        pixels = b"".join(pixels[r * width:(r + 1) * width]
+                          for r in order)
+    out += b"\x08"  # LZW minimum code size (256 literals)
+    acc = nb = 0
+    codes = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += 9
+        while nb >= 8:
+            codes.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    put(256)  # CLEAR
+    for i, px in enumerate(pixels):
+        if i and i % 254 == 0:
+            put(256)  # re-CLEAR before the decoder's table fills
+        put(px)
+    put(257)  # EOI
+    if nb:
+        codes.append(acc & 0xFF)
+    for i in range(0, len(codes), 255):
+        blk = codes[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 PIXEL_STATS_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.IntegerType(), True),
@@ -808,9 +996,12 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                 dec = None
                 if payload is not None:
                     try:
-                        dec = decode_png_pixels(bytes(payload))
+                        raw = bytes(payload)
+                        dec = decode_png_pixels(raw)
                         if dec is None:
-                            dec = decode_jpeg_pixels(bytes(payload))
+                            dec = decode_jpeg_pixels(raw)
+                        if dec is None:
+                            dec = decode_gif_pixels(raw)
                     except NotImplementedError:
                         dec = None  # gated variant: degrade, don't abort
                 if dec is None:

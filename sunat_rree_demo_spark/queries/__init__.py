@@ -48,7 +48,7 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # whose last row is r03 (displaced when the r7 window filled), then r04-era
 # queries.  58 candidates compete for the remaining 47 slots, so 11
 # r04-era queries with simple single-stage relational plans unchanged
-# since r04 (q02-q07, q10-q13, and q142 truncated by the [:50] cap)
+# since r04 (q02-q07, q10-q13, and q141/q142 truncated by the [:50] cap)
 # defer to r9; displaced fillers stay driver-green via their historical
 # rows and the identical local exact-hash gate (scripts/check_parity.py),
 # which runs all 200+ queries every round.
@@ -61,6 +61,7 @@ _R8_NEW = (
     "q209_jpeg_color_stats",
     "q210_adam7_png_stats",
     "q211_progressive_jpeg_stats",
+    "q212_gif_pixel_stats",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

@@ -448,6 +448,104 @@ def q209_jpeg_color_stats(spark, sf_dir):
     )
 
 
+#: q212 GIF width — a prime, so interlace pass boundaries never align
+#: with byte boundaries and every row is a distinct slice
+_GIF_W = 13
+
+
+@register(
+    "q212_gif_pixel_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_GIF_W}) * {_GIF_W}) AS s
+      FROM a WHERE length(s) >= {_GIF_W}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_GIF_W} AS INT) AS width,
+           CAST(n // {_GIF_W} AS INT) AS height,
+           CAST(3 * n AS BIGINT) AS n_samples,
+           CAST((2 * 3 * sum(val) * 10000 + 3 * n)
+                // (2 * 3 * n) AS DOUBLE) / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q212_gif_pixel_stats(spark, sf_dir):
+    """Pixel statistics through a REAL **interlaced GIF**
+    encode→decode round trip (r8 — the third real raster codec, after
+    PNG and JPEG): each document's printable-ASCII byte becomes one
+    pixel of a genuine GIF89a — identity grayscale palette, LZW-coded
+    image data, 4-pass row interlace — and Spark decodes it back
+    through the stdlib LZW decompressor, interlace reorder and
+    palette expansion. Identity palette makes each stored byte an
+    (v,v,v) RGB pixel, so the oracle computes the same stats from the
+    characters at 3× sample weight; an LZW mis-decode, interlace-pass
+    slip or palette indexing bug breaks the hash. (The handcrafted-
+    bitstream tests pin the compressed-dictionary decode paths the
+    uncompressed-form encoder doesn't emit.)
+
+    Scale shape: identical to q186 — two Arrow-batched mapInPandas
+    passes at document grain, no shuffle before the doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_gif_gray,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_GIF_W}) * {_GIF_W})"))
+        .filter(F.length("s") >= _GIF_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(
+                    lambda s: encode_gif_gray(s.encode("ascii"),
+                                              _GIF_W, interlace=True)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: q211 progressive construction: 7 MCUs/row (width 112 — distinct
 #: from q209's 128 so a routing mix-up cannot hash-match), 28-char cap
 #: over a 1-in-5 doc sample — the progressive scan script costs ~14

@@ -669,3 +669,101 @@ def test_sub_byte_with_color_type_rejected():
            + chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="color type"):
         decode_png_pixels(img)
+
+
+def test_gif_round_trips_and_interlace():
+    """Real GIF decode (r8): LZW decompression + palette expansion +
+    4-pass interlace reorder. decode(encode(px)) returns each source
+    byte as an identity-palette (v,v,v) RGB pixel."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray,
+    )
+
+    rng = np.random.RandomState(4)
+    for w, h in [(1, 1), (13, 7), (254, 3), (5, 20)]:
+        px = rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+        for inter in (False, True):
+            img = encode_gif_gray(px, w, interlace=inter)
+            gw, gh, ch, rgb = decode_gif_pixels(img)
+            assert (gw, gh, ch) == (w, h, 3)
+            a = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+            assert (a[:, 0] == a[:, 1]).all()
+            assert a[:, 0].tobytes() == px
+
+
+def test_gif_lzw_handcrafted_streams():
+    """Dict growth, the size bump at table==2^size, phrase reuse and
+    the KwKwK (code == next_code) corner — pinned by hand-packed
+    bitstreams the uncompressed-trick encoder never produces."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    def pack(codes_sizes):
+        acc = nb = 0
+        out = bytearray()
+        for c, s in codes_sizes:
+            acc |= c << nb
+            nb += s
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # KwKwK: [clear, 0, 6, eoi] with min_code=2 -> "a" + "aa"
+    assert _gif_lzw_decode(
+        pack([(4, 3), (0, 3), (6, 3), (5, 3)]), 2) == b"\x00\x00\x00"
+    # growth forcing the 3->4 bit bump before the last code
+    assert _gif_lzw_decode(
+        pack([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)]),
+        2) == b"\x00\x01\x02\x03"
+    # compressed phrase reuse: code 6 = "ab"
+    assert _gif_lzw_decode(
+        pack([(4, 3), (0, 3), (1, 3), (6, 3), (5, 3)]),
+        2) == b"\x00\x01\x00\x01"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="EOI"):
+        _gif_lzw_decode(pack([(4, 3), (0, 3)]), 2)
+    with _pytest.raises(ValueError, match="bad LZW code"):
+        _gif_lzw_decode(pack([(4, 3), (7, 3), (5, 3)]), 2)
+
+
+def test_gif_corrupt_streams_fail_loud():
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray,
+    )
+
+    assert decode_gif_pixels(b"not a gif") is None
+    img = encode_gif_gray(bytes(range(16)), 4)
+    with _pytest.raises(ValueError):  # truncated mid-palette
+        decode_gif_pixels(img[:20])
+    with _pytest.raises(ValueError, match="image block"):
+        decode_gif_pixels(img[:13 + 768] + b"\x3b")  # trailer, no image
+    # extension blocks before the image are skipped
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE
+    patched = img[:13 + 768] + ext + img[13 + 768:]
+    assert decode_gif_pixels(patched)[3] == decode_gif_pixels(img)[3]
+
+
+def test_image_pixel_stats_routes_gif(spark):
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_gif_gray,
+        image_pixel_stats,
+    )
+
+    gif = encode_gif_gray(bytes([10, 250, 30, 40]), 2, interlace=True)
+    media = spark.createDataFrame([(1, bytearray(gif))],
+                                  "media_id long, content binary")
+    row = image_pixel_stats(media).collect()[0]
+    assert (row.width, row.height, row.channels) == (2, 2, 3)
+    assert row.n_samples == 12 and row.sum_val == 3 * (10 + 250 + 30 + 40)
+    assert row.min_val == 10 and row.max_val == 250
