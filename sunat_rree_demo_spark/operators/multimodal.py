@@ -355,13 +355,13 @@ def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
     known codec; unrecognized payloads fall back to the deterministic
     stub so the plumbing stays testable on synthetic media.
 
-    ``real_codec=True`` demands FULL pixel decode: PNGs go through the
-    real stdlib decoder (``decode_png_pixels`` — dims read back from
-    the decoded pixel buffer, r6), every other payload raises
-    ``NotImplementedError`` inside the task — narrowed from the r5-era
-    blanket raise to exactly the formats whose decode is genuinely
-    codec-dependent (JPEG entropy coding, video). Plug PIL/ffmpeg at
-    this branch on a cluster that has them."""
+    ``real_codec=True`` demands FULL pixel decode: PNG, JPEG
+    (baseline + progressive) and GIF go through the real stdlib
+    decoders (dims read back from the decoded pixel buffer — r6 PNG,
+    r8 the other two); any other payload raises
+    ``NotImplementedError`` inside the task — narrowed to exactly the
+    formats whose decode still needs a codec library (video, WebP).
+    Plug PIL/ffmpeg at this branch on a cluster that has them."""
     import hashlib
 
     import pandas as pd
@@ -370,9 +370,14 @@ def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
         if real_codec:
             dec = decode_png_pixels(payload)
             if dec is None:
+                dec = decode_jpeg_pixels(payload)
+            if dec is None:
+                dec = decode_gif_pixels(payload)
+            if dec is None:
                 raise NotImplementedError(
-                    "full decode of non-PNG media needs a codec library "
-                    "(JPEG entropy coding / video); plug PIL/ffmpeg here")
+                    "full decode of non-PNG/JPEG/GIF media needs a "
+                    "codec library (video / WebP); plug PIL/ffmpeg "
+                    "here")
             w, h, ch, px = dec
             assert len(px) == w * h * ch  # decoded buffer is the source
             return (w, h)
