@@ -814,7 +814,12 @@ def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
         else:
             raise ValueError("bad LZW code")
         out += entry
-        if prev is not None:
+        if prev is not None and len(table) < 4096:
+            # the table freezes at the 12-bit cap (deferred-clear
+            # GIFs keep emitting codes without CLEAR): inserting past
+            # it would grow unreachable entries without bound — an
+            # adversarial multi-MB frame becomes an OOM (review
+            # finding r8)
             table.append(prev + entry[:1])
             if len(table) == (1 << size) and size < 12:
                 size += 1
@@ -859,6 +864,8 @@ def decode_gif_pixels(payload: bytes) \
             continue
         if b0 != 0x2C:
             raise ValueError(f"bad GIF block 0x{b0:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         left, top, iw, ih, ip = struct.unpack("<HHHHB",
                                               payload[pos + 1:pos + 10])
         pos += 10
@@ -873,6 +880,8 @@ def decode_gif_pixels(payload: bytes) \
             raise ValueError("GIF image without a color table")
         if not iw or not ih:
             raise ValueError("empty GIF image descriptor")
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before LZW data")
         min_code = payload[pos]
         pos += 1
         data = bytearray()
@@ -922,6 +931,8 @@ def encode_gif_gray(pixels: bytes, width: int,
     if width <= 0 or len(pixels) % width:
         raise ValueError("pixels must be height x width bytes")
     height = len(pixels) // width
+    if width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("GIF dimensions must fit 16 bits")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT 256
     out += bytes(v for i in range(256) for v in (i, i, i))
@@ -982,9 +993,10 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     stats (metadata-only rows), and so do well-formed-but-gated codec
     variants (extended-sequential or arithmetic-coded JPEG, 16-bit
     PNG, …): a real crawl batch is mixed, and one gated-variant image
-    must degrade like a GIF or WebP payload does, not abort the whole
-    aggregate job (review finding r7; progressive JPEG and Adam7 PNG
-    left this list in r8 — they decode for real now). Only genuinely
+    must degrade like a WebP or video payload does, not abort the
+    whole aggregate job (review finding r7; progressive JPEG, Adam7
+    PNG and GIF left the degrade list in r8 — all three decode for
+    real now, so only their CORRUPT streams abort). Only genuinely
     CORRUPT streams raise (ValueError): silent wrong pixels must never
     reach a stats aggregate, but "we honestly don't decode this yet"
     is a null, not a crash.

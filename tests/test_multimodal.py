@@ -767,3 +767,23 @@ def test_image_pixel_stats_routes_gif(spark):
     assert (row.width, row.height, row.channels) == (2, 2, 3)
     assert row.n_samples == 12 and row.sum_val == 3 * (10 + 250 + 30 + 40)
     assert row.min_val == 10 and row.max_val == 250
+
+
+def test_gif_truncations_stay_valueerror():
+    """Every truncation point raises ValueError (the corrupt-stream
+    taxonomy) — struct.error/IndexError leaked at the image-descriptor
+    and min-code reads before r8's review pass."""
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray,
+    )
+
+    img = encode_gif_gray(bytes(range(16)), 4)
+    desc = 13 + 768  # header + LSD + 256-entry GCT
+    for cut in (desc + 1, desc + 5, desc + 10, desc + 11, len(img) - 3):
+        with _pytest.raises(ValueError):
+            decode_gif_pixels(img[:cut])
+    with _pytest.raises(ValueError, match="16 bits"):
+        encode_gif_gray(bytes(70000), 1)
