@@ -88,8 +88,8 @@ SANCTIONED_TWINS = {
     "q206_ivf_recall_curve": {
         "reason": "eval pays one exact query-by-corpus distance pass "
                   "per call (memoize=False); r8 single-block-pass "
-                  "rewrite took it 2.01x -> ~1.7x (1.2s vs 0.70s "
-                  "twin, 4-rep A/B)", "sanctioned": "r8",
+                  "rewrite took it 2.01x -> 1.3x (0.91s vs 0.70s "
+                  "twin, final r8 bench)", "sanctioned": "r8",
         "last_ab": "2026-08-15"},
 }
 
