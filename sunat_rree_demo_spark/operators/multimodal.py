@@ -971,6 +971,89 @@ def encode_gif_gray(pixels: bytes, width: int,
     return bytes(out)
 
 
+# --------------------------------------------------------------- BMP pixels
+def decode_bmp_pixels(payload: bytes) \
+        -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, samples) for an UNCOMPRESSED
+    BITMAPINFOHEADER BMP — REAL pixel decode, stdlib+numpy only: 8-bit
+    palette (BGRA quads → RGB), 24-bit BGR and 32-bit BGRA/BGRX
+    (alpha dropped — stats are over color samples), rows stored
+    bottom-up (positive height) or top-down (negative), each padded
+    to a 4-byte boundary. Compressed variants (RLE4/RLE8/bitfields)
+    and the legacy CORE header raise NotImplementedError; corrupt
+    streams ValueError — the shared taxonomy.
+
+    BMPs are rare in crawls but trivial to serve: with PNG, JPEG and
+    GIF real since r8, this closes the last UNCOMPRESSED raster the
+    sniffer recognizes. Payloads shorter than a full header return
+    None rather than raising even when they start with "BM" — the
+    2-byte magic is weak (any text starting 'BM…' matches), so
+    undersized candidates are treated as not-a-BMP, never corrupt."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("legacy BITMAPCOREHEADER BMP")
+    w, h_raw, _planes, bpp, comp = struct.unpack(
+        "<iiHHI", payload[18:34])
+    if comp not in (0, 3) or (comp == 3 and bpp not in (32,)):
+        raise NotImplementedError(f"compressed BMP (method {comp})")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP (8/24/32 only)")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("bad BMP dimensions")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    data = payload[data_off:data_off + stride * h]
+    if len(data) != stride * h:
+        raise ValueError("BMP pixel data short")
+    rows = np.frombuffer(data, np.uint8).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: BGRA quads between the header and the pixel data
+        n_pal = (data_off - 14 - hdr_size) // 4
+        pal = np.frombuffer(
+            payload[14 + hdr_size:14 + hdr_size + 4 * n_pal],
+            np.uint8).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+        idx = rows[:, :w]
+        if n_pal == 0 or int(idx.max()) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return (w, h, 3, pal[idx].astype(np.uint8).tobytes())
+    nb = bpp // 8
+    px = rows[:, :w * nb].reshape(h, w, nb)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    return (w, h, 3, np.ascontiguousarray(rgb).tobytes())
+
+
+def encode_bmp_gray(pixels: bytes, width: int,
+                    top_down: bool = False) -> bytes:
+    """8-bit identity-palette BMP encoder (the decode-test twin):
+    bottom-up by default, padded rows, 256 BGRA quads."""
+    import struct
+
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixels must be height x width bytes")
+    height = len(pixels) // width
+    stride = (width + 3) & ~3
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    rows = [pixels[r * width:(r + 1) * width].ljust(stride, b"\x00")
+            for r in range(height)]
+    if not top_down:
+        rows = rows[::-1]
+    data = b"".join(rows)
+    off = 14 + 40 + len(pal)
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, width,
+                         -height if top_down else height,
+                         1, 8, 0, len(data), 2835, 2835, 256, 0))
+    return hdr + pal + data
+
+
 PIXEL_STATS_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.IntegerType(), True),
@@ -1019,6 +1102,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                             dec = decode_jpeg_pixels(raw)
                         if dec is None:
                             dec = decode_gif_pixels(raw)
+                        if dec is None:
+                            dec = decode_bmp_pixels(raw)
                     except NotImplementedError:
                         dec = None  # gated variant: degrade, don't abort
                 if dec is None:

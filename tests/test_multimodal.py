@@ -787,3 +787,73 @@ def test_gif_truncations_stay_valueerror():
             decode_gif_pixels(img[:cut])
     with _pytest.raises(ValueError, match="16 bits"):
         encode_gif_gray(bytes(70000), 1)
+
+
+def test_bmp_round_trips_and_layouts():
+    """Uncompressed BMP decode (r8): 8-bit identity palette both row
+    orders, hand-built 24-bit BGR with padded stride, 32-bit BGRA with
+    alpha dropped; RLE gated, truncated pixel data loud, weak-magic
+    short payloads -> None (not corrupt)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_gray,
+    )
+
+    rng = np.random.RandomState(6)
+    for w, h in [(1, 1), (3, 2), (13, 5)]:
+        px = rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+        for td in (False, True):
+            gw, gh, ch, rgb = decode_bmp_pixels(
+                encode_bmp_gray(px, w, top_down=td))
+            a = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+            assert (gw, gh, ch) == (w, h, 3)
+            assert a[:, 0].tobytes() == px and (a[:, 0] == a[:, 2]).all()
+
+    pix = [(10, 20, 30), (40, 50, 60), (70, 80, 90),
+           (1, 2, 3), (4, 5, 6), (7, 8, 9)]
+    rows = []
+    for r in (1, 0):  # bottom-up storage, stride 9 -> 12
+        row = b"".join(bytes([b_, g, r_])
+                       for r_, g, b_ in pix[r * 3:(r + 1) * 3])
+        rows.append(row.ljust(12, b"\x00"))
+    data = b"".join(rows)
+    img = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0,
+                         len(data), 0, 0, 0, 0) + data)
+    assert decode_bmp_pixels(img) == (
+        3, 2, 3, bytes(v for p in pix for v in p))
+
+    img32 = (b"BM" + struct.pack("<IHHI", 54 + 16, 0, 0, 54)
+             + struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 32, 0, 16,
+                           0, 0, 0, 0)
+             + bytes([30, 20, 10, 255, 60, 50, 40, 0]))
+    assert decode_bmp_pixels(img32) == (
+        2, 1, 3, bytes([10, 20, 30, 40, 50, 60]))
+
+    assert decode_bmp_pixels(b"BMW cars are heavy") is None
+    rle = bytearray(img)
+    struct.pack_into("<I", rle, 30, 1)  # compression = RLE8
+    with _pytest.raises(NotImplementedError, match="compressed"):
+        decode_bmp_pixels(bytes(rle))
+    with _pytest.raises(ValueError, match="short"):
+        decode_bmp_pixels(img[:-4])
+
+
+def test_image_pixel_stats_routes_bmp(spark):
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_bmp_gray,
+        image_pixel_stats,
+    )
+
+    bmp = encode_bmp_gray(bytes([5, 200, 100, 50]), 2)
+    media = spark.createDataFrame([(1, bytearray(bmp))],
+                                  "media_id long, content binary")
+    row = image_pixel_stats(media).collect()[0]
+    assert (row.width, row.height, row.channels) == (2, 2, 3)
+    assert row.n_samples == 12 and row.sum_val == 3 * 355
+    assert row.min_val == 5 and row.max_val == 200
