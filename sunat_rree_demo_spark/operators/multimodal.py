@@ -985,26 +985,47 @@ def decode_bmp_pixels(payload: bytes) \
 
     BMPs are rare in crawls but trivial to serve: with PNG, JPEG and
     GIF real since r8, this closes the last UNCOMPRESSED raster the
-    sniffer recognizes. Payloads shorter than a full header return
-    None rather than raising even when they start with "BM" — the
-    2-byte magic is weak (any text starting 'BM…' matches), so
-    undersized candidates are treated as not-a-BMP, never corrupt."""
+    sniffer recognizes.
+
+    The 2-byte magic is WEAK (any text starting 'BM…' matches), so the
+    decoder commits to "this is a BMP" only after the structural
+    prefix also checks out — a known info-header size AND planes == 1
+    (six constrained bytes at fixed offsets). Before that point any
+    oddity returns None (not-a-BMP, degrade path); after it, gated
+    variants raise NotImplementedError and genuine corruption
+    ValueError, the shared taxonomy (review finding r8: the first cut
+    raised on ≥54-byte 'BM…' text, aborting whole stats batches)."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
         return None
     (data_off,) = struct.unpack("<I", payload[10:14])
     (hdr_size,) = struct.unpack("<I", payload[14:18])
-    if hdr_size < 40:
-        raise NotImplementedError("legacy BITMAPCOREHEADER BMP")
-    w, h_raw, _planes, bpp, comp = struct.unpack(
+    w, h_raw, planes, bpp, comp = struct.unpack(
         "<iiHHI", payload[18:34])
-    if comp not in (0, 3) or (comp == 3 and bpp not in (32,)):
+    if hdr_size not in (40, 52, 56, 108, 124) or planes != 1:
+        return None  # weak magic: not structurally a BMP
+    if comp == 3:
+        # BI_BITFIELDS: only the standard BGRA layout decodes — other
+        # masks would silently swap channels (review finding r8)
+        if bpp != 32 or len(payload) < 66 or struct.unpack(
+                "<III", payload[54:66]) != (0x00FF0000, 0x0000FF00,
+                                            0x000000FF):
+            raise NotImplementedError(
+                "BI_BITFIELDS BMP with non-standard channel masks")
+    elif comp != 0:
         raise NotImplementedError(f"compressed BMP (method {comp})")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP (8/24/32 only)")
     if w <= 0 or h_raw == 0:
         raise ValueError("bad BMP dimensions")
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    n_pal = clr_used or (256 if bpp == 8 else 0)
+    pal_end = 14 + hdr_size + 4 * n_pal
+    if data_off < pal_end or data_off > len(payload):
+        # a pixel offset inside the header/palette would decode header
+        # bytes as pixels — silent wrong stats (review finding r8)
+        raise ValueError("BMP pixel data offset inside header")
     top_down = h_raw < 0
     h = abs(h_raw)
     stride = (w * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
@@ -1015,13 +1036,16 @@ def decode_bmp_pixels(payload: bytes) \
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
-        # palette: BGRA quads between the header and the pixel data
-        n_pal = (data_off - 14 - hdr_size) // 4
-        pal = np.frombuffer(
-            payload[14 + hdr_size:14 + hdr_size + 4 * n_pal],
-            np.uint8).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+        # palette: biClrUsed BGRA quads right after the info header
+        # (0 = the full 2^bpp set) — NOT inferred from the data gap,
+        # which may contain alignment slack (review finding r8)
+        pal_raw = payload[14 + hdr_size:pal_end]
+        if n_pal == 0 or len(pal_raw) != 4 * n_pal:
+            raise ValueError("BMP palette truncated")
+        pal = (np.frombuffer(pal_raw, np.uint8)
+               .reshape(-1, 4)[:, [2, 1, 0]])  # BGRA -> RGB
         idx = rows[:, :w]
-        if n_pal == 0 or int(idx.max()) >= len(pal):
+        if int(idx.max()) >= n_pal:
             raise ValueError("BMP palette index out of range")
         return (w, h, 3, pal[idx].astype(np.uint8).tobytes())
     nb = bpp // 8

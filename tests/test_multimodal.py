@@ -836,12 +836,34 @@ def test_bmp_round_trips_and_layouts():
         2, 1, 3, bytes([10, 20, 30, 40, 50, 60]))
 
     assert decode_bmp_pixels(b"BMW cars are heavy") is None
+    # weak magic: LONG text starting 'BM' must also be not-a-BMP, not
+    # corrupt — the structural prefix (header size + planes) gates the
+    # commitment (review finding r8)
+    assert decode_bmp_pixels(b"BM" + b"blah blah filler " * 8) is None
     rle = bytearray(img)
     struct.pack_into("<I", rle, 30, 1)  # compression = RLE8
     with _pytest.raises(NotImplementedError, match="compressed"):
         decode_bmp_pixels(bytes(rle))
     with _pytest.raises(ValueError, match="short"):
         decode_bmp_pixels(img[:-4])
+    # BI_BITFIELDS with swapped masks: gated, never silently wrong
+    bf = bytearray(img32)
+    struct.pack_into("<I", bf, 30, 3)
+    bf[14 + 40:14 + 40 + 12] = struct.pack(
+        "<III", 0x000000FF, 0x0000FF00, 0x00FF0000)  # RGBA order
+    with _pytest.raises(NotImplementedError, match="masks"):
+        decode_bmp_pixels(bytes(bf))
+    # pixel offset pointing inside the header: corrupt, loud
+    off_bad = bytearray(img)
+    struct.pack_into("<I", off_bad, 10, 2)
+    with _pytest.raises(ValueError, match="offset"):
+        decode_bmp_pixels(bytes(off_bad))
+    # biClrUsed caps the palette: index 20 with a 16-color table is a
+    # range error even when gap bytes could have masked it
+    small = bytearray(encode_bmp_gray(bytes([20, 1, 2, 3]), 2))
+    struct.pack_into("<I", small, 46, 16)  # claim 16 used colors
+    with _pytest.raises(ValueError, match="range|truncated"):
+        decode_bmp_pixels(bytes(small))
 
 
 def test_image_pixel_stats_routes_bmp(spark):
