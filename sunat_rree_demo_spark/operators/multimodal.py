@@ -420,29 +420,79 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+def _g711_ulaw_table() -> "np.ndarray":
+    """256-entry μ-law → linear int16 expansion (ITU-T G.711 /
+    the public-domain Sun `ulaw2linear` formulation: complement,
+    bias 0x84, 3-bit segment shift). Bijective onto its 256-value
+    range; anchors ±32124 / 0 are pinned in tests independently of
+    this formula."""
+    out = np.empty(256, np.int16)
+    for i in range(256):
+        b = ~i & 0xFF
+        t = (((b & 0x0F) << 3) + 0x84) << ((b & 0x70) >> 4)
+        out[i] = (0x84 - t) if (b & 0x80) else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table() -> "np.ndarray":
+    """256-entry A-law → linear int16 expansion (ITU-T G.711 / Sun
+    `alaw2linear`: XOR 0x55, 4-bit mantissa, segment-dependent bias
+    and shift). Anchors ±8 / ±32256 pinned in tests."""
+    out = np.empty(256, np.int16)
+    for i in range(256):
+        a = i ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[i] = t if (a & 0x80) else -t
+    return out
+
+
+_G711_TABLES: dict[int, "np.ndarray"] = {}  # fmt tag -> lazy table
+
+
 def _wav_pcm16_data(payload: bytes) -> tuple[int, int, bytes] | None:
-    """(sample_rate, n_channels, data-chunk bytes) for a 16-bit PCM
-    RIFF/WAVE payload, walking the chunk list like
-    ``decode_audio_meta``; None for anything else."""
+    """(sample_rate, n_channels, PCM16-LE data bytes) for a RIFF/WAVE
+    payload, walking the chunk list like ``decode_audio_meta``.
+    Handles format tag 1 (16-bit linear PCM, returned as stored) and
+    the G.711 companded telephony codecs — tag 7 (μ-law) and tag 6
+    (A-law), 8 bits per sample, expanded to linear int16 through the
+    REAL ITU-T tables so every downstream consumer sees one uniform
+    PCM16 contract. None for anything else (24-bit PCM, float, ADPCM,
+    …) — callers treat those as opaque, the degrade path."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    rate = channels = bits = None
+    tag = rate = channels = bits = None
     data = None
     i = 12
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
         (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
         if cid == b"fmt " and clen >= 16 and i + 24 <= len(payload):
-            channels, rate = struct.unpack("<HI", payload[i + 10:i + 16])
+            tag, channels, rate = struct.unpack(
+                "<HHI", payload[i + 8:i + 16])
             (bits,) = struct.unpack("<H", payload[i + 22:i + 24])
         elif cid == b"data":
             data = payload[i + 8:i + 8 + clen]
         i += 8 + clen + (clen & 1)
-    if not rate or not channels or bits != 16 or data is None:
+    if not rate or not channels or data is None:
         return None
-    return rate, channels, data
+    if tag == 1 and bits == 16:
+        return rate, channels, data
+    if tag in (6, 7) and bits == 8:
+        if tag not in _G711_TABLES:
+            _G711_TABLES[tag] = (_g711_alaw_table() if tag == 6
+                                 else _g711_ulaw_table())
+        lin = _G711_TABLES[tag][np.frombuffer(data, np.uint8)]
+        return rate, channels, lin.astype("<i2").tobytes()
+    return None
 
 
 def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
@@ -972,20 +1022,91 @@ def encode_gif_gray(pixels: bytes, width: int,
 
 
 # --------------------------------------------------------------- BMP pixels
+def _decode_bmp_rle(data: bytes, w: int, h: int, bpp: int):
+    """BI_RLE8 / BI_RLE4 run-length decode (MS-WMF 2.1.1.7 escape
+    codes) to an ``h x w`` uint8 palette-index array in TOP-DOWN row
+    order. Storage is bottom-up (row 0 = bottom); pixels the stream
+    never writes (delta skips, early end-of-line/bitmap) default to
+    palette index 0, the long-standing renderer convention. Runs or
+    absolute packets that would overflow their row, deltas that land
+    outside the bitmap, and truncation all raise ValueError — an RLE
+    stream is self-delimiting, so any cursor escape is corruption,
+    never a gated variant."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0  # y counts storage rows, bottom-up
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("BMP RLE stream truncated (no EOB)")
+        c0, c1 = data[i], data[i + 1]
+        i += 2
+        if c0 > 0:  # encoded run: c0 pixels of c1
+            if y >= h or x + c0 > w:
+                raise ValueError("BMP RLE run overflows row")
+            if bpp == 8:
+                out[y, x:x + c0] = c1
+            else:  # RLE4 runs alternate the two nibbles of c1
+                run = np.empty(c0, np.uint8)
+                run[0::2] = c1 >> 4
+                run[1::2] = c1 & 0xF
+                out[y, x:x + c0] = run
+            x += c0
+            continue
+        if c1 == 0:  # escape: end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE line past bitmap")
+        elif c1 == 1:  # escape: end of bitmap
+            break
+        elif c1 == 2:  # escape: delta (unwritten pixels stay 0)
+            if i + 2 > n:
+                raise ValueError("BMP RLE delta truncated")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > w or y > h:  # writes re-check; past-end delta+EOB
+                raise ValueError("BMP RLE delta out of bounds")
+        else:  # escape: absolute packet of c1 literal pixels
+            if y >= h or x + c1 > w:
+                raise ValueError("BMP RLE absolute overflows row")
+            if bpp == 8:
+                nbytes = (c1 + 1) & ~1  # literals pad to a word
+                if i + nbytes > n:
+                    raise ValueError("BMP RLE absolute truncated")
+                out[y, x:x + c1] = np.frombuffer(
+                    data[i:i + c1], np.uint8)
+            else:
+                nbytes = ((c1 + 3) // 4) * 2  # nibbles pad to a word
+                if i + nbytes > n:
+                    raise ValueError("BMP RLE absolute truncated")
+                b = np.frombuffer(data[i:i + nbytes], np.uint8)
+                nib = np.empty(b.size * 2, np.uint8)
+                nib[0::2] = b >> 4
+                nib[1::2] = b & 0xF
+                out[y, x:x + c1] = nib[:c1]
+            i += nbytes
+            x += c1
+    return out[::-1]  # bottom-up storage -> top-down rows
+
+
 def decode_bmp_pixels(payload: bytes) \
         -> tuple[int, int, int, bytes] | None:
-    """(width, height, channels, samples) for an UNCOMPRESSED
-    BITMAPINFOHEADER BMP — REAL pixel decode, stdlib+numpy only: 8-bit
-    palette (BGRA quads → RGB), 24-bit BGR and 32-bit BGRA/BGRX
-    (alpha dropped — stats are over color samples), rows stored
-    bottom-up (positive height) or top-down (negative), each padded
-    to a 4-byte boundary. Compressed variants (RLE4/RLE8/bitfields)
-    and the legacy CORE header raise NotImplementedError; corrupt
-    streams ValueError — the shared taxonomy.
+    """(width, height, channels, samples) for a BITMAPINFOHEADER BMP —
+    REAL pixel decode, stdlib+numpy only: 1/4/8-bit palette (BGRA
+    quads → RGB, bit-packed rows unpacked MSB-first), 24-bit BGR and
+    32-bit BGRA/BGRX (alpha dropped — stats are over color samples),
+    BI_RLE8 / BI_RLE4 run-length compression (runs, absolute packets,
+    end-of-line/bitmap and delta escapes), rows stored bottom-up
+    (positive height) or top-down (negative; invalid for RLE per the
+    format, so it raises), each uncompressed row padded to a 4-byte
+    boundary. 16-bit pixels, non-standard bitfield masks, embedded
+    JPEG/PNG (methods 4/5) and the legacy CORE header raise
+    NotImplementedError; corrupt streams ValueError — the shared
+    taxonomy.
 
     BMPs are rare in crawls but trivial to serve: with PNG, JPEG and
-    GIF real since r8, this closes the last UNCOMPRESSED raster the
-    sniffer recognizes.
+    GIF real since r8, this closes the raster formats the sniffer
+    recognizes — including, since the RLE/low-depth extension, every
+    palette BMP a legacy exporter actually writes.
 
     The 2-byte magic is WEAK (any text starting 'BM…' matches), so the
     decoder commits to "this is a BMP" only after the structural
@@ -1013,14 +1134,22 @@ def decode_bmp_pixels(payload: bytes) \
                                             0x000000FF):
             raise NotImplementedError(
                 "BI_BITFIELDS BMP with non-standard channel masks")
+    elif comp in (1, 2):
+        # BI_RLE8 / BI_RLE4: the depth is part of the method's
+        # definition, so a mismatch is corruption, not a gated variant
+        if bpp != (8 if comp == 1 else 4):
+            raise ValueError(f"BMP RLE{8 if comp == 1 else 4} "
+                             f"with {bpp}-bit pixels")
+        if h_raw < 0:
+            raise ValueError("top-down RLE BMP (format forbids it)")
     elif comp != 0:
         raise NotImplementedError(f"compressed BMP (method {comp})")
-    if bpp not in (8, 24, 32):
-        raise NotImplementedError(f"{bpp}-bit BMP (8/24/32 only)")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP")
     if w <= 0 or h_raw == 0:
         raise ValueError("bad BMP dimensions")
     (clr_used,) = struct.unpack("<I", payload[46:50])
-    n_pal = clr_used or (256 if bpp == 8 else 0)
+    n_pal = clr_used or ((1 << bpp) if bpp <= 8 else 0)
     pal_end = 14 + hdr_size + 4 * n_pal
     if data_off < pal_end or data_off > len(payload):
         # a pixel offset inside the header/palette would decode header
@@ -1028,26 +1157,45 @@ def decode_bmp_pixels(payload: bytes) \
         raise ValueError("BMP pixel data offset inside header")
     top_down = h_raw < 0
     h = abs(h_raw)
-    stride = (w * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+
+    def palette() -> "np.ndarray":
+        # biClrUsed BGRA quads right after the info header (0 = the
+        # full 2^bpp set) — NOT inferred from the data gap, which may
+        # contain alignment slack (review finding r8)
+        pal_raw = payload[14 + hdr_size:pal_end]
+        if n_pal == 0 or len(pal_raw) != 4 * n_pal:
+            raise ValueError("BMP palette truncated")
+        return (np.frombuffer(pal_raw, np.uint8)
+                .reshape(-1, 4)[:, [2, 1, 0]])  # BGRA -> RGB
+
+    def map_palette(idx: "np.ndarray") -> tuple:
+        pal = palette()
+        if int(idx.max()) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        return (w, h, 3, pal[idx].astype(np.uint8).tobytes())
+
+    if comp in (1, 2):  # RLE stream is self-delimiting (EOB escape)
+        return map_palette(
+            _decode_bmp_rle(payload[data_off:], w, h, bpp))
+
+    stride = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes
     data = payload[data_off:data_off + stride * h]
     if len(data) != stride * h:
         raise ValueError("BMP pixel data short")
     rows = np.frombuffer(data, np.uint8).reshape(h, stride)
     if not top_down:
         rows = rows[::-1]
+    if bpp < 8:  # bit-packed palette rows, MSB-first like PNG's
+        bits = np.unpackbits(rows, axis=1)
+        if bpp == 1:
+            idx = bits[:, :w]
+        else:  # 4-bit: regroup each nibble's bits
+            idx = (bits[:, :w * 4].reshape(h, w, 4)
+                   * np.array([8, 4, 2, 1], np.uint8)).sum(
+                       axis=2, dtype=np.uint8)
+        return map_palette(idx)
     if bpp == 8:
-        # palette: biClrUsed BGRA quads right after the info header
-        # (0 = the full 2^bpp set) — NOT inferred from the data gap,
-        # which may contain alignment slack (review finding r8)
-        pal_raw = payload[14 + hdr_size:pal_end]
-        if n_pal == 0 or len(pal_raw) != 4 * n_pal:
-            raise ValueError("BMP palette truncated")
-        pal = (np.frombuffer(pal_raw, np.uint8)
-               .reshape(-1, 4)[:, [2, 1, 0]])  # BGRA -> RGB
-        idx = rows[:, :w]
-        if int(idx.max()) >= n_pal:
-            raise ValueError("BMP palette index out of range")
-        return (w, h, 3, pal[idx].astype(np.uint8).tobytes())
+        return map_palette(rows[:, :w])
     nb = bpp // 8
     px = rows[:, :w * nb].reshape(h, w, nb)
     rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
@@ -1076,6 +1224,61 @@ def encode_bmp_gray(pixels: bytes, width: int,
                          -height if top_down else height,
                          1, 8, 0, len(data), 2835, 2835, 256, 0))
     return hdr + pal + data
+
+
+def encode_bmp_rle8_gray(pixels: bytes, width: int) -> bytes:
+    """8-bit identity-palette BI_RLE8 BMP encoder (the decode-test
+    twin for the compressed path): greedy row coder that emits
+    encoded runs for repeats of >= 2, absolute packets for literal
+    stretches of >= 3 (word-padded), length-1 runs otherwise, an
+    end-of-line escape per row and end-of-bitmap at the close — so a
+    round trip exercises runs, absolute packets AND both escapes.
+    Delta escapes are never emitted (they encode skips over
+    default-0 pixels); the handcrafted-stream tests pin that path."""
+    import struct
+
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixels must be height x width bytes")
+    height = len(pixels) // width
+    out = bytearray()
+    for r in range(height - 1, -1, -1):  # storage is bottom-up
+        row = pixels[r * width:(r + 1) * width]
+        x = 0
+        while x < width:
+            run = 1
+            while (x + run < width and run < 255
+                   and row[x + run] == row[x]):
+                run += 1
+            if run >= 2:
+                out += bytes((run, row[x]))
+                x += run
+                continue
+            lit = x  # literal stretch: until the next run of >= 3
+            while x < width:
+                run = 1
+                while (x + run < width and run < 255
+                       and row[x + run] == row[x]):
+                    run += 1
+                if run >= 3 or x - lit + run > 255:
+                    break
+                x += run
+            n = x - lit
+            if n >= 3:
+                blk = row[lit:x]
+                out += bytes((0, n)) + blk
+                if n & 1:
+                    out += b"\x00"  # absolute packets pad to a word
+            else:
+                for i in range(lit, x):
+                    out += bytes((1, row[i]))
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    off = 14 + 40 + len(pal)
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(out), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, width, height,
+                         1, 8, 1, len(out), 2835, 2835, 256, 0))
+    return hdr + pal + bytes(out)
 
 
 PIXEL_STATS_SCHEMA = T.StructType([
@@ -2289,4 +2492,26 @@ def encode_wav_pcm16(samples: "np.ndarray", rate: int = 8000,
                       rate * channels * 2, channels * 2, 16)
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_g711(codes: bytes, law: str = "ulaw",
+                    rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE G.711 container (format tag 7 = μ-law,
+    6 = A-law, 8 bits/sample): wraps already-companded code bytes, so
+    a decode through ``_wav_pcm16_data`` recovers exactly the table
+    expansion of each byte — what lets the q214 oracle compute frame
+    energies from an inline 256-entry lookup. 8-bit data can be odd
+    length, so the RIFF odd-chunk pad byte IS reachable here (unlike
+    the PCM16 encoder) and is emitted outside the declared length."""
+    import struct
+
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", tag, channels, rate,
+                      rate * channels, channels, 8)
+    data = codes + (b"\x00" if len(codes) & 1 else b"")
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(codes)) + data)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -546,6 +546,105 @@ def q212_gif_pixel_stats(spark, sf_dir):
     )
 
 
+#: q213 BMP width — a prime distinct from q186 (16), q210 (21) and
+#: q212 (13), so a raster-routing mix-up can never hash-match
+_BMP_W = 11
+
+
+@register(
+    "q213_bmp_rle_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_BMP_W}) * {_BMP_W}) AS s
+      FROM a WHERE length(s) >= {_BMP_W}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST(n // {_BMP_W} AS INT) AS height,
+           CAST(3 * n AS BIGINT) AS n_samples,
+           CAST((2 * 3 * sum(val) * 10000 + 3 * n)
+                // (2 * 3 * n) AS DOUBLE) / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q213_bmp_rle_stats(spark, sf_dir):
+    """Pixel statistics through a REAL **run-length-compressed BMP**
+    (BI_RLE8) encode→decode round trip (r8 — with PNG, JPEG and GIF
+    real, this pins the last compressed raster the sniffer routes):
+    each document's printable-ASCII byte becomes one pixel of an
+    8-bit identity-palette RLE8 BMP — greedy runs, absolute packets,
+    end-of-line/bitmap escapes, bottom-up rows — and Spark decodes it
+    back through the RLE cursor machine and palette expansion.
+    Identity palette makes each stored byte a (v,v,v) RGB pixel, so
+    the oracle computes the same stats from the characters at 3×
+    sample weight; a run-length slip, absolute-packet padding bug,
+    row-order flip or palette indexing error breaks the hash. (The
+    handcrafted-stream tests pin the delta-skip escape the encoder
+    never emits.)
+
+    Scale shape: identical to q212 — two Arrow-batched mapInPandas
+    passes at document grain, no shuffle before the doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_bmp_rle8_gray,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_BMP_W}) * {_BMP_W})"))
+        .filter(F.length("s") >= _BMP_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(
+                    lambda s: encode_bmp_rle8_gray(
+                        s.encode("ascii"), _BMP_W)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: q211 progressive construction: 7 MCUs/row (width 112 — distinct
 #: from q209's 128 so a routing mix-up cannot hash-match), 28-char cap
 #: over a 1-in-5 doc sample — the progressive scan script costs ~14
@@ -750,6 +849,119 @@ def q207_wav_frame_energy(spark, sf_dir):
                     (np.frombuffer(s.encode("ascii"), np.uint8)
                      .astype(np.int64) - 79) * 256,
                     rate=_WAV_RATE)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        pcm_frame_energy(media, frame_ms=_WAV_FRAME_MS)
+        .select(F.col("media_id").alias("doc_id"),
+                "frame_no", "n_samples",
+                F.round("rms", 4).alias("rms_4dp"))
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+# --------------------------------------------------------------- q214 G.711
+def _g711_luts() -> tuple[str, str]:
+    """The two 95-entry printable-ASCII→linear lookup lists as SQL
+    literals (codes 32..126 of the REAL ITU tables). Built from the
+    same tables the decoder uses — the q212 shared-palette device:
+    the query pins the container walk, companded expansion wiring and
+    framing; the independently-pinned anchor tests (±32124/±32256,
+    the two μ-law zeros) pin the tables themselves."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_ulaw_table,
+    )
+
+    u, a = _g711_ulaw_table(), _g711_alaw_table()
+    return (", ".join(str(int(v)) for v in u[32:127]),
+            ", ".join(str(int(v)) for v in a[32:127]))
+
+
+_ULAW_SQL, _ALAW_SQL = _g711_luts()
+
+
+@register(
+    "q214_g711_frame_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> CASE WHEN doc_id % 2 = 0
+                 THEN list_extract([{_ULAW_SQL}],
+                                   ascii(substr(s, i, 1)) - 31)
+                 ELSE list_extract([{_ALAW_SQL}],
+                                   ascii(substr(s, i, 1)) - 31)
+               END)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM a WHERE length(s) >= 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             sum(CAST(smp AS BIGINT) * smp) AS ssq
+      FROM v GROUP BY 1, 2
+    )
+    SELECT doc_id, frame_no, n_samples,
+           round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 4) AS rms_4dp
+    FROM f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "codec", "audio"),
+)
+def q214_g711_frame_energy(spark, sf_dir):
+    """Per-frame RMS energy through a REAL **G.711 telephony WAV**
+    round trip (r8 — the second real audio codec after q207's linear
+    PCM): each document's printable chars become companded 8-bit
+    code bytes in a genuine RIFF/WAVE container — μ-law (format tag
+    7) for even doc_ids, A-law (tag 6) for odd, so one query pins
+    BOTH expansion tables and the tag routing — and Spark expands
+    them back to linear int16 through the ITU-T tables inside the
+    shared chunk walker before the usual integer-exact frame-energy
+    pass. A table slip, tag mix-up, or odd-chunk pad-byte leak into
+    the sample stream breaks the hash. Exactness: the expansion is a
+    table lookup (lossless), energies are int64, and the only float
+    ops are IEEE correctly-rounded — identical in both engines before
+    the 4dp round.
+
+    Scale shape: identical to q207 — fan_out → Arrow-batched encode →
+    one decode+energy pass, frame-grain output, no shuffle before the
+    output sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_wav_g711,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [
+                    encode_wav_g711(
+                        s.encode("ascii"),
+                        law="ulaw" if mid % 2 == 0 else "alaw",
+                        rate=_WAV_RATE)
+                    for mid, s in zip(pdf["media_id"], pdf["s"])],
             })
 
     media_schema = T.StructType([

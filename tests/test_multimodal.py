@@ -524,6 +524,63 @@ def test_wav_encoder_round_trips_and_meta_parses():
     assert np.frombuffer(d2, "<i2").tolist() == [7]
 
 
+def test_g711_tables_and_wav_expansion():
+    """G.711 μ-law/A-law expansion (r8): the published ITU anchor
+    values pin the tables independently of the generating formula
+    (μ-law: 0x00→−32124, 0x80→+32124, 0xFF and 0x7F→0; A-law:
+    0x55→−8, 0xD5→+8, 0x2A→−32256, 0xAA→+32256), segment boundaries
+    are symmetric, and an 8-bit G.711 WAV (odd data length → RIFF pad
+    byte reachable) expands to exactly the table values through the
+    shared chunk walker — so pcm_frame_energy works unchanged on
+    telephony audio."""
+    import struct
+
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_ulaw_table,
+        _wav_pcm16_data,
+        decode_audio_meta,
+        encode_wav_g711,
+    )
+
+    u, a = _g711_ulaw_table(), _g711_alaw_table()
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    assert a[0x55] == -8 and a[0xD5] == 8
+    assert a[0x2A] == -32256 and a[0xAA] == 32256
+    # sign symmetry: code and code^0x80 expand to negations (μ-law's
+    # two zeros are the one collision)
+    codes = np.arange(128)
+    assert (u[codes] == -u[codes + 128].astype(np.int64)).all()
+    assert (a[codes ^ 0x55 ^ 0x55] == -a[(codes ^ 0x80)]).all()
+    # monotone within the positive half: larger linear for smaller
+    # μ-law code index (μ-law codes descend), 255 distinct values + 0
+    assert len(set(u.tolist())) == 255
+    assert len(set(a.tolist())) == 256
+
+    for law, tab in (("ulaw", u), ("alaw", a)):
+        codes = bytes([0, 1, 0x55, 0x80, 0xD5, 0xFF, 7])  # odd length
+        wav = encode_wav_g711(codes, law=law, rate=8000)
+        rate, ch, data = _wav_pcm16_data(wav)
+        assert (rate, ch) == (8000, 1)
+        got = np.frombuffer(data, "<i2")
+        assert got.tolist() == tab[list(codes)].tolist()
+        meta = decode_audio_meta(wav)
+        assert meta is not None and meta[2] == 8  # bits preserved
+        # declared data length excludes the pad byte; the walker must
+        # still terminate cleanly on the padded container
+        (dlen,) = struct.unpack("<I", wav[wav.index(b"data") + 4:]
+                                [:4])
+        assert dlen == len(codes)
+
+    # 24-bit PCM and unknown tags stay opaque (degrade, not wrong)
+    bad = bytearray(encode_wav_g711(b"\x01\x02", law="ulaw"))
+    struct.pack_into("<H", bad, bad.index(b"fmt ") + 8, 2)  # ADPCM
+    assert _wav_pcm16_data(bytes(bad)) is None
+
+
 def test_adam7_round_trip_all_filters_and_ragged_edges():
     """Adam7 decode (r8): encode→decode must reproduce the source
     bytes for shapes that hit every geometry corner — widths/heights
@@ -841,9 +898,13 @@ def test_bmp_round_trips_and_layouts():
     # commitment (review finding r8)
     assert decode_bmp_pixels(b"BM" + b"blah blah filler " * 8) is None
     rle = bytearray(img)
-    struct.pack_into("<I", rle, 30, 1)  # compression = RLE8
-    with _pytest.raises(NotImplementedError, match="compressed"):
+    struct.pack_into("<I", rle, 30, 1)  # RLE8 claims 8-bit by def.
+    with _pytest.raises(ValueError, match="24-bit"):
         decode_bmp_pixels(bytes(rle))
+    jpeg_in_bmp = bytearray(img)
+    struct.pack_into("<I", jpeg_in_bmp, 30, 4)  # BI_JPEG: gated
+    with _pytest.raises(NotImplementedError, match="compressed"):
+        decode_bmp_pixels(bytes(jpeg_in_bmp))
     with _pytest.raises(ValueError, match="short"):
         decode_bmp_pixels(img[:-4])
     # BI_BITFIELDS with swapped masks: gated, never silently wrong
@@ -864,6 +925,148 @@ def test_bmp_round_trips_and_layouts():
     struct.pack_into("<I", small, 46, 16)  # claim 16 used colors
     with _pytest.raises(ValueError, match="range|truncated"):
         decode_bmp_pixels(bytes(small))
+
+
+def _bmp_rle_container(stream: bytes, w: int, h: int,
+                       bpp: int = 8, n_pal: int = 0) -> bytes:
+    """Wrap a raw RLE byte stream in a BITMAPINFOHEADER container
+    with an identity (gray-ramp) palette, for handcrafted-stream
+    tests that pin escape codes the encoder never emits."""
+    import struct
+
+    n = n_pal or (1 << bpp)
+    if bpp == 8:
+        pal = bytes(v for i in range(n) for v in (i, i, i, 0))
+    else:  # 4-bit ramp: index i -> 17*i so values span 0..255
+        pal = bytes(v for i in range(n) for v in (17 * i,) * 3 + (0,))
+    off = 14 + 40 + len(pal)
+    return (b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp,
+                          1 if bpp == 8 else 2, len(stream),
+                          2835, 2835, n, 0) + pal + stream)
+
+
+def test_bmp_rle_round_trips_and_escapes():
+    """BI_RLE8/BI_RLE4 decode (r8 extension): encoder round trips
+    cover runs + absolute packets + EOL/EOB; handcrafted streams pin
+    delta skips (default index 0), early end-of-bitmap fill, RLE4
+    nibble alternation and word padding; corruption is loud."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_rle8_gray,
+    )
+
+    rng = np.random.RandomState(8)
+    # runs of random length mixed with literal stretches
+    for w, h in [(1, 1), (7, 3), (64, 9)]:
+        vals = []
+        while len(vals) < w * h:
+            if rng.rand() < 0.5:
+                vals += [int(rng.randint(256))] * int(rng.randint(1, 9))
+            else:
+                vals += [int(v) for v in rng.randint(0, 256, 5)]
+        px = bytes(vals[:w * h])
+        gw, gh, ch, rgb = decode_bmp_pixels(
+            encode_bmp_rle8_gray(px, w))
+        a = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+        assert (gw, gh, ch) == (w, h, 3)
+        assert a[:, 0].tobytes() == px and (a[:, 1] == a[:, 0]).all()
+
+    # long constant row: run splitting at the 255 cap
+    px = bytes([9]) * 600
+    assert decode_bmp_pixels(encode_bmp_rle8_gray(px, 300))[3] \
+        == bytes(v for b in px for v in (b, b, b))
+
+    # handcrafted RLE8: row 0 (bottom) writes 2 px, delta skips 2
+    # right and 1 up, writes 1 px, EOB — everything unwritten is
+    # palette index 0
+    stream = bytes((2, 7,        # run: 7 7
+                    0, 2, 2, 1,  # delta: x+=2, y+=1
+                    1, 5,        # run: 5
+                    0, 1))       # end of bitmap
+    w, h, ch, rgb = decode_bmp_pixels(_bmp_rle_container(stream, 5, 2))
+    a = np.frombuffer(rgb, np.uint8).reshape(2, 5, 3)[:, :, 0]
+    assert a[1].tolist() == [7, 7, 0, 0, 0]   # bottom row
+    assert a[0].tolist() == [0, 0, 0, 0, 5]   # delta target row
+    # absolute packet with odd length: pad byte consumed, not decoded
+    stream = bytes((0, 3, 11, 12, 13, 0,  # absolute 3 + pad
+                    2, 9,                 # run to fill the row
+                    0, 0,                 # end of line
+                    5, 1,                 # full top row
+                    0, 1))
+    w, h, ch, rgb = decode_bmp_pixels(_bmp_rle_container(stream, 5, 2))
+    a = np.frombuffer(rgb, np.uint8).reshape(2, 5, 3)[:, :, 0]
+    assert a[1].tolist() == [11, 12, 13, 9, 9]
+    assert a[0].tolist() == [1] * 5
+
+    # RLE4: runs alternate the two nibbles; absolute packs nibbles
+    # MSB-first and pads to a word boundary
+    stream = bytes((5, 0x2B,              # 2 11 2 11 2
+                    0, 0,                 # EOL
+                    0, 3, 0x4C, 0x50,     # absolute 4,12,5 (2 bytes
+                    2, 0x66,              # hold 3 nibbles, word-even)
+                    0, 1))
+    w, h, ch, rgb = decode_bmp_pixels(
+        _bmp_rle_container(stream, 5, 2, bpp=4))
+    a = np.frombuffer(rgb, np.uint8).reshape(2, 5, 3)[:, :, 0]
+    assert a[1].tolist() == [17 * v for v in (2, 11, 2, 11, 2)]
+    assert a[0].tolist() == [17 * v for v in (4, 12, 5, 6, 6)]
+
+    # corruption taxonomy: truncated stream, row overflow, bad delta,
+    # top-down RLE, depth mismatch — all loud ValueErrors
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp_pixels(_bmp_rle_container(bytes((2, 7)), 5, 2))
+    with _pytest.raises(ValueError, match="overflows"):
+        decode_bmp_pixels(_bmp_rle_container(
+            bytes((200, 1, 0, 1)), 5, 2))
+    with _pytest.raises(ValueError, match="delta"):
+        decode_bmp_pixels(_bmp_rle_container(
+            bytes((0, 2, 200, 200, 0, 1)), 5, 2))
+    td = bytearray(_bmp_rle_container(bytes((5, 1, 0, 1)), 5, 1))
+    import struct
+    struct.pack_into("<i", td, 22, -1)  # negative height
+    with _pytest.raises(ValueError, match="top-down"):
+        decode_bmp_pixels(bytes(td))
+
+
+def test_bmp_low_depth_uncompressed():
+    """1-bit and 4-bit uncompressed BMP rows are bit-packed MSB-first
+    and padded to 4-byte strides; palette indexing applies."""
+    import struct
+
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+
+    # 1-bit, 10 px wide, 2 rows, palette black/white
+    pal = bytes((0, 0, 0, 0, 255, 255, 255, 0))
+    off = 14 + 40 + len(pal)
+    rows = [bytes((0b10110100, 0b01000000)).ljust(4, b"\x00"),
+            bytes((0b11111111, 0b11000000)).ljust(4, b"\x00")]
+    data = rows[1] + rows[0]  # bottom-up
+    img = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, 10, 2, 1, 1, 0,
+                         len(data), 0, 0, 2, 0) + pal + data)
+    w, h, ch, rgb = decode_bmp_pixels(img)
+    a = np.frombuffer(rgb, np.uint8).reshape(2, 10, 3)[:, :, 0] // 255
+    assert a[0].tolist() == [1, 0, 1, 1, 0, 1, 0, 0, 0, 1]
+    assert a[1].tolist() == [1] * 10
+
+    # 4-bit, 3 px wide (stride pads 2 bytes -> 4), gray-ramp palette
+    pal4 = bytes(v for i in range(16) for v in (17 * i,) * 3 + (0,))
+    off = 14 + 40 + len(pal4)
+    data = bytes((0xAB, 0xC0)).ljust(4, b"\x00")
+    img4 = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, 3, 1, 1, 4, 0,
+                          len(data), 0, 0, 16, 0) + pal4 + data)
+    w, h, ch, rgb = decode_bmp_pixels(img4)
+    a = np.frombuffer(rgb, np.uint8).reshape(1, 3, 3)[:, :, 0]
+    assert a[0].tolist() == [17 * 10, 17 * 11, 17 * 12]
 
 
 def test_image_pixel_stats_routes_bmp(spark):
