@@ -435,6 +435,76 @@ def rolling_window_keys(docs: DataFrame, id_col: str, text_col: str,
             .select(F.col(id_col), F.explode("keys").alias("key")))
 
 
+def exact_substring_spans(docs: DataFrame, id_col: str, text_col: str,
+                          n: int = 8) -> DataFrame:
+    """MAXIMAL repeated-substring spans — the ExactSubstr REMOVAL step
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", §3.1: drop every substring of ≥ n tokens that
+    appears more than once in the corpus; their single-node build is a
+    suffix array, this is the distributed relational equivalent):
+    every n-token window keyed by the Rabin–Karp rolling hash (the
+    q143 contract — same constants, verified cross-engine), a window
+    is *repeated* when its key occurs ≥ 2 times ANYWHERE (other docs
+    OR a self-repeat — occurrence count, not the document frequency
+    ``rolling_chunk_stats`` uses), and runs of consecutive repeated
+    window starts merge into maximal spans via gaps-and-islands:
+    consecutive starts j, j+1 overlap in n−1 tokens, so the union
+    [min j, max j + n − 1] is one contiguous repeated region.
+
+    Returns (id, span_start, span_len, n_dup_windows) at span grain —
+    token offsets, 0-based — ordered for the removal rewrite a
+    pipeline applies next (the reference stops at pandas full-row
+    drops, sunat_rree_demo/app.py:214).
+
+    Scale shape: one Arrow-batched key pass (positions ride along as
+    the posexplode index — 8-byte longs on the wire, never strings),
+    ONE uniform key shuffle for the occurrence count, then a doc-grain
+    window for the island grouping — bounded by doc length, the same
+    two-shuffle budget as ``rolling_chunk_stats`` plus the doc-grain
+    repartition every per-doc rewrite pays anyway."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pw = np.array(roll_powers(n), dtype="int64")
+
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("keys", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches):
+        for _pdf, toks in _doc_token_batches(batches, id_col, text_col, n):
+            ids, kys = [], []
+            for i, tk in toks:
+                h = np.fromiter(
+                    (int(hashlib.sha256(t.encode())
+                         .hexdigest()[:HASH_HEX_LEN], 16)
+                     for t in tk), dtype="int64", count=len(tk))
+                win = np.lib.stride_tricks.sliding_window_view(h, n)
+                ids.append(i)
+                kys.append(win @ pw % ROLL_MOD)  # in order, NOT unique
+            if ids:
+                yield pd.DataFrame({id_col: ids, "keys": kys})
+
+    ks = (fan_out(docs.select(id_col, text_col))
+          .mapInPandas(gen, schema=out_schema)
+          .select(F.col(id_col),
+                  F.posexplode("keys").alias("j", "key")))
+    occ = F.count("*").over(Window.partitionBy("key"))
+    dup = ks.withColumn("_c", occ).filter(F.col("_c") >= 2)
+    byj = Window.partitionBy(id_col).orderBy("j")
+    return (
+        dup.withColumn("_g", F.col("j") - F.row_number().over(byj))
+        .groupBy(id_col, "_g")
+        .agg(F.min("j").cast("bigint").alias("span_start"),
+             (F.max("j") - F.min("j") + n).cast("bigint")
+             .alias("span_len"),
+             F.count("*").cast("bigint").alias("n_dup_windows"))
+        .drop("_g")
+    )
+
+
 def rolling_chunk_stats(docs: DataFrame, id_col: str, text_col: str,
                         n: int = 8) -> DataFrame:
     """OVERLAPPING n-token window duplication signal — the

@@ -62,6 +62,9 @@ _R8_NEW = (
     "q210_adam7_png_stats",
     "q211_progressive_jpeg_stats",
     "q212_gif_pixel_stats",
+    "q213_bmp_rle_stats",
+    "q214_g711_frame_energy",
+    "q215_exact_substring_spans",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

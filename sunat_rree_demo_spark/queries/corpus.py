@@ -441,6 +441,78 @@ def q150_novelty_contribution(spark, sf_dir):
     return rolling_novelty(d, "doc_id", "text", n=8).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------- q215
+def _rolling_key_expr(n: int = 8) -> str:
+    """The q143 Rabin–Karp window-key expression, generated from the
+    operator's OWN constants (roll_powers / ROLL_MOD) instead of baked
+    literals — so this oracle and the operator cannot drift."""
+    from sunat_rree_demo_spark.operators.dedup import ROLL_MOD, roll_powers
+
+    terms = " + ".join(
+        f"((hv[j+{i}] * {p}) % {ROLL_MOD})"
+        for i, p in enumerate(roll_powers(n)))
+    return f"({terms}) % {ROLL_MOD}"
+
+
+@register(
+    "q215_exact_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(tk, t ->
+               ('0x' || substr(sha256(t), 1, 7))::BIGINT) AS hv
+      FROM toks WHERE len(tk) >= 8
+    ),
+    keysp AS (
+      SELECT doc_id,
+             unnest(range(1, len(hv) - 6)) - 1 AS j,
+             unnest(list_transform(range(1, len(hv) - 6),
+                                   j -> {_rolling_key_expr(8)})) AS key
+      FROM hs
+    ),
+    kc AS (SELECT key, count(*) AS c FROM keysp GROUP BY 1),
+    dup AS (
+      SELECT doc_id, j FROM keysp JOIN kc USING (key) WHERE c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, j,
+             j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
+               AS g
+      FROM dup
+    )
+    SELECT doc_id,
+           CAST(min(j) AS BIGINT) AS span_start,
+           CAST(max(j) - min(j) + 8 AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_dup_windows
+    FROM isl GROUP BY doc_id, g
+    ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring", "spans"),
+)
+def q215_exact_substring_spans(spark, sf_dir):
+    """MAXIMAL repeated-substring spans — the ExactSubstr REMOVAL step
+    (Lee et al. 2022 §3.1; their build is a single-node suffix array,
+    this is the distributed relational equivalent): q143 measures the
+    duplicated-window fraction, this emits the actual token ranges
+    [span_start, span_start+span_len) a substring-level dedup pass
+    deletes — every n-token window whose rolling-hash key occurs ≥ 2
+    times anywhere (occurrence count, so self-repeats qualify, unlike
+    q143's document frequency), with consecutive repeated starts
+    merged into maximal spans by gaps-and-islands. The oracle rebuilds
+    keys-with-positions, the occurrence census and the island merge in
+    SQL from the operator's own constants. (Operator:
+    operators.dedup.exact_substring_spans.)"""
+    from sunat_rree_demo_spark.operators.dedup import exact_substring_spans
+
+    d = t(spark, sf_dir, "documents")
+    return (exact_substring_spans(d, "doc_id", "text", n=8)
+            .orderBy("doc_id", "span_start"))
+
+
 # --------------------------------------------------------------------- q179
 _RRF_K = 60
 _RRF_DEPTH = 15

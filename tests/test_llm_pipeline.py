@@ -277,6 +277,41 @@ def test_rolling_window_keys_match_naive_polynomial(spark):
     assert row["n_dup_windows"] == 0
 
 
+def test_exact_substring_spans_maximal_and_self_repeats(spark):
+    """ExactSubstr spans (q215): a 12-token run shared by two docs
+    must come back as ONE maximal span per doc with the exact token
+    offsets and length (12 tokens = 5 overlapping 8-windows merged),
+    a self-repeated run inside a single doc qualifies via the
+    occurrence count (where q143's document frequency would not see
+    it), and a unique doc yields no spans at all."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    run = [f"r{i}" for i in range(12)]
+    doc_a = [f"a{i}" for i in range(3)] + run + [f"x{i}" for i in range(2)]
+    doc_b = [f"b{i}" for i in range(5)] + run
+    # doc 3: the same 8-token block twice with unique separators
+    blk = [f"s{i}" for i in range(8)]
+    doc_c = blk + ["m0", "m1"] + blk
+    doc_d = [f"u{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b)),
+         (3, " ".join(doc_c)), (4, " ".join(doc_d))],
+        "doc_id long, text string")
+
+    spans = {}
+    for r in exact_substring_spans(docs, "doc_id", "text", 8).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_len"], r["n_dup_windows"]))
+    # one maximal span per doc, at the planted offsets
+    assert spans[1] == [(3, 12, 5)]
+    assert spans[2] == [(5, 12, 5)]
+    # self-repeat: both copies flagged, each a single 8-window span
+    assert sorted(spans[3]) == [(0, 8, 1), (10, 8, 1)]
+    assert 4 not in spans
+
+
 def test_cluster_safe_split_has_no_cross_split_edges(spark):
     """q170's whole point: no near-dup edge may straddle splits —
     and the doc-grain q62 recipe WOULD straddle on the same graph,
