@@ -497,9 +497,14 @@ def _wav_pcm16_data(payload: bytes) -> tuple[int, int, bytes] | None:
 
 def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
     """REAL audio feature extraction — per-frame RMS energy over 16-bit
-    PCM WAV payloads: the first step of voice-activity detection /
-    silence trimming in an audio-training-data pipeline. Non-WAV or
-    non-PCM16 payloads yield no rows (opaque, like the other decoders).
+    PCM audio: RIFF/WAVE (linear PCM or G.711 μ/A-law expanded through
+    the ITU tables) and FLAC (full frame-layer decode — see
+    ``decode_flac_pcm16``): the first step of voice-activity detection
+    / silence trimming in an audio-training-data pipeline. Payloads in
+    neither container — and well-formed-but-gated codec variants
+    (stereo-decorrelated or non-16-bit FLAC) — yield no rows (opaque
+    degrade, like the raster decoders); only genuinely corrupt streams
+    abort.
 
     Returns (media_id, frame_no, n_samples, rms): frames are
     ``frame_ms`` windows of mono-mixed samples (channel mean), RMS is
@@ -527,7 +532,13 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
         for pdf in it:
             ids, frames, counts, rmss = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
-                parsed = _wav_pcm16_data(bytes(payload))
+                raw = bytes(payload)
+                try:
+                    parsed = _wav_pcm16_data(raw)
+                    if parsed is None:
+                        parsed = decode_flac_pcm16(raw)
+                except NotImplementedError:
+                    parsed = None  # gated variant: degrade, not abort
                 if parsed is None:
                     continue
                 rate, channels, data = parsed
@@ -2515,3 +2526,423 @@ def encode_wav_g711(codes: bytes, law: str = "ulaw",
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"data" + struct.pack("<I", len(codes)) + data)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# -------------------------------------------------------------- FLAC frames
+# REAL FLAC audio decode (r8 — the third real audio path after linear
+# PCM and G.711): the frame layer per RFC 9639 — sync + CRC-8 header,
+# CONSTANT / VERBATIM / FIXED / LPC subframes, Rice-coded residual
+# partitions with the raw-bitwidth escape, wasted-bits shift, CRC-16
+# frame footer. Stereo decorrelation (left/side, right/side,
+# mid/side) and non-16-bit sample sizes stay honestly gated behind
+# NotImplementedError; CRC or structure violations are ValueError —
+# the shared taxonomy. The encoder twin emits fixed-order predictors
+# and genuine Rice partitions, so round trips exercise the real
+# entropy layer, and an LPC mode (coef [1], shift 0 ≡ fixed order 1)
+# pins the LPC arithmetic with bit-exact expectations.
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — FLAC frame-header
+    checksum (RFC 9639 §9.1.1)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16, polynomial 0x8005, init 0 — FLAC whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader over a byte buffer: fixed-width reads via
+    a cached power-vector dot product on an unpacked bit array; unary
+    reads (Rice quotients) via searchsorted into the precomputed
+    one-bit index — O(log n) instead of a per-bit Python loop."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+        self.pos = 0
+        self._pw = {n: (1 << np.arange(n - 1, -1, -1)).astype("int64")
+                    for n in range(1, 33)}
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("FLAC bitstream truncated")
+        v = int(self.bits[self.pos:self.pos + n] @ self._pw[n]) \
+            if n <= 32 else int("".join(
+                self.bits[self.pos:self.pos + n].astype(str)), 2)
+        self.pos += n
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        """Count of 0 bits before the next 1 bit (consumes the 1)."""
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i >= len(self.ones):
+            raise ValueError("FLAC bitstream truncated in unary")
+        q = int(self.ones[i]) - self.pos
+        self.pos = int(self.ones[i]) + 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+#: frame-header sample-rate codes 0b0001..0b1011 (RFC 9639 table)
+_FLAC_RATES = (88200, 176400, 192000, 8000, 16000, 22050, 24000,
+               32000, 44100, 48000, 96000)
+
+#: fixed-predictor coefficients by order: s[t] = Σ c_i·s[t-1-i] + e
+_FLAC_FIXED = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _flac_coded_number(br: "_FlacBits") -> int:
+    """The UTF-8-style frame/sample number (RFC 9639 §9.1.5)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n_extra = 0
+    mask = 0x40
+    while b0 & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra < 1 or n_extra > 6:
+        raise ValueError("FLAC coded number malformed")
+    v = b0 & (mask - 1)
+    for _ in range(n_extra):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC coded number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(br: "_FlacBits", blocksize: int, order: int) \
+        -> list[int]:
+    """One coded-residual section: Rice method (4- or 5-bit params),
+    partition order, escape-coded raw partitions."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("FLAC reserved residual method")
+    pbits = 4 + method
+    esc = (1 << pbits) - 1
+    p_order = br.read(4)
+    n_part = 1 << p_order
+    if blocksize % n_part:
+        raise ValueError("FLAC partition order does not divide block")
+    out: list[int] = []
+    for p in range(n_part):
+        cnt = (blocksize >> p_order) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC warmup exceeds first partition")
+        k = br.read(pbits)
+        if k == esc:
+            w = br.read(5)
+            out.extend(br.read_signed(w) if w else 0
+                       for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                q = br.unary()
+                u = (q << k) | br.read(k)
+                out.append((u >> 1) ^ -(u & 1))  # zigzag unfold
+    return out
+
+
+def _flac_subframe(br: "_FlacBits", blocksize: int, bps: int) \
+        -> list[int]:
+    """One subframe: header, wasted bits, payload by type."""
+    if br.read(1):
+        raise ValueError("FLAC subframe pad bit set")
+    ty = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits flag: unary count - 1 follows
+        wasted = br.unary() + 1
+    eff = bps - wasted
+    if ty == 0:  # CONSTANT
+        out = [br.read_signed(eff)] * blocksize
+    elif ty == 1:  # VERBATIM
+        out = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= ty <= 12:  # FIXED, order ty-8
+        order = ty - 8
+        if order > blocksize:
+            raise ValueError("FLAC fixed order exceeds block")
+        out = [br.read_signed(eff) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        coefs = _FLAC_FIXED[order]
+        for e in res:
+            pred = sum(c * out[-1 - i] for i, c in enumerate(coefs))
+            out.append(pred + e)
+    elif ty >= 32:  # LPC, order ty-31
+        order = ty - 31
+        if order > blocksize:
+            raise ValueError("FLAC LPC order exceeds block")
+        out = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("FLAC LPC precision code invalid")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        for e in res:
+            acc = sum(c * out[-1 - i] for i, c in enumerate(coefs))
+            out.append((acc >> shift) + e)
+    else:
+        raise ValueError(f"FLAC reserved subframe type {ty}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac_pcm16(payload: bytes) -> tuple[int, int, bytes] | None:
+    """(sample_rate, n_channels, PCM16-LE bytes) for a 16-bit FLAC
+    stream with INDEPENDENT channels — REAL frame-layer decode
+    (stdlib+numpy): metadata walk, per-frame sync + CRC-8 header
+    check, subframe reconstruction (constant / verbatim / fixed
+    orders 0-4 / LPC to order 32, Rice partitions incl. the raw
+    escape, wasted bits), CRC-16 footer check. Returns None for
+    non-FLAC payloads; NotImplementedError for honest gates (stereo
+    decorrelation modes, non-16-bit depths); ValueError for
+    corruption — the shared taxonomy."""
+    meta = _decode_flac_streaminfo(payload)
+    if meta is None:
+        return None
+    rate, channels, bits, _dur = meta
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit FLAC (16-bit only)")
+    # walk metadata blocks to the first audio frame
+    i = 4
+    while True:
+        if i + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        last = payload[i] & 0x80
+        blen = int.from_bytes(payload[i + 1:i + 4], "big")
+        i += 4 + blen
+        if last:
+            break
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    while i < len(payload):
+        br = _FlacBits(payload[i:])
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("FLAC frame sync lost")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        _flac_coded_number(br)
+        if bs_code == 0:
+            raise ValueError("FLAC reserved blocksize code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 0:
+            pass  # streaminfo rate
+        elif sr_code <= 11:
+            if _FLAC_RATES[sr_code - 1] != rate:
+                raise ValueError("FLAC frame rate contradicts streaminfo")
+        elif sr_code == 12:
+            br.read(8)
+        elif sr_code <= 14:
+            br.read(16)
+        else:
+            raise ValueError("FLAC invalid sample-rate code")
+        if ch_code >= 8:
+            raise NotImplementedError(
+                "FLAC stereo decorrelation (left/right/mid-side)")
+        if ch_code + 1 != channels:
+            raise ValueError("FLAC frame channels contradict streaminfo")
+        if ss_code not in (0, 4):  # 0b100 = 16 bit
+            raise NotImplementedError("non-16-bit FLAC frame")
+        hdr_len = br.pos // 8  # header fields are byte-aligned here
+        if _crc8_flac(payload[i:i + hdr_len]) != br.read(8):
+            raise ValueError("FLAC header CRC-8 mismatch")
+        for c in range(channels):
+            chans[c].extend(_flac_subframe(br, blocksize, 16))
+        br.align()
+        frame_len = br.pos // 8
+        crc = br.read(16)
+        if _crc16_flac(payload[i:i + frame_len]) != crc:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        i += frame_len + 2
+    n = min(len(c) for c in chans)
+    pcm = np.empty((n, channels), dtype="<i2")
+    for c in range(channels):
+        arr = np.asarray(chans[c][:n], dtype="int64")
+        if arr.size and (arr.max() > 32767 or arr.min() < -32768):
+            raise ValueError("FLAC sample out of 16-bit range")
+        pcm[:, c] = arr.astype("<i2")
+    return rate, channels, pcm.tobytes()
+
+
+class _FlacWriter:
+    """MSB-first bit sink for the encoder twin (no byte stuffing —
+    FLAC has none; groups like _BitWriter)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+
+def _rice_cost_k(folded: "np.ndarray", pbits: int) -> int:
+    """Best Rice parameter for a partition of zigzag-folded values
+    (exhaustive over the legal range — the twin is small)."""
+    best_k, best = 0, None
+    for k in range((1 << pbits) - 1):
+        cost = int((folded >> k).sum()) + len(folded) * (k + 1)
+        if best is None or cost < best:
+            best_k, best = k, cost
+    return best_k
+
+
+def encode_flac_pcm16(samples: "np.ndarray", rate: int = 8000,
+                      blocksize: int = 256,
+                      lpc: bool = False,
+                      p_order: int = 0) -> bytes:
+    """Minimal mono 16-bit FLAC encoder (the decode-test twin, like
+    ``encode_wav_pcm16``): STREAMINFO + fixed-blocksize frames, each
+    subframe CONSTANT when the block is flat, else FIXED order 1 —
+    or, with ``lpc=True``, an LPC subframe with coefficient [1] and
+    shift 0 (bit-identical predictor to fixed order 1, which is what
+    lets the LPC arithmetic be pinned by a lossless round trip) —
+    with genuine Rice partitions (``p_order`` splits the block into
+    2^p partitions, each with its own best-k search and the raw
+    escape when cheaper). Lossless: a decode recovers the int16
+    samples exactly, the q216 oracle device."""
+    smp = np.asarray(samples, dtype=np.int64)
+    if smp.ndim != 1:
+        raise ValueError("mono only")
+    if smp.size == 0:
+        raise ValueError("empty stream")
+    total = smp.size
+    info = _FlacWriter()
+    info.put(blocksize, 16)  # min blocksize
+    info.put(blocksize, 16)  # max blocksize
+    info.put(0, 24)          # min framesize unknown
+    info.put(0, 24)          # max framesize unknown
+    info.put(rate, 20)
+    info.put(0, 3)           # channels - 1
+    info.put(15, 5)          # bits - 1
+    info.put(total, 36)
+    body = bytes(info.out) + b"\x00" * 16  # md5 unknown
+    out = bytearray(b"fLaC" + b"\x80" + len(body).to_bytes(3, "big")
+                    + body)
+    for fi, start in enumerate(range(0, total, blocksize)):
+        blk = smp[start:start + blocksize]
+        bs = blk.size
+        w = _FlacWriter()
+        w.put(0x3FFE, 14)
+        w.put(0, 1)   # reserved
+        w.put(0, 1)   # fixed blocksize strategy
+        w.put(7, 4)   # blocksize: 16-bit value follows
+        w.put(0, 4)   # rate: streaminfo
+        w.put(0, 4)   # 1 channel, independent
+        w.put(4, 3)   # 16-bit samples
+        w.put(0, 1)   # reserved
+        # coded frame number (UTF-8 style)
+        if fi < 0x80:
+            w.put(fi, 8)
+        elif fi < 0x800:
+            w.put(0xC0 | (fi >> 6), 8)
+            w.put(0x80 | (fi & 0x3F), 8)
+        else:
+            w.put(0xE0 | (fi >> 12), 8)
+            w.put(0x80 | ((fi >> 6) & 0x3F), 8)
+            w.put(0x80 | (fi & 0x3F), 8)
+        w.put(bs - 1, 16)
+        w.align()
+        w.put(_crc8_flac(bytes(w.out)), 8)
+        if (blk == blk[0]).all():
+            w.put(0, 1); w.put(0, 6); w.put(0, 1)  # CONSTANT
+            w.put(int(blk[0]) & 0xFFFF, 16)
+        else:
+            w.put(0, 1)
+            if lpc:
+                w.put(32, 6)  # LPC order 1 (type 100000 + order-1)
+            else:
+                w.put(9, 6)   # FIXED order 1
+            w.put(0, 1)       # no wasted bits
+            w.put(int(blk[0]) & 0xFFFF, 16)  # warmup
+            if lpc:
+                w.put(1, 4)   # precision - 1 = 1 -> 2 bits
+                w.put(0, 5)   # shift 0
+                w.put(1, 2)   # coefficient [1]
+            res = np.diff(blk)
+            folded = np.where(res >= 0, 2 * res, -2 * res - 1) \
+                .astype(np.int64)
+            # partition order: only when it divides the block and the
+            # first partition still fits the warmup (RFC rules)
+            po = p_order if (bs % (1 << p_order) == 0
+                             and (bs >> p_order) > 1) else 0
+            w.put(0, 2)       # 4-bit Rice params
+            w.put(po, 4)
+            step = bs >> po
+            off = 0
+            for p in range(1 << po):
+                cnt = step - (1 if p == 0 else 0)
+                part, pres = folded[off:off + cnt], res[off:off + cnt]
+                off += cnt
+                k = _rice_cost_k(part, 4) if part.size else 0
+                raw_w = int(max(int(part.max()).bit_length() + 1, 2)) \
+                    if part.size else 2
+                rice_cost = int((part >> k).sum()) \
+                    + part.size * (k + 1) + 4
+                if raw_w <= 31 and part.size * raw_w + 9 < rice_cost:
+                    w.put(15, 4)      # escape
+                    w.put(raw_w, 5)
+                    for v in pres:
+                        w.put(int(v) & ((1 << raw_w) - 1), raw_w)
+                else:
+                    w.put(k, 4)
+                    for u in part:
+                        q = int(u) >> k
+                        w.put(1, q + 1)  # q zeros, then the 1
+                        w.put(int(u) & ((1 << k) - 1), k)
+        w.align()
+        frame = bytes(w.out)
+        out += frame + _crc16_flac(frame).to_bytes(2, "big")
+    return bytes(out)

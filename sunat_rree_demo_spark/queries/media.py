@@ -976,3 +976,102 @@ def q214_g711_frame_energy(spark, sf_dir):
                 F.round("rms", 4).alias("rms_4dp"))
         .orderBy("doc_id", "frame_no")
     )
+
+
+#: q216 sample mapping: a different scale than q207's <<8 so a
+#: container-routing mix-up can never hash-match (|s| ≤ 47*181 = 8507)
+_FLAC_SCALE = 181
+
+
+@register(
+    "q216_flac_frame_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 79) * {_FLAC_SCALE}))
+               AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM a WHERE length(s) >= 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             sum(CAST(smp AS BIGINT) * smp) AS ssq
+      FROM v GROUP BY 1, 2
+    )
+    SELECT doc_id, frame_no, n_samples,
+           round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 4) AS rms_4dp
+    FROM f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "codec", "audio"),
+)
+def q216_flac_frame_energy(spark, sf_dir):
+    """Per-frame RMS energy through a REAL **FLAC** encode→decode
+    round trip (r8 — the third real audio path after linear PCM and
+    G.711): each document's printable chars become int16 samples
+    inside a genuine FLAC stream — fixed-predictor subframes with
+    Rice-coded residual partitions, CONSTANT blocks where the text is
+    flat, CRC-8/CRC-16 protected frames; encode parameters vary by
+    doc (LPC-form subframes for odd doc_ids, partition order 2 when
+    doc_id % 3 == 0) so one query exercises the decoder's subframe
+    and partition breadth — and Spark decodes them back through the
+    full frame layer before the usual integer-exact energy pass. A
+    Rice mis-read, predictor slip, partition-boundary bug or CRC
+    bypass breaks the hash. FLAC is lossless, so the oracle computes
+    the identical energies straight from the characters.
+
+    Scale shape: identical to q207 — fan_out → Arrow-batched encode →
+    one decode+energy pass, frame-grain output, no shuffle before the
+    output sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_flac_pcm16,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            smp = (np.frombuffer(s.encode("ascii"), np.uint8)
+                   .astype(np.int64) - 79) * _FLAC_SCALE
+            return encode_flac_pcm16(
+                smp, rate=_WAV_RATE, blocksize=256,
+                lpc=bool(mid % 2),
+                p_order=2 if mid % 3 == 0 else 0)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        pcm_frame_energy(media, frame_ms=_WAV_FRAME_MS)
+        .select(F.col("media_id").alias("doc_id"),
+                "frame_no", "n_samples",
+                F.round("rms", 4).alias("rms_4dp"))
+        .orderBy("doc_id", "frame_no")
+    )

@@ -524,6 +524,98 @@ def test_wav_encoder_round_trips_and_meta_parses():
     assert np.frombuffer(d2, "<i2").tolist() == [7]
 
 
+def test_flac_round_trips_decode_for_real():
+    """FLAC frame-layer decode (r8): lossless round trips across
+    subframe types (CONSTANT for flat blocks, FIXED order 1, LPC with
+    coef [1] ≡ fixed — pins the LPC arithmetic), Rice partition
+    orders 0/2/4 with best-k params and the raw escape, multi-frame
+    streams with ragged last blocks; compression is real; CRC-8/16
+    and truncation are loud; gated variants degrade per taxonomy."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_flac_pcm16,
+        encode_flac_pcm16,
+    )
+
+    rng = np.random.RandomState(5)
+    cases = [
+        np.array([-3], np.int16),                       # single sample
+        np.full(513, 42, np.int16),                     # constant, ragged
+        rng.randint(-300, 300, 900).astype(np.int16),   # small residuals
+        rng.randint(-32768, 32768, 2000).astype(np.int16),  # raw escape
+    ]
+    for smp in cases:
+        for lpc in (False, True):
+            for po in (0, 2, 4):
+                flac = encode_flac_pcm16(smp, rate=16000,
+                                         blocksize=256, lpc=lpc,
+                                         p_order=po)
+                rate, ch, data = decode_flac_pcm16(flac)
+                assert (rate, ch) == (16000, 1)
+                assert np.frombuffer(data, "<i2").tolist() \
+                    == smp.tolist()
+    # compression is real, not a verbatim wrap
+    flat = encode_flac_pcm16(np.zeros(4096, np.int16))
+    assert len(flat) < 4096 * 2 // 10
+
+    good = encode_flac_pcm16(cases[2], blocksize=256)
+    # flip one byte inside the last frame: CRC-16 (or a structure
+    # check downstream of it) must abort, never silent wrong samples
+    bad = bytearray(good)
+    bad[-5] ^= 0x40
+    with _pytest.raises(ValueError):
+        decode_flac_pcm16(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated|sync|metadata"):
+        decode_flac_pcm16(good[:-7])
+    # non-FLAC payloads are opaque, not corrupt
+    assert decode_flac_pcm16(b"not a flac stream at all") is None
+    # gated depth: patch STREAMINFO bits-1 from 15 to 7 (8-bit) —
+    # the packed rate|ch|bits|samples field lives at bytes 18..26
+    eight = bytearray(good)
+    packed = int.from_bytes(eight[18:26], "big")
+    packed = (packed & ~(0x1F << 36)) | (7 << 36)
+    eight[18:26] = packed.to_bytes(8, "big")
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        decode_flac_pcm16(bytes(eight))
+
+
+def test_pcm_frame_energy_routes_flac(spark):
+    """The frame-energy operator yields IDENTICAL rows for the same
+    samples shipped as PCM WAV and as FLAC — the lossless-decode
+    contract — and a gated FLAC variant degrades to zero rows
+    without aborting the batch."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_flac_pcm16,
+        encode_wav_pcm16,
+        pcm_frame_energy,
+    )
+
+    rng = np.random.RandomState(11)
+    smp = rng.randint(-5000, 5000, 700).astype(np.int16)
+    wav = encode_wav_pcm16(smp, rate=8000)
+    flac = encode_flac_pcm16(smp, rate=8000, blocksize=160)
+    # an 8-bit-gated FLAC rides along in the same batch
+    gated = bytearray(encode_flac_pcm16(smp[:50], rate=8000))
+    packed = int.from_bytes(gated[18:26], "big")
+    packed = (packed & ~(0x1F << 36)) | (7 << 36)
+    gated[18:26] = packed.to_bytes(8, "big")
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(flac)), (3, gated)],
+        "media_id long, content binary")
+    rows = pcm_frame_energy(media, frame_ms=20).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(
+            (r.frame_no, r.n_samples, r.rms))
+    assert sorted(by_id) == [1, 2]
+    assert sorted(by_id[1]) == sorted(by_id[2])
+    assert len(by_id[1]) == (700 + 159) // 160
+
+
 def test_g711_tables_and_wav_expansion():
     """G.711 μ-law/A-law expansion (r8): the published ITU anchor
     values pin the tables independently of the generating formula
