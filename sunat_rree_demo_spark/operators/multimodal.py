@@ -1305,9 +1305,9 @@ PIXEL_STATS_SCHEMA = T.StructType([
 
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
-    """Per-image pixel statistics from REAL pixel decode (PNG via
-    ``decode_png_pixels``, baseline JPEG via ``decode_jpeg_pixels`` —
-    routed by magic bytes), Arrow-batched. Emits exact-integer
+    """Per-image pixel statistics from REAL pixel decode (PNG, JPEG,
+    GIF, BMP and TIFF, routed by magic bytes through their
+    ``decode_*_pixels`` decoders), Arrow-batched. Emits exact-integer
     (sum, min, max, count) over all channel samples so downstream
     means can use the half-up integer device — float means would break
     cross-engine parity. Payloads in neither format yield all-null
@@ -1342,6 +1342,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                             dec = decode_gif_pixels(raw)
                         if dec is None:
                             dec = decode_bmp_pixels(raw)
+                        if dec is None:
+                            dec = decode_tiff_pixels(raw)
                     except NotImplementedError:
                         dec = None  # gated variant: degrade, don't abort
                 if dec is None:
@@ -2946,3 +2948,222 @@ def encode_flac_pcm16(samples: "np.ndarray", rate: int = 8000,
         frame = bytes(w.out)
         out += frame + _crc16_flac(frame).to_bytes(2, "big")
     return bytes(out)
+
+
+# -------------------------------------------------------------- TIFF pixels
+def _tiff_ifd_values(payload: bytes, bo: str, off: int) \
+        -> tuple[int, int, list[int]]:
+    """One IFD entry at ``off`` → (tag, type, values): BYTE(1),
+    SHORT(3) and LONG(4) arrays, inline when they fit the 4-byte
+    value slot, external otherwise (TIFF 6.0 §2)."""
+    import struct
+
+    tag, typ, cnt = struct.unpack(bo + "HHI", payload[off:off + 8])
+    size = {1: 1, 3: 2, 4: 4}.get(typ)
+    if size is None:
+        return tag, typ, []  # caller decides if the tag matters
+    total = size * cnt
+    if total <= 4:
+        src = off + 8
+    else:
+        (src,) = struct.unpack(bo + "I", payload[off + 8:off + 12])
+    if src + total > len(payload):
+        raise ValueError("TIFF IFD value outside payload")
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    return tag, typ, list(struct.unpack(
+        bo + fmt * cnt, payload[src:src + total]))
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits (TIFF 6.0 §9): literal runs (0..127 → n+1 bytes),
+    replicate runs (-1..-127 → next byte 1-n times), -128 noop.
+    Exactly ``expected`` bytes must come out — over- or underrun is
+    corruption."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i] - 256 if data[i] >= 128 else data[i]
+        i += 1
+        if n >= 0:
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF PackBits literal truncated")
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise ValueError("TIFF PackBits replicate truncated")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("TIFF PackBits length mismatch")
+    return bytes(out)
+
+
+def decode_tiff_pixels(payload: bytes) \
+        -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, samples) for a baseline TIFF — REAL
+    pixel decode, stdlib+numpy only: 8-bit grayscale (both
+    PhotometricInterpretation polarities — WhiteIsZero inverts) and
+    8-bit chunky RGB, strip layout (RowsPerStrip / StripOffsets /
+    StripByteCounts), Compression 1 (none) and 32773 (PackBits), both
+    byte orders. Planar configuration 2, tiled layout, palette TIFFs,
+    LZW/JPEG-in-TIFF and non-8-bit depths raise NotImplementedError;
+    structural violations ValueError — the shared taxonomy. Returns
+    None when the byte-order mark/magic doesn't commit to TIFF."""
+    import struct
+
+    if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset outside payload")
+    (n_entries,) = struct.unpack(
+        bo + "H", payload[ifd_off:ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        if off + 12 > len(payload):
+            raise ValueError("TIFF IFD truncated")
+        tag, _typ, vals = _tiff_ifd_values(payload, bo, off)
+        if vals:
+            tags[tag] = vals
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar (non-chunky) TIFF")
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    photo = tags.get(262, [1])[0]
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    if 256 not in tags or 257 not in tags:
+        raise ValueError("TIFF missing dimensions")
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, [1])[0]
+    if (photo == 2) != (spp == 3) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} with {spp} samples")
+    if any(b != 8 for b in tags.get(258, [8] * spp)):
+        raise NotImplementedError("non-8-bit TIFF")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TIFF dimensions")
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("TIFF strip tables missing or mismatched")
+    rps = tags.get(278, [h])[0]
+    if rps == 0 or rps == 0xFFFFFFFF:
+        rps = h
+    if len(offs) != (h + rps - 1) // rps:
+        raise ValueError("TIFF strip count contradicts RowsPerStrip")
+    out = bytearray()
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        if o + c > len(payload):
+            raise ValueError("TIFF strip outside payload")
+        rows = min(rps, h - si * rps)
+        expected = rows * w * spp
+        strip = payload[o:o + c]
+        if comp == 32773:
+            strip = _packbits_decode(strip, expected)
+        elif len(strip) != expected:
+            raise ValueError("TIFF strip length mismatch")
+        out += strip
+    arr = np.frombuffer(bytes(out), np.uint8)
+    if photo == 0:  # WhiteIsZero: invert to the BlackIsZero scale
+        arr = 255 - arr
+    return (w, h, spp, arr.tobytes())
+
+
+def encode_tiff_gray(pixels: bytes, width: int,
+                     packbits: bool = False,
+                     big_endian: bool = False,
+                     white_is_zero: bool = False,
+                     rows_per_strip: int = 4) -> bytes:
+    """8-bit grayscale baseline TIFF encoder (the decode-test twin):
+    strip layout with real multi-strip geometry, optional REAL
+    PackBits compression (greedy replicate/literal runs), either byte
+    order, and either photometric polarity (``white_is_zero`` stores
+    inverted samples under PhotometricInterpretation 0, so a decode
+    recovers the given pixels — pinning the inversion path)."""
+    import struct
+
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixels must be height x width bytes")
+    height = len(pixels) // width
+    bo = ">" if big_endian else "<"
+    data = bytes(255 - b for b in pixels) if white_is_zero else pixels
+
+    def pack_strip(rows: bytes) -> bytes:
+        if not packbits:
+            return rows
+        out = bytearray()
+        i = 0
+        while i < len(rows):
+            run = 1
+            while (i + run < len(rows) and run < 128
+                   and rows[i + run] == rows[i]):
+                run += 1
+            if run >= 2:
+                out += bytes(((257 - run) & 0xFF, rows[i]))
+                i += run
+                continue
+            lit = i
+            while i < len(rows) and i - lit < 128:
+                run = 1
+                while (i + run < len(rows) and run < 128
+                       and rows[i + run] == rows[i]):
+                    run += 1
+                if run >= 3:
+                    break
+                i += run
+            out += bytes([i - lit - 1]) + rows[lit:i]
+        return bytes(out)
+
+    strips = [pack_strip(data[r * width:min(r + rows_per_strip,
+                                            height) * width])
+              for r in range(0, height, rows_per_strip)]
+    n = len(strips)
+    # layout: 8-byte header | strip data | IFD | external arrays
+    pos = 8
+    offs, cnts = [], []
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        pos += len(s)
+    ifd_off = pos
+    entries = []  # (tag, type, count, value-or-None-for-array, array)
+
+    def short_or_array(vals: list[int]) -> tuple[int, list[int]]:
+        return (vals[0] if len(vals) == 1 else None, vals)
+
+    photo = 0 if white_is_zero else 1
+    tag_list = [
+        (256, 4, 1, width, None),
+        (257, 4, 1, height, None),
+        (258, 3, 1, 8, None),
+        (259, 3, 1, 32773 if packbits else 1, None),
+        (262, 3, 1, photo, None),
+        (273, 4, n, offs[0] if n == 1 else None, offs),
+        (277, 3, 1, 1, None),
+        (278, 4, 1, rows_per_strip, None),
+        (279, 4, n, cnts[0] if n == 1 else None, cnts),
+    ]
+    ext_off = ifd_off + 2 + 12 * len(tag_list) + 4
+    ext = bytearray()
+    for tag, typ, cnt, inline, arr in tag_list:
+        if inline is not None:
+            if typ == 3:
+                val = struct.pack(bo + "HH", inline, 0)
+            else:
+                val = struct.pack(bo + "I", inline)
+        else:
+            val = struct.pack(bo + "I", ext_off + len(ext))
+            ext += struct.pack(bo + "I" * cnt, *arr)
+        entries.append(struct.pack(bo + "HHI", tag, typ, cnt) + val)
+    hdr = (b"II*\x00" if not big_endian else b"MM\x00*") \
+        + struct.pack(bo + "I", ifd_off)
+    ifd = (struct.pack(bo + "H", len(tag_list)) + b"".join(entries)
+           + struct.pack(bo + "I", 0))
+    return hdr + b"".join(strips) + ifd + bytes(ext)

@@ -66,6 +66,7 @@ _R8_NEW = (
     "q214_g711_frame_energy",
     "q215_exact_substring_spans",
     "q216_flac_frame_energy",
+    "q217_tiff_pixel_stats",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

@@ -1075,3 +1075,107 @@ def q216_flac_frame_energy(spark, sf_dir):
                 F.round("rms", 4).alias("rms_4dp"))
         .orderBy("doc_id", "frame_no")
     )
+
+
+#: q217 TIFF width — a prime distinct from every other raster device
+#: (16/21/13/11), so a routing mix-up can never hash-match
+_TIFF_W = 23
+
+
+@register(
+    "q217_tiff_pixel_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_TIFF_W}) * {_TIFF_W}) AS s
+      FROM a WHERE length(s) >= {_TIFF_W}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_TIFF_W} AS INT) AS width,
+           CAST(n // {_TIFF_W} AS INT) AS height,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((2 * sum(val) * 10000 + n) // (2 * n) AS DOUBLE)
+             / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q217_tiff_pixel_stats(spark, sf_dir):
+    """Pixel statistics through a REAL **baseline TIFF** encode→decode
+    round trip (r8 — the fifth real raster codec: every image format
+    the sniffer recognizes now decodes for real): each document's
+    printable-ASCII byte becomes one pixel of a genuine strip-layout
+    TIFF, with the encode parameters varying per doc — PackBits
+    compression for even doc_ids, big-endian byte order when
+    doc_id % 3 == 0, WhiteIsZero photometric inversion when
+    doc_id % 5 == 0 — so one query exercises the IFD walk, both byte
+    orders, multi-strip geometry, the PackBits coder and the
+    polarity inversion. The oracle computes the same stats from the
+    characters; a strip-boundary slip, endianness bug, PackBits
+    run-length error or polarity miss breaks the hash.
+
+    Scale shape: identical to q186 — two Arrow-batched mapInPandas
+    passes at document grain, no shuffle before the doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_tiff_gray,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_TIFF_W}) * {_TIFF_W})"))
+        .filter(F.length("s") >= _TIFF_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            return encode_tiff_gray(
+                s.encode("ascii"), _TIFF_W,
+                packbits=(mid % 2 == 0),
+                big_endian=(mid % 3 == 0),
+                white_is_zero=(mid % 5 == 0))
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )

@@ -524,6 +524,110 @@ def test_wav_encoder_round_trips_and_meta_parses():
     assert np.frombuffer(d2, "<i2").tolist() == [7]
 
 
+def test_tiff_round_trips_and_gates():
+    """Baseline TIFF pixel decode (r8): gray round trips across
+    PackBits/uncompressed × little/big endian × both photometric
+    polarities with real multi-strip geometry; a hand-built chunky
+    RGB single-strip decodes; gates (LZW, tiles, planar, non-8-bit)
+    are NotImplementedError; strip/PackBits violations are loud."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff_gray,
+    )
+
+    rng = np.random.RandomState(4)
+    for w, h in [(1, 1), (19, 7), (40, 13)]:
+        px = rng.randint(0, 256, w * h).astype(np.uint8).tobytes()
+        for pb in (False, True):
+            for be in (False, True):
+                for wz in (False, True):
+                    t = encode_tiff_gray(px, w, packbits=pb,
+                                         big_endian=be,
+                                         white_is_zero=wz)
+                    assert decode_tiff_pixels(t) == (w, h, 1, px)
+    # PackBits actually compresses a runny image
+    runny = (b"\x07" * 300 + b"\x09" * 300)
+    assert len(encode_tiff_gray(runny, 30, packbits=True)) \
+        < len(encode_tiff_gray(runny, 30)) - 400
+
+    # hand-built chunky RGB, one strip, little-endian
+    pix = bytes([10, 20, 30, 200, 150, 100])  # 2x1 RGB
+    ifd_off = 8 + len(pix)
+    tagv = [(256, 4, 1, 2), (257, 4, 1, 1), (259, 3, 1, 1),
+            (262, 3, 1, 2), (273, 4, 1, 8), (277, 3, 1, 3),
+            (278, 4, 1, 1), (279, 4, 1, len(pix))]
+    ifd = struct.pack("<H", len(tagv) + 1)
+    # BitsPerSample count 3 needs an external array
+    ext_off = ifd_off + 2 + 12 * (len(tagv) + 1) + 4
+    for tag, typ, cnt, val in tagv[:2]:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<HHII", 258, 3, 3, ext_off)
+    for tag, typ, cnt, val in tagv[2:]:
+        if typ == 3:
+            ifd += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    rgb = (b"II*\x00" + struct.pack("<I", ifd_off) + pix + ifd
+           + struct.pack("<I", 0) + struct.pack("<HHH", 8, 8, 8))
+    assert decode_tiff_pixels(rgb) == (2, 1, 3, pix)
+
+    base = encode_tiff_gray(bytes(range(60)), 12)
+    assert decode_tiff_pixels(b"not tiff") is None
+    lzw = bytearray(base)
+    # compression tag 259 value: find its entry and set 5 (LZW)
+    i = lzw.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", lzw, i + 8, 5)
+    with _pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff_pixels(bytes(lzw))
+    deep = bytearray(base)
+    i = deep.index(struct.pack("<HH", 258, 3))
+    struct.pack_into("<H", deep, i + 8, 16)
+    with _pytest.raises(NotImplementedError, match="non-8-bit"):
+        decode_tiff_pixels(bytes(deep))
+    short = bytearray(base)
+    # with 2 strips the 279 slot holds the ARRAY OFFSET — pointing it
+    # outside the payload must be loud
+    i = short.index(struct.pack("<HH", 279, 4))
+    struct.pack_into("<I", short, i + 8, 9999)
+    with _pytest.raises(ValueError, match="outside payload"):
+        decode_tiff_pixels(bytes(short))
+    # single-strip variant: an oversized inline byte count reads past
+    # the payload end
+    one = bytearray(encode_tiff_gray(bytes(range(48)), 12,
+                                     rows_per_strip=99))
+    i = one.index(struct.pack("<HH", 279, 4))
+    struct.pack_into("<I", one, i + 8, 9999)
+    with _pytest.raises(ValueError, match="strip outside"):
+        decode_tiff_pixels(bytes(one))
+    # PackBits control byte demanding more literals than the strip
+    # holds: under-run is corruption, never short pixels
+    pb = bytearray(encode_tiff_gray(bytes(range(48)), 12,
+                                    packbits=True, rows_per_strip=99))
+    pb[8] = 127  # literal run of 128 in a ~50-byte strip
+    with _pytest.raises(ValueError, match="PackBits"):
+        decode_tiff_pixels(bytes(pb))
+
+
+def test_image_pixel_stats_routes_tiff(spark):
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_tiff_gray,
+        image_pixel_stats,
+    )
+
+    t = encode_tiff_gray(bytes([9, 250, 30, 70]), 2, packbits=True)
+    media = spark.createDataFrame([(1, bytearray(t))],
+                                  "media_id long, content binary")
+    row = image_pixel_stats(media).collect()[0]
+    assert (row.width, row.height, row.channels) == (2, 2, 1)
+    assert row.n_samples == 4 and row.sum_val == 359
+    assert row.min_val == 9 and row.max_val == 250
+
+
 def test_flac_round_trips_decode_for_real():
     """FLAC frame-layer decode (r8): lossless round trips across
     subframe types (CONSTANT for flat blocks, FIXED order 1, LPC with
