@@ -1239,49 +1239,56 @@ def encode_bmp_gray(pixels: bytes, width: int,
 
 def encode_bmp_rle8_gray(pixels: bytes, width: int) -> bytes:
     """8-bit identity-palette BI_RLE8 BMP encoder (the decode-test
-    twin for the compressed path): greedy row coder that emits
-    encoded runs for repeats of >= 2, absolute packets for literal
-    stretches of >= 3 (word-padded), length-1 runs otherwise, an
-    end-of-line escape per row and end-of-bitmap at the close — so a
-    round trip exercises runs, absolute packets AND both escapes.
-    Delta escapes are never emitted (they encode skips over
-    default-0 pixels); the handcrafted-stream tests pin that path."""
+    twin for the compressed path): per row, repeats of >= 4 become
+    encoded runs (255-capped) and everything between them ships as
+    word-padded absolute packets (1-2 byte stragglers as length-1
+    runs), with an end-of-line escape per row and end-of-bitmap at
+    the close — so a round trip exercises runs, absolute packets AND
+    both escapes. Run boundaries come from one numpy diff pass per
+    row, not a per-pixel loop (the first cut was ~9 s cold at sf0.1
+    for the q213 device — r8 measurement). Delta escapes are never
+    emitted (they encode skips over default-0 pixels); the
+    handcrafted-stream tests pin that path."""
     import struct
 
     if width <= 0 or len(pixels) % width:
         raise ValueError("pixels must be height x width bytes")
     height = len(pixels) // width
+    px = np.frombuffer(pixels, np.uint8).reshape(height, width)
     out = bytearray()
+
+    def absolute(seg: "np.ndarray") -> None:
+        pos = 0
+        while len(seg) - pos >= 3:
+            n = min(255, len(seg) - pos)
+            if len(seg) - pos - n in (1, 2):
+                n -= 3  # keep the remainder >= 3 for one more packet
+            out.append(0)
+            out.append(n)
+            out.extend(seg[pos:pos + n].tobytes())
+            if n & 1:
+                out.append(0)  # absolute packets pad to a word
+            pos += n
+        for b in seg[pos:]:  # 0-2 stragglers as length-1 runs
+            out.append(1)
+            out.append(int(b))
+
     for r in range(height - 1, -1, -1):  # storage is bottom-up
-        row = pixels[r * width:(r + 1) * width]
-        x = 0
-        while x < width:
-            run = 1
-            while (x + run < width and run < 255
-                   and row[x + run] == row[x]):
-                run += 1
-            if run >= 2:
-                out += bytes((run, row[x]))
-                x += run
-                continue
-            lit = x  # literal stretch: until the next run of >= 3
-            while x < width:
-                run = 1
-                while (x + run < width and run < 255
-                       and row[x + run] == row[x]):
-                    run += 1
-                if run >= 3 or x - lit + run > 255:
-                    break
-                x += run
-            n = x - lit
-            if n >= 3:
-                blk = row[lit:x]
-                out += bytes((0, n)) + blk
-                if n & 1:
-                    out += b"\x00"  # absolute packets pad to a word
-            else:
-                for i in range(lit, x):
-                    out += bytes((1, row[i]))
+        row = px[r]
+        cuts = np.flatnonzero(np.diff(row)) + 1
+        starts = np.concatenate(([0], cuts))
+        lens = np.diff(np.concatenate((starts, [width])))
+        pos = 0
+        for s0, ln in zip(starts[lens >= 4], lens[lens >= 4]):
+            absolute(row[pos:s0])
+            v, left = int(row[s0]), int(ln)
+            while left:
+                c = min(255, left)
+                out.append(c)
+                out.append(v)
+                left -= c
+            pos = int(s0) + int(ln)
+        absolute(row[pos:])
         out += b"\x00\x00"  # end of line
     out += b"\x00\x01"  # end of bitmap
     pal = bytes(v for i in range(256) for v in (i, i, i, 0))

@@ -889,7 +889,12 @@ _ULAW_SQL, _ALAW_SQL = _g711_luts()
 @register(
     "q214_g711_frame_energy",
     oracle=f"""
-    WITH a AS (
+    WITH lut AS (
+      SELECT unnest(range(32, 127)) AS code,
+             unnest([{_ULAW_SQL}]) AS u,
+             unnest([{_ALAW_SQL}]) AS a
+    ),
+    d AS (
       SELECT doc_id,
              regexp_replace(text, '[^ -~]', '', 'g') AS s
       FROM documents
@@ -897,21 +902,21 @@ _ULAW_SQL, _ALAW_SQL = _g711_luts()
     v AS (
       SELECT doc_id,
              unnest(list_transform(range(1, length(s) + 1),
-               i -> CASE WHEN doc_id % 2 = 0
-                 THEN list_extract([{_ULAW_SQL}],
-                                   ascii(substr(s, i, 1)) - 31)
-                 ELSE list_extract([{_ALAW_SQL}],
-                                   ascii(substr(s, i, 1)) - 31)
-               END)) AS smp,
+                    i -> ascii(substr(s, i, 1)))) AS code,
              unnest(range(0, length(s))) AS pos
-      FROM a WHERE length(s) >= 1
+      FROM d WHERE length(s) >= 1
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             CASE WHEN doc_id % 2 = 0 THEN u ELSE a END AS smp
+      FROM v JOIN lut USING (code)
     ),
     f AS (
       SELECT doc_id,
              CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
              CAST(count(*) AS BIGINT) AS n_samples,
              sum(CAST(smp AS BIGINT) * smp) AS ssq
-      FROM v GROUP BY 1, 2
+      FROM w GROUP BY 1, 2
     )
     SELECT doc_id, frame_no, n_samples,
            round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 4) AS rms_4dp
