@@ -505,6 +505,55 @@ def exact_substring_spans(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def exact_substring_rewrite(docs: DataFrame, id_col: str,
+                            text_col: str, n: int = 8) -> DataFrame:
+    """ExactSubstr dedup APPLIED (the companion of
+    ``exact_substring_spans``, mirroring how ``chunk_dedup_rewrite``
+    applies what ``chunk_dup_stats`` measures): delete every token
+    covered by a maximal repeated span — ALL occurrences, the
+    Lee et al. 2022 §3.1 rule ("remove every substring that appears
+    more than once"; they note the loss is negligible because one
+    copy's context survives elsewhere) — and reassemble each doc's
+    surviving tokens.
+
+    Returns (id, n_tokens, n_removed, new_text) for EVERY input doc;
+    docs shorter than n tokens pass through untouched.
+
+    Scale shape: the span pass is ``exact_substring_spans``'s
+    two-shuffle budget; token positions are a zero-Python JVM
+    posexplode; the span⋈token range join is doc-grain equi-keyed
+    (spans per doc are few, so the per-row range probe is bounded);
+    reassembly is the same doc-grain sorted-struct aggregate the
+    chunk rewrite uses — per-doc state only, never corpus-sized."""
+    spans = exact_substring_spans(docs, id_col, text_col, n).select(
+        F.col(id_col), F.col("span_start").alias("_s"),
+        (F.col("span_start") + F.col("span_len") - 1).alias("_e"))
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("j", "tok"))
+    rm = (toks.join(spans,
+                    on=[toks[id_col] == spans[id_col],
+                        toks["j"] >= spans["_s"],
+                        toks["j"] <= spans["_e"]],
+                    how="left_semi")
+          .select(F.col(id_col), F.col("j")))
+    marked = toks.join(rm.withColumn("_rm", F.lit(1)),
+                       on=[id_col, "j"], how="left")
+    return (
+        marked.groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.sum(F.when(F.col("_rm").isNotNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_removed"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("_rm").isNull(),
+                                F.struct(F.col("j"), F.col("tok"))))),
+                     lambda s: s["tok"]),
+                 " ").alias("new_text"))
+    )
+
+
 def rolling_chunk_stats(docs: DataFrame, id_col: str, text_col: str,
                         n: int = 8) -> DataFrame:
     """OVERLAPPING n-token window duplication signal — the

@@ -356,9 +356,9 @@ def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
     stub so the plumbing stays testable on synthetic media.
 
     ``real_codec=True`` demands FULL pixel decode: PNG, JPEG
-    (baseline + progressive) and GIF go through the real stdlib
-    decoders (dims read back from the decoded pixel buffer — r6 PNG,
-    r8 the other two); any other payload raises
+    (baseline + progressive), GIF, BMP and TIFF go through the real
+    stdlib decoders (dims read back from the decoded pixel buffer —
+    r6 PNG, r8 the rest); any other payload raises
     ``NotImplementedError`` inside the task — narrowed to exactly the
     formats whose decode still needs a codec library (video, WebP).
     Plug PIL/ffmpeg at this branch on a cluster that has them."""
@@ -374,10 +374,13 @@ def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
             if dec is None:
                 dec = decode_gif_pixels(payload)
             if dec is None:
+                dec = decode_bmp_pixels(payload)
+            if dec is None:
+                dec = decode_tiff_pixels(payload)
+            if dec is None:
                 raise NotImplementedError(
-                    "full decode of non-PNG/JPEG/GIF media needs a "
-                    "codec library (video / WebP); plug PIL/ffmpeg "
-                    "here")
+                    "full decode of non-raster media needs a codec "
+                    "library (video / WebP); plug PIL/ffmpeg here")
             w, h, ch, px = dec
             assert len(px) == w * h * ch  # decoded buffer is the source
             return (w, h)

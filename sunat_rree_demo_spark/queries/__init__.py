@@ -67,6 +67,7 @@ _R8_NEW = (
     "q215_exact_substring_spans",
     "q216_flac_frame_energy",
     "q217_tiff_pixel_stats",
+    "q218_exact_substring_rewrite",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

@@ -513,6 +513,84 @@ def q215_exact_substring_spans(spark, sf_dir):
             .orderBy("doc_id", "span_start"))
 
 
+# --------------------------------------------------------------------- q218
+@register(
+    "q218_exact_substring_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(tk, t ->
+               ('0x' || substr(sha256(t), 1, 7))::BIGINT) AS hv
+      FROM toks WHERE len(tk) >= 8
+    ),
+    keysp AS (
+      SELECT doc_id,
+             unnest(range(1, len(hv) - 6)) - 1 AS j,
+             unnest(list_transform(range(1, len(hv) - 6),
+                                   j -> {_rolling_key_expr(8)})) AS key
+      FROM hs
+    ),
+    kc AS (SELECT key, count(*) AS c FROM keysp GROUP BY 1),
+    dup AS (
+      SELECT doc_id, j FROM keysp JOIN kc USING (key) WHERE c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, j,
+             j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
+               AS g
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id, min(j) AS s, max(j) + 7 AS e
+      FROM isl GROUP BY doc_id, g
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(range(0, len(tk))) AS j,
+             unnest(tk) AS tok
+      FROM toks
+    ),
+    kept AS (
+      SELECT p.doc_id, p.j, p.tok,
+             EXISTS(SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.j BETWEEN s.s AND s.e) AS rm
+      FROM pos p
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT rm THEN tok END,
+                               ' ' ORDER BY j), '') AS new_text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "substring", "rewrite"),
+)
+def q218_exact_substring_rewrite(spark, sf_dir):
+    """ExactSubstr dedup APPLIED (Lee et al. 2022 §3.1): q215 locates
+    the maximal repeated spans, this deletes every covered token (ALL
+    occurrences, the paper's rule) and emits each doc's rewritten
+    text — the corpus a substring-level dedup pass actually ships.
+    The rewritten strings themselves are hash-checked: the oracle
+    rebuilds spans, the token⋈span coverage test and the ordered
+    reassembly in SQL, so a span off-by-one or a reassembly-order bug
+    surfaces as a text diff, not a row-count blip. (Operator:
+    operators.dedup.exact_substring_rewrite; q127 is the
+    non-overlapping-chunk contrast that keeps first occurrences.)"""
+    from sunat_rree_demo_spark.operators.dedup import (
+        exact_substring_rewrite,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return (exact_substring_rewrite(d, "doc_id", "text", n=8)
+            .orderBy("doc_id"))
+
+
 # --------------------------------------------------------------------- q179
 _RRF_K = 60
 _RRF_DEPTH = 15

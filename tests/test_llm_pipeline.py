@@ -311,6 +311,21 @@ def test_exact_substring_spans_maximal_and_self_repeats(spark):
     assert sorted(spans[3]) == [(0, 8, 1), (10, 8, 1)]
     assert 4 not in spans
 
+    # the rewrite removes ALL occurrences (the Lee et al. rule) and
+    # leaves non-covered tokens in order; untouched docs round-trip
+    from sunat_rree_demo_spark.operators.dedup import (
+        exact_substring_rewrite,
+    )
+
+    rw = {r["doc_id"]: r for r in
+          exact_substring_rewrite(docs, "doc_id", "text", 8).collect()}
+    assert rw[1]["new_text"] == " ".join(doc_a[:3] + doc_a[15:])
+    assert rw[1]["n_removed"] == 12 and rw[1]["n_tokens"] == 17
+    assert rw[2]["new_text"] == " ".join(doc_b[:5])
+    assert rw[3]["new_text"] == "m0 m1"
+    assert rw[4]["new_text"] == " ".join(doc_d)
+    assert rw[4]["n_removed"] == 0
+
 
 def test_cluster_safe_split_has_no_cross_split_edges(spark):
     """q170's whole point: no near-dup edge may straddle splits —
