@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 #: The canonical media-table schema: opaque payload + typed metadata.
@@ -566,6 +566,121 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=out_schema)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL decoded pixels —
+    the standard near-duplicate-image key (8×9 box-downsample,
+    compare horizontally adjacent cells, 64 bits): the image member
+    of the dedup family, used to fold resized/re-encoded copies of
+    the same picture before training. Routes through the same
+    five-codec decode as ``image_pixel_stats``.
+
+    Exactness contract (what makes a cross-engine oracle possible):
+    the luminance of a cell is its integer channel-sum; cell
+    boundaries are the floor grid ``r*8//h`` / ``c*9//w``; and the
+    brightness comparison is the integer cross-multiplication
+    ``sum_a·n_b < sum_b·n_a`` — no float mean ever materializes, so
+    the 64 bits are integer-exact. The hash ships as 16 lowercase hex
+    chars (8 row bytes, MSB = leftmost comparison) rather than a
+    BIGINT so bit 63 needs no sign gymnastics in either engine.
+
+    Images smaller than the 8×9 grid (or undecodable/gated payloads)
+    yield a null hash. Scale shape: one Arrow-batched pass, no
+    shuffle — grouping equal hashes afterwards is a census over
+    16-byte keys, never pixels."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("dhash", T.StringType(), True),
+    ])
+
+    def one(raw: bytes):
+        dec = None
+        try:
+            dec = decode_png_pixels(raw)
+            if dec is None:
+                dec = decode_jpeg_pixels(raw)
+            if dec is None:
+                dec = decode_gif_pixels(raw)
+            if dec is None:
+                dec = decode_bmp_pixels(raw)
+            if dec is None:
+                dec = decode_tiff_pixels(raw)
+        except NotImplementedError:
+            dec = None
+        if dec is None:
+            return (None, None, None)
+        w, h, ch, px = dec
+        if h < 8 or w < 9:
+            return (w, h, None)
+        lum = (np.frombuffer(px, np.uint8).reshape(h, w, ch)
+               .sum(axis=2, dtype=np.int64))
+        re = np.array([r * 8 // h for r in range(h)])
+        ce = np.array([c * 9 // w for c in range(w)])
+        r_starts = np.searchsorted(re, np.arange(8), side="left")
+        c_starts = np.searchsorted(ce, np.arange(9), side="left")
+        s = np.add.reduceat(np.add.reduceat(lum, r_starts, axis=0),
+                            c_starts, axis=1)
+        rn = np.diff(np.append(r_starts, h))
+        cn = np.diff(np.append(c_starts, w))
+        n = np.outer(rn, cn)
+        # bit (r,c) = 1 iff cell (r,c) is darker than (r,c+1), by
+        # integer cross-multiplication
+        bits = (s[:, :8] * n[:, 1:]) < (s[:, 1:] * n[:, :8])
+        weights = (1 << np.arange(7, -1, -1)).astype(np.int64)
+        rowbytes = (bits.astype(np.int64) * weights).sum(axis=1)
+        return (w, h, "".join(f"{b:02x}" for b in rowbytes))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [one(bytes(b)) if b is not None else
+                   (None, None, None) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array([r[0] for r in res], dtype="Int32"),
+                "height": pd.array([r[1] for r in res], dtype="Int32"),
+                "dhash": [r[2] for r in res],
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=out_schema)
+
+
+def vad_segments(media: DataFrame, frame_ms: int = 20,
+                 threshold: float = 5000.0) -> DataFrame:
+    """Energy-gate voice-activity segments — the silence-trim step an
+    audio-training-data pipeline runs right after ``pcm_frame_energy``
+    (same role as ExactSubstr's islands for text): frames whose RMS
+    clears ``threshold`` merge into maximal contiguous segments via
+    gaps-and-islands over the frame index. Works on anything the
+    frame-energy pass decodes (PCM/G.711 WAV, FLAC).
+
+    Returns (media_id, seg_start, n_frames, n_samples, peak_rms) at
+    segment grain. The RMS values are IEEE-identical cross-engine
+    (see ``pcm_frame_energy``), so a float threshold compare is
+    deterministic; the peak is reported at the same 4dp round the
+    frame queries use.
+
+    Scale shape: frame rows are already media-grain; the island
+    window partitions by media_id — bounded by audio duration, no
+    corpus-wide state."""
+    frames = pcm_frame_energy(media, frame_ms=frame_ms)
+    active = frames.filter(F.col("rms") >= F.lit(threshold))
+    byf = Window.partitionBy("media_id").orderBy("frame_no")
+    return (
+        active.withColumn(
+            "_g", F.col("frame_no") - F.row_number().over(byf))
+        .groupBy("media_id", "_g")
+        .agg(F.min("frame_no").cast("bigint").alias("seg_start"),
+             F.count("*").cast("bigint").alias("n_frames"),
+             F.sum("n_samples").cast("bigint").alias("n_samples"),
+             F.round(F.max("rms"), 4).alias("peak_rms"))
+        .drop("_g")
+    )
 
 
 # --------------------------------------------------------------- PNG pixels

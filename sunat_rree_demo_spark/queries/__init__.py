@@ -68,6 +68,8 @@ _R8_NEW = (
     "q216_flac_frame_energy",
     "q217_tiff_pixel_stats",
     "q218_exact_substring_rewrite",
+    "q219_vad_segments",
+    "q220_image_dhash_census",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

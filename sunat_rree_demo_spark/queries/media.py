@@ -1184,3 +1184,219 @@ def q217_tiff_pixel_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: q219 VAD threshold: chars map to (ascii−79)·256, so a 20 ms frame
+#: of "loud" characters (far from 'O' = 79) clears 5000 easily while
+#: mid-alphabet text sits under it — both segment shapes occur
+_VAD_T = 5000.0
+
+
+@register(
+    "q219_vad_segments",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 79) * 256)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM a WHERE length(s) >= 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             sum(CAST(smp AS BIGINT) * smp) AS ssq
+      FROM v GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT doc_id, frame_no, n_samples,
+             sqrt(CAST(ssq AS DOUBLE) / n_samples) AS rms
+      FROM f
+      WHERE sqrt(CAST(ssq AS DOUBLE) / n_samples) >= {_VAD_T}
+    ),
+    isl AS (
+      SELECT doc_id, frame_no, n_samples, rms,
+             frame_no - row_number()
+               OVER (PARTITION BY doc_id ORDER BY frame_no) AS g
+      FROM act
+    )
+    SELECT doc_id,
+           CAST(min(frame_no) AS BIGINT) AS seg_start,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(n_samples) AS BIGINT) AS n_samples,
+           round(max(rms), 4) AS peak_rms
+    FROM isl GROUP BY doc_id, g
+    ORDER BY doc_id, seg_start
+    """,
+    tags=("media", "multimodal", "audio", "vad"),
+)
+def q219_vad_segments(spark, sf_dir):
+    """Voice-activity segments through the REAL WAV round trip — the
+    silence-trim step after q207's frame energies (an audio pipeline's
+    ExactSubstr-islands analogue): frames whose RMS clears the gate
+    merge into maximal contiguous segments via gaps-and-islands, and
+    each segment reports its start frame, length, sample mass and 4dp
+    peak. RMS values are IEEE-identical cross-engine (int64 energy
+    sums, one correctly-rounded sqrt), so the float threshold compare
+    is deterministic; the oracle recomputes frames, the gate and the
+    island merge straight from the characters. (Operator:
+    operators.multimodal.vad_segments.)
+
+    Scale shape: q207's two Arrow-batched passes, then a media-grain
+    island window — bounded by audio duration, no corpus-wide state."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        vad_segments,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(lambda s: encode_wav_pcm16(
+                    (np.frombuffer(s.encode("ascii"), np.uint8)
+                     .astype(np.int64) - 79) * 256,
+                    rate=_WAV_RATE)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        vad_segments(media, frame_ms=_WAV_FRAME_MS, threshold=_VAD_T)
+        .select(F.col("media_id").alias("doc_id"),
+                "seg_start", "n_frames", "n_samples", "peak_rms")
+        .orderBy("doc_id", "seg_start")
+    )
+
+
+#: q220 dHash device width — prime, ≥ the 9-column grid, distinct
+#: from every stats-device width
+_DH_W = 29
+
+
+@register(
+    "q220_image_dhash_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_DH_W}) * {_DH_W}) AS s
+      FROM a WHERE length(s) >= {_DH_W} * 8
+    ),
+    v AS (
+      SELECT doc_id, length(s) // {_DH_W} AS h,
+             unnest(range(0, length(s))) // {_DH_W} AS r,
+             unnest(range(0, length(s))) % {_DH_W} AS cc,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    ),
+    cells AS (
+      SELECT doc_id, (r * 8) // h AS cr, (cc * 9) // {_DH_W} AS cl,
+             sum(CAST(val AS BIGINT)) AS s, count(*) AS n
+      FROM v GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT l.doc_id, l.cr, l.cl,
+             CASE WHEN l.s * r2.n < r2.s * l.n THEN 1 ELSE 0 END AS b
+      FROM cells l JOIN cells r2
+        ON l.doc_id = r2.doc_id AND l.cr = r2.cr
+       AND r2.cl = l.cl + 1
+    ),
+    rowb AS (
+      SELECT doc_id, cr,
+             sum(b * (1 << (7 - cl))) AS byte
+      FROM bits GROUP BY 1, 2
+    ),
+    hsh AS (
+      SELECT doc_id,
+             string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                        '' ORDER BY cr) AS dhash
+      FROM rowb GROUP BY 1
+    )
+    SELECT doc_id, dhash,
+           CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT)
+             AS n_same_hash
+    FROM hsh ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "dedup", "similarity"),
+)
+def q220_image_dhash_census(spark, sf_dir):
+    """Perceptual-hash near-duplicate census over REAL decoded
+    pixels: each document becomes a genuine grayscale PNG, Spark
+    decodes it back and computes the standard dHash (8×9 floor-grid
+    box downsample, integer cross-multiplied brightness comparisons,
+    64 bits as 16 hex chars — see ``image_dhash`` for the exactness
+    contract), then counts how many images share each hash — the key
+    an image-dedup pass buckets on before training. The oracle
+    rebuilds the grid, the comparisons and the hex packing straight
+    from the characters, so a cell-boundary slip, comparison-polarity
+    flip or byte-order bug breaks the hash census bit-for-bit.
+
+    Scale shape: one Arrow-batched decode+hash pass; the census
+    shuffles 16-byte keys, never pixels."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_png_gray,
+        image_dhash,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_DH_W}) * {_DH_W})"))
+        .filter(F.length("s") >= _DH_W * 8)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(
+                    lambda s: encode_png_gray(s.encode("ascii"),
+                                              _DH_W)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        image_dhash(media)
+        .filter(F.col("dhash").isNotNull())
+        .select(F.col("media_id").alias("doc_id"), "dhash",
+                F.count("*").over(W.partitionBy("dhash"))
+                .cast("bigint").alias("n_same_hash"))
+        .orderBy("doc_id")
+    )

@@ -628,6 +628,59 @@ def test_image_pixel_stats_routes_tiff(spark):
     assert row.min_val == 9 and row.max_val == 250
 
 
+def test_image_dhash_properties(spark):
+    """dHash (q220 operator): a flat image hashes to all-zero bits
+    (strict darker-than comparisons), a strict left-to-right gradient
+    to all-one bits; pixel-replication upscaling preserves the hash
+    (the near-duplicate property the key exists for); sub-grid images
+    degrade to a null hash."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_png_gray,
+        image_dhash,
+    )
+
+    flat = np.full((8, 9), 55, np.uint8)
+    grad = np.tile(np.arange(9, dtype=np.uint8) * 20, (8, 1))
+    rng = np.random.RandomState(12)
+    rand = rng.randint(0, 256, (16, 18)).astype(np.uint8)
+    rand2 = np.repeat(np.repeat(rand, 2, axis=0), 2, axis=1)  # 2x box
+    rows = [(1, flat), (2, grad), (3, rand), (4, rand2),
+            (5, rand[:4, :])]  # too short for the 8-row grid
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_png_gray(a.tobytes(), a.shape[1])))
+         for i, a in rows], "media_id long, content binary")
+    got = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert got[1] == "00" * 8
+    assert got[2] == "ff" * 8
+    assert got[3] == got[4] and got[3] is not None  # scale-invariant
+    assert got[5] is None
+
+
+def test_vad_segments_islands(spark):
+    """VAD segments (q219 operator): loud/quiet alternation in one
+    WAV yields exactly the planted segments with correct starts,
+    lengths and peaks."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        vad_segments,
+    )
+
+    spf = 160  # 20 ms at 8 kHz
+    quiet = np.full(spf, 10, np.int16)
+    loud = np.full(spf, 9000, np.int16)
+    smp = np.concatenate([loud, loud, quiet, quiet, loud, quiet])
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(smp, rate=8000)))],
+        "media_id long, content binary")
+    segs = sorted((r.seg_start, r.n_frames, r.peak_rms)
+                  for r in vad_segments(media, 20, 5000.0).collect())
+    assert segs == [(0, 2, 9000.0), (4, 1, 9000.0)]
+
+
 def test_flac_round_trips_decode_for_real():
     """FLAC frame-layer decode (r8): lossless round trips across
     subframe types (CONSTANT for flat blocks, FIXED order 1, LPC with
