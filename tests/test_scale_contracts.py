@@ -649,3 +649,42 @@ def test_media_pixel_decode_has_no_shuffle(spark):
         "id AS media_id", "CAST('x' AS BINARY) AS content")
     plan = plan_of(image_pixel_stats(media))
     assert "Exchange" not in plan
+
+
+def test_exact_substring_spans_two_shuffles(spark):
+    """r8 tripwire for the ExactSubstr probe (SCALE.md "ExactSubstr
+    family" rows): the span pass owns exactly TWO hash-partitioned
+    shuffles — the window-key census and the doc-grain island window
+    (whose (id) partitioning also serves the island aggregate) — and
+    exactly one Python pass (the key mapInPandas). A third Exchange
+    or a second Python eval would break the measured 10× flatness."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    import re
+
+    plan = plan_of(exact_substring_spans(docs, "doc_id", "text", 8))
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+
+
+def test_exact_substring_rewrite_single_python_pass(spark):
+    """r8 tripwire: the rewrite adds NO Python beyond the span keys —
+    token positions come from a JVM posexplode and the reassembly is
+    a JVM sorted-struct aggregate. 100%-coverage corpora (the probe's
+    worst case) must pay join+aggregate cost, never a second Arrow
+    round trip."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        exact_substring_rewrite,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    import re
+
+    plan = plan_of(exact_substring_rewrite(docs, "doc_id", "text", 8))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
