@@ -650,6 +650,57 @@ def image_dhash(media: DataFrame) -> DataFrame:
         batches, schema=out_schema)
 
 
+def dhash_hamming_pairs(hashes: DataFrame, id_col: str = "media_id",
+                        hash_col: str = "dhash",
+                        max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate image PAIRS from dHash keys — the banded
+    Hamming join that makes perceptual dedup scale (the pigeonhole
+    device SimHash uses, operators/dedup.py:simhash_pairs): split the
+    64-bit hash into four 16-bit bands — by pigeonhole, hashes within
+    Hamming distance 3 ALWAYS share an intact band, and real near-dup
+    perturbations flip bits in a localized cell region so intact
+    bands abound well past that bound — candidates come from ONE
+    equi-join on (band_index, band_value), never an all-pairs scan,
+    and each candidate is verified with an exact popcount on the XOR
+    of the two 32-bit halves. Candidate recall above distance 3 is
+    the banding S-curve tradeoff every LSH family makes (q203); the
+    verify step keeps precision exact.
+
+    Input: (id, 16-hex-char dhash) rows (``image_dhash`` output).
+    Returns (id_a, id_b, hamming) with id_a < id_b, distinct.
+
+    Scale shape: band keys are a JVM projection; the self-join
+    shuffles (band, value) 4× corpus rows; verification is a
+    per-candidate popcount — bounded by collision-group width like
+    every banded family here."""
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_hx"),
+        F.conv(F.substring(hash_col, 1, 8), 16, 10)
+        .cast("bigint").alias("_hi"),
+        F.conv(F.substring(hash_col, 9, 8), 16, 10)
+        .cast("bigint").alias("_lo"))
+    bands = h.select(
+        "_id", "_hi", "_lo",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("b"),
+                     F.conv(F.substring("_hx", 1 + 4 * i, 4), 16, 10)
+                     .cast("bigint").alias("v"))
+            for i in range(4)])).alias("bk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, on=[F.col("a.bk.b") == F.col("b.bk.b"),
+                          F.col("a.bk.v") == F.col("b.bk.v"),
+                          F.col("a._id") < F.col("b._id")])
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    (F.bit_count(F.col("a._hi").bitwiseXOR(
+                        F.col("b._hi")))
+                     + F.bit_count(F.col("a._lo").bitwiseXOR(
+                         F.col("b._lo")))).alias("hamming"))
+            .distinct())
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def vad_segments(media: DataFrame, frame_ms: int = 20,
                  threshold: float = 5000.0) -> DataFrame:
     """Energy-gate voice-activity segments — the silence-trim step an

@@ -70,6 +70,7 @@ _R8_NEW = (
     "q218_exact_substring_rewrite",
     "q219_vad_segments",
     "q220_image_dhash_census",
+    "q221_dhash_hamming_pairs",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

@@ -1400,3 +1400,145 @@ def q220_image_dhash_census(spark, sf_dir):
                 .cast("bigint").alias("n_same_hash"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q221_dhash_hamming_pairs",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_DH_W}) * {_DH_W}) AS s
+      FROM a WHERE length(s) >= {_DH_W} * 8
+    ),
+    m AS (
+      SELECT doc_id AS mid, s FROM c
+      UNION ALL
+      SELECT doc_id + 10000000,
+             repeat('z', {_DH_W}) || substr(s, {_DH_W} + 1)
+      FROM c
+    ),
+    v AS (
+      SELECT mid, length(s) // {_DH_W} AS h,
+             unnest(range(0, length(s))) // {_DH_W} AS r,
+             unnest(range(0, length(s))) % {_DH_W} AS cc,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM m
+    ),
+    cells AS (
+      SELECT mid, (r * 8) // h AS cr, (cc * 9) // {_DH_W} AS cl,
+             sum(CAST(val AS BIGINT)) AS s, count(*) AS n
+      FROM v GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT l.mid, l.cr, l.cl,
+             CASE WHEN l.s * r2.n < r2.s * l.n THEN 1 ELSE 0 END AS b
+      FROM cells l JOIN cells r2
+        ON l.mid = r2.mid AND l.cr = r2.cr AND r2.cl = l.cl + 1
+    ),
+    rowb AS (
+      SELECT mid, cr, sum(b * (1 << (7 - cl))) AS byte
+      FROM bits GROUP BY 1, 2
+    ),
+    hsh AS (
+      SELECT mid,
+             string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                        '' ORDER BY cr) AS dhash
+      FROM rowb GROUP BY 1
+    ),
+    hl AS (
+      SELECT mid,
+             ('0x' || substr(dhash, 1, 8))::BIGINT AS hi,
+             ('0x' || substr(dhash, 9, 8))::BIGINT AS lo,
+             dhash
+      FROM hsh
+    ),
+    bandv AS (
+      SELECT mid, unnest([0, 1, 2, 3]) AS b,
+             unnest(list_transform([0, 1, 2, 3], i ->
+               ('0x' || substr(dhash, 1 + 4 * i, 4))::BIGINT)) AS v
+      FROM hl
+    ),
+    cand AS (
+      SELECT DISTINCT l.mid AS id_a, r.mid AS id_b
+      FROM bandv l JOIN bandv r ON l.b = r.b AND l.v = r.v
+       AND l.mid < r.mid
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(x.hi, y.hi))
+                + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
+    FROM cand c JOIN hl x ON x.mid = c.id_a
+                JOIN hl y ON y.mid = c.id_b
+    WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+          <= 10
+    ORDER BY id_a, id_b
+    """,
+    tags=("media", "multimodal", "dedup", "similarity"),
+)
+def q221_dhash_hamming_pairs(spark, sf_dir):
+    """Near-duplicate image PAIRS via the banded Hamming join over
+    REAL decoded pixels — the scale path for perceptual image dedup
+    (q220 buckets exact hash equality; this finds hashes within
+    Hamming distance 10): each qualifying document yields TWO genuine
+    PNGs — the original and a copy whose first pixel row is blanked
+    to 'z's, a localized perturbation that flips only row-0 hash bits
+    — so every doc plants one true near-dup pair at distance ≤ 8,
+    recoverable through the band pigeonhole (rows 2-7's bands are
+    untouched) without any all-pairs scan. Candidates come from one
+    (band, value) equi-join, verification is an exact popcount; the
+    oracle rebuilds hashes, bands, the candidate join and the
+    popcount verify in SQL, so banding slips, hex-parsing bugs and
+    XOR/popcount errors all break the hash. (Operator:
+    operators.multimodal.dhash_hamming_pairs.)
+
+    Scale shape: band keys are a JVM projection over 16-hex-char
+    rows; the self-join shuffles (band, value) pairs — 4 rows per
+    image, never pixels; verification is bounded by collision-group
+    width like every banded family here."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        dhash_hamming_pairs,
+        encode_png_gray,
+        image_dhash,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = (
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_DH_W}) * {_DH_W})"))
+        .filter(F.length("s") >= _DH_W * 8)
+    )
+    both = fan_out(src.unionByName(src.select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        F.concat(F.lit("z" * _DH_W),
+                 F.expr(f"substring(s, {_DH_W} + 1)")).alias("s"))))
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(
+                    lambda s: encode_png_gray(s.encode("ascii"),
+                                              _DH_W)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = both.mapInPandas(encode, schema=media_schema)
+    return (
+        dhash_hamming_pairs(image_dhash(media), max_hamming=10)
+        .select(F.col("id_a"), F.col("id_b"),
+                F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

@@ -658,6 +658,37 @@ def test_image_dhash_properties(spark):
     assert got[5] is None
 
 
+def test_dhash_hamming_pairs_banded(spark):
+    """Banded Hamming join (q221 operator): an image and its
+    top-row-perturbed copy land within distance 10 and share the
+    untouched lower bands, so the pair surfaces from the (band,
+    value) equi-join; a structurally different image pairs with
+    neither; identical images pair at distance 0."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        dhash_hamming_pairs,
+        encode_png_gray,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 256, (16, 18)).astype(np.uint8)
+    near = base.copy()
+    near[0, :] = 255  # localized top-row change: only row-0 bits move
+    far = rng.randint(0, 256, (16, 18)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_png_gray(a.tobytes(), 18)))
+         for i, a in [(1, base), (2, near), (3, far), (4, base)]],
+        "media_id long, content binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dhash_hamming_pairs(
+                 image_dhash(media), max_hamming=10).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert pairs[(1, 4)] == 0 and pairs[(2, 4)] == pairs[(1, 2)]
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_vad_segments_islands(spark):
     """VAD segments (q219 operator): loud/quiet alternation in one
     WAV yields exactly the planted segments with correct starts,
