@@ -498,7 +498,8 @@ def _wav_pcm16_data(payload: bytes) -> tuple[int, int, bytes] | None:
     return None
 
 
-def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
+def pcm_frame_energy(media: DataFrame, frame_ms: int = 20,
+                     decimate: int = 1) -> DataFrame:
     """REAL audio feature extraction — per-frame RMS energy over 16-bit
     PCM audio: RIFF/WAVE (linear PCM or G.711 μ/A-law expanded through
     the ITU tables) and FLAC (full frame-layer decode — see
@@ -511,7 +512,11 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
 
     Returns (media_id, frame_no, n_samples, rms): frames are
     ``frame_ms`` windows of mono-mixed samples (channel mean), RMS is
-    sqrt of the mean square. All accumulation is int64 (samples are
+    sqrt of the mean square. ``decimate=M`` first collapses each run
+    of M samples to its floor-mean (integer box downsample — the
+    cheap resample an audio pipeline applies before feature
+    extraction; the effective rate shrinks by M so frames stay
+    ``frame_ms`` wide). All accumulation is int64 (samples are
     int16, squares ≤ 2³⁰ · frame length — exact), so the one sqrt per
     frame is the only float op and is IEEE-identical everywhere; the
     golden test pins values against a pure-Python reference.
@@ -553,7 +558,18 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20) -> DataFrame:
                 # mono mix as an exact integer: floor of the channel
                 # mean (sum div channels keeps everything in int64)
                 mono = pcm.sum(axis=1) // channels
-                spf = max(1, rate * frame_ms // 1000)
+                if decimate > 1:
+                    # integer box decimation: consecutive groups of
+                    # ``decimate`` samples collapse to their floor
+                    # mean (int64-exact; the incomplete tail group is
+                    # dropped, and the effective rate shrinks with it
+                    # so frame geometry stays frame_ms wide)
+                    usable = len(mono) - (len(mono) % decimate)
+                    if usable == 0:
+                        continue
+                    mono = (mono[:usable].reshape(-1, decimate)
+                            .sum(axis=1) // decimate)
+                spf = max(1, rate // decimate * frame_ms // 1000)
                 n_frames = (len(mono) + spf - 1) // spf
                 for fi in range(n_frames):
                     w = mono[fi * spf:(fi + 1) * spf]

@@ -1542,3 +1542,100 @@ def q221_dhash_hamming_pairs(spark, sf_dir):
                 F.col("hamming").cast("bigint").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+#: q222 decimation factor: samples are multiples of 256, so the
+#: 2-sample floor mean is EXACT (the sum is even) — floor-vs-truncate
+#: division semantics can never diverge cross-engine
+_DEC_M = 2
+_DEC_SPF = (_WAV_RATE // _DEC_M) * _WAV_FRAME_MS // 1000
+
+
+@register(
+    "q222_decimated_frame_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 79) * 256)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM a WHERE length(s) >= 1
+    ),
+    dec AS (
+      SELECT doc_id, pos // {_DEC_M} AS q,
+             sum(CAST(smp AS BIGINT)) // {_DEC_M} AS d
+      FROM v GROUP BY 1, 2 HAVING count(*) = {_DEC_M}
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(q // {_DEC_SPF} AS BIGINT) AS frame_no,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             sum(d * d) AS ssq
+      FROM dec GROUP BY 1, 2
+    )
+    SELECT doc_id, frame_no, n_samples,
+           round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 4) AS rms_4dp
+    FROM f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "audio", "resample"),
+)
+def q222_decimated_frame_energy(spark, sf_dir):
+    """Frame energies after integer box DECIMATION — the cheap
+    resample step (48 kHz crawl audio → 16 kHz model rate) an audio
+    pipeline runs between decode and feature extraction: the q207 WAV
+    device decoded back, every 2 samples collapsed to their floor
+    mean (exact here — the device's samples are multiples of 256, so
+    the 2-sum is even and floor == truncate), then the usual
+    integer-exact RMS frames at the halved effective rate. The oracle
+    rebuilds pair-grouping (dropping the odd tail like the operator),
+    the floor mean and the frame geometry from the characters; a
+    group-alignment slip, tail mishandling or rate-geometry bug
+    breaks the hash. (Operator: pcm_frame_energy(decimate=2).)
+
+    Scale shape: identical to q207 — the decimation is a reshape+sum
+    inside the same Arrow batch, no extra pass, no shuffle."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(lambda s: encode_wav_pcm16(
+                    (np.frombuffer(s.encode("ascii"), np.uint8)
+                     .astype(np.int64) - 79) * 256,
+                    rate=_WAV_RATE)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        pcm_frame_energy(media, frame_ms=_WAV_FRAME_MS,
+                         decimate=_DEC_M)
+        .select(F.col("media_id").alias("doc_id"),
+                "frame_no", "n_samples",
+                F.round("rms", 4).alias("rms_4dp"))
+        .orderBy("doc_id", "frame_no")
+    )

@@ -804,6 +804,29 @@ def test_pcm_frame_energy_routes_flac(spark):
     assert len(by_id[1]) == (700 + 159) // 160
 
 
+def test_pcm_frame_energy_decimate(spark):
+    """decimate=2 collapses sample pairs to their floor mean, drops
+    the odd tail sample, and halves the frame geometry — pinned
+    against a hand computation."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        pcm_frame_energy,
+    )
+
+    smp = np.array([100, 200, -300, -500, 7], np.int16)  # odd tail
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(smp, rate=8000)))],
+        "media_id long, content binary")
+    rows = pcm_frame_energy(media, frame_ms=20, decimate=2).collect()
+    # decimated stream: [150, -400]; one 80-sample frame window
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_samples == 2
+    assert r.rms == float(np.sqrt((150 * 150 + 400 * 400) / 2))
+
+
 def test_g711_tables_and_wav_expansion():
     """G.711 μ-law/A-law expansion (r8): the published ITU anchor
     values pin the tables independently of the generating formula
