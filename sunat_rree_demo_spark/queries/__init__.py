@@ -72,6 +72,7 @@ _R8_NEW = (
     "q220_image_dhash_census",
     "q221_dhash_hamming_pairs",
     "q222_decimated_frame_energy",
+    "q223_audio_fingerprint",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

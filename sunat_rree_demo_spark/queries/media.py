@@ -1639,3 +1639,122 @@ def q222_decimated_frame_energy(spark, sf_dir):
                 F.round("rms", 4).alias("rms_4dp"))
         .orderBy("doc_id", "frame_no")
     )
+
+
+@register(
+    "q223_audio_fingerprint",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 79) * 256)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM a WHERE length(s) >= 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             sqrt(CAST(sum(CAST(smp AS BIGINT) * smp) AS DOUBLE)
+                  / count(*)) AS rms
+      FROM v GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT doc_id, frame_no,
+             CASE WHEN rms < lead(rms) OVER
+               (PARTITION BY doc_id ORDER BY frame_no)
+             THEN 1 ELSE 0 END AS b,
+             lead(rms) OVER (PARTITION BY doc_id ORDER BY frame_no)
+               AS nxt
+      FROM f
+    ),
+    bits AS (SELECT doc_id, frame_no AS i, b FROM d
+             WHERE nxt IS NOT NULL),
+    byt AS (
+      SELECT doc_id, i // 8 AS bi,
+             sum(b * (1 << CAST(7 - i % 8 AS INT))) AS byte
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) * 8 AS BIGINT) AS n_bits_padded,
+           string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                      '' ORDER BY bi) AS fp
+    FROM byt GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "audio", "fingerprint"),
+)
+def q223_audio_fingerprint(spark, sf_dir):
+    """Energy-delta audio fingerprint — the audio analogue of q220's
+    dHash (the sign of successive frame-energy deltas is the classic
+    cheap robust fingerprint for duplicate-recording detection):
+    frames come from the REAL WAV round trip, bit i = 1 iff frame i
+    is quieter than frame i+1 (IEEE-identical RMS doubles make the
+    comparison deterministic cross-engine), bits pack MSB-first into
+    hex bytes. Everything after the frame pass is pure JVM window +
+    aggregate — no extra Python. The oracle rebuilds frames, the
+    lead() comparison and the byte packing; a frame-order slip,
+    bit-position error or padding bug breaks the hash.
+
+    Scale shape: the q207 passes, then one media-grain window and one
+    media-grain aggregate; fingerprints shuffle as short hex strings."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+    from pyspark.sql import Window as W
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["s"].map(lambda s: encode_wav_pcm16(
+                    (np.frombuffer(s.encode("ascii"), np.uint8)
+                     .astype(np.int64) - 79) * 256,
+                    rate=_WAV_RATE)),
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    byf = W.partitionBy("media_id").orderBy("frame_no")
+    return (
+        pcm_frame_energy(media, frame_ms=_WAV_FRAME_MS)
+        .withColumn("_nxt", F.lead("rms").over(byf))
+        .filter(F.col("_nxt").isNotNull())
+        .withColumn("_b", F.when(F.col("rms") < F.col("_nxt"), 1)
+                    .otherwise(0))
+        .withColumn("_bi", (F.col("frame_no") / 8).cast("bigint"))
+        .groupBy("media_id", "_bi")
+        .agg(F.sum(F.expr(
+            "_b * shiftleft(1L, CAST(7 - frame_no % 8 AS INT))"))
+            .alias("_byte"))
+        .groupBy("media_id")
+        .agg((F.count("*") * 8).cast("bigint").alias("n_bits_padded"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("_bi", "_byte"))),
+                     lambda s: F.format_string("%02x", s["_byte"])),
+                 "").alias("fp"))
+        .select(F.col("media_id").alias("doc_id"),
+                "n_bits_padded", "fp")
+        .orderBy("doc_id")
+    )
