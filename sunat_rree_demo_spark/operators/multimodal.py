@@ -3359,3 +3359,99 @@ def encode_tiff_gray(pixels: bytes, width: int,
     ifd = (struct.pack(bo + "H", len(tag_list)) + b"".join(entries)
            + struct.pack(bo + "I", 0))
     return hdr + b"".join(strips) + ifd + bytes(ext)
+
+
+# ------------------------------------------------------------- EXIF segment
+def decode_exif_orientation(payload: bytes) -> int | None:
+    """EXIF orientation (tag 274) from a JPEG's APP1 segment — the
+    embedded payload is a genuine TIFF structure (EXIF 2.3 §4.5.2),
+    so the walk reuses ``_tiff_ifd_values``: marker scan from SOI to
+    the first APP1 carrying the "Exif\\0\\0" signature, then the
+    embedded byte-order mark, first IFD and the SHORT value. Returns
+    None when no EXIF/orientation is present (most crawl images);
+    malformed embedded TIFF raises ValueError — the shared taxonomy.
+    A pipeline needs this BEFORE pixel stats: orientations 5-8
+    transpose width/height semantics."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None  # marker stream lost before any APP1
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS: no APP1 will follow
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+        body = payload[i + 4:i + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            if len(tiff) < 8 or tiff[:4] not in (b"II*\x00", b"MM\x00*"):
+                raise ValueError("EXIF embedded TIFF header malformed")
+            bo = "<" if tiff[:2] == b"II" else ">"
+            (ifd_off,) = struct.unpack(bo + "I", tiff[4:8])
+            if ifd_off + 2 > len(tiff):
+                raise ValueError("EXIF IFD offset outside segment")
+            (n_entries,) = struct.unpack(
+                bo + "H", tiff[ifd_off:ifd_off + 2])
+            for e in range(n_entries):
+                off = ifd_off + 2 + 12 * e
+                if off + 12 > len(tiff):
+                    raise ValueError("EXIF IFD truncated")
+                tag, _typ, vals = _tiff_ifd_values(tiff, bo, off)
+                if tag == 274 and vals:
+                    if not 1 <= vals[0] <= 8:
+                        raise ValueError("EXIF orientation out of range")
+                    return vals[0]
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def insert_exif_orientation(jpeg: bytes, orientation: int) -> bytes:
+    """The decode-test twin: splice a minimal APP1/EXIF segment (one
+    little-endian IFD entry, tag 274) right after SOI of an existing
+    JPEG. Decoders must skip unknown APPn segments, so pixel decode
+    is unaffected — which the tests assert."""
+    import struct
+
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHIHH", 274, 3, 1, orientation, 0)
+            + struct.pack("<I", 0))
+    body = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def image_exif_meta(media: DataFrame) -> DataFrame:
+    """(media_id, orientation) via ``decode_exif_orientation`` —
+    Arrow-batched, media grain, no shuffle; non-JPEG or EXIF-less
+    payloads yield null."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orientation", T.IntegerType(), True),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "orientation": pd.array(
+                    [decode_exif_orientation(bytes(b))
+                     if b is not None else None
+                     for b in pdf["content"]], dtype="Int32"),
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=out_schema)

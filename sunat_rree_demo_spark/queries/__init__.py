@@ -73,6 +73,7 @@ _R8_NEW = (
     "q221_dhash_hamming_pairs",
     "q222_decimated_frame_energy",
     "q223_audio_fingerprint",
+    "q224_exif_orientation",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

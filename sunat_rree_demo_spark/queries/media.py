@@ -1758,3 +1758,74 @@ def q223_audio_fingerprint(spark, sf_dir):
                 "n_bits_padded", "fp")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q224_exif_orientation",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation
+    FROM documents
+    WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) >= 4
+    ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "metadata"),
+)
+def q224_exif_orientation(spark, sf_dir):
+    """EXIF orientation extraction through REAL JPEG containers: each
+    document becomes a genuine baseline JPEG; docs with
+    ``doc_id % 5 != 0`` get a spliced APP1/EXIF segment carrying
+    orientation ``doc_id % 8 + 1`` (an embedded little-endian TIFF
+    IFD — the walk reuses the TIFF machinery), the rest carry no EXIF
+    and must yield null, not a crash or a default. The oracle knows
+    the planted values in closed form, so the hash verifies the
+    marker scan, the Exif signature gate, the embedded-TIFF parse and
+    the null path together. Orientation matters upstream of pixel
+    stats: values 5-8 transpose width/height semantics. (Operators:
+    multimodal.decode_exif_orientation / insert_exif_orientation /
+    image_exif_meta; tests pin that pixel decode skips APP1.)
+
+    Scale shape: one Arrow-batched metadata pass at media grain, no
+    shuffle before the doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_gray_blocks,
+        image_exif_meta,
+        insert_exif_orientation,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 4)
+        .withColumn("s", F.expr("substring(s, 1, 4)"))
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            j = encode_jpeg_gray_blocks(s.encode("ascii"), 2)
+            if mid % 5 == 0:
+                return j
+            return insert_exif_orientation(j, mid % 8 + 1)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        image_exif_meta(media)
+        .select(F.col("media_id").alias("doc_id"), "orientation")
+        .orderBy("doc_id")
+    )

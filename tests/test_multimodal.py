@@ -658,6 +658,42 @@ def test_image_dhash_properties(spark):
     assert got[5] is None
 
 
+def test_exif_orientation_round_trip():
+    """EXIF orientation (q224 operators): splice → decode recovers
+    all 8 values; pixel decode skips the APP1 segment bit-exactly;
+    EXIF-less JPEGs and non-JPEGs yield None; a malformed embedded
+    TIFF is loud; out-of-range orientations are corruption."""
+    import struct
+
+    import pytest as _pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_exif_orientation,
+        decode_jpeg_pixels,
+        encode_jpeg_gray_blocks,
+        insert_exif_orientation,
+    )
+
+    j = encode_jpeg_gray_blocks(bytes([10, 200]), 2)
+    base = decode_jpeg_pixels(j)
+    for o in range(1, 9):
+        tagged = insert_exif_orientation(j, o)
+        assert decode_exif_orientation(tagged) == o
+        assert decode_jpeg_pixels(tagged) == base
+    assert decode_exif_orientation(j) is None
+    assert decode_exif_orientation(b"PNG not jpeg") is None
+    bad = bytearray(insert_exif_orientation(j, 3))
+    bad[2 + 4 + 6] = ord("X")  # break the embedded TIFF magic
+    with _pytest.raises(ValueError, match="TIFF header"):
+        decode_exif_orientation(bytes(bad))
+    rng = bytearray(insert_exif_orientation(j, 3))
+    # orientation value lives in the IFD entry's value slot
+    i = rng.index(struct.pack("<HH", 274, 3))
+    struct.pack_into("<H", rng, i + 8, 99)
+    with _pytest.raises(ValueError, match="range"):
+        decode_exif_orientation(bytes(rng))
+
+
 def test_dhash_hamming_pairs_banded(spark):
     """Banded Hamming join (q221 operator): an image and its
     top-row-perturbed copy land within distance 10 and share the
