@@ -74,6 +74,7 @@ _R8_NEW = (
     "q222_decimated_frame_energy",
     "q223_audio_fingerprint",
     "q224_exif_orientation",
+    "q225_media_type_census",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

@@ -1829,3 +1829,138 @@ def q224_exif_orientation(spark, sf_dir):
         .select(F.col("media_id").alias("doc_id"), "orientation")
         .orderBy("doc_id")
     )
+
+
+#: q225 mixed-corpus device: 8 chars per doc, one payload FORMAT per
+#: doc_id % 7 cohort — the routing/degrade matrix in one query
+_MIX_W = 8
+
+
+@register(
+    "q225_media_type_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                    1, {_MIX_W}) AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, doc_id % 7 AS m, s,
+             (SELECT sum(ascii(substr(s, i, 1)))
+              FROM range(1, {_MIX_W} + 1) AS t(i)) AS sv
+      FROM a WHERE length(s) >= {_MIX_W}
+    ),
+    k AS (
+      SELECT CASE m
+               WHEN 0 THEN 'image/png'  WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'image/gif'  WHEN 3 THEN 'image/bmp'
+               WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'audio/wav'
+               ELSE 'application/octet-stream' END AS media_type,
+             CASE m WHEN 0 THEN {_MIX_W} WHEN 1 THEN {_MIX_W} * 64
+                    WHEN 2 THEN {_MIX_W} * 3 WHEN 3 THEN {_MIX_W} * 3
+                    WHEN 4 THEN {_MIX_W} END AS ns,
+             CASE m WHEN 0 THEN sv WHEN 1 THEN 64 * sv
+                    WHEN 2 THEN 3 * sv WHEN 3 THEN 3 * sv
+                    WHEN 4 THEN sv END AS sm
+      FROM c
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(ns) AS BIGINT) AS n_decoded,
+           CAST(coalesce(sum(ns), 0) AS BIGINT) AS total_samples,
+           CAST(coalesce(sum(sm), 0) AS BIGINT) AS total_sum
+    FROM k GROUP BY 1 ORDER BY media_type
+    """,
+    tags=("media", "multimodal", "routing"),
+)
+def q225_media_type_census(spark, sf_dir):
+    """The mixed-corpus ROUTING matrix in one query — what a real
+    crawl batch looks like to the media layer: each document ships as
+    a different genuine container by cohort (PNG, uniform-block JPEG,
+    GIF, RLE8-BMP, TIFF, PCM WAV, or deliberate octet-stream junk),
+    the type comes from a REAL magic-byte sniff of the produced
+    payload, pixel stats decode what's an image and degrade to null
+    for audio/junk — and the per-type census (count, decoded count,
+    sample mass, value mass) must match the oracle's closed-form
+    cohort arithmetic, including each format's sample weight (JPEG
+    uniform blocks 64×, palette RGB 3×, gray 1×). One query that
+    breaks if ANY router edge, sniffer signature or degrade path
+    regresses. (Device widths: every cohort uses the same 8-char
+    slice, so a cross-format routing mix-up changes the weights and
+    the hash.)
+
+    Scale shape: one Arrow-batched encode+sniff pass, one decode
+    pass, a media-grain join, then a 7-row aggregate."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_bmp_rle8_gray,
+        encode_gif_gray,
+        encode_jpeg_gray_blocks,
+        encode_png_gray,
+        encode_tiff_gray,
+        encode_wav_pcm16,
+        image_pixel_stats,
+        sniff_media_type,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.expr("substring(regexp_replace(text, '[^ -~]', '')"
+                        f", 1, {_MIX_W})").alias("s"))
+        .filter(F.length("s") >= _MIX_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            b = s.encode("ascii")
+            m = mid % 7
+            if m == 0:
+                return encode_png_gray(b, _MIX_W)
+            if m == 1:
+                return encode_jpeg_gray_blocks(b, _MIX_W)
+            if m == 2:
+                return encode_gif_gray(b, _MIX_W)
+            if m == 3:
+                return encode_bmp_rle8_gray(b, _MIX_W)
+            if m == 4:
+                return encode_tiff_gray(b, _MIX_W)
+            if m == 5:
+                return encode_wav_pcm16(
+                    np.frombuffer(b, np.uint8).astype(np.int64),
+                    rate=8000)
+            return b"\x00junk" + b  # never matches a magic
+
+        for pdf in it:
+            payloads = [mk(int(m), s) for m, s in
+                        zip(pdf["media_id"], pdf["s"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": payloads,
+                "media_type": [sniff_media_type(p) for p in payloads],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media.select("media_id", "content"))
+    return (
+        media.select("media_id", "media_type")
+        .join(stats, "media_id", "left")
+        .groupBy("media_type")
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.count("sum_val").cast("bigint").alias("n_decoded"),
+             F.coalesce(F.sum("n_samples"), F.lit(0)).cast("bigint")
+             .alias("total_samples"),
+             F.coalesce(F.sum("sum_val"), F.lit(0)).cast("bigint")
+             .alias("total_sum"))
+        .orderBy("media_type")
+    )
