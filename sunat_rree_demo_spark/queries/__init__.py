@@ -46,10 +46,11 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # the round-8 window is new r8 queries (first driver check — highest
 # priority) followed by the longest-unchecked driver-green queries: the 8
 # whose last row is r03 (displaced when the r7 window filled), then r04-era
-# queries.  58 candidates compete for the remaining 47 slots, so 11
-# r04-era queries with simple single-stage relational plans unchanged
-# since r04 (q02-q07, q10-q13, and q141/q142 truncated by the [:50] cap)
-# defer to r9; displaced fillers stay driver-green via their historical
+# queries.  48 filler candidates compete for the slots the 19 r8
+# additions leave (31), so r04-era queries with simple single-stage
+# relational plans unchanged since r04 (q02-q07, q10-q13, and the
+# fillers past the [:50] cap) defer to r9; displaced fillers stay
+# driver-green via their historical
 # rows and the identical local exact-hash gate (scripts/check_parity.py),
 # which runs all 200+ queries every round.
 # Registration itself is unchanged; this only re-orders the dict.
@@ -75,6 +76,8 @@ _R8_NEW = (
     "q223_audio_fingerprint",
     "q224_exif_orientation",
     "q225_media_type_census",
+    "q226_video_frame_stats",
+    "q227_video_shot_cuts",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

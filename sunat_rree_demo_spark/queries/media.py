@@ -1964,3 +1964,204 @@ def q225_media_type_census(spark, sf_dir):
              .alias("total_sum"))
         .orderBy("media_type")
     )
+
+
+#: q226/q227 video device: 12 uniform blocks per frame (width 96 —
+#: distinct from every other raster device width), ≤24 frames per doc
+_VID_BPR = 12
+_VID_NF = 24
+#: q227 shot-cut threshold in milli brightness units
+_CUT_T = 3000
+
+
+def _video_media(spark, sf_dir):
+    """Shared q226/q227 device: each document's printable chars become
+    a REAL Motion-JPEG AVI — every 12-char slice is one video frame
+    (a block-row JPEG of uniform 8×8 blocks, the q201 lossless-by-
+    construction corner), muxed into a genuine RIFF/AVI container
+    whose frame rate varies per doc (5 + doc_id % 7) so the header
+    round trip is load-bearing."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray_blocks,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, least(length(s) div {_VID_BPR}, "
+            f"{_VID_NF}) * {_VID_BPR})"))
+        .filter(F.length("s") >= _VID_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            b = s.encode("ascii")
+            frames = [
+                encode_jpeg_gray_blocks(b[k:k + _VID_BPR], _VID_BPR)
+                for k in range(0, len(b), _VID_BPR)]
+            return encode_avi_mjpeg(frames, _VID_BPR * 8, 8,
+                                    fps=5 + mid % 7)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return src.mapInPandas(encode, schema=media_schema)
+
+
+#: the common q226/q227 oracle prefix: per-(doc, frame) char slices
+_VID_ORACLE_FRAMES = f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, least(length(s) // {_VID_BPR}, {_VID_NF})
+                          * {_VID_BPR}) AS s
+      FROM a WHERE length(s) >= {_VID_BPR}
+    ),
+    fr AS (
+      SELECT doc_id, s,
+             unnest(range(0, length(s) // {_VID_BPR})) AS f
+      FROM c
+    )"""
+
+
+@register(
+    "q226_video_frame_stats",
+    oracle=_VID_ORACLE_FRAMES + f""",
+    v AS (
+      SELECT doc_id, f,
+             unnest(list_transform(range(1, {_VID_BPR} + 1),
+               i -> ascii(substr(s, CAST(f * {_VID_BPR} AS INT) + i,
+                                 1)))) AS val
+      FROM fr WHERE f % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_no,
+           CAST(5 + doc_id % 7 AS INT) AS fps,
+           CAST({_VID_BPR} * 8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(64 * {_VID_BPR} AS BIGINT) AS n_pixels,
+           CAST((2 * 64 * sum(val) * 10000 + 64 * {_VID_BPR})
+                // (2 * 64 * {_VID_BPR}) AS DOUBLE) / 10000.0
+             AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "codec", "video"),
+)
+def q226_video_frame_stats(spark, sf_dir):
+    """Sampled-frame pixel statistics through a REAL Motion-JPEG AVI
+    mux→demux→decode round trip (r8 — video was the last metadata-only
+    media family; now the container walk, the idx1 cross-checks, the
+    per-frame JPEG entropy decode and the temporal sampler are all
+    load-bearing): every third frame of each document's AVI is decoded
+    through the full JPEG pipeline and aggregated, and the container's
+    frame rate (which varies per doc) rides along. The oracle never
+    sees a container: it slices the same characters into frames and
+    computes the stats at 64× pixel weight. A demux offset slip, a
+    frame-count/index mismatch, a sampling off-by-one or any JPEG
+    regression breaks the hash.
+
+    Scale shape: one Arrow-batched encode pass and one demux+decode
+    pass at media grain — sampled-out frames never reach the entropy
+    decoder; pixels never leave their task; output is (media, frame)
+    grain, bounded by frames/3."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        video_frame_stats,
+    )
+
+    fs = video_frame_stats(_video_media(spark, sf_dir), every_n=3)
+    return (
+        fs.select(
+            F.col("media_id").alias("doc_id"),
+            F.col("frame_no").cast("bigint").alias("frame_no"),
+            "fps", "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_pixels"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+@register(
+    "q227_video_shot_cuts",
+    oracle=_VID_ORACLE_FRAMES + f""",
+    v AS (
+      SELECT doc_id, f,
+             unnest(list_transform(range(1, {_VID_BPR} + 1),
+               i -> ascii(substr(s, CAST(f * {_VID_BPR} AS INT) + i,
+                                 1)))) AS val
+      FROM fr
+    ),
+    g AS (
+      SELECT doc_id, f,
+             (1000 * 64 * sum(val)) // (64 * {_VID_BPR}) AS m
+      FROM v GROUP BY doc_id, f
+    ),
+    l AS (
+      SELECT doc_id, f, m,
+             lag(f) OVER w AS pf, lag(m) OVER w AS pm
+      FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_no,
+           CAST(pf AS BIGINT) AS prev_frame_no,
+           CAST(abs(m - pm) AS BIGINT) AS delta_milli
+    FROM l WHERE pm IS NOT NULL AND abs(m - pm) >= {_CUT_T}
+    ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "video", "window"),
+)
+def q227_video_shot_cuts(spark, sf_dir):
+    """Shot-boundary detection over the decoded video frames — the
+    scene-segmentation step that picks WHICH frames a training
+    pipeline keeps (one per shot beats one per second on redundant
+    footage): consecutive frames whose mean brightness jumps by at
+    least {_CUT_T} milli-units are cut points. The per-frame mean is
+    carried as an exact integer (1000·sum div n — no float mean ever
+    materializes), so the threshold compare is deterministic
+    cross-engine; the oracle recomputes frame means from the character
+    slices and applies the same lag/threshold. Unlike q226 this
+    decodes EVERY frame (every_n=1), so the two queries together pin
+    both sampler settings.
+
+    Scale shape: the decode pass, then a pure-JVM lag window
+    partitioned by media — bounded by frames per video, no
+    corpus-wide state."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        shot_boundaries,
+        video_frame_stats,
+    )
+
+    fs = video_frame_stats(_video_media(spark, sf_dir), every_n=1)
+    return (
+        shot_boundaries(fs, threshold_milli=_CUT_T)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("frame_no").cast("bigint").alias("frame_no"),
+            F.col("prev_frame_no").cast("bigint").alias("prev_frame_no"),
+            F.col("delta_milli").cast("bigint").alias("delta_milli"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )
