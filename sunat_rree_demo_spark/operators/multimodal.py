@@ -523,9 +523,9 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20,
     ``decode_flac_pcm16``): the first step of voice-activity detection
     / silence trimming in an audio-training-data pipeline. Payloads in
     neither container — and well-formed-but-gated codec variants
-    (stereo-decorrelated or non-16-bit FLAC) — yield no rows (opaque
-    degrade, like the raster decoders); only genuinely corrupt streams
-    abort.
+    (non-16-bit FLAC; decorrelated stereo decodes for real since
+    r8) — yield no rows (opaque degrade, like the raster decoders);
+    only genuinely corrupt streams abort.
 
     Returns (media_id, frame_no, n_samples, rms): frames are
     ``frame_ms`` windows of mono-mixed samples (channel mean), RMS is
@@ -2747,11 +2747,13 @@ def encode_wav_g711(codes: bytes, law: str = "ulaw",
 # PCM and G.711): the frame layer per RFC 9639 — sync + CRC-8 header,
 # CONSTANT / VERBATIM / FIXED / LPC subframes, Rice-coded residual
 # partitions with the raw-bitwidth escape, wasted-bits shift, CRC-16
-# frame footer. Stereo decorrelation (left/side, right/side,
-# mid/side) and non-16-bit sample sizes stay honestly gated behind
-# NotImplementedError; CRC or structure violations are ValueError —
-# the shared taxonomy. The encoder twin emits fixed-order predictors
-# and genuine Rice partitions, so round trips exercise the real
+# frame footer, and (r8) the three stereo-decorrelation modes —
+# left/side, side/right, mid/side, with the 17-bit SIDE channel and
+# exact integer reconstruction. Non-16-bit sample sizes stay
+# honestly gated behind NotImplementedError; CRC or structure
+# violations are ValueError — the shared taxonomy. The encoder twin
+# emits fixed-order predictors, genuine Rice partitions and real
+# decorrelated stereo frames, so round trips exercise the real
 # entropy layer, and an LPC mode (coef [1], shift 0 ≡ fixed order 1)
 # pins the LPC arithmetic with bit-exact expectations.
 
@@ -2928,15 +2930,16 @@ def _flac_subframe(br: "_FlacBits", blocksize: int, bps: int) \
 
 
 def decode_flac_pcm16(payload: bytes) -> tuple[int, int, bytes] | None:
-    """(sample_rate, n_channels, PCM16-LE bytes) for a 16-bit FLAC
-    stream with INDEPENDENT channels — REAL frame-layer decode
-    (stdlib+numpy): metadata walk, per-frame sync + CRC-8 header
-    check, subframe reconstruction (constant / verbatim / fixed
-    orders 0-4 / LPC to order 32, Rice partitions incl. the raw
-    escape, wasted bits), CRC-16 footer check. Returns None for
-    non-FLAC payloads; NotImplementedError for honest gates (stereo
-    decorrelation modes, non-16-bit depths); ValueError for
-    corruption — the shared taxonomy."""
+    """(sample_rate, n_channels, interleaved PCM16-LE bytes) for a
+    16-bit FLAC stream — REAL frame-layer decode (stdlib+numpy):
+    metadata walk, per-frame sync + CRC-8 header check, subframe
+    reconstruction (constant / verbatim / fixed orders 0-4 / LPC to
+    order 32, Rice partitions incl. the raw escape, wasted bits),
+    stereo decorrelation (left/side, side/right, mid/side — the
+    17-bit SIDE channel and exact integer reconstruction, r8) and
+    the CRC-16 footer check. Returns None for non-FLAC payloads;
+    NotImplementedError for the one honest gate left (non-16-bit
+    depths); ValueError for corruption — the shared taxonomy."""
     meta = _decode_flac_streaminfo(payload)
     if meta is None:
         return None
@@ -2990,18 +2993,42 @@ def decode_flac_pcm16(payload: bytes) -> tuple[int, int, bytes] | None:
             br.read(16)
         else:
             raise ValueError("FLAC invalid sample-rate code")
+        if ch_code > 10:
+            raise ValueError("FLAC reserved channel assignment")
         if ch_code >= 8:
-            raise NotImplementedError(
-                "FLAC stereo decorrelation (left/right/mid-side)")
-        if ch_code + 1 != channels:
+            if channels != 2:
+                raise ValueError(
+                    "FLAC frame channels contradict streaminfo")
+        elif ch_code + 1 != channels:
             raise ValueError("FLAC frame channels contradict streaminfo")
         if ss_code not in (0, 4):  # 0b100 = 16 bit
             raise NotImplementedError("non-16-bit FLAC frame")
         hdr_len = br.pos // 8  # header fields are byte-aligned here
         if _crc8_flac(payload[i:i + hdr_len]) != br.read(8):
             raise ValueError("FLAC header CRC-8 mismatch")
-        for c in range(channels):
-            chans[c].extend(_flac_subframe(br, blocksize, 16))
+        if ch_code >= 8:
+            # stereo decorrelation (RFC 9639 §9.1.3): the SIDE channel
+            # (l − r) carries one extra bit; reconstruction is exact
+            # integer arithmetic, so the round trip stays lossless
+            s0 = _flac_subframe(br, blocksize,
+                                17 if ch_code == 9 else 16)
+            s1 = _flac_subframe(br, blocksize,
+                                16 if ch_code == 9 else 17)
+            if ch_code == 8:    # left/side
+                left, right = s0, [a - b for a, b in zip(s0, s1)]
+            elif ch_code == 9:  # side/right
+                left, right = [a + b for a, b in zip(s0, s1)], s1
+            else:               # mid/side: mid stored as (l+r)>>1
+                left, right = [], []
+                for m, s in zip(s0, s1):
+                    x = (m << 1) | (s & 1)
+                    left.append((x + s) >> 1)
+                    right.append((x - s) >> 1)
+            chans[0].extend(left)
+            chans[1].extend(right)
+        else:
+            for c in range(channels):
+                chans[c].extend(_flac_subframe(br, blocksize, 16))
         br.align()
         frame_len = br.pos // 8
         crc = br.read(16)
@@ -3053,11 +3080,74 @@ def _rice_cost_k(folded: "np.ndarray", pbits: int) -> int:
     return best_k
 
 
+def _flac_write_subframe(w: "_FlacWriter", blk: "np.ndarray", bps: int,
+                         lpc: bool, p_order: int) -> None:
+    """One subframe onto the bit sink: CONSTANT when the block is
+    flat, else FIXED order 1 (or the bit-identical LPC [1]/shift-0
+    form) with genuine Rice partitions and the raw escape. ``bps``
+    is the channel's bit depth — 17 for a decorrelated SIDE
+    channel, which is what makes the stereo round trip exact."""
+    bs = blk.size
+    mask = (1 << bps) - 1
+    if (blk == blk[0]).all():
+        w.put(0, 1); w.put(0, 6); w.put(0, 1)  # CONSTANT
+        w.put(int(blk[0]) & mask, bps)
+        return
+    w.put(0, 1)
+    if lpc:
+        w.put(32, 6)  # LPC order 1 (type 100000 + order-1)
+    else:
+        w.put(9, 6)   # FIXED order 1
+    w.put(0, 1)       # no wasted bits
+    w.put(int(blk[0]) & mask, bps)  # warmup
+    if lpc:
+        w.put(1, 4)   # precision - 1 = 1 -> 2 bits
+        w.put(0, 5)   # shift 0
+        w.put(1, 2)   # coefficient [1]
+    res = np.diff(blk)
+    folded = np.where(res >= 0, 2 * res, -2 * res - 1) \
+        .astype(np.int64)
+    # partition order: only when it divides the block and the
+    # first partition still fits the warmup (RFC rules)
+    po = p_order if (bs % (1 << p_order) == 0
+                     and (bs >> p_order) > 1) else 0
+    w.put(0, 2)       # 4-bit Rice params
+    w.put(po, 4)
+    step = bs >> po
+    off = 0
+    for p in range(1 << po):
+        cnt = step - (1 if p == 0 else 0)
+        part, pres = folded[off:off + cnt], res[off:off + cnt]
+        off += cnt
+        k = _rice_cost_k(part, 4) if part.size else 0
+        raw_w = int(max(int(part.max()).bit_length() + 1, 2)) \
+            if part.size else 2
+        rice_cost = int((part >> k).sum()) \
+            + part.size * (k + 1) + 4
+        if raw_w <= 31 and part.size * raw_w + 9 < rice_cost:
+            w.put(15, 4)      # escape
+            w.put(raw_w, 5)
+            for v in pres:
+                w.put(int(v) & ((1 << raw_w) - 1), raw_w)
+        else:
+            w.put(k, 4)
+            for u in part:
+                q = int(u) >> k
+                w.put(1, q + 1)  # q zeros, then the 1
+                w.put(int(u) & ((1 << k) - 1), k)
+
+
+#: stereo channel-assignment codes (RFC 9639 table 4)
+_FLAC_MODES = {"left_side": 8, "right_side": 9, "mid_side": 10,
+               "indep": 1}
+
+
 def encode_flac_pcm16(samples: "np.ndarray", rate: int = 8000,
                       blocksize: int = 256,
                       lpc: bool = False,
-                      p_order: int = 0) -> bytes:
-    """Minimal mono 16-bit FLAC encoder (the decode-test twin, like
+                      p_order: int = 0,
+                      channel_mode: str = "mono") -> bytes:
+    """Minimal 16-bit FLAC encoder (the decode-test twin, like
     ``encode_wav_pcm16``): STREAMINFO + fixed-blocksize frames, each
     subframe CONSTANT when the block is flat, else FIXED order 1 —
     or, with ``lpc=True``, an LPC subframe with coefficient [1] and
@@ -3065,36 +3155,50 @@ def encode_flac_pcm16(samples: "np.ndarray", rate: int = 8000,
     lets the LPC arithmetic be pinned by a lossless round trip) —
     with genuine Rice partitions (``p_order`` splits the block into
     2^p partitions, each with its own best-k search and the raw
-    escape when cheaper). Lossless: a decode recovers the int16
-    samples exactly, the q216 oracle device."""
+    escape when cheaper). Mono by default; ``(n, 2)`` input with
+    ``channel_mode`` in {indep, left_side, right_side, mid_side}
+    writes REAL stereo frames — the decorrelated modes store the
+    transformed channels (side = l − r at 17 bits, mid = (l+r)>>1)
+    exactly as RFC 9639 §9.1.3 lays them out. Lossless in every
+    mode: a decode recovers the int16 samples exactly, the q216/q228
+    oracle device."""
     smp = np.asarray(samples, dtype=np.int64)
-    if smp.ndim != 1:
-        raise ValueError("mono only")
+    if channel_mode == "mono":
+        if smp.ndim != 1:
+            raise ValueError("mono mode takes 1-D samples")
+        channels = 1
+    else:
+        if channel_mode not in _FLAC_MODES:
+            raise ValueError(f"unknown channel_mode {channel_mode!r}")
+        if smp.ndim != 2 or smp.shape[1] != 2:
+            raise ValueError("stereo modes take (n, 2) samples")
+        channels = 2
     if smp.size == 0:
         raise ValueError("empty stream")
-    total = smp.size
+    total = smp.shape[0]
     info = _FlacWriter()
     info.put(blocksize, 16)  # min blocksize
     info.put(blocksize, 16)  # max blocksize
     info.put(0, 24)          # min framesize unknown
     info.put(0, 24)          # max framesize unknown
     info.put(rate, 20)
-    info.put(0, 3)           # channels - 1
+    info.put(channels - 1, 3)
     info.put(15, 5)          # bits - 1
     info.put(total, 36)
     body = bytes(info.out) + b"\x00" * 16  # md5 unknown
     out = bytearray(b"fLaC" + b"\x80" + len(body).to_bytes(3, "big")
                     + body)
+    ch_code = 0 if channels == 1 else _FLAC_MODES[channel_mode]
     for fi, start in enumerate(range(0, total, blocksize)):
         blk = smp[start:start + blocksize]
-        bs = blk.size
+        bs = blk.shape[0]
         w = _FlacWriter()
         w.put(0x3FFE, 14)
         w.put(0, 1)   # reserved
         w.put(0, 1)   # fixed blocksize strategy
         w.put(7, 4)   # blocksize: 16-bit value follows
         w.put(0, 4)   # rate: streaminfo
-        w.put(0, 4)   # 1 channel, independent
+        w.put(ch_code, 4)
         w.put(4, 3)   # 16-bit samples
         w.put(0, 1)   # reserved
         # coded frame number (UTF-8 style)
@@ -3110,52 +3214,21 @@ def encode_flac_pcm16(samples: "np.ndarray", rate: int = 8000,
         w.put(bs - 1, 16)
         w.align()
         w.put(_crc8_flac(bytes(w.out)), 8)
-        if (blk == blk[0]).all():
-            w.put(0, 1); w.put(0, 6); w.put(0, 1)  # CONSTANT
-            w.put(int(blk[0]) & 0xFFFF, 16)
+        if channels == 1:
+            _flac_write_subframe(w, blk, 16, lpc, p_order)
+        elif channel_mode == "indep":
+            _flac_write_subframe(w, blk[:, 0], 16, lpc, p_order)
+            _flac_write_subframe(w, blk[:, 1], 16, lpc, p_order)
         else:
-            w.put(0, 1)
-            if lpc:
-                w.put(32, 6)  # LPC order 1 (type 100000 + order-1)
-            else:
-                w.put(9, 6)   # FIXED order 1
-            w.put(0, 1)       # no wasted bits
-            w.put(int(blk[0]) & 0xFFFF, 16)  # warmup
-            if lpc:
-                w.put(1, 4)   # precision - 1 = 1 -> 2 bits
-                w.put(0, 5)   # shift 0
-                w.put(1, 2)   # coefficient [1]
-            res = np.diff(blk)
-            folded = np.where(res >= 0, 2 * res, -2 * res - 1) \
-                .astype(np.int64)
-            # partition order: only when it divides the block and the
-            # first partition still fits the warmup (RFC rules)
-            po = p_order if (bs % (1 << p_order) == 0
-                             and (bs >> p_order) > 1) else 0
-            w.put(0, 2)       # 4-bit Rice params
-            w.put(po, 4)
-            step = bs >> po
-            off = 0
-            for p in range(1 << po):
-                cnt = step - (1 if p == 0 else 0)
-                part, pres = folded[off:off + cnt], res[off:off + cnt]
-                off += cnt
-                k = _rice_cost_k(part, 4) if part.size else 0
-                raw_w = int(max(int(part.max()).bit_length() + 1, 2)) \
-                    if part.size else 2
-                rice_cost = int((part >> k).sum()) \
-                    + part.size * (k + 1) + 4
-                if raw_w <= 31 and part.size * raw_w + 9 < rice_cost:
-                    w.put(15, 4)      # escape
-                    w.put(raw_w, 5)
-                    for v in pres:
-                        w.put(int(v) & ((1 << raw_w) - 1), raw_w)
-                else:
-                    w.put(k, 4)
-                    for u in part:
-                        q = int(u) >> k
-                        w.put(1, q + 1)  # q zeros, then the 1
-                        w.put(int(u) & ((1 << k) - 1), k)
+            side = blk[:, 0] - blk[:, 1]
+            if channel_mode == "left_side":
+                pair = ((blk[:, 0], 16), (side, 17))
+            elif channel_mode == "right_side":
+                pair = ((side, 17), (blk[:, 1], 16))
+            else:  # mid_side: mid stored as the floor average
+                pair = (((blk[:, 0] + blk[:, 1]) >> 1, 16), (side, 17))
+            for ch, bps in pair:
+                _flac_write_subframe(w, ch, bps, lpc, p_order)
         w.align()
         frame = bytes(w.out)
         out += frame + _crc16_flac(frame).to_bytes(2, "big")
@@ -3211,15 +3284,117 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first variable-width codes
+    9→12 bits, Clear (256) / EOI (257), and the EarlyChange width
+    schedule — the DECODER widens one entry before the naive point
+    (at table sizes 510/1022/2046), compensating for its one-entry
+    lag behind the encoder. Handles the KwKwK corner (code ==
+    next_code). ``expected`` bounds the output; violations and
+    out-of-range codes raise ValueError (shared taxonomy)."""
+    out = bytearray()
+    acc = nbits = i = 0
+    width = 9
+
+    def read() -> int | None:
+        nonlocal acc, nbits, i
+        while nbits < width:
+            if i >= len(data):
+                return None
+            acc = (acc << 8) | data[i]
+            i += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        return code
+
+    table: list[bytes] = [bytes([k]) for k in range(256)] + [b"", b""]
+    next_code = 258
+    prev: bytes | None = None
+    while True:
+        code = read()
+        if code is None:
+            raise ValueError("TIFF LZW stream ended without EOI")
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            del table[258:]
+            width, next_code, prev = 9, 258, None
+            continue
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("TIFF LZW output exceeds strip size")
+        if prev is not None:
+            if next_code > 4093:
+                raise ValueError("TIFF LZW table overflow (no Clear)")
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1  # EarlyChange: 510 / 1022 / 2046
+        prev = entry
+    if len(out) != expected:
+        raise ValueError("TIFF LZW output shorter than strip size")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """The encode twin of ``_tiff_lzw_decode``: greedy longest-match
+    LZW with the encoder-side EarlyChange schedule (widen at
+    511/1023/2047) and a Clear emitted before the 12-bit table can
+    overflow — mirrors what libtiff writes."""
+    w = _FlacWriter()  # MSB-first bit sink (shared with FLAC)
+    table: dict[bytes, int] = {bytes([k]): k for k in range(256)}
+    next_code, width = 258, 9
+    w.put(256, width)  # leading Clear, per spec
+    s = b""
+    for ch in data:
+        t = s + bytes([ch])
+        if t in table:
+            s = t
+            continue
+        w.put(table[s], width)
+        table[t] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # encoder widens at 511 / 1023 / 2047
+        if next_code == 4094:
+            w.put(256, width)
+            table = {bytes([k]): k for k in range(256)}
+            next_code, width = 258, 9
+        s = bytes([ch])
+    if s:
+        w.put(table[s], width)
+    w.put(257, width)  # EOI
+    w.align()
+    return bytes(w.out)
+
+
+def _tiff_undiff(strip: bytes, rows: int, w: int, spp: int) -> bytes:
+    """Invert TIFF Predictor 2 (horizontal differencing, tag 317):
+    per row, per channel, each sample is stored as the delta from its
+    left neighbour — the cumulative sum modulo 256 restores it."""
+    a = np.frombuffer(strip, np.uint8).reshape(rows, w, spp)
+    return a.astype(np.uint32).cumsum(axis=1).astype(np.uint8).tobytes()
+
+
 def decode_tiff_pixels(payload: bytes) \
         -> tuple[int, int, int, bytes] | None:
     """(width, height, channels, samples) for a baseline TIFF — REAL
     pixel decode, stdlib+numpy only: 8-bit grayscale (both
     PhotometricInterpretation polarities — WhiteIsZero inverts) and
     8-bit chunky RGB, strip layout (RowsPerStrip / StripOffsets /
-    StripByteCounts), Compression 1 (none) and 32773 (PackBits), both
-    byte orders. Planar configuration 2, tiled layout, palette TIFFs,
-    LZW/JPEG-in-TIFF and non-8-bit depths raise NotImplementedError;
+    StripByteCounts), Compression 1 (none), 5 (REAL TIFF LZW with the
+    EarlyChange width schedule, r8) and 32773 (PackBits), Predictor 2
+    horizontal differencing, both byte orders. Planar configuration
+    2, tiled layout, palette TIFFs, JPEG/Deflate-in-TIFF, the float
+    predictor and non-8-bit depths raise NotImplementedError;
     structural violations ValueError — the shared taxonomy. Returns
     None when the byte-order mark/magic doesn't commit to TIFF."""
     import struct
@@ -3245,8 +3420,13 @@ def decode_tiff_pixels(payload: bytes) \
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar (non-chunky) TIFF")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
+    pred = tags.get(317, [1])[0]
+    if pred == 3:
+        raise NotImplementedError("TIFF floating-point predictor")
+    if pred not in (1, 2):
+        raise ValueError(f"bad TIFF predictor {pred}")
     photo = tags.get(262, [1])[0]
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photo}")
@@ -3279,8 +3459,12 @@ def decode_tiff_pixels(payload: bytes) \
         strip = payload[o:o + c]
         if comp == 32773:
             strip = _packbits_decode(strip, expected)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(strip, expected)
         elif len(strip) != expected:
             raise ValueError("TIFF strip length mismatch")
+        if pred == 2:
+            strip = _tiff_undiff(strip, rows, w, spp)
         out += strip
     arr = np.frombuffer(bytes(out), np.uint8)
     if photo == 0:  # WhiteIsZero: invert to the BlackIsZero scale
@@ -3292,22 +3476,39 @@ def encode_tiff_gray(pixels: bytes, width: int,
                      packbits: bool = False,
                      big_endian: bool = False,
                      white_is_zero: bool = False,
-                     rows_per_strip: int = 4) -> bytes:
+                     rows_per_strip: int = 4,
+                     lzw: bool = False,
+                     predictor: bool = False) -> bytes:
     """8-bit grayscale baseline TIFF encoder (the decode-test twin):
     strip layout with real multi-strip geometry, optional REAL
-    PackBits compression (greedy replicate/literal runs), either byte
-    order, and either photometric polarity (``white_is_zero`` stores
-    inverted samples under PhotometricInterpretation 0, so a decode
-    recovers the given pixels — pinning the inversion path)."""
+    PackBits or LZW compression (``lzw=True`` writes Compression 5
+    streams with the encoder-side EarlyChange schedule; optionally
+    Predictor 2 horizontal differencing on top — the combination real
+    scanned TIFFs ship), either byte order, and either photometric
+    polarity (``white_is_zero`` stores inverted samples under
+    PhotometricInterpretation 0, so a decode recovers the given
+    pixels — pinning the inversion path)."""
     import struct
 
     if width <= 0 or len(pixels) % width:
         raise ValueError("pixels must be height x width bytes")
+    if packbits and lzw:
+        raise ValueError("choose one compression")
     height = len(pixels) // width
     bo = ">" if big_endian else "<"
     data = bytes(255 - b for b in pixels) if white_is_zero else pixels
 
+    def diff_rows(rows: bytes) -> bytes:
+        a = np.frombuffer(rows, np.uint8).reshape(-1, width) \
+            .astype(np.int16)
+        a[:, 1:] = a[:, 1:] - a[:, :-1]
+        return (a & 0xFF).astype(np.uint8).tobytes()
+
     def pack_strip(rows: bytes) -> bytes:
+        if predictor:
+            rows = diff_rows(rows)
+        if lzw:
+            return _tiff_lzw_encode(rows)
         if not packbits:
             return rows
         out = bytearray()
@@ -3351,17 +3552,20 @@ def encode_tiff_gray(pixels: bytes, width: int,
         return (vals[0] if len(vals) == 1 else None, vals)
 
     photo = 0 if white_is_zero else 1
+    comp = 5 if lzw else (32773 if packbits else 1)
     tag_list = [
         (256, 4, 1, width, None),
         (257, 4, 1, height, None),
         (258, 3, 1, 8, None),
-        (259, 3, 1, 32773 if packbits else 1, None),
+        (259, 3, 1, comp, None),
         (262, 3, 1, photo, None),
         (273, 4, n, offs[0] if n == 1 else None, offs),
         (277, 3, 1, 1, None),
         (278, 4, 1, rows_per_strip, None),
         (279, 4, n, cnts[0] if n == 1 else None, cnts),
     ]
+    if predictor:
+        tag_list.append((317, 3, 1, 2, None))
     ext_off = ifd_off + 2 + 12 * len(tag_list) + 4
     ext = bytearray()
     for tag, typ, cnt, inline, arr in tag_list:

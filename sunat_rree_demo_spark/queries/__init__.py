@@ -78,6 +78,8 @@ _R8_NEW = (
     "q225_media_type_census",
     "q226_video_frame_stats",
     "q227_video_shot_cuts",
+    "q228_stereo_flac_energy",
+    "q229_tiff_lzw_stats",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

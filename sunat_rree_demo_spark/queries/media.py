@@ -2165,3 +2165,215 @@ def q227_video_shot_cuts(spark, sf_dir):
         )
         .orderBy("doc_id", "frame_no")
     )
+
+
+#: q228 stereo mapping: left = (a−79)·256, right = (90−a)·128 — the
+#: channel SUM is always 128·(a−68), so the operator's integer mono
+#: mix ((l+r) div 2 = 64·(a−68)) has a closed form with no floor
+#: ambiguity, while the side channel (l−r = 384a−31744) genuinely
+#: spans 17 bits at the text's edges
+_ST_L, _ST_R = 256, 128
+
+
+@register(
+    "q228_stereo_flac_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 68) * 64)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM a WHERE length(s) >= 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             sum(CAST(smp AS BIGINT) * smp) AS ssq
+      FROM v GROUP BY 1, 2
+    )
+    SELECT doc_id, frame_no, n_samples,
+           round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 4) AS rms_4dp
+    FROM f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "codec", "audio"),
+)
+def q228_stereo_flac_energy(spark, sf_dir):
+    """Frame energy through REAL **stereo-decorrelated FLAC** (r8 —
+    closes the decoder's stereo gate): each document's chars become a
+    genuine two-channel stream (left = (a−79)·256, right =
+    (90−a)·128), and the channel ASSIGNMENT varies per doc —
+    independent, left/side, side/right, mid/side by doc_id % 4 — so
+    one query exercises all three decorrelation reconstructions plus
+    the 17-bit SIDE-channel subframes (the text's edge chars genuinely
+    overflow int16 in the side domain). The decoded stereo is
+    mono-mixed by the operator's exact integer mean, whose closed form
+    (64·(a−68), the channel sum is always even) the oracle computes
+    straight from the characters: a side-channel bit-depth slip, a
+    swapped reconstruction or a mid rounding bug breaks the hash.
+    LPC-form subframes (odd doc_ids) and Rice partition order 2
+    (doc_id % 5 == 0) ride along as in q216.
+
+    Scale shape: identical to q216 — fan_out → Arrow-batched encode →
+    one decode+energy pass, frame-grain output, no shuffle before the
+    output sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_flac_pcm16,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+
+    _modes = ("indep", "left_side", "right_side", "mid_side")
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            a = np.frombuffer(s.encode("ascii"), np.uint8) \
+                .astype(np.int64)
+            st = np.stack([(a - 79) * _ST_L, (90 - a) * _ST_R], axis=1)
+            return encode_flac_pcm16(
+                st, rate=_WAV_RATE, blocksize=256,
+                lpc=bool(mid % 2),
+                p_order=2 if mid % 5 == 0 else 0,
+                channel_mode=_modes[mid % 4])
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        pcm_frame_energy(media, frame_ms=_WAV_FRAME_MS)
+        .select(F.col("media_id").alias("doc_id"),
+                "frame_no", "n_samples",
+                F.round("rms", 4).alias("rms_4dp"))
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+#: q229 TIFF-LZW width — prime, distinct from q217's 23 and every
+#: other raster device so a routing mix-up can never hash-match
+_TIFF_LZW_W = 19
+
+
+@register(
+    "q229_tiff_lzw_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_TIFF_LZW_W})
+                          * {_TIFF_LZW_W}) AS s
+      FROM a WHERE length(s) >= {_TIFF_LZW_W}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_TIFF_LZW_W} AS INT) AS width,
+           CAST(n // {_TIFF_LZW_W} AS INT) AS height,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((2 * sum(val) * 10000 + n) // (2 * n) AS DOUBLE)
+             / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q229_tiff_lzw_stats(spark, sf_dir):
+    """Pixel statistics through a REAL **LZW-compressed TIFF**
+    encode→decode round trip (r8 — closes the TIFF decoder's LZW
+    gate, the compression real scanned TIFFs actually ship): each
+    document becomes a Compression-5 TIFF with MSB-first
+    variable-width LZW codes and the EarlyChange width schedule, with
+    Predictor 2 horizontal differencing for even doc_ids and
+    big-endian byte order when doc_id % 3 == 0 — so one query
+    exercises the code-width ladder, the predictor inversion and both
+    IFD byte orders through the same strip walk as q217. The oracle
+    computes the stats from the characters; an EarlyChange slip, a
+    KwKwK mis-handle or a differencing bug breaks the hash.
+
+    Scale shape: identical to q186/q217 — two Arrow-batched
+    mapInPandas passes at document grain, no shuffle before the
+    doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_tiff_gray,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_TIFF_LZW_W})"
+            f" * {_TIFF_LZW_W})"))
+        .filter(F.length("s") >= _TIFF_LZW_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            return encode_tiff_gray(
+                s.encode("ascii"), _TIFF_LZW_W,
+                lzw=True,
+                predictor=(mid % 2 == 0),
+                big_endian=(mid % 3 == 0))
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )

@@ -528,8 +528,9 @@ def test_tiff_round_trips_and_gates():
     """Baseline TIFF pixel decode (r8): gray round trips across
     PackBits/uncompressed × little/big endian × both photometric
     polarities with real multi-strip geometry; a hand-built chunky
-    RGB single-strip decodes; gates (LZW, tiles, planar, non-8-bit)
-    are NotImplementedError; strip/PackBits violations are loud."""
+    RGB single-strip decodes; gates (Deflate, tiles, planar,
+    non-8-bit — LZW decodes for real since r8) are
+    NotImplementedError; strip/PackBits violations are loud."""
     import struct
 
     import numpy as np
@@ -578,12 +579,13 @@ def test_tiff_round_trips_and_gates():
 
     base = encode_tiff_gray(bytes(range(60)), 12)
     assert decode_tiff_pixels(b"not tiff") is None
-    lzw = bytearray(base)
-    # compression tag 259 value: find its entry and set 5 (LZW)
-    i = lzw.index(struct.pack("<HH", 259, 3))
-    struct.pack_into("<H", lzw, i + 8, 5)
+    defl = bytearray(base)
+    # compression tag 259 value: find its entry and set 8 (Deflate —
+    # still gated; LZW (5) decodes for real since r8)
+    i = defl.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", defl, i + 8, 8)
     with _pytest.raises(NotImplementedError, match="compression"):
-        decode_tiff_pixels(bytes(lzw))
+        decode_tiff_pixels(bytes(defl))
     deep = bytearray(base)
     i = deep.index(struct.pack("<HH", 258, 3))
     struct.pack_into("<H", deep, i + 8, 16)
@@ -1421,3 +1423,126 @@ def test_image_pixel_stats_routes_bmp(spark):
     assert (row.width, row.height, row.channels) == (2, 2, 3)
     assert row.n_samples == 12 and row.sum_val == 3 * 355
     assert row.min_val == 5 and row.max_val == 200
+
+
+def test_flac_stereo_decorrelation_round_trips():
+    """Stereo FLAC decode (r8): all four channel assignments —
+    independent, left/side, side/right, mid/side — round-trip
+    losslessly, including inputs whose SIDE channel genuinely needs
+    17 bits and mid/side pairs with odd channel sums (the (s & 1)
+    low-bit reconstruction)."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_flac_pcm16,
+        encode_flac_pcm16,
+    )
+
+    rng = np.random.RandomState(11)
+    rand = rng.randint(-12000, 12000, size=(700, 2)).astype(np.int64)
+    edges = np.array(
+        [[32767, -32768], [-32768, 32767],   # side spans 17 bits
+         [32767, 32766], [5, 4], [-7, 2]] * 60,  # odd sums
+        dtype=np.int64)
+    for st in (rand, edges):
+        for mode in ("indep", "left_side", "right_side", "mid_side"):
+            for lpc, po in ((False, 0), (True, 2)):
+                flac = encode_flac_pcm16(st, rate=8000, blocksize=192,
+                                         lpc=lpc, p_order=po,
+                                         channel_mode=mode)
+                rate, ch, pcm = decode_flac_pcm16(flac)
+                assert (rate, ch) == (8000, 2)
+                got = np.frombuffer(pcm, "<i2").reshape(-1, 2)
+                assert (got.astype(np.int64) == st).all(), mode
+    # reserved channel assignment (11) is corrupt, not gated: patch
+    # the frame header's 4-bit ch_code field (bits 24..27 of the
+    # frame) from mid_side (10) to 11 and re-CRC nothing — the
+    # decoder must refuse before any CRC pass completes
+    flac = bytearray(encode_flac_pcm16(edges, channel_mode="mid_side",
+                                       blocksize=64))
+    # frame starts right after the STREAMINFO block: 4 + 4 + 34
+    fstart = 42
+    assert flac[fstart] == 0xFF and flac[fstart + 1] & 0xFC == 0xF8
+    flac[fstart + 3] = (flac[fstart + 3] & 0x0F) | (11 << 4)
+    with pytest.raises(ValueError, match="reserved channel|CRC"):
+        decode_flac_pcm16(bytes(flac))
+
+
+def test_pcm_frame_energy_mixes_stereo_flac(spark):
+    """The frame-energy pass mono-mixes decoded stereo FLAC with the
+    exact integer channel mean — identical rows for the same logical
+    signal shipped decorrelated and as plain mono."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_flac_pcm16,
+        pcm_frame_energy,
+    )
+
+    rng = np.random.RandomState(13)
+    left = rng.randint(-8000, 8000, 640).astype(np.int64)
+    right = left + rng.randint(0, 500, 640)  # sums may be odd
+    mono = (left + right) // 2
+    stereo = encode_flac_pcm16(np.stack([left, right], axis=1),
+                               rate=8000, channel_mode="mid_side")
+    plain = encode_flac_pcm16(mono, rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(stereo)), (2, bytearray(plain))],
+        "media_id long, content binary")
+    rows = pcm_frame_energy(df, frame_ms=20).collect()
+    a = sorted((r["frame_no"], r["n_samples"], r["rms"])
+               for r in rows if r["media_id"] == 1)
+    b = sorted((r["frame_no"], r["n_samples"], r["rms"])
+               for r in rows if r["media_id"] == 2)
+    assert a == b and len(a) == 4
+
+
+def test_tiff_lzw_round_trips_and_taxonomy():
+    """TIFF LZW (r8): MSB-first variable-width codes with the
+    EarlyChange schedule on both sides, KwKwK, the 12-bit
+    table-overflow Clear, Predictor 2 horizontal differencing — and
+    loud failure for truncation, range violations and the gated float
+    predictor."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff_pixels,
+        encode_tiff_gray,
+    )
+
+    rng = np.random.RandomState(5)
+    # width growth 9->10->11->12 and the overflow Clear need >3835
+    # table entries; repetitive data crosses every boundary
+    for n in (1, 17, 300, 20000):
+        data = bytes(rng.randint(0, 40, n).astype(np.uint8))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), n) == data
+    # incompressible data exercises the raw 12/9 expansion path
+    data = bytes(rng.randint(0, 256, 6000).astype(np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), 6000) == data
+    # KwKwK: code == next_code
+    data = b"ababababababababab"
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+    # container: LZW x predictor x byte order x polarity
+    for be in (False, True):
+        for wiz in (False, True):
+            for pred in (False, True):
+                px = bytes(rng.randint(0, 256, 23 * 9).astype(np.uint8))
+                t = encode_tiff_gray(px, 23, lzw=True, big_endian=be,
+                                     white_is_zero=wiz, predictor=pred)
+                assert decode_tiff_pixels(t) == (23, 9, 1, px)
+
+    enc = _tiff_lzw_encode(b"some stream without its tail")
+    with pytest.raises(ValueError, match="without EOI"):
+        _tiff_lzw_decode(enc[:-2], 29)
+    with pytest.raises(ValueError, match="exceeds strip size"):
+        _tiff_lzw_decode(enc, 5)
+    # gated: float predictor (3)
+    t = bytearray(encode_tiff_gray(bytes(range(30)), 10,
+                                   predictor=True))
+    i = t.find((317).to_bytes(2, "little"))
+    t[i + 8] = 3
+    with pytest.raises(NotImplementedError, match="float"):
+        decode_tiff_pixels(bytes(t))
