@@ -3391,10 +3391,11 @@ def decode_tiff_pixels(payload: bytes) \
     PhotometricInterpretation polarities — WhiteIsZero inverts) and
     8-bit chunky RGB, strip layout (RowsPerStrip / StripOffsets /
     StripByteCounts), Compression 1 (none), 5 (REAL TIFF LZW with the
-    EarlyChange width schedule, r8) and 32773 (PackBits), Predictor 2
-    horizontal differencing, both byte orders. Planar configuration
-    2, tiled layout, palette TIFFs, JPEG/Deflate-in-TIFF, the float
-    predictor and non-8-bit depths raise NotImplementedError;
+    EarlyChange width schedule, r8), 8/32946 (Deflate — stdlib zlib)
+    and 32773 (PackBits), Predictor 2 horizontal differencing, both
+    byte orders. Planar configuration 2, tiled layout, palette
+    TIFFs, JPEG-in-TIFF, the float predictor and non-8-bit depths
+    raise NotImplementedError;
     structural violations ValueError — the shared taxonomy. Returns
     None when the byte-order mark/magic doesn't commit to TIFF."""
     import struct
@@ -3420,7 +3421,7 @@ def decode_tiff_pixels(payload: bytes) \
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar (non-chunky) TIFF")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     pred = tags.get(317, [1])[0]
     if pred == 3:
@@ -3461,6 +3462,15 @@ def decode_tiff_pixels(payload: bytes) \
             strip = _packbits_decode(strip, expected)
         elif comp == 5:
             strip = _tiff_lzw_decode(strip, expected)
+        elif comp in (8, 32946):  # Adobe / legacy Deflate: zlib streams
+            import zlib
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate strip corrupt: {exc}") \
+                    from None
+            if len(strip) != expected:
+                raise ValueError("TIFF deflate strip length mismatch")
         elif len(strip) != expected:
             raise ValueError("TIFF strip length mismatch")
         if pred == 2:
@@ -3478,11 +3488,13 @@ def encode_tiff_gray(pixels: bytes, width: int,
                      white_is_zero: bool = False,
                      rows_per_strip: int = 4,
                      lzw: bool = False,
+                     deflate: bool = False,
                      predictor: bool = False) -> bytes:
     """8-bit grayscale baseline TIFF encoder (the decode-test twin):
     strip layout with real multi-strip geometry, optional REAL
-    PackBits or LZW compression (``lzw=True`` writes Compression 5
-    streams with the encoder-side EarlyChange schedule; optionally
+    PackBits, LZW or Deflate compression (``lzw=True`` writes
+    Compression 5 streams with the encoder-side EarlyChange schedule,
+    ``deflate=True`` Compression 8 zlib streams; optionally
     Predictor 2 horizontal differencing on top — the combination real
     scanned TIFFs ship), either byte order, and either photometric
     polarity (``white_is_zero`` stores inverted samples under
@@ -3492,7 +3504,7 @@ def encode_tiff_gray(pixels: bytes, width: int,
 
     if width <= 0 or len(pixels) % width:
         raise ValueError("pixels must be height x width bytes")
-    if packbits and lzw:
+    if packbits + lzw + deflate > 1:
         raise ValueError("choose one compression")
     height = len(pixels) // width
     bo = ">" if big_endian else "<"
@@ -3509,6 +3521,9 @@ def encode_tiff_gray(pixels: bytes, width: int,
             rows = diff_rows(rows)
         if lzw:
             return _tiff_lzw_encode(rows)
+        if deflate:
+            import zlib
+            return zlib.compress(rows)
         if not packbits:
             return rows
         out = bytearray()
@@ -3552,7 +3567,7 @@ def encode_tiff_gray(pixels: bytes, width: int,
         return (vals[0] if len(vals) == 1 else None, vals)
 
     photo = 0 if white_is_zero else 1
-    comp = 5 if lzw else (32773 if packbits else 1)
+    comp = 5 if lzw else (8 if deflate else (32773 if packbits else 1))
     tag_list = [
         (256, 4, 1, width, None),
         (257, 4, 1, height, None),

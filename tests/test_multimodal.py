@@ -528,8 +528,8 @@ def test_tiff_round_trips_and_gates():
     """Baseline TIFF pixel decode (r8): gray round trips across
     PackBits/uncompressed × little/big endian × both photometric
     polarities with real multi-strip geometry; a hand-built chunky
-    RGB single-strip decodes; gates (Deflate, tiles, planar,
-    non-8-bit — LZW decodes for real since r8) are
+    RGB single-strip decodes; gates (JPEG-in-TIFF, tiles, planar,
+    non-8-bit — LZW and Deflate decode for real since r8) are
     NotImplementedError; strip/PackBits violations are loud."""
     import struct
 
@@ -579,13 +579,14 @@ def test_tiff_round_trips_and_gates():
 
     base = encode_tiff_gray(bytes(range(60)), 12)
     assert decode_tiff_pixels(b"not tiff") is None
-    defl = bytearray(base)
-    # compression tag 259 value: find its entry and set 8 (Deflate —
-    # still gated; LZW (5) decodes for real since r8)
-    i = defl.index(struct.pack("<HH", 259, 3))
-    struct.pack_into("<H", defl, i + 8, 8)
+    jpg = bytearray(base)
+    # compression tag 259 value: find its entry and set 7
+    # (JPEG-in-TIFF — still gated; LZW (5) and Deflate (8/32946)
+    # decode for real since r8)
+    i = jpg.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", jpg, i + 8, 7)
     with _pytest.raises(NotImplementedError, match="compression"):
-        decode_tiff_pixels(bytes(defl))
+        decode_tiff_pixels(bytes(jpg))
     deep = bytearray(base)
     i = deep.index(struct.pack("<HH", 258, 3))
     struct.pack_into("<H", deep, i + 8, 16)
@@ -1546,3 +1547,55 @@ def test_tiff_lzw_round_trips_and_taxonomy():
     t[i + 8] = 3
     with pytest.raises(NotImplementedError, match="float"):
         decode_tiff_pixels(bytes(t))
+
+
+def test_tiff_deflate_round_trips():
+    """TIFF Deflate (Compression 8 — stdlib zlib; legacy 32946 reads
+    the same streams): round trips with and without Predictor 2,
+    both byte orders; corrupt zlib data and declared-length
+    violations are loud."""
+    import struct
+
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff_gray,
+    )
+
+    rng = np.random.RandomState(6)
+    px = bytes(rng.randint(0, 256, 23 * 9).astype(np.uint8))
+    for be in (False, True):
+        for pred in (False, True):
+            t = encode_tiff_gray(px, 23, deflate=True, big_endian=be,
+                                 predictor=pred)
+            assert decode_tiff_pixels(t) == (23, 9, 1, px)
+    # legacy tag 32946 decodes identically: patch compression value
+    t = bytearray(encode_tiff_gray(px, 23, deflate=True))
+    i = t.index(struct.pack("<HH", 259, 3))
+    # value slot is 2 bytes at i+8 but 32946 needs the full SHORT
+    struct.pack_into("<H", t, i + 8, 32946)
+    assert decode_tiff_pixels(bytes(t)) == (23, 9, 1, px)
+    # corrupt zlib stream: flip a byte inside the first strip
+    bad = bytearray(encode_tiff_gray(px, 23, deflate=True))
+    bad[12] ^= 0xFF
+    with pytest.raises(ValueError,
+                       match="deflate strip corrupt|length mismatch"):
+        decode_tiff_pixels(bytes(bad))
+    # deflate of the WRONG length: valid zlib, wrong pixel count
+    import zlib
+    short = encode_tiff_gray(px[:23 * 4], 23, rows_per_strip=99)
+    sb = bytearray(short)
+    i = sb.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", sb, i + 8, 8)
+    comp = zlib.compress(px[:23 * 3])  # 3 rows where 4 are declared
+    # splice: rebuild is easier — encode 4 rows uncompressed, then
+    # declare deflate and overwrite the strip with a 3-row stream;
+    # byte counts shrink, so just assert the mismatch taxonomy fires
+    if len(comp) <= 23 * 4:
+        sb[8:8 + len(comp)] = comp
+        i = sb.index(struct.pack("<HH", 279, 4))
+        struct.pack_into("<I", sb, i + 8, len(comp))
+        with pytest.raises(ValueError,
+                           match="length mismatch|corrupt"):
+            decode_tiff_pixels(bytes(sb))
