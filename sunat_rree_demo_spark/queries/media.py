@@ -2377,3 +2377,310 @@ def q229_tiff_lzw_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: q230 grid: 9×8 chars — the smallest grid dHash accepts, so every
+#: cell is ONE character and the oracle's hash is adjacent-char
+#:  comparisons; five formats re-encode the same picture
+_DD_W, _DD_H = 9, 8
+_DD_FMTS = ("image/png", "image/jpeg", "image/gif", "image/bmp",
+            "image/tiff")
+
+
+@register(
+    "q230_media_dedup_funnel",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                    1, {_DD_W * _DD_H}) AS s
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, s,
+             array_to_string(list_transform(range(0, {_DD_H}), r ->
+               printf('%02x', CAST(list_sum(list_transform(
+                 range(0, {_DD_W} - 1), c ->
+                 CASE WHEN ascii(substr(s, r * {_DD_W} + c + 1, 1))
+                           < ascii(substr(s, r * {_DD_W} + c + 2, 1))
+                      THEN 128 // (2 ** c) ELSE 0 END)) AS INT))), '')
+               AS dhash
+      FROM a WHERE length(s) = {_DD_W * _DD_H}
+    ),
+    g AS (
+      SELECT dhash, min(doc_id) AS keep_doc FROM d GROUP BY dhash
+    ),
+    m AS (
+      SELECT doc_id, dhash, k,
+             CASE ((doc_id % 5) + k) % 5
+               WHEN 0 THEN 'image/png'  WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'image/gif'  WHEN 3 THEN 'image/bmp'
+               ELSE 'image/tiff' END AS media_type
+      FROM d, (SELECT unnest(range(0, 2)) AS k)
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN k = 0 AND doc_id = g.keep_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM m JOIN g USING (dhash)
+    GROUP BY media_type ORDER BY media_type
+    """,
+    tags=("media", "multimodal", "dedup", "funnel"),
+)
+def q230_media_dedup_funnel(spark, sf_dir):
+    """The END-TO-END multimodal dedup funnel in one hash — the image
+    analogue of q204's text funnel: every document's 9×8 character
+    grid ships TWICE, re-encoded in two DIFFERENT genuine formats
+    (PNG/JPEG/GIF/BMP/TIFF rotating by doc and copy — the JPEG copy is
+    even a different RESOLUTION, 72×64 uniform blocks), Spark decodes
+    all five codecs for real, perceptual-dHashes the pixels, folds
+    duplicates by hash with a min-id election, and reports the
+    per-format survivor census. The device rides dHash's exactness
+    contract: integer channel-sum luminance and cross-multiplied
+    comparisons make the hash IDENTICAL across gray-vs-RGB expansion
+    (GIF/BMP 3×) and block upscaling (JPEG 64×/spatial 8×), so the
+    oracle's hash is simply the adjacent-character comparison bits —
+    any decoder, luminance, grid or election slip breaks the census.
+    Cross-doc hash collisions are handled identically on both sides
+    (global min election), not assumed away.
+
+    Scale shape: one Arrow-batched encode pass (two rows per doc), one
+    decode+hash pass, then a census over 16-byte keys — pixels never
+    shuffle; the election shuffles hash-grain rows only."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_bmp_gray,
+        encode_gif_gray,
+        encode_jpeg_gray_blocks,
+        encode_png_gray,
+        encode_tiff_gray,
+        image_dhash,
+        sniff_media_type,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    n = _DD_W * _DD_H
+    src = fan_out(
+        d.select(F.col("doc_id").alias("doc_id"),
+                 F.expr("substring(regexp_replace(text, '[^ -~]', '')"
+                        f", 1, {n})").alias("s"))
+        .filter(F.length("s") == n)
+    )
+
+    _enc = (
+        lambda b: encode_png_gray(b, _DD_W),
+        lambda b: encode_jpeg_gray_blocks(b, _DD_W),
+        lambda b: encode_gif_gray(b, _DD_W),
+        lambda b: encode_bmp_gray(b, _DD_W),
+        lambda b: encode_tiff_gray(b, _DD_W),
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, docs, copies, types, payloads = [], [], [], [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                b = s.encode("ascii")
+                for k in (0, 1):
+                    p = _enc[(int(did) % 5 + k) % 5](b)
+                    ids.append(int(did) * 2 + k)
+                    docs.append(int(did))
+                    copies.append(k)
+                    types.append(sniff_media_type(p))
+                    payloads.append(p)
+            yield pd.DataFrame({
+                "media_id": ids, "doc_id": docs, "copy_k": copies,
+                "media_type": types, "content": payloads})
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("copy_k", T.IntegerType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    hashes = image_dhash(media.select("media_id", "content"))
+    from pyspark.sql import Window
+
+    byh = Window.partitionBy("dhash")
+    elected = (
+        media.select("media_id", "media_type")
+        .join(hashes.select("media_id", "dhash"), "media_id")
+        .withColumn("_keep", F.min("media_id").over(byh))
+    )
+    return (
+        elected.groupBy("media_type")
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.sum(F.when(F.col("media_id") == F.col("_keep"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_survivors"))
+        .orderBy("media_type")
+    )
+
+
+#: q231 variants: the same signal in three genuine containers; the
+#: rotation by (doc_id + k) spreads survivorship across variants
+_AF_VARIANTS = ("wav", "flac", "flac_ms")
+
+
+@register(
+    "q231_audio_dedup_funnel",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    ok AS (SELECT doc_id, s FROM a WHERE length(s) >= {_WAV_SPF} + 1),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 79) * 256)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM ok
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             sqrt(CAST(sum(CAST(smp AS BIGINT) * smp) AS DOUBLE)
+                  / count(*)) AS rms
+      FROM v GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT doc_id, frame_no,
+             CASE WHEN rms < lead(rms) OVER w THEN 1 ELSE 0 END AS b,
+             lead(rms) OVER w AS nxt
+      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+    ),
+    byt AS (
+      SELECT doc_id, frame_no // 8 AS bi,
+             sum(b * (1 << CAST(7 - frame_no % 8 AS INT))) AS byte
+      FROM d WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                        '' ORDER BY bi) AS fp
+      FROM byt GROUP BY doc_id
+    ),
+    g AS (SELECT fp.fp, min(doc_id) AS keep_doc FROM fp GROUP BY 1),
+    m AS (
+      SELECT doc_id, fp, k,
+             CASE (doc_id + k) % 3
+               WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+               ELSE 'flac_ms' END AS variant
+      FROM fp, (SELECT unnest(range(0, 3)) AS k)
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN k = 0 AND doc_id = g.keep_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM m JOIN g USING (fp)
+    GROUP BY variant ORDER BY variant
+    """,
+    tags=("media", "multimodal", "audio", "dedup", "funnel"),
+)
+def q231_audio_dedup_funnel(spark, sf_dir):
+    """The cross-CONTAINER audio dedup funnel — q230's audio twin and
+    the duplicate-recording story end to end: every document's signal
+    ships THREE times (PCM WAV, mono FLAC, and a dup-channel mid/side
+    STEREO FLAC whose exact integer mono mix reproduces the same
+    samples), Spark decodes all three for real, fingerprints the
+    frame-energy delta signs (q223's device), folds duplicates by
+    fingerprint with a min-id election, and reports the per-variant
+    survivor census. Lossless decode is the load-bearing claim: one
+    RMS double differing anywhere in any container breaks the fold.
+    The copy-variant rotation by (doc_id + k) % 3 spreads
+    survivorship across variants; cross-doc fingerprint collisions
+    (common for short clips) are elected identically on both sides.
+
+    Scale shape: one encode pass (three rows per doc), one
+    decode+energy pass, a media-grain fingerprint window/aggregate,
+    then a census over short hex keys — samples never shuffle."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_flac_pcm16,
+        encode_wav_pcm16,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+    from pyspark.sql import Window as W
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("doc_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= _WAV_SPF + 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(did: int, s: str, k: int) -> bytes:
+            smp = (np.frombuffer(s.encode("ascii"), np.uint8)
+                   .astype(np.int64) - 79) * 256
+            variant = _AF_VARIANTS[(did + k) % 3]
+            if variant == "wav":
+                return encode_wav_pcm16(smp, rate=_WAV_RATE)
+            if variant == "flac":
+                return encode_flac_pcm16(smp, rate=_WAV_RATE)
+            return encode_flac_pcm16(
+                np.stack([smp, smp], axis=1), rate=_WAV_RATE,
+                channel_mode="mid_side")
+
+        for pdf in it:
+            ids, docs, variants, payloads = [], [], [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                for k in (0, 1, 2):
+                    ids.append(int(did) * 3 + k)
+                    docs.append(int(did))
+                    variants.append(_AF_VARIANTS[(int(did) + k) % 3])
+                    payloads.append(mk(int(did), s, k))
+            yield pd.DataFrame({
+                "media_id": ids, "doc_id": docs,
+                "variant": variants, "content": payloads})
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("variant", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    byf = W.partitionBy("media_id").orderBy("frame_no")
+    fps = (
+        pcm_frame_energy(media.select("media_id", "content"),
+                         frame_ms=_WAV_FRAME_MS)
+        .withColumn("_nxt", F.lead("rms").over(byf))
+        .filter(F.col("_nxt").isNotNull())
+        .withColumn("_b", F.when(F.col("rms") < F.col("_nxt"), 1)
+                    .otherwise(0))
+        .withColumn("_bi", (F.col("frame_no") / 8).cast("bigint"))
+        .groupBy("media_id", "_bi")
+        .agg(F.sum(F.expr(
+            "_b * shiftleft(1L, CAST(7 - frame_no % 8 AS INT))"))
+            .alias("_byte"))
+        .groupBy("media_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_bi", "_byte"))),
+                lambda s: F.format_string("%02x", s["_byte"])),
+            "").alias("fp"))
+    )
+    from pyspark.sql import Window
+
+    byfp = Window.partitionBy("fp")
+    elected = (
+        media.select("media_id", "variant")
+        .join(fps, "media_id")
+        .withColumn("_keep", F.min("media_id").over(byfp))
+    )
+    return (
+        elected.groupBy("variant")
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.sum(F.when(F.col("media_id") == F.col("_keep"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_survivors"))
+        .orderBy("variant")
+    )
