@@ -27,6 +27,11 @@ Claims under test (each a SCALE.md row):
   composition stays flat like the bare funnel: what a crawl pipeline
   actually runs FIRST is measured, not just the quality-gate-onward
   tail (r7 verdict follow-up).
+* (r8) the VIDEO pass — AVI demux + per-frame JPEG decode through
+  ``video_frame_stats`` plus the shot-boundary window — scales
+  linearly in frames with no shuffle before the media-grain window,
+  and temporal sampling (every_n=3) buys a ~proportional cost cut
+  (the sampler must skip entropy decode, not just rows).
 
 Usage: python scripts/scale_probe_state.py [N] [sf_dir] (defaults 10,
 sf0.1). Local experiment over derived data; testdata stays untouched.
@@ -262,6 +267,54 @@ def main() -> None:
             round(time.monotonic() - t0, 2)
         front[f"survivors_{scale}"] = int(sum(r.n_docs for r in summary))
     results["steps"]["front_door"] = front
+
+    # ------------------------------------------------ video pass (r8)
+    # AVI demux + per-frame JPEG decode: linear in frames, and the
+    # every_n sampler must cut cost ~proportionally (it skips entropy
+    # decode, not just output rows)
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray_blocks,
+        shot_boundaries,
+        video_frame_stats,
+    )
+
+    def to_avi(it):
+        for pdf in it:
+            def mk(row) -> bytes:
+                did, s = row
+                b = s.encode("ascii")[:144]
+                b = b[:len(b) - len(b) % 12] or b"ABCDEFGHIJKL"
+                frames = [encode_jpeg_gray_blocks(b[k:k + 12], 12)
+                          for k in range(0, len(b), 12)]
+                return encode_avi_mjpeg(frames, 96, 8,
+                                        fps=5 + did % 7)
+            s = pdf["text"].str.replace(r"[^ -~]", "", regex=True)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "content": list(map(mk, zip(pdf["doc_id"], s)))})
+
+    video = {}
+    base_v = (docs.select("doc_id", "text")
+              .mapInPandas(to_avi, "media_id long, content binary"))
+    for scale, k in (("1x", 1), (f"{n}x", n)):
+        vids = base_v if k == 1 else base_v.crossJoin(
+            spark.range(k).select((F.col("id") * 10_000_000)
+                                  .alias("_off"))) \
+            .withColumn("media_id", F.col("media_id") + F.col("_off")) \
+            .drop("_off")
+        vids = vids.repartition(32).localCheckpoint()
+        t0 = time.monotonic()
+        fs = video_frame_stats(vids, every_n=1)
+        n_cuts = shot_boundaries(fs, threshold_milli=3000).count()
+        video[f"decode_all_{scale}_sec"] = round(time.monotonic() - t0, 2)
+        video[f"cuts_{scale}"] = n_cuts
+        t0 = time.monotonic()
+        n_sampled = video_frame_stats(vids, every_n=3).count()
+        video[f"decode_every3_{scale}_sec"] = \
+            round(time.monotonic() - t0, 2)
+        video[f"sampled_frames_{scale}"] = n_sampled
+    results["steps"]["video"] = video
 
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(results))

@@ -688,3 +688,32 @@ def test_exact_substring_rewrite_single_python_pass(spark):
     plan = plan_of(exact_substring_rewrite(docs, "doc_id", "text", 8))
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_video_frame_pass_no_shuffle_and_one_window(spark):
+    """r8 tripwire for the video pass (SCALE.md "video" rows): frame
+    decode is one Arrow-batched mapInPandas with NO Exchange — pixels
+    never shuffle — and the shot-boundary detector adds exactly one
+    media-grain hash partitioning for its lag window, no second
+    Python pass. The 10× probe's linear-in-frames claim rests on
+    this shape."""
+    import re
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        shot_boundaries,
+        video_frame_stats,
+    )
+
+    media = spark.range(4).selectExpr(
+        "id AS media_id", "CAST('x' AS BINARY) AS content")
+    fs = video_frame_stats(media, every_n=3)
+    plan = plan_of(fs)
+    assert "Exchange" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+
+    plan2 = plan_of(shot_boundaries(fs))
+    head = plan2.split("\n\n")[0]
+    assert sum(1 for ln in head.splitlines()
+               if "Exchange" in ln) == 1, plan2
+    assert "hashpartitioning(media_id" in plan2, plan2
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan2)) == 1
