@@ -2684,3 +2684,127 @@ def q231_audio_dedup_funnel(spark, sf_dir):
                    .otherwise(0)).cast("bigint").alias("n_survivors"))
         .orderBy("variant")
     )
+
+
+#: q232 grid: 13 blocks per row (width 104 — distinct from every
+#: other JPEG device), 26-char cap → at most a 2-block-row image
+_OR_BPR = 13
+
+
+@register(
+    "q232_oriented_dims",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                    1, {_OR_BPR} * 2) AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_OR_BPR}) * {_OR_BPR}) AS s,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation
+      FROM a WHERE length(s) >= {_OR_BPR}
+    ),
+    v AS (
+      SELECT doc_id, orientation, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    ),
+    g AS (
+      SELECT doc_id, orientation,
+             CAST({_OR_BPR} * 8 AS INT) AS raw_w,
+             CAST((n // {_OR_BPR}) * 8 AS INT) AS raw_h,
+             CAST(64 * n AS BIGINT) AS n_pixels,
+             CAST(min(val) AS INT) AS min_val,
+             CAST(max(val) AS INT) AS max_val
+      FROM v GROUP BY doc_id, orientation, n
+    )
+    SELECT doc_id, orientation, raw_w, raw_h,
+           CASE WHEN orientation >= 5 THEN raw_h ELSE raw_w END
+             AS disp_w,
+           CASE WHEN orientation >= 5 THEN raw_w ELSE raw_h END
+             AS disp_h,
+           n_pixels, min_val, max_val
+    FROM g ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "metadata", "codec"),
+)
+def q232_oriented_dims(spark, sf_dir):
+    """Orientation-corrected display dimensions — the metadata×pixels
+    COMPOSITION a real image pipeline runs (EXIF orientations 5-8
+    mean the stored pixel grid is TRANSPOSED relative to the display;
+    resize/crop logic that ignores this trains on sideways images):
+    each document's JPEG carries a planted APP1/EXIF orientation
+    (none for doc_id % 5 == 0 — the common EXIF-less cohort), and the
+    query joins the real pixel decode's raw dimensions with the real
+    EXIF walk's orientation to emit both raw and display dims. NULL
+    orientation keeps raw dims (SQL's NULL >= 5 is false on both
+    engines by the same three-valued logic). A marker-scan slip, a
+    transpose-direction bug or an EXIF-skip regression in the pixel
+    path breaks the hash.
+
+    Scale shape: ONE encode pass feeds both Arrow-batched extractors;
+    the join is media-grain; no shuffle before the doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_gray_blocks,
+        image_exif_meta,
+        image_pixel_stats,
+        insert_exif_orientation,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.expr("substring(regexp_replace(text, '[^ -~]', '')"
+                        f", 1, {_OR_BPR * 2})").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_OR_BPR}) * {_OR_BPR})"))
+        .filter(F.length("s") >= _OR_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            j = encode_jpeg_gray_blocks(s.encode("ascii"), _OR_BPR)
+            if mid % 5 == 0:
+                return j
+            return insert_exif_orientation(j, mid % 8 + 1)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    # no cache: the 26-char encode is cheaper than a persisted
+    # intermediate (the q225 pattern — both extractors re-run it)
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    exif = image_exif_meta(media)
+    joined = stats.join(exif, "media_id")
+    swap = F.col("orientation") >= 5
+    return (
+        joined.select(
+            F.col("media_id").alias("doc_id"),
+            "orientation",
+            F.col("width").alias("raw_w"),
+            F.col("height").alias("raw_h"),
+            F.when(swap, F.col("height")).otherwise(F.col("width"))
+            .alias("disp_w"),
+            F.when(swap, F.col("width")).otherwise(F.col("height"))
+            .alias("disp_h"),
+            F.col("n_samples").cast("bigint").alias("n_pixels"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )
