@@ -2757,26 +2757,49 @@ def encode_wav_g711(codes: bytes, law: str = "ulaw",
 # entropy layer, and an LPC mode (coef [1], shift 0 ≡ fixed order 1)
 # pins the LPC arithmetic with bit-exact expectations.
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    """Byte-indexed CRC table for an MSB-first CRC of ``width`` bits —
+    the classic 256-entry device (8× fewer inner ops than the bit
+    loop; the whole-frame CRC-16 dominated FLAC encode+decode cost
+    before this, r8)."""
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top \
+                else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_FLAC_TABLE: list[int] | None = None
+_CRC16_FLAC_TABLE: list[int] | None = None
+
+
 def _crc8_flac(data: bytes) -> int:
     """CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — FLAC frame-header
     checksum (RFC 9639 §9.1.1)."""
+    global _CRC8_FLAC_TABLE
+    if _CRC8_FLAC_TABLE is None:
+        _CRC8_FLAC_TABLE = _crc_table(0x07, 8)
+    t = _CRC8_FLAC_TABLE
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
-                else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16_flac(data: bytes) -> int:
     """CRC-16, polynomial 0x8005, init 0 — FLAC whole-frame checksum."""
+    global _CRC16_FLAC_TABLE
+    if _CRC16_FLAC_TABLE is None:
+        _CRC16_FLAC_TABLE = _crc_table(0x8005, 16)
+    t = _CRC16_FLAC_TABLE
     crc = 0
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -2786,12 +2809,18 @@ class _FlacBits:
     reads (Rice quotients) via searchsorted into the precomputed
     one-bit index — O(log n) instead of a per-bit Python loop."""
 
-    def __init__(self, data: bytes) -> None:
+    _PW = {n: (1 << np.arange(n - 1, -1, -1)).astype("int64")
+           for n in range(1, 33)}  # shared: identical for every stream
+
+    def __init__(self, data: bytes, start_byte: int = 0) -> None:
+        """``start_byte`` positions the cursor without slicing —
+        unpackbits runs ONCE over the whole buffer, so a multi-frame
+        decode is linear in stream size (r8: the per-frame
+        ``payload[i:]`` slice made decode quadratic in frames)."""
         self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
         self.ones = np.flatnonzero(self.bits)
-        self.pos = 0
-        self._pw = {n: (1 << np.arange(n - 1, -1, -1)).astype("int64")
-                    for n in range(1, 33)}
+        self.pos = start_byte * 8
+        self._pw = self._PW
 
     def read(self, n: int) -> int:
         if n == 0:
@@ -2957,8 +2986,9 @@ def decode_flac_pcm16(payload: bytes) -> tuple[int, int, bytes] | None:
         if last:
             break
     chans: list[list[int]] = [[] for _ in range(channels)]
+    br = _FlacBits(payload, start_byte=i)  # ONE unpack for all frames
     while i < len(payload):
-        br = _FlacBits(payload[i:])
+        br.pos = i * 8
         sync = br.read(14)
         if sync != 0x3FFE:
             raise ValueError("FLAC frame sync lost")
@@ -3003,7 +3033,7 @@ def decode_flac_pcm16(payload: bytes) -> tuple[int, int, bytes] | None:
             raise ValueError("FLAC frame channels contradict streaminfo")
         if ss_code not in (0, 4):  # 0b100 = 16 bit
             raise NotImplementedError("non-16-bit FLAC frame")
-        hdr_len = br.pos // 8  # header fields are byte-aligned here
+        hdr_len = br.pos // 8 - i  # header fields are byte-aligned here
         if _crc8_flac(payload[i:i + hdr_len]) != br.read(8):
             raise ValueError("FLAC header CRC-8 mismatch")
         if ch_code >= 8:
@@ -3030,7 +3060,7 @@ def decode_flac_pcm16(payload: bytes) -> tuple[int, int, bytes] | None:
             for c in range(channels):
                 chans[c].extend(_flac_subframe(br, blocksize, 16))
         br.align()
-        frame_len = br.pos // 8
+        frame_len = br.pos // 8 - i
         crc = br.read(16)
         if _crc16_flac(payload[i:i + frame_len]) != crc:
             raise ValueError("FLAC frame CRC-16 mismatch")
@@ -3067,6 +3097,27 @@ class _FlacWriter:
     def align(self) -> None:
         if self.nbits:
             self.put(0, 8 - self.nbits)
+
+    def put_bits(self, bits: "np.ndarray") -> None:
+        """Append a 0/1 uint8 bit ARRAY in bulk via numpy packbits,
+        folding the current sub-byte remainder in front and keeping
+        the new tail — the vectorized fast path the Rice residual
+        writer uses (r8: the per-sample ``put`` loop dominated the
+        FLAC device queries' cold time)."""
+        if self.nbits:
+            head = ((self.acc >> np.arange(self.nbits - 1, -1, -1))
+                    & 1).astype(np.uint8)
+            bits = np.concatenate([head, bits])
+            self.acc = self.nbits = 0
+        n_full = (bits.size // 8) * 8
+        if n_full:
+            self.out += np.packbits(bits[:n_full]).tobytes()
+        tail = bits[n_full:]
+        self.nbits = int(tail.size)
+        acc = 0
+        for b in tail.tolist():
+            acc = (acc << 1) | int(b)
+        self.acc = acc
 
 
 def _rice_cost_k(folded: "np.ndarray", pbits: int) -> int:
@@ -3127,14 +3178,29 @@ def _flac_write_subframe(w: "_FlacWriter", blk: "np.ndarray", bps: int,
         if raw_w <= 31 and part.size * raw_w + 9 < rice_cost:
             w.put(15, 4)      # escape
             w.put(raw_w, 5)
-            for v in pres:
-                w.put(int(v) & ((1 << raw_w) - 1), raw_w)
+            # raw_w-bit two's-complement rows, MSB-first (arithmetic
+            # shift keeps the low bits identical to the masked form)
+            raw = ((pres.astype(np.int64)[:, None]
+                    >> np.arange(raw_w - 1, -1, -1)) & 1) \
+                .astype(np.uint8)
+            w.put_bits(raw.reshape(-1))
         else:
             w.put(k, 4)
-            for u in part:
-                q = int(u) >> k
-                w.put(1, q + 1)  # q zeros, then the 1
-                w.put(int(u) & ((1 << k) - 1), k)
+            # one codeword per sample: q zeros, a 1, then the k-bit
+            # remainder — scatter-assembled as a single bit array
+            q = (part >> k).astype(np.int64)
+            widths = q + 1 + k
+            starts = np.zeros(len(widths), np.int64)
+            np.cumsum(widths[:-1], out=starts[1:])
+            bits = np.zeros(int(widths.sum()), np.uint8)
+            bits[starts + q] = 1
+            if k:
+                rem = ((part[:, None]
+                        >> np.arange(k - 1, -1, -1)) & 1) \
+                    .astype(np.uint8)
+                idx = (starts + q + 1)[:, None] + np.arange(k)
+                bits[idx.reshape(-1)] = rem.reshape(-1)
+            w.put_bits(bits)
 
 
 #: stereo channel-assignment codes (RFC 9639 table 4)
