@@ -1,0 +1,166 @@
+"""Streaming PERCEPTUAL media dedup: the multimodal member of the
+streaming-ingest family (r8) — media batches arrive, each image is
+decoded for real and keyed by its 64-bit dHash
+(operators.multimodal.image_dhash), and only hashes never committed
+before survive. Because dHash collapses re-encodes, format changes and
+resolution changes of the same picture to ONE key (the q230-verified
+contract), the exact equi-anti-join against the committed hash store is
+already a NEAR-duplicate gate — no banded Hamming pass is needed for
+the dominant duplicate class a crawl actually ships (the same image
+re-hosted in a different container). Distance-1..3 perturbed variants
+are the batch job's territory (``dhash_hamming_pairs``); this stream
+keeps ingest O(batch).
+
+Per micro-batch:
+
+1. decode + dHash every payload (one Arrow pass; undecodable or
+   sub-grid media yield a null hash and pass through ungated — a
+   router, not a black hole);
+2. keep the min-id row per hash WITHIN the batch;
+3. anti-join the committed hash store — survivors are genuinely new
+   pictures;
+4. write per-batch partitions: hashes first, KEPT LAST — its
+   ``_SUCCESS`` is the commit marker (the bloom_stream protocol).
+
+Exactly-once: a committed batch id short-circuits; a crash replay
+recomputes identical partitions from committed state only and
+overwrites them byte-identically.
+
+EXACTNESS: the drained kept set equals the batch-global dHash dedup
+(min-id election) row-for-row when files arrive in ascending-id order —
+pinned by tests/test_media_stream.py, including a cross-format
+duplicate arriving in a LATER batch than its original.
+
+Scale: the store holds 16-hex-char keys, never pixels; the per-batch
+anti-join is broadcast-sized on the batch side. When the store outgrows
+a plain scan, bucket it on the hash (operators.dedup_index's layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sunat_rree_demo_spark.operators.dedup_index import (
+    _hadoop_fs,
+    clear_commit_marker,
+)
+from sunat_rree_demo_spark.operators.multimodal import image_dhash
+
+BATCH_COL = "batch_id"
+
+
+def media_batch_committed(spark: SparkSession, store_path: str,
+                          batch_id: int) -> bool:
+    """The batch marker lives on the KEPT table (written last)."""
+    fs, marker = _hadoop_fs(
+        spark, f"{store_path}/kept/{BATCH_COL}={batch_id}/_SUCCESS")
+    return fs.exists(marker)
+
+
+def _committed_dirs(spark: SparkSession, store_path: str,
+                    table: str) -> list[str]:
+    fs, jroot = _hadoop_fs(spark, f"{store_path}/{table}")
+    out = []
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not (st.isDirectory()
+                    and name.startswith(f"{BATCH_COL}=")):
+                continue
+            if media_batch_committed(spark, store_path,
+                                     int(name.split("=", 1)[1])):
+                out.append(f"{store_path}/{table}/{name}")
+    return out
+
+
+def committed_hashes(spark: SparkSession, store_path: str) -> DataFrame:
+    dirs = _committed_dirs(spark, store_path, "hashes")
+    if not dirs:
+        return spark.createDataFrame([], "dhash string")
+    return spark.read.parquet(*dirs).select("dhash")
+
+
+def process_media_batch(spark: SparkSession, batch_df: DataFrame,
+                        batch_id: int, store_path: str,
+                        id_col: str = "media_id") -> None:
+    """One idempotent micro-batch of the perceptual dedup gate.
+
+    ``batch_df`` needs (id_col, content). Kept rows carry
+    (id_col, dhash nullable): hashable images survive iff their hash
+    is new to (store ∪ earlier-in-batch); null-hash rows (audio,
+    junk, sub-grid images) are KEPT ungated — a perceptual gate must
+    never eat what it cannot see, downstream exact-digest gates own
+    those."""
+    if media_batch_committed(spark, store_path, batch_id):
+        return
+    hashed = (
+        image_dhash(batch_df.select(F.col(id_col).alias("media_id"),
+                                    "content"))
+        .select(F.col("media_id").alias(id_col), "dhash")
+        .localCheckpoint()  # decode once: feeds both routes + writes
+    )
+    gated = (
+        hashed.filter(F.col("dhash").isNotNull())
+        .groupBy("dhash").agg(F.min(id_col).alias(id_col))
+        .join(committed_hashes(spark, store_path), "dhash", "left_anti")
+    )
+    ungated = hashed.filter(F.col("dhash").isNull())
+    kept = gated.select(id_col, "dhash") \
+        .unionByName(ungated.select(id_col, "dhash")) \
+        .localCheckpoint()
+    n_media = hashed.count()
+    n_ungated = ungated.count()
+    stats = spark.createDataFrame(
+        [(batch_id, n_media, n_media - n_ungated, n_ungated,
+          kept.count())],
+        f"{BATCH_COL} long, n_media long, n_hashed long, "
+        "n_ungated long, n_kept long")
+    # uncommitted for the whole rewrite window; kept restores LAST
+    clear_commit_marker(spark, f"{store_path}/kept/{BATCH_COL}={batch_id}")
+    (stats.write.mode("overwrite")
+     .parquet(f"{store_path}/stats/{BATCH_COL}={batch_id}"))
+    (kept.filter(F.col("dhash").isNotNull()).select("dhash")
+     .write.mode("overwrite")
+     .parquet(f"{store_path}/hashes/{BATCH_COL}={batch_id}"))
+    (kept.write.mode("overwrite")
+     .parquet(f"{store_path}/kept/{BATCH_COL}={batch_id}"))
+
+
+def run_media_dedup_stream(spark: SparkSession, media_stream: DataFrame,
+                           store_path: str, id_col: str = "media_id",
+                           timeout: int = 300) -> None:
+    """Drain the stream through ``process_media_batch`` (availableNow,
+    resumable from the checkpoint under the store)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_media_batch(spark, batch_df, batch_id, store_path,
+                            id_col=id_col)
+
+    q = (
+        media_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{store_path}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = q.awaitTermination(timeout)
+    if not done:
+        q.stop()
+        raise TimeoutError(
+            f"media dedup stream did not drain within {timeout}s — the "
+            f"store holds only completed micro-batches (restart resumes "
+            f"from the stream checkpoint)")
+
+
+def load_kept(spark: SparkSession, store_path: str) -> DataFrame:
+    dirs = _committed_dirs(spark, store_path, "kept")
+    if not dirs:
+        return spark.createDataFrame([], "media_id long, dhash string")
+    return spark.read.parquet(*dirs)
+
+
+def load_gate_stats(spark: SparkSession, store_path: str) -> DataFrame:
+    dirs = _committed_dirs(spark, store_path, "stats")
+    if not dirs:
+        return spark.createDataFrame(
+            [], f"{BATCH_COL} long, n_media long, n_hashed long, "
+                "n_ungated long, n_kept long")
+    return spark.read.parquet(*dirs)

@@ -1,0 +1,139 @@
+"""Streaming perceptual media dedup (r8): the drained kept set equals
+the batch-global dHash dedup, cross-FORMAT duplicates arriving in later
+batches are caught (the q230 contract as streaming state), null-hash
+media pass through ungated, and replay is idempotent."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _img(text: bytes, fmt: int) -> bytes:
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_bmp_gray,
+        encode_gif_gray,
+        encode_jpeg_gray_blocks,
+        encode_png_gray,
+        encode_tiff_gray,
+    )
+
+    enc = (encode_png_gray, encode_jpeg_gray_blocks, encode_gif_gray,
+           encode_bmp_gray, encode_tiff_gray)[fmt % 5]
+    return enc(text, 9)
+
+
+@pytest.fixture(scope="module")
+def media_three_files(spark, tmp_path_factory):
+    """Three id-ordered parquet files of media: file 1 ships originals;
+    files 2 and 3 re-ship some of file 1's PICTURES in different
+    formats under new ids, plus fresh pictures, plus an undecodable
+    payload (null hash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(21)
+    texts = [bytes(rng.randint(32, 127, 72, dtype=np.uint8).astype(np.uint8))
+             for _ in range(12)]
+    d = tmp_path_factory.mktemp("media_stream")
+
+    def write(name, rows):
+        ids, payloads = zip(*rows)
+        pq.write_table(pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "content": pa.array(payloads, pa.binary())}),
+            d / name)
+
+    # file 1: originals 0..5 as PNG
+    write("part1.parquet", [(i, _img(texts[i], 0)) for i in range(6)])
+    # file 2: re-ship 0,1 as GIF/BMP (new ids), fresh 6..8 as JPEG,
+    # one junk payload
+    write("part2.parquet",
+          [(100, _img(texts[0], 2)), (101, _img(texts[1], 3))]
+          + [(110 + i, _img(texts[i], 1)) for i in (6, 7, 8)]
+          + [(120, b"\x00junk not an image")])
+    # file 3: re-ship 2 as TIFF and 6 as PNG, fresh 9..11
+    write("part3.parquet",
+          [(200, _img(texts[2], 4)), (201, _img(texts[6], 0))]
+          + [(210 + i, _img(texts[i], i)) for i in (9, 10, 11)])
+    return str(d), texts
+
+
+def _stream(spark, directory):
+    return (spark.readStream
+            .schema("media_id long, content binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(directory))
+
+
+def test_streamed_media_dedup_equals_batch_global(spark, tmp_path,
+                                                  media_three_files):
+    from sunat_rree_demo_spark.operators.multimodal import image_dhash
+    from sunat_rree_demo_spark.streaming.media_stream import (
+        load_gate_stats,
+        load_kept,
+        run_media_dedup_stream,
+    )
+
+    directory, _ = media_three_files
+    store = str(tmp_path / "media_store")
+    run_media_dedup_stream(spark, _stream(spark, directory), store)
+
+    kept = load_kept(spark, store)
+    got = {r.media_id for r in kept.collect()}
+
+    # batch-global reference: min id per hash + all null-hash rows
+    full = spark.read.parquet(directory)
+    hashed = image_dhash(full)
+    want = {r.media_id for r in
+            hashed.filter("dhash IS NOT NULL").groupBy("dhash")
+            .agg(F.min("media_id").alias("media_id")).collect()} \
+        | {r.media_id for r in
+           hashed.filter("dhash IS NULL").collect()}
+    assert got == want and want
+
+    # the cross-format re-ships were all dropped; the junk passed
+    assert {100, 101, 200, 201}.isdisjoint(got)
+    assert 120 in got
+
+    stats = {r.batch_id: r for r in load_gate_stats(spark, store).collect()}
+    assert len(stats) == 3
+    assert stats[0].n_kept == 6            # originals all new
+    assert stats[1].n_ungated == 1         # the junk payload
+    assert stats[1].n_kept == 4            # 3 fresh + junk; 2 dups gone
+    assert stats[2].n_kept == 3            # 3 fresh; 2 dups gone
+
+
+def test_media_batch_replay_is_idempotent(spark, tmp_path,
+                                          media_three_files):
+    from sunat_rree_demo_spark.streaming.media_stream import (
+        load_kept,
+        media_batch_committed,
+        process_media_batch,
+    )
+
+    directory, _ = media_three_files
+    store = str(tmp_path / "media_store_replay")
+    b1 = spark.read.parquet(f"{directory}/part1.parquet")
+    b2 = spark.read.parquet(f"{directory}/part2.parquet")
+    process_media_batch(spark, b1, 0, store)
+    process_media_batch(spark, b2, 1, store)
+    before = sorted((r.media_id, r.dhash)
+                    for r in load_kept(spark, store).collect())
+    # committed short-circuit
+    assert media_batch_committed(spark, store, 1)
+    process_media_batch(spark, b2, 1, store)
+    assert sorted((r.media_id, r.dhash)
+                  for r in load_kept(spark, store).collect()) == before
+    # torn-state replay: clear the marker and re-run — byte-identical
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        clear_commit_marker,
+    )
+
+    clear_commit_marker(spark, f"{store}/kept/batch_id=1")
+    assert not media_batch_committed(spark, store, 1)
+    process_media_batch(spark, b2, 1, store)
+    assert sorted((r.media_id, r.dhash)
+                  for r in load_kept(spark, store).collect()) == before
