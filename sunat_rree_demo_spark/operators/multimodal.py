@@ -325,14 +325,28 @@ def decode_video_meta(payload: bytes) \
 def extract_video_meta(media: DataFrame) -> DataFrame:
     """Video metadata extraction — same Arrow-batched mapInPandas shape
     as ``extract_audio_meta``: ISO-BMFF containers parse for real
-    (stdlib box walk); other containers yield NULL metadata rather
-    than fakes."""
+    (stdlib box walk), and Motion-JPEG AVIs demux for real (r8 —
+    duration from frame count / rate, ``timescale`` carries the fps);
+    other containers yield NULL metadata rather than fakes."""
     import pandas as pd
+
+    def one(b: bytes):
+        m = decode_video_meta(b)
+        if m is not None:
+            return m
+        try:
+            avi = decode_avi_mjpeg(b)
+        except NotImplementedError:
+            return None  # gated codec: metadata-null, not an abort
+        if avi is None:
+            return None
+        w, h, fps, frames = avi
+        return (len(frames) * 1000 // fps, fps, w, h)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             meta = pdf["content"].map(
-                lambda b: decode_video_meta(bytes(b)) if b is not None
+                lambda b: one(bytes(b)) if b is not None
                 else None)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

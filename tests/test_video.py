@@ -169,3 +169,24 @@ def test_decode_media_real_codec_routes_avi(spark):
         "media_id long, media_type string, content binary")
     with pytest.raises(PythonException, match="container dimensions"):
         decode_media(bad, real_codec=True).collect()
+
+
+def test_extract_video_meta_covers_avi(spark):
+    from sunat_rree_demo_spark.operators.multimodal import (
+        extract_video_meta,
+    )
+
+    avi, _ = _avi([b"x" * 12] * 6, fps=4)  # 6 frames @ 4fps = 1500 ms
+    # a gated-codec AVI must yield null meta, not abort the batch
+    pos = avi.find(b"strh") + 8 + 4
+    gated = avi[:pos] + b"cvid" + avi[pos + 4:]
+    df = spark.createDataFrame(
+        [(1, "video/avi", bytearray(avi)),
+         (2, "application/octet-stream", b"junk"),
+         (3, "video/avi", bytearray(gated))],
+        "media_id long, media_type string, content binary")
+    rows = {r.media_id: r for r in extract_video_meta(df).collect()}
+    assert (rows[1].duration_ms, rows[1].timescale,
+            rows[1].width, rows[1].height) == (1500, 4, 96, 8)
+    assert rows[2].duration_ms is None
+    assert rows[3].duration_ms is None
