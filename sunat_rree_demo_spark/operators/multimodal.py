@@ -1325,10 +1325,13 @@ def decode_bmp_pixels(payload: bytes) \
     end-of-line/bitmap and delta escapes), rows stored bottom-up
     (positive height) or top-down (negative; invalid for RLE per the
     format, so it raises), each uncompressed row padded to a 4-byte
-    boundary. 16-bit pixels, non-standard bitfield masks, embedded
-    JPEG/PNG (methods 4/5) and the legacy CORE header raise
-    NotImplementedError; corrupt streams ValueError — the shared
-    taxonomy.
+    boundary, and (r8) 16/32-bit BI_BITFIELDS with ANY contiguous
+    non-overlapping masks — 565, 555 (also the 16-bpp comp-0 default)
+    and 8888 alike, reporting RAW stored channel levels (a 5-bit red
+    is 0..31; stats are over stored values, the sub-byte-PNG policy).
+    Non-contiguous/overlapping masks, embedded JPEG/PNG (methods 4/5)
+    and the legacy CORE header raise NotImplementedError; corrupt
+    streams ValueError — the shared taxonomy.
 
     BMPs are rare in crawls but trivial to serve: with PNG, JPEG and
     GIF real since r8, this closes the raster formats the sniffer
@@ -1353,14 +1356,29 @@ def decode_bmp_pixels(payload: bytes) \
         "<iiHHI", payload[18:34])
     if hdr_size not in (40, 52, 56, 108, 124) or planes != 1:
         return None  # weak magic: not structurally a BMP
+    masks = None
     if comp == 3:
-        # BI_BITFIELDS: only the standard BGRA layout decodes — other
-        # masks would silently swap channels (review finding r8)
-        if bpp != 32 or len(payload) < 66 or struct.unpack(
-                "<III", payload[54:66]) != (0x00FF0000, 0x0000FF00,
-                                            0x000000FF):
+        # BI_BITFIELDS (r8: generalized from standard-BGRA-only):
+        # any CONTIGUOUS non-overlapping RGB masks decode at 16/32 bpp
+        # — 565, 555, 8888 and friends; non-contiguous or overlapping
+        # masks stay gated (extraction would silently misweight)
+        if bpp not in (16, 32) or len(payload) < 66:
             raise NotImplementedError(
-                "BI_BITFIELDS BMP with non-standard channel masks")
+                f"BI_BITFIELDS BMP at {bpp} bpp")
+        masks = struct.unpack("<III", payload[54:66])
+        for a in range(3):
+            m = masks[a]
+            if m == 0 or m >= (1 << bpp):
+                raise NotImplementedError(
+                    "BI_BITFIELDS BMP with empty/oversized mask")
+            t = m >> (m & -m).bit_length() - 1
+            if t & (t + 1):
+                raise NotImplementedError(
+                    "BI_BITFIELDS BMP with non-contiguous mask")
+            for b in range(a + 1, 3):
+                if m & masks[b]:
+                    raise NotImplementedError(
+                        "BI_BITFIELDS BMP with overlapping masks")
     elif comp in (1, 2):
         # BI_RLE8 / BI_RLE4: the depth is part of the method's
         # definition, so a mismatch is corruption, not a gated variant
@@ -1371,7 +1389,9 @@ def decode_bmp_pixels(payload: bytes) \
             raise ValueError("top-down RLE BMP (format forbids it)")
     elif comp != 0:
         raise NotImplementedError(f"compressed BMP (method {comp})")
-    if bpp not in (1, 4, 8, 24, 32):
+    if bpp == 16 and comp == 0:
+        masks = (0x7C00, 0x03E0, 0x001F)  # the spec's default 555
+    if bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP")
     if w <= 0 or h_raw == 0:
         raise ValueError("bad BMP dimensions")
@@ -1424,6 +1444,22 @@ def decode_bmp_pixels(payload: bytes) \
     if bpp == 8:
         return map_palette(rows[:, :w])
     nb = bpp // 8
+    if masks is not None:
+        # bitfield extraction: RAW stored levels (a 5-bit red reports
+        # 0..31 — stats are over stored values, the sub-byte-PNG
+        # policy), channel order R,G,B per the mask order
+        dt = "<u2" if bpp == 16 else "<u4"
+        px = np.ascontiguousarray(rows[:, :w * nb]).view(dt) \
+            .reshape(h, w).astype(np.int64)
+        out = np.empty((h, w, 3), np.uint8)
+        for ci, m in enumerate(masks):
+            shift = (m & -m).bit_length() - 1
+            width_bits = (m >> shift).bit_length()
+            if width_bits > 8:
+                raise NotImplementedError(
+                    "BI_BITFIELDS channel wider than 8 bits")
+            out[:, :, ci] = (px >> shift) & ((1 << width_bits) - 1)
+        return (w, h, 3, out.tobytes())
     px = rows[:, :w * nb].reshape(h, w, nb)
     rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
     return (w, h, 3, np.ascontiguousarray(rgb).tobytes())
@@ -1525,6 +1561,47 @@ PIXEL_STATS_SCHEMA = T.StructType([
     T.StructField("min_val", T.IntegerType(), True),
     T.StructField("max_val", T.IntegerType(), True),
 ])
+
+
+def encode_bmp_bitfields(chan: "np.ndarray",
+                         masks: tuple = (0xF800, 0x07E0, 0x001F),
+                         bpp: int = 16,
+                         explicit: bool = True) -> bytes:
+    """16/32-bit bitfield BMP encoder (the decode-test twin): packs
+    RAW channel levels ``chan`` (h×w×3, each value < its mask width)
+    under the given contiguous masks — BI_BITFIELDS with an explicit
+    mask table when ``explicit``, else the bare 16-bpp comp-0 form
+    whose 555 masks are the format default. Bottom-up rows padded to
+    4 bytes, like every other BMP this module writes."""
+    import struct
+
+    if bpp not in (16, 32):
+        raise ValueError("bitfield BMPs are 16 or 32 bpp")
+    if not explicit and (bpp != 16 or masks != (0x7C00, 0x03E0,
+                                                0x001F)):
+        raise ValueError("comp-0 16-bpp implies the default 555 masks")
+    h, w, _ = chan.shape
+    px = np.zeros((h, w), np.int64)
+    for ci, m in enumerate(masks):
+        shift = (m & -m).bit_length() - 1
+        width_bits = (m >> shift).bit_length()
+        if int(chan[:, :, ci].max()) >= (1 << width_bits):
+            raise ValueError("channel level exceeds its mask width")
+        px |= chan[:, :, ci].astype(np.int64) << shift
+    nb = bpp // 8
+    stride = ((w * bpp + 31) // 32) * 4
+    dt = "<u2" if bpp == 16 else "<u4"
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r].astype(dt).tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    mask_tbl = struct.pack("<III", *masks) if explicit else b""
+    data_off = 14 + 40 + len(mask_tbl)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp,
+                       3 if explicit else 0, len(body), 0, 0, 0, 0)
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                               data_off))
+    return hdr + info + mask_tbl + bytes(body)
 
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:

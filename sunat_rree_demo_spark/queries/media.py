@@ -2808,3 +2808,126 @@ def q232_oriented_dims(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: q233 width — 11, distinct from every other raster device width
+_BF_W = 11
+
+
+@register(
+    "q233_bmp_bitfields_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, doc_id % 3 AS m,
+             substr(s, 1, (length(s) // {_BF_W}) * {_BF_W}) AS s
+      FROM a WHERE length(s) >= {_BF_W}
+    ),
+    v AS (
+      SELECT doc_id, m, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    ),
+    ch AS (
+      SELECT doc_id, m, n,
+             CASE m WHEN 2 THEN val ELSE val // 8 END AS r,
+             CASE m WHEN 0 THEN val // 2 WHEN 1 THEN val // 4
+                    ELSE 255 - val END AS g,
+             CASE m WHEN 2 THEN val // 2
+                    ELSE (127 - val) // 4 END AS b
+      FROM v
+    )
+    SELECT doc_id,
+           CAST({_BF_W} AS INT) AS width,
+           CAST(n // {_BF_W} AS INT) AS height,
+           CAST(3 * n AS BIGINT) AS n_samples,
+           CAST((2 * sum(r + g + b) * 10000 + 3 * n)
+                // (2 * 3 * n) AS DOUBLE) / 10000.0 AS mean_val,
+           CAST(min(least(r, g, b)) AS INT) AS min_val,
+           CAST(max(greatest(r, g, b)) AS INT) AS max_val
+    FROM ch GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q233_bmp_bitfields_stats(spark, sf_dir):
+    """Pixel statistics through REAL **bitfield BMP** decode (r8 —
+    closes the BMP decoder's 16-bit gate): each document becomes a
+    16/32-bit BI_BITFIELDS bitmap whose mask layout varies by cohort —
+    565 with an explicit mask table, 555 through the bare comp-0
+    16-bpp default (no table in the file), and 32-bit 8888 — with
+    per-channel levels derived from the characters in closed form
+    (r = a div 8, g = a div 2 …, by mode). The decoder reports RAW
+    stored levels (a 5-bit red is 0..31 — the sub-byte-PNG policy),
+    so the oracle computes the same stats straight from the
+    characters; a mask-shift slip, a default-555 mix-up or a stride
+    bug breaks the hash.
+
+    Scale shape: identical to q186/q213 — two Arrow-batched
+    mapInPandas passes at document grain, no shuffle before the
+    doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_bmp_bitfields,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_BF_W}) * {_BF_W})"))
+        .filter(F.length("s") >= _BF_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            a = (np.frombuffer(s.encode("ascii"), np.uint8)
+                 .astype(np.int64).reshape(-1, _BF_W))
+            m = mid % 3
+            if m == 0:
+                ch = np.stack([a // 8, a // 2, (127 - a) // 4], axis=2)
+                return encode_bmp_bitfields(
+                    ch, (0xF800, 0x07E0, 0x001F), 16, explicit=True)
+            if m == 1:
+                ch = np.stack([a // 8, a // 4, (127 - a) // 4], axis=2)
+                return encode_bmp_bitfields(
+                    ch, (0x7C00, 0x03E0, 0x001F), 16, explicit=False)
+            ch = np.stack([a, 255 - a, a // 2], axis=2)
+            return encode_bmp_bitfields(
+                ch, (0xFF0000, 0x00FF00, 0x0000FF), 32, explicit=True)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )

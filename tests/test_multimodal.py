@@ -1249,13 +1249,23 @@ def test_bmp_round_trips_and_layouts():
         decode_bmp_pixels(bytes(jpeg_in_bmp))
     with _pytest.raises(ValueError, match="short"):
         decode_bmp_pixels(img[:-4])
-    # BI_BITFIELDS with swapped masks: gated, never silently wrong
-    bf = bytearray(img32)
-    struct.pack_into("<I", bf, 30, 3)
-    bf[14 + 40:14 + 40 + 12] = struct.pack(
-        "<III", 0x000000FF, 0x0000FF00, 0x00FF0000)  # RGBA order
-    with _pytest.raises(NotImplementedError, match="masks"):
-        decode_bmp_pixels(bytes(bf))
+    # BI_BITFIELDS decodes PER THE DECLARED masks since r8
+    # (generalized bitfields) — swapped mask order follows the
+    # declaration; non-contiguous masks stay gated, never silently
+    # wrong
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_bmp_bitfields,
+    )
+
+    ch = np.array([[[30, 20, 10], [60, 50, 40]]])
+    bf = encode_bmp_bitfields(
+        ch, (0x000000FF, 0x0000FF00, 0x00FF0000), 32, True)
+    assert decode_bmp_pixels(bf) == (
+        2, 1, 3, bytes([30, 20, 10, 60, 50, 40]))
+    bad = bytearray(bf)
+    struct.pack_into("<I", bad, 54, 0x000000A5)
+    with _pytest.raises(NotImplementedError, match="contiguous"):
+        decode_bmp_pixels(bytes(bad))
     # pixel offset pointing inside the header: corrupt, loud
     off_bad = bytearray(img)
     struct.pack_into("<I", off_bad, 10, 2)
@@ -1599,3 +1609,37 @@ def test_tiff_deflate_round_trips():
         with pytest.raises(ValueError,
                            match="length mismatch|corrupt"):
             decode_tiff_pixels(bytes(sb))
+
+
+def test_bmp_bitfields_round_trips_and_defaults():
+    """16/32-bit bitfield BMPs (r8): 565/555/8888 and swapped-order
+    masks round-trip RAW stored levels; the 16-bpp comp-0 default is
+    555; channel-overflow and >8-bit channels are loud."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_bitfields,
+    )
+
+    rng = np.random.RandomState(8)
+    h, w = 5, 9
+    ch565 = np.stack([rng.randint(0, 32, (h, w)),
+                      rng.randint(0, 64, (h, w)),
+                      rng.randint(0, 32, (h, w))], axis=2)
+    t = encode_bmp_bitfields(ch565, (0xF800, 0x07E0, 0x001F), 16)
+    got = decode_bmp_pixels(t)
+    assert got[:3] == (w, h, 3)
+    assert (np.frombuffer(got[3], np.uint8)
+            .reshape(h, w, 3) == ch565).all()
+    # comp-0 16 bpp: implicit 555 masks, no mask table in the file
+    ch555 = np.minimum(ch565, 31)
+    t0 = encode_bmp_bitfields(ch555, (0x7C00, 0x03E0, 0x001F), 16,
+                              explicit=False)
+    assert len(t0) < len(t)  # 12 bytes shorter: no mask table
+    got = decode_bmp_pixels(t0)
+    assert (np.frombuffer(got[3], np.uint8)
+            .reshape(h, w, 3) == ch555).all()
+    # encoder refuses overflowing levels
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_bmp_bitfields(ch565 + 32, (0xF800, 0x07E0, 0x001F), 16)
