@@ -179,6 +179,40 @@ def clear_commit_marker(spark: SparkSession, dir_path: str) -> None:
         fs.delete(marker, False)
 
 
+def batch_marker_committed(spark: SparkSession, store_path: str,
+                           batch_id: int,
+                           marker_table: str = "kept") -> bool:
+    """True iff the batch's ``marker_table`` partition carries its
+    ``_SUCCESS`` — the commit marker the streaming stores write LAST
+    (ONE copy of the walk; bloom_stream and media_stream both gate on
+    it, review finding r8)."""
+    fs, marker = _hadoop_fs(
+        spark,
+        f"{store_path}/{marker_table}/{BATCH_COL}={batch_id}/_SUCCESS")
+    return fs.exists(marker)
+
+
+def committed_partition_dirs(spark: SparkSession, store_path: str,
+                             table: str,
+                             marker_table: str = "kept") -> list[str]:
+    """Per-batch partition dirs of ``table`` whose batch is committed
+    per ``batch_marker_committed`` — uncommitted (torn) batches are
+    invisible to every reader."""
+    fs, jroot = _hadoop_fs(spark, f"{store_path}/{table}")
+    out = []
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not (st.isDirectory()
+                    and name.startswith(f"{BATCH_COL}=")):
+                continue
+            if batch_marker_committed(spark, store_path,
+                                      int(name.split("=", 1)[1]),
+                                      marker_table):
+                out.append(f"{store_path}/{table}/{name}")
+    return out
+
+
 def write_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         k: int = MINHASH_K, bands: int = LSH_BANDS,

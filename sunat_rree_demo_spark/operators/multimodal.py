@@ -1651,9 +1651,11 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                                  None, None))
                     continue
                 w, h, ch, px = dec
-                rows.append((mid, w, h, ch, len(px), sum(px),
-                             min(px) if px else None,
-                             max(px) if px else None))
+                a = np.frombuffer(px, np.uint8)
+                rows.append((mid, w, h, ch, len(px),
+                             int(a.sum(dtype=np.int64)),
+                             int(a.min()) if a.size else None,
+                             int(a.max()) if a.size else None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "channels", "n_samples",
                 "sum_val", "min_val", "max_val"])
@@ -3622,11 +3624,16 @@ def decode_tiff_pixels(payload: bytes) \
         elif comp in (8, 32946):  # Adobe / legacy Deflate: zlib streams
             import zlib
             try:
-                strip = zlib.decompress(strip)
+                # cap inflation at the size the decoder already knows
+                # — an unbounded decompress would let a tiny declared
+                # strip balloon to gigabytes before the length check
+                # (review finding r8)
+                d = zlib.decompressobj()
+                strip = d.decompress(strip, expected + 1)
             except zlib.error as exc:
                 raise ValueError(f"TIFF deflate strip corrupt: {exc}") \
                     from None
-            if len(strip) != expected:
+            if len(strip) != expected or d.unconsumed_tail:
                 raise ValueError("TIFF deflate strip length mismatch")
         elif len(strip) != expected:
             raise ValueError("TIFF strip length mismatch")
@@ -4022,7 +4029,11 @@ def decode_avi_mjpeg(payload: bytes) \
                             if ftype == b"vids" and vid_stream is None:
                                 vid_stream = stream_no
                                 handler = fcc
-                                if scale <= 0 or rate % scale:
+                                # rate 0 would yield fps=0 and poison
+                                # every downstream division (review
+                                # finding r8)
+                                if scale <= 0 or rate <= 0 \
+                                        or rate % scale:
                                     raise ValueError(
                                         "non-integral AVI frame rate")
                                 fps = rate // scale
@@ -4030,8 +4041,13 @@ def decode_avi_mjpeg(payload: bytes) \
                                         and dlen != total_frames:
                                     raise ValueError(
                                         "strh/avih frame counts differ")
-                        elif (sid == b"strf" and vid_stream == stream_no
-                              and slen >= 40):
+                        elif sid == b"strf" and vid_stream == stream_no:
+                            if slen < 40:
+                                # a skipped torn strf would leave
+                                # compression unchecked (review
+                                # finding r8)
+                                raise ValueError(
+                                    "AVI video strf too short")
                             (_sz, bw, bh, _pl, _bc, comp) = \
                                 struct.unpack("<IiiHH4s",
                                               payload[s0:s0 + 20])
@@ -4130,10 +4146,12 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
                             raise ValueError(
                                 "00dc chunk does not contain a JPEG")
                         fw, fh, ch, px = f
+                        a = np.frombuffer(px, np.uint8)
                         media_rows.append(
-                            (mid, fno, fps, fw, fh, len(px), sum(px),
-                             min(px) if px else None,
-                             max(px) if px else None))
+                            (mid, fno, fps, fw, fh, len(px),
+                             int(a.sum(dtype=np.int64)),
+                             int(a.min()) if a.size else None,
+                             int(a.max()) if a.size else None))
                 except NotImplementedError:
                     continue  # a gated JPEG variant gates the video
                 rows.extend(media_rows)

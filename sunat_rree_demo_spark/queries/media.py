@@ -2167,12 +2167,16 @@ def q227_video_shot_cuts(spark, sf_dir):
     )
 
 
-#: q228 stereo mapping: left = (a−79)·256, right = (90−a)·128 — the
-#: channel SUM is always 128·(a−68), so the operator's integer mono
-#: mix ((l+r) div 2 = 64·(a−68)) has a closed form with no floor
-#: ambiguity, while the side channel (l−r = 384a−31744) genuinely
-#: spans 17 bits at the text's edges
-_ST_L, _ST_R = 256, 128
+#: q228 stereo mapping: left = (a−79)·512, right = (90−a)·256 — the
+#: channel SUM is always 256·(a−68), so the operator's integer mono
+#: mix ((l+r) div 2 = 128·(a−68)) has a closed form with no floor
+#: ambiguity, while the side channel (l−r = 768a−63488) GENUINELY
+#: overflows int16: every char below '(' (the space in virtually any
+#: doc) drives it under −32768, and '~' pushes it past +32767 — so
+#: the 17-bit side subframes carry real 17-bit VALUES, not just the
+#: wider bit layout (review finding r8: the first cut's ±16640 range
+#: fit int16, weakening the claim to layout-only)
+_ST_L, _ST_R = 512, 256
 
 
 @register(
@@ -2186,7 +2190,7 @@ _ST_L, _ST_R = 256, 128
     v AS (
       SELECT doc_id,
              unnest(list_transform(range(1, length(s) + 1),
-               i -> (ascii(substr(s, i, 1)) - 68) * 64)) AS smp,
+               i -> (ascii(substr(s, i, 1)) - 68) * 128)) AS smp,
              unnest(range(0, length(s))) AS pos
       FROM a WHERE length(s) >= 1
     ),
@@ -2210,10 +2214,12 @@ def q228_stereo_flac_energy(spark, sf_dir):
     (90−a)·128), and the channel ASSIGNMENT varies per doc —
     independent, left/side, side/right, mid/side by doc_id % 4 — so
     one query exercises all three decorrelation reconstructions plus
-    the 17-bit SIDE-channel subframes (the text's edge chars genuinely
-    overflow int16 in the side domain). The decoded stereo is
-    mono-mixed by the operator's exact integer mean, whose closed form
-    (64·(a−68), the channel sum is always even) the oracle computes
+    the 17-bit SIDE-channel subframes with genuinely >int16 values
+    (side = 768a − 63488: any char below '(' — the space in virtually
+    every doc — lands under −32768, '~' past +32767). The decoded
+    stereo is mono-mixed by the operator's exact integer mean, whose
+    closed form (128·(a−68), the channel sum is always even) the
+    oracle computes
     straight from the characters: a side-channel bit-depth slip, a
     swapped reconstruction or a mid rounding bug breaks the hash.
     LPC-form subframes (odd doc_ids) and Rice partition order 2

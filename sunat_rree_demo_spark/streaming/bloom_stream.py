@@ -52,7 +52,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sunat_rree_demo_spark.operators.dedup import base_hash_col
 from sunat_rree_demo_spark.operators.dedup_index import (
     _hadoop_fs,
+    batch_marker_committed,
     clear_commit_marker,
+    committed_partition_dirs,
 )
 
 BATCH_COL = "batch_id"
@@ -64,25 +66,14 @@ BLOOM_M = BLOOM_WORDS * 63
 def bloom_batch_committed(spark: SparkSession, store_path: str,
                           batch_id: int) -> bool:
     """The batch marker lives on the KEPT table (written last; never
-    compacted away — see module docstring)."""
-    fs, marker = _hadoop_fs(
-        spark, f"{store_path}/kept/{BATCH_COL}={batch_id}/_SUCCESS")
-    return fs.exists(marker)
+    compacted away — see module docstring). One shared walk:
+    operators.dedup_index.batch_marker_committed."""
+    return batch_marker_committed(spark, store_path, batch_id)
 
 
 def _committed_dirs(spark: SparkSession, store_path: str,
                     table: str) -> list[str]:
-    fs, jroot = _hadoop_fs(spark, f"{store_path}/{table}")
-    out = []
-    if fs.exists(jroot):
-        for st in fs.listStatus(jroot):
-            name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith(f"{BATCH_COL}=")):
-                continue
-            if bloom_batch_committed(spark, store_path,
-                                     int(name.split("=", 1)[1])):
-                out.append(f"{store_path}/{table}/{name}")
-    return out
+    return committed_partition_dirs(spark, store_path, table)
 
 
 def _positions(dg_col):

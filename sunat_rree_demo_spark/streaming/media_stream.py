@@ -41,8 +41,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sunat_rree_demo_spark.operators.dedup_index import (
-    _hadoop_fs,
+    batch_marker_committed,
     clear_commit_marker,
+    committed_partition_dirs,
 )
 from sunat_rree_demo_spark.operators.multimodal import image_dhash
 
@@ -51,26 +52,14 @@ BATCH_COL = "batch_id"
 
 def media_batch_committed(spark: SparkSession, store_path: str,
                           batch_id: int) -> bool:
-    """The batch marker lives on the KEPT table (written last)."""
-    fs, marker = _hadoop_fs(
-        spark, f"{store_path}/kept/{BATCH_COL}={batch_id}/_SUCCESS")
-    return fs.exists(marker)
+    """The batch marker lives on the KEPT table (written last). One
+    shared walk: operators.dedup_index.batch_marker_committed."""
+    return batch_marker_committed(spark, store_path, batch_id)
 
 
 def _committed_dirs(spark: SparkSession, store_path: str,
                     table: str) -> list[str]:
-    fs, jroot = _hadoop_fs(spark, f"{store_path}/{table}")
-    out = []
-    if fs.exists(jroot):
-        for st in fs.listStatus(jroot):
-            name = st.getPath().getName()
-            if not (st.isDirectory()
-                    and name.startswith(f"{BATCH_COL}=")):
-                continue
-            if media_batch_committed(spark, store_path,
-                                     int(name.split("=", 1)[1])):
-                out.append(f"{store_path}/{table}/{name}")
-    return out
+    return committed_partition_dirs(spark, store_path, table)
 
 
 def committed_hashes(spark: SparkSession, store_path: str) -> DataFrame:
@@ -150,10 +139,13 @@ def run_media_dedup_stream(spark: SparkSession, media_stream: DataFrame,
             f"from the stream checkpoint)")
 
 
-def load_kept(spark: SparkSession, store_path: str) -> DataFrame:
+def load_kept(spark: SparkSession, store_path: str,
+              id_col: str = "media_id") -> DataFrame:
+    """``id_col`` must match the one the batches were processed with —
+    the empty-store fallback schema carries it (review finding r8)."""
     dirs = _committed_dirs(spark, store_path, "kept")
     if not dirs:
-        return spark.createDataFrame([], "media_id long, dhash string")
+        return spark.createDataFrame([], f"{id_col} long, dhash string")
     return spark.read.parquet(*dirs)
 
 

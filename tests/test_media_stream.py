@@ -58,6 +58,16 @@ def media_three_files(spark, tmp_path_factory):
     write("part3.parquet",
           [(200, _img(texts[2], 4)), (201, _img(texts[6], 0))]
           + [(210 + i, _img(texts[i], i)) for i in (9, 10, 11)])
+    # FileStreamSource orders by modification time, which can TIE at
+    # millisecond granularity for back-to-back writes — pin strictly
+    # ascending mtimes so part1 is batch 0 (review finding r8)
+    import os
+    import time
+
+    base = time.time() - 60
+    for k, name in enumerate(("part1.parquet", "part2.parquet",
+                              "part3.parquet")):
+        os.utime(d / name, (base + k, base + k))
     return str(d), texts
 
 

@@ -190,3 +190,20 @@ def test_extract_video_meta_covers_avi(spark):
             rows[1].width, rows[1].height) == (1500, 4, 96, 8)
     assert rows[2].duration_ms is None
     assert rows[3].duration_ms is None
+
+
+def test_avi_zero_rate_and_short_strf_are_corrupt():
+    """Review findings r8: dwRate=0 must be ValueError (fps=0 would
+    poison duration math downstream), and a torn sub-40-byte video
+    strf must raise rather than silently skip the codec/dimension
+    cross-checks."""
+    avi, _ = _avi([b"hello, world"])
+    pos = avi.find(b"strh") + 8 + 24  # dwRate field
+    bad = avi[:pos] + struct.pack("<I", 0) + avi[pos + 4:]
+    with pytest.raises(ValueError, match="frame rate"):
+        decode_avi_mjpeg(bad)
+    # shrink the strf chunk's declared length below 40
+    pos = avi.find(b"strf") + 4
+    bad = avi[:pos] + struct.pack("<I", 16) + avi[pos + 4:]
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bad)
