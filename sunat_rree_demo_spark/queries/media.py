@@ -2937,3 +2937,109 @@ def q233_bmp_bitfields_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: q234 geometry: 17 blocks/row (width 136, distinct from every other
+#: JPEG device); restart every 1..5 blocks by doc cohort
+_RST_BPR = 17
+
+
+@register(
+    "q234_jpeg_restart_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_RST_BPR}) * {_RST_BPR}) AS s
+      FROM a WHERE length(s) >= {_RST_BPR}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_RST_BPR} * 8 AS INT) AS width,
+           CAST((n // {_RST_BPR}) * 8 AS INT) AS height,
+           CAST(64 * n AS BIGINT) AS n_pixels,
+           CAST((2 * 64 * sum(val) * 10000 + 64 * n)
+                // (2 * 64 * n) AS DOUBLE) / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec"),
+)
+def q234_jpeg_restart_stats(spark, sf_dir):
+    """Pixel statistics through baseline JPEGs segmented by RESTART
+    MARKERS (r8 — the decoder's RSTn machinery was unit-tested but
+    had no oracle-checked query): the q201 uniform-block device with
+    a DRI of 1..5 blocks varying by doc cohort, so every stream is
+    cut into many entropy segments and the DC predictor resets at
+    each RSTn boundary. DC prediction is what makes restarts
+    load-bearing here: a decoder that failed to reset predictors (or
+    mis-cut a segment at a fill byte) would reconstruct wrong block
+    values after every marker, and the per-character oracle breaks
+    the hash. Restart interval 1 is the pathological
+    marker-after-every-MCU stream — real encoders emit it for error
+    resilience on noisy channels.
+
+    Scale shape: identical to q201 — two Arrow-batched mapInPandas
+    passes at document grain, no shuffle before the doc-grain sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_coeff_blocks,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_RST_BPR}) * {_RST_BPR})"))
+        .filter(F.length("s") >= _RST_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            vals = np.frombuffer(s.encode("ascii"), np.uint8)
+            blocks = np.zeros((len(vals), 64), dtype=np.int64)
+            blocks[:, 0] = 8 * (vals.astype(np.int64) - 128)
+            return encode_jpeg_coeff_blocks(
+                blocks, _RST_BPR, restart_interval=1 + mid % 5)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_pixels"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )
