@@ -4190,3 +4190,41 @@ def shot_boundaries(frame_stats: DataFrame,
         .select("media_id", "frame_no",
                 F.col("_pf").alias("prev_frame_no"), "delta_milli")
     )
+
+
+def video_fingerprint(frame_stats: DataFrame,
+                      id_col: str = "media_id") -> DataFrame:
+    """Frame-sequence fingerprint over ``video_frame_stats`` output —
+    the video member of the dedup-key family (dHash for images, the
+    energy-delta hash for audio): bit i = 1 iff frame i's integer
+    milli-mean brightness is lower than frame i+1's, packed MSB-first
+    into hex bytes. Because frame means are exact integers
+    (1000·sum div n), the same footage re-muxed at a different frame
+    RATE or with a different JPEG MODE (baseline vs progressive — the
+    pixels are bit-identical by the codec contract) folds to ONE key.
+    Assumes the dense every_n=1 frame stream (bit positions are frame
+    numbers). Pure JVM window + aggregate after the decode pass.
+
+    Returns (id_col, fp) for media with ≥2 frames; single-frame media
+    carry no delta signal and yield no row (callers route them like
+    null dHashes — ungated)."""
+    byf = Window.partitionBy(id_col).orderBy("frame_no")
+    return (
+        frame_stats
+        .withColumn("_m", F.expr("(1000 * sum_val) div n_samples"))
+        .withColumn("_nxt", F.lead("_m").over(byf))
+        .filter(F.col("_nxt").isNotNull())
+        .withColumn("_b", F.when(F.col("_m") < F.col("_nxt"), 1)
+                    .otherwise(0))
+        .withColumn("_bi", (F.col("frame_no") / 8).cast("bigint"))
+        .groupBy(id_col, "_bi")
+        .agg(F.sum(F.expr(
+            "_b * shiftleft(1L, CAST(7 - frame_no % 8 AS INT))"))
+            .alias("_byte"))
+        .groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_bi", "_byte"))),
+                lambda s: F.format_string("%02x", s["_byte"])),
+            "").alias("fp"))
+    )

@@ -46,8 +46,8 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # the round-8 window is new r8 queries (first driver check — highest
 # priority) followed by the longest-unchecked driver-green queries: the 8
 # whose last row is r03 (displaced when the r7 window filled), then r04-era
-# queries.  48 filler candidates compete for the slots the 26 r8
-# additions leave (24), so r04-era queries with simple single-stage
+# queries.  48 filler candidates compete for the slots the 27 r8
+# additions leave (23), so r04-era queries with simple single-stage
 # relational plans unchanged since r04 (q02-q07, q10-q13, and the
 # fillers past the [:50] cap) defer to r9; displaced fillers stay
 # driver-green via their historical
@@ -85,6 +85,7 @@ _R8_NEW = (
     "q232_oriented_dims",
     "q233_bmp_bitfields_stats",
     "q234_jpeg_restart_stats",
+    "q235_video_dedup_funnel",
 )
 # longest-unchecked driver-green queries: last row r03 first, then r04
 _R8_FILLERS = (

@@ -3043,3 +3043,172 @@ def q234_jpeg_restart_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: q235 variants: the same footage re-muxed at a different frame rate
+#: AND a different JPEG mode per copy; rotation spreads survivorship
+_VF_VARIANTS = ("mjpeg_base", "mjpeg_prog")
+
+
+@register(
+    "q235_video_dedup_funnel",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, least(length(s) // {_VID_BPR}, {_VID_NF})
+                          * {_VID_BPR}) AS s
+      FROM a WHERE length(s) >= 2 * {_VID_BPR}
+    ),
+    fr AS (
+      SELECT doc_id, s,
+             unnest(range(0, length(s) // {_VID_BPR})) AS f
+      FROM c
+    ),
+    v AS (
+      SELECT doc_id, f,
+             unnest(list_transform(range(1, {_VID_BPR} + 1),
+               i -> ascii(substr(s, CAST(f * {_VID_BPR} AS INT) + i,
+                                 1)))) AS val
+      FROM fr
+    ),
+    g0 AS (
+      SELECT doc_id, f,
+             (1000 * 64 * sum(val)) // (64 * {_VID_BPR}) AS m
+      FROM v GROUP BY doc_id, f
+    ),
+    d AS (
+      SELECT doc_id, f,
+             CASE WHEN m < lead(m) OVER w THEN 1 ELSE 0 END AS b,
+             lead(m) OVER w AS nxt
+      FROM g0 WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    byt AS (
+      SELECT doc_id, f // 8 AS bi,
+             sum(b * (1 << CAST(7 - f % 8 AS INT))) AS byte
+      FROM d WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                        '' ORDER BY bi) AS fp
+      FROM byt GROUP BY doc_id
+    ),
+    g AS (SELECT fp.fp, min(doc_id) AS keep_doc FROM fp GROUP BY 1),
+    m AS (
+      SELECT doc_id, fp, k,
+             CASE (doc_id + k) % 2 WHEN 0 THEN 'mjpeg_base'
+                  ELSE 'mjpeg_prog' END AS variant
+      FROM fp, (SELECT unnest(range(0, 2)) AS k)
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN k = 0 AND doc_id = g.keep_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM m JOIN g USING (fp)
+    GROUP BY variant ORDER BY variant
+    """,
+    tags=("media", "multimodal", "video", "dedup", "funnel"),
+)
+def q235_video_dedup_funnel(spark, sf_dir):
+    """The VIDEO near-dup funnel — the fourth modality's dedup story,
+    completing text (q204), image (q230) and audio (q231): every
+    document's footage ships TWICE as a genuine Motion-JPEG AVI with
+    BOTH the container and the codec varied per copy — different frame
+    rates (6 vs 9 fps) and different JPEG modes (baseline SOF0 vs
+    progressive SOF2 frames, bit-identical pixels by the codec
+    contract) — Spark demuxes and decodes every frame for real,
+    fingerprints the frame-brightness delta signs
+    (operators.multimodal.video_fingerprint), folds duplicates by
+    fingerprint with a min-id election, and reports the per-variant
+    survivor census. One decoded pixel differing between the baseline
+    and progressive paths, anywhere in any frame, changes a frame
+    mean and breaks the fold. Cross-doc fingerprint collisions
+    (short clips) are elected identically on both sides.
+
+    Scale shape: one encode pass (two rows per doc), one demux+decode
+    pass, a media-grain fingerprint window, then a census over short
+    hex keys — pixels never shuffle."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray_blocks,
+        encode_jpeg_progressive,
+        video_fingerprint,
+        video_frame_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("doc_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, least(length(s) div {_VID_BPR}, "
+            f"{_VID_NF}) * {_VID_BPR})"))
+        .filter(F.length("s") >= 2 * _VID_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def frames_of(b: bytes, prog: bool) -> list:
+            out = []
+            for k in range(0, len(b), _VID_BPR):
+                seg = b[k:k + _VID_BPR]
+                if prog:
+                    blocks = np.zeros((len(seg), 64), np.int64)
+                    blocks[:, 0] = 8 * (np.frombuffer(seg, np.uint8)
+                                        .astype(np.int64) - 128)
+                    out.append(encode_jpeg_progressive(
+                        [(blocks, 1, 1)], _VID_BPR))
+                else:
+                    out.append(encode_jpeg_gray_blocks(seg, _VID_BPR))
+            return out
+
+        for pdf in it:
+            ids, docs, variants, payloads = [], [], [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                b = s.encode("ascii")
+                for k in (0, 1):
+                    prog = (int(did) + k) % 2 == 1
+                    ids.append(int(did) * 2 + k)
+                    docs.append(int(did))
+                    variants.append(_VF_VARIANTS[(int(did) + k) % 2])
+                    payloads.append(encode_avi_mjpeg(
+                        frames_of(b, prog), _VID_BPR * 8, 8,
+                        fps=6 if k == 0 else 9))
+            yield pd.DataFrame({
+                "media_id": ids, "doc_id": docs,
+                "variant": variants, "content": payloads})
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("variant", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    fps = video_fingerprint(
+        video_frame_stats(media.select("media_id", "content"),
+                          every_n=1))
+    from pyspark.sql import Window
+
+    byfp = Window.partitionBy("fp")
+    elected = (
+        media.select("media_id", "variant")
+        .join(fps, "media_id")
+        .withColumn("_keep", F.min("media_id").over(byfp))
+    )
+    return (
+        elected.groupBy("variant")
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.sum(F.when(F.col("media_id") == F.col("_keep"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_survivors"))
+        .orderBy("variant")
+    )
