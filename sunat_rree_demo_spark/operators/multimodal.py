@@ -3633,7 +3633,12 @@ def decode_tiff_pixels(payload: bytes) \
             except zlib.error as exc:
                 raise ValueError(f"TIFF deflate strip corrupt: {exc}") \
                     from None
-            if len(strip) != expected or d.unconsumed_tail:
+            if (len(strip) != expected or d.unconsumed_tail
+                    or d.unused_data):
+                # unused_data: the zlib stream ended early and trailing
+                # garbage pads the declared StripByteCounts — as loud
+                # as the other strip-length taxonomies (review
+                # finding r9)
                 raise ValueError("TIFF deflate strip length mismatch")
         elif len(strip) != expected:
             raise ValueError("TIFF strip length mismatch")
@@ -3964,7 +3969,9 @@ def _riff_chunks(payload: bytes, pos: int, end: int):
 def decode_avi_mjpeg(payload: bytes) \
         -> tuple[int, int, int, list[bytes]] | None:
     """(width, height, fps, frames) for a Motion-JPEG AVI — REAL
-    container demux: walk the RIFF form, read avih/strh/strf, collect
+    container demux (``fps`` is dwRate/dwScale rounded half-up, so
+    NTSC-rate 30000/1001 streams decode as 30 fps instead of
+    aborting): walk the RIFF form, read avih/strh/strf, collect
     the video stream's ``00dc`` chunks from LIST movi (recursing into
     'rec ' interleave groups), and cross-check every redundant count
     the container carries — avih dwTotalFrames, strh dwLength, and
@@ -4031,12 +4038,14 @@ def decode_avi_mjpeg(payload: bytes) \
                                 handler = fcc
                                 # rate 0 would yield fps=0 and poison
                                 # every downstream division (review
-                                # finding r8)
-                                if scale <= 0 or rate <= 0 \
-                                        or rate % scale:
+                                # finding r8); non-integral rationals
+                                # (NTSC 30000/1001) are well-formed —
+                                # round half-up, don't classify as
+                                # corrupt (review finding r9)
+                                if scale <= 0 or rate <= 0:
                                     raise ValueError(
-                                        "non-integral AVI frame rate")
-                                fps = rate // scale
+                                        "non-positive AVI frame rate")
+                                fps = (2 * rate + scale) // (2 * scale)
                                 if total_frames is not None \
                                         and dlen != total_frames:
                                     raise ValueError(
@@ -4059,8 +4068,14 @@ def decode_avi_mjpeg(payload: bytes) \
             movi_start = b0 - 4  # first byte of the 'movi' fourcc
             if vid_stream is None:
                 raise ValueError("AVI movi before any video stream")
+            if compression is None:
+                # a strl that carried strh but never a strf skipped the
+                # codec gate and the dimension cross-check entirely
+                # (review finding r9) — the mandatory stream-format
+                # chunk missing is corruption, same as a torn one
+                raise ValueError("AVI video stream without strf")
             if handler not in (b"MJPG", b"mjpg") \
-                    or compression not in (b"MJPG", b"mjpg", None):
+                    or compression not in (b"MJPG", b"mjpg"):
                 gated = (handler or b"?").decode("latin1")
                 raise NotImplementedError(f"AVI video codec {gated!r}")
             walk_movi(b0, b0 + blen)

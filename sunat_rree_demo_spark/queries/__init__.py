@@ -41,83 +41,61 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
 # the FIRST 50 registry entries in iteration order (see BASELINE.md "Driver
-# correctness snapshot cap").  The union of CORRECTNESS_r01-r07 covers every
-# query registered through q208 (207 ever green; q46 rows-only by design), so
-# the round-8 window is new r8 queries (first driver check — highest
-# priority) followed by the longest-unchecked driver-green queries: the 8
-# whose last row is r03 (displaced when the r7 window filled), then r04-era
-# queries.  48 filler candidates compete for the slots the 27 r8
-# additions leave (23), so r04-era queries with simple single-stage
-# relational plans unchanged since r04 (q02-q07, q10-q13, and the
-# fillers past the [:50] cap) defer to r9; displaced fillers stay
-# driver-green via their historical
-# rows and the identical local exact-hash gate (scripts/check_parity.py),
-# which runs all 200+ queries every round.
+# correctness snapshot cap").  The union of CORRECTNESS_r01-r08 covers every
+# query registered through q235 (234 ever green; q46 rows-only by design).
+# The round-9 window retires the rotation debt the r8 verdict flagged: new
+# r9 queries first (first driver check — highest priority), then the 35
+# queries whose newest driver row is still r04 (q02–q13 core relational and
+# the q101–q142 stats/econ tail, deferred when the r8 window filled), then
+# the oldest r05-era rows as far as the 50-slot cap allows.  Displaced
+# fillers stay driver-green via their historical rows and the identical
+# local exact-hash gate (scripts/check_parity.py), which runs all 230+
+# queries every round.
 # Registration itself is unchanged; this only re-orders the dict.
 # tests/test_driver_window.py asserts every registered query has either a
 # historical CORRECTNESS row or a slot in the current window.
 # ---------------------------------------------------------------------------
-# round-8 additions (first driver check) — append here when registering
-_R8_NEW = (
-    "q209_jpeg_color_stats",
-    "q210_adam7_png_stats",
-    "q211_progressive_jpeg_stats",
-    "q212_gif_pixel_stats",
-    "q213_bmp_rle_stats",
-    "q214_g711_frame_energy",
-    "q215_exact_substring_spans",
-    "q216_flac_frame_energy",
-    "q217_tiff_pixel_stats",
-    "q218_exact_substring_rewrite",
-    "q219_vad_segments",
-    "q220_image_dhash_census",
-    "q221_dhash_hamming_pairs",
-    "q222_decimated_frame_energy",
-    "q223_audio_fingerprint",
-    "q224_exif_orientation",
-    "q225_media_type_census",
-    "q226_video_frame_stats",
-    "q227_video_shot_cuts",
-    "q228_stereo_flac_energy",
-    "q229_tiff_lzw_stats",
-    "q230_media_dedup_funnel",
-    "q231_audio_dedup_funnel",
-    "q232_oriented_dims",
-    "q233_bmp_bitfields_stats",
-    "q234_jpeg_restart_stats",
-    "q235_video_dedup_funnel",
+# round-9 additions (first driver check) — append here when registering
+_R9_NEW = (
+    "q236_gif_animation_stats",
+    "q237_media_curation_summary",
+    "q238_gif_video_dedup",
 )
-# longest-unchecked driver-green queries: last row r03 first, then r04
-_R8_FILLERS = (
-    "q58_embedding_norms", "q59_quality_ranked_docs",
-    "q60_range_frame_window", "q62_hash_split",
-    "q63_decontaminate", "q64_redact_scrub",
-    "q66_pack_sequences", "q67_label_centroids",
-    "q08_topn_categories", "q09_top_abs",
-    "q14_coverage_ratio", "q15_bool_count_surplus",
-    "q16_string_funcs", "q17_date_funcs",
-    "q22_monthly_profile", "q29_tail_window",
-    "q94_rolling_active_users", "q95_native_unpivot",
-    "q96_chunk_dedup", "q97_prefix_filter_pairs",
-    "q98_bm25_topk", "q99_rca_matrix",
-    "q100_hhi_concentration", "q101_cusum_drift",
-    "q102_benford_digits", "q106_rolling_correlation",
-    "q108_pmi_collocations", "q109_weighted_median",
-    "q110_kmv_set_ops", "q111_linear_interpolation",
-    "q112_embedding_covariance", "q126_bpe_merges",
-    "q127_chunk_dedup_rewrite", "q128_retrieval_eval",
-    "q129_inverted_index", "q130_hard_negatives",
-    "q131_pareto_frontier", "q132_bigram_surprisal",
-    "q133_vocab_coverage", "q134_pq_encode",
-    "q135_count_min_sketch", "q136_top_event_paths",
-    "q137_bpe_apply", "q138_ngram_novelty",
-    "q139_share_of_parent", "q140_psi_drift",
-    "q141_multi_touch_attribution", "q142_customer_set_ops",
+# longest-unchecked driver-green queries: the full r04 cohort (35), then
+# the oldest r05 rows; the [:50] cap decides how many r05 slots survive
+_R9_FILLERS = (
+    "q02_filter_range_membership", "q03_conditional_pivot_agg",
+    "q04_pivot_table", "q05_month_name_map",
+    "q06_scalar_stats", "q07_count_distinct",
+    "q10_anti_join", "q11_union_distinct",
+    "q12_having_max_case", "q13_argmax_month",
+    "q101_cusum_drift", "q102_benford_digits",
+    "q106_rolling_correlation", "q108_pmi_collocations",
+    "q109_weighted_median", "q110_kmv_set_ops",
+    "q111_linear_interpolation", "q112_embedding_covariance",
+    "q126_bpe_merges", "q127_chunk_dedup_rewrite",
+    "q128_retrieval_eval", "q129_inverted_index",
+    "q130_hard_negatives", "q131_pareto_frontier",
+    "q132_bigram_surprisal", "q133_vocab_coverage",
+    "q134_pq_encode", "q135_count_min_sketch",
+    "q136_top_event_paths", "q137_bpe_apply",
+    "q138_ngram_novelty", "q139_share_of_parent",
+    "q140_psi_drift", "q141_multi_touch_attribution",
+    "q142_customer_set_ops",
+    # oldest r05-era rows (driver row last seen r05)
+    "q69_ann_recall", "q70_stratified_sample",
+    "q71_verified_near_dups", "q72_repetition_signals",
+    "q73_length_percentiles", "q74_unigram_surprisal",
+    "q75_semantic_dedup", "q76_regional_market_share",
+    "q77_event_funnel", "q78_click_attribution",
+    "q79_small_qty_revenue", "q80_importance_weights",
+    "q81_scd2_intervals", "q82_near_dup_triangles",
+    "q83_winsorized_stats",
 )
-_R8_WINDOW = tuple(
-    n for n in (_R8_NEW + _R8_FILLERS) if n in REGISTRY
+_R9_WINDOW = tuple(
+    n for n in (_R9_NEW + _R9_FILLERS) if n in REGISTRY
 )[:50]
-_head = {n: REGISTRY[n] for n in _R8_WINDOW}
+_head = {n: REGISTRY[n] for n in _R9_WINDOW}
 _tail = {n: q for n, q in REGISTRY.items() if n not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

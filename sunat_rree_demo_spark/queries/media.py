@@ -2210,8 +2210,8 @@ _ST_L, _ST_R = 512, 256
 def q228_stereo_flac_energy(spark, sf_dir):
     """Frame energy through REAL **stereo-decorrelated FLAC** (r8 —
     closes the decoder's stereo gate): each document's chars become a
-    genuine two-channel stream (left = (a−79)·256, right =
-    (90−a)·128), and the channel ASSIGNMENT varies per doc —
+    genuine two-channel stream (left = (a−79)·``_ST_L``, right =
+    (90−a)·``_ST_R``, i.e. ·512 and ·256), and the channel ASSIGNMENT varies per doc —
     independent, left/side, side/right, mid/side by doc_id % 4 — so
     one query exercises all three decorrelation reconstructions plus
     the 17-bit SIDE-channel subframes with genuinely >int16 values

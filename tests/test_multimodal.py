@@ -1643,3 +1643,29 @@ def test_bmp_bitfields_round_trips_and_defaults():
     # encoder refuses overflowing levels
     with pytest.raises(ValueError, match="exceeds"):
         encode_bmp_bitfields(ch565 + 32, (0xF800, 0x07E0, 0x001F), 16)
+
+
+def test_tiff_deflate_trailing_garbage_is_loud():
+    """Review finding r9: a strip whose zlib stream inflates to
+    exactly the expected bytes but is followed by trailing garbage
+    inside the declared StripByteCounts must raise, matching the loud
+    length taxonomy of the other compressions (d.unused_data)."""
+    import struct
+    import zlib
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff_gray,
+    )
+
+    px = (b"abcdabcdefef" * 20)[:23 * 9]
+    sb = bytearray(encode_tiff_gray(px, 23, rows_per_strip=99))
+    i = sb.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", sb, i + 8, 8)  # declare Deflate
+    comp = zlib.compress(px) + b"!trailing-garbage"
+    assert len(comp) <= 23 * 9  # fits inside the uncompressed slot
+    sb[8:8 + len(comp)] = comp
+    i = sb.index(struct.pack("<HH", 279, 4))
+    struct.pack_into("<I", sb, i + 8, len(comp))
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_tiff_pixels(bytes(sb))

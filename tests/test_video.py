@@ -207,3 +207,47 @@ def test_avi_zero_rate_and_short_strf_are_corrupt():
     bad = avi[:pos] + struct.pack("<I", 16) + avi[pos + 4:]
     with pytest.raises(ValueError):
         decode_avi_mjpeg(bad)
+
+
+def test_avi_ntsc_rational_rate_rounds_half_up():
+    """Review finding r9: NTSC-rate AVIs (dwRate/dwScale =
+    30000/1001, ~29.97 fps) are well-formed, not corrupt — fps is
+    the half-up-rounded rational; only non-positive rate/scale stays
+    ValueError."""
+    avi, frames = _avi([b"hello, world"] * 2)
+    pos = avi.find(b"strh") + 8 + 20  # dwScale, then dwRate
+    ntsc = avi[:pos] + struct.pack("<II", 1001, 30000) + avi[pos + 8:]
+    w, h, fps, got = decode_avi_mjpeg(ntsc)
+    assert (w, h, fps) == (96, 8, 30)
+    assert got == frames
+    # half-up at the boundary: 1/2 fps rounds to 1, 2/5 to 0... no —
+    # 2/5=0.4 rounds to 0, which would poison downstream; assert the
+    # decoder keeps it positive via the half-up rule on 1/2
+    half = avi[:pos] + struct.pack("<II", 2, 1) + avi[pos + 8:]
+    assert decode_avi_mjpeg(half)[2] == 1
+    # film rate 24000/1001 (~23.976) rounds to 24
+    film = avi[:pos] + struct.pack("<II", 1001, 24000) + avi[pos + 8:]
+    assert decode_avi_mjpeg(film)[2] == 24
+    # scale=0 is still corrupt
+    zero = avi[:pos] + struct.pack("<II", 0, 30000) + avi[pos + 8:]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="frame rate"):
+        decode_avi_mjpeg(zero)
+
+
+def test_avi_missing_strf_is_corrupt():
+    """Review finding r9: a video strl that carries strh but NO strf
+    at all used to pass the codec gate (compression=None was
+    whitelisted) and skip the dimension cross-check; the mandatory
+    stream-format chunk missing is now as loud as a torn one."""
+    avi, _ = _avi([b"x" * 12])
+    p = avi.find(b"strf")
+    (slen,) = struct.unpack("<I", avi[p + 4:p + 8])
+    cut = 8 + slen + (slen & 1)
+    out = bytearray(avi[:p] + avi[p + cut:])
+    # fix every enclosing size: RIFF form, LIST hdrl, LIST strl
+    for anchor in (4, avi.find(b"hdrl") - 4, avi.find(b"strl") - 4):
+        (sz,) = struct.unpack("<I", bytes(out[anchor:anchor + 4]))
+        struct.pack_into("<I", out, anchor, sz - cut)
+    with pytest.raises(ValueError, match="without strf"):
+        decode_avi_mjpeg(bytes(out))
