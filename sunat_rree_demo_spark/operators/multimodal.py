@@ -1248,6 +1248,254 @@ def encode_gif_gray(pixels: bytes, width: int,
     return bytes(out)
 
 
+def decode_gif_frames(payload: bytes) \
+        -> tuple[int, int, int, list[bytes]] | None:
+    """(width, height, fps, frames) for an animated GIF — REAL
+    multi-frame decode with disposal/compositing state (the r8 poster
+    frame decoder only read the first image block): walks every image
+    descriptor, applies each frame's Graphic Control Extension —
+    transparency masks during the draw, disposal methods 0/1 (leave),
+    2 (restore rect to background) and 3 (restore to previous canvas)
+    between frames — and snapshots the FULL logical-screen RGB canvas
+    after each draw, so ``frames`` are renderer-visible composites,
+    not stored sub-rectangles.
+
+    The canvas starts as the global palette's background color (black
+    when there is no GCT — the common renderer convention for a
+    transparent start). ``fps`` is 100/delay rounded half-up from the
+    first GCE's delay in centiseconds; GIFs with no GCE delay (or
+    delay 0) report the 10 fps renderers substitute for the ~100 ms
+    default tick.
+
+    Returns None for non-GIF payloads; ValueError for corrupt streams
+    (bad block ids, truncated tables/sub-blocks, out-of-bounds frame
+    rects or palette indexes) — the decode_gif_pixels taxonomy."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    if not w or not h:
+        raise ValueError("empty GIF logical screen")
+    if gct is not None and bg * 3 + 3 <= len(gct):
+        bg_rgb = tuple(gct[bg * 3:bg * 3 + 3])
+    else:
+        bg_rgb = (0, 0, 0)
+    canvas = np.empty((h, w, 3), np.uint8)
+    canvas[:] = bg_rgb
+    frames = []
+    fps = None
+    pend = None  # (disposal, transparent_index_or_None, delay_cs)
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos + 1]
+            pos += 2
+            blocks = []
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunk = payload[pos + 1:pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("truncated GIF data sub-block")
+                blocks.append(chunk)
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if not blocks or len(blocks[0]) < 4:
+                    raise ValueError("short GIF graphic control block")
+                gp, delay, tidx = struct.unpack("<BHB", blocks[0][:4])
+                pend = ((gp >> 2) & 0x07,
+                        tidx if gp & 0x01 else None, delay)
+                if fps is None and delay:
+                    fps = (200 + delay) // (2 * delay)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, iw, ih, ip = struct.unpack(
+            "<HHHHB", payload[pos + 1:pos + 10])
+        pos += 10
+        pal = gct
+        if ip & 0x80:
+            n = 2 << (ip & 0x07)
+            pal = payload[pos:pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        if not iw or not ih:
+            raise ValueError("empty GIF image descriptor")
+        if left + iw > w or top + ih > h:
+            raise ValueError("GIF frame rect outside logical screen")
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before LZW data")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            chunk = payload[pos + 1:pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated GIF data sub-block")
+            data += chunk
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(data), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data short")
+        idx = idx[:iw * ih]
+        if ip & 0x40:  # interlaced rows arrive in 4 passes
+            rows = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+            order = [r for start, step in _GIF_PASSES
+                     for r in range(start, ih, step)]
+            seq = [b""] * ih
+            for src, dst in enumerate(order):
+                seq[dst] = rows[src]
+            idx = b"".join(seq)
+        arr = np.frombuffer(idx, np.uint8).reshape(ih, iw)
+        if int(arr.max()) * 3 + 3 > len(pal):
+            raise ValueError("GIF palette index out of range")
+        rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)[arr]
+        disposal, tidx, _delay = pend or (0, None, 0)
+        prev = canvas.copy() if disposal == 3 else None
+        rect = canvas[top:top + ih, left:left + iw]
+        if tidx is None:
+            rect[:] = rgb
+        else:
+            mask = arr != tidx
+            rect[mask] = rgb[mask]
+        frames.append(canvas.tobytes())
+        if disposal == 2:
+            canvas[top:top + ih, left:left + iw] = bg_rgb
+        elif disposal == 3:
+            canvas = prev
+        pend = None
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return (w, h, fps if fps is not None else 10, frames)
+
+
+def gif_frame_count(payload: bytes) -> int | None:
+    """Number of image blocks in a GIF — the cheap routing probe that
+    decides image-vs-video for a GIF without paying LZW decode: walk
+    the block sequence hopping palettes, extension sub-block chains
+    and data sub-block chains by their declared lengths, counting
+    0x2C image descriptors. Returns None for non-GIF payloads. This
+    is deliberately LOOSE on validation (it never inflates pixels) —
+    it may return a count for a payload whose full decode would raise,
+    and the decoder that receives the routed payload stays the loud
+    authority on corruption."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    count = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            break  # corrupt — leave the verdict to the decoder
+        if pos + 10 > len(payload):
+            break
+        ip = struct.unpack("<B", payload[pos + 9:pos + 10])[0]
+        pos += 10
+        if ip & 0x80:
+            pos += 3 * (2 << (ip & 0x07))
+        pos += 1  # LZW min code size
+        while pos < len(payload) and payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+        count += 1
+    return count
+
+
+def encode_gif_animation(frames: list[bytes], width: int,
+                         delay_cs: int = 5) -> bytes:
+    """Animated grayscale GIF encoder (the decode-test twin of
+    ``decode_gif_frames``): every frame is a full-logical-screen
+    image block under the identity 256-entry palette, preceded by a
+    Graphic Control Extension carrying ``delay_cs`` and disposal 1
+    (do not dispose), with a NETSCAPE2.0 loop block up front — the
+    layout ubiquitous real animations ship. decode(encode(frames))
+    returns each source byte as a (v,v,v) RGB sample. Sub-rectangle
+    frames, transparency and disposal 2/3 are pinned by handcrafted
+    bitstreams in tests (this encoder stays the simple device)."""
+    import struct
+
+    import struct
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    if width <= 0 or any(len(f) % width for f in frames):
+        raise ValueError("frames must be height x width bytes")
+    height = len(frames[0]) // width
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("all frames must share dimensions")
+    if width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("GIF dimensions must fit 16 bits")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", 0x04, delay_cs, 0) + b"\x00"  # disposal 1
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += b"\x08"
+        acc = nb = 0
+        codes = bytearray()
+
+        def put(code):
+            nonlocal acc, nb
+            acc |= code << nb
+            nb += 9
+            while nb >= 8:
+                codes.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        put(256)
+        for i, px in enumerate(fr):
+            if i and i % 254 == 0:
+                put(256)
+            put(px)
+        put(257)
+        if nb:
+            codes.append(acc & 0xFF)
+        for i in range(0, len(codes), 255):
+            blk = codes[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 # --------------------------------------------------------------- BMP pixels
 def _decode_bmp_rle(data: bytes, w: int, h: int, bpp: int):
     """BI_RLE8 / BI_RLE4 run-length decode (MS-WMF 2.1.1.7 escape
@@ -4110,12 +4358,19 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
     ``frame_no % every_n == 0`` (temporal sampling BEFORE any pixel
     work, so the skipped frames' entropy decode is never paid), and
     run each kept frame through the module's full JPEG pixel pipeline.
+    Animated GIFs (≥2 image blocks) are the second container (r9):
+    frames are the composited full-canvas RGB snapshots from
+    ``decode_gif_frames`` — there the sampler only bounds the OUTPUT,
+    because GIF compositing is a sequential disposal chain and every
+    frame must decode regardless (the honesty note the AVI cost lever
+    doesn't need). Single-frame GIFs stay images (the poster frame
+    belongs to ``image_pixel_stats``) and yield no video rows.
     Emits exact-integer (sum, min, max, count) per frame — the same
     half-up-mean contract as ``image_pixel_stats`` — plus the
     container's frame rate, so downstream can convert frame_no to a
     timestamp.
 
-    Degrade taxonomy (shared with the raster/audio paths): non-AVI
+    Degrade taxonomy (shared with the raster/audio paths): non-video
     payloads and honestly-gated codecs (non-MJPG handlers, gated JPEG
     variants inside a frame) yield NO rows for that media; corrupt
     containers or a non-JPEG body inside a 00dc chunk raise.
@@ -4146,29 +4401,41 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 if payload is None:
                     continue
+                raw = bytes(payload)
                 try:
-                    dec = decode_avi_mjpeg(bytes(payload))
+                    dec = decode_avi_mjpeg(raw)
                 except NotImplementedError:
                     continue  # gated codec: degrade, don't abort
-                if dec is None:
-                    continue  # not a video container at all
-                _w, _h, fps, frames = dec
                 media_rows = []
-                try:
-                    for fno in range(0, len(frames), every_n):
-                        f = decode_jpeg_pixels(frames[fno])
-                        if f is None:
-                            raise ValueError(
-                                "00dc chunk does not contain a JPEG")
-                        fw, fh, ch, px = f
-                        a = np.frombuffer(px, np.uint8)
+                if dec is not None:
+                    _w, _h, fps, frames = dec
+                    try:
+                        for fno in range(0, len(frames), every_n):
+                            f = decode_jpeg_pixels(frames[fno])
+                            if f is None:
+                                raise ValueError(
+                                    "00dc chunk does not contain a JPEG")
+                            fw, fh, ch, px = f
+                            a = np.frombuffer(px, np.uint8)
+                            media_rows.append(
+                                (mid, fno, fps, fw, fh, len(px),
+                                 int(a.sum(dtype=np.int64)),
+                                 int(a.min()) if a.size else None,
+                                 int(a.max()) if a.size else None))
+                    except NotImplementedError:
+                        continue  # a gated JPEG variant gates the video
+                else:
+                    anim = decode_gif_frames(raw)
+                    if anim is None or len(anim[3]) < 2:
+                        continue  # not a video container / poster frame
+                    gw, gh, fps, gframes = anim
+                    for fno in range(0, len(gframes), every_n):
+                        a = np.frombuffer(gframes[fno], np.uint8)
                         media_rows.append(
-                            (mid, fno, fps, fw, fh, len(px),
+                            (mid, fno, fps, gw, gh, a.size,
                              int(a.sum(dtype=np.int64)),
                              int(a.min()) if a.size else None,
                              int(a.max()) if a.size else None))
-                except NotImplementedError:
-                    continue  # a gated JPEG variant gates the video
                 rows.extend(media_rows)
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_no", "fps", "width", "height",

@@ -1,0 +1,190 @@
+"""Mixed-modality corpus curation (r9) — the composed end-to-end job
+a multimodal training-data pipeline runs over a crawl's media columns,
+wired from the engine's own operators (no reference counterpart; the
+orchestration analog of run_pipeline.py:64 for the media extension
+surface):
+
+    1. modality routing    (sniff_media_type magic bytes + the
+                            animated-GIF probe — a GIF with ≥2 image
+                            blocks is footage, not a picture)
+    2. per-modality dedup keys
+         image  → perceptual dHash        (multimodal.image_dhash)
+         audio  → frame-energy delta fp   (q223's device over
+                                           multimodal.pcm_frame_energy)
+         video  → frame-brightness fp     (multimodal.video_fingerprint
+                                           over video_frame_stats —
+                                           MJPEG-AVI and animated GIF)
+         text/other → exact content hash  (sha-256)
+    3. unified survivor election: min-id per key, across formats —
+       the same fold q230/q231/q235/q238 verify per modality
+    4. per-modality census summary
+
+Un-keyable items (gated codecs → null dHash, sub-8×9 images,
+single-frame footage, audio shorter than two frames) are NOT dropped:
+they take a per-item unique key and survive individually, counted in
+the summary's ``n_unkeyed`` — a dedup pass must never delete what it
+could not fingerprint.
+
+Scale: routing and every keyer are Arrow-batched mapInPandas passes
+at media grain — payloads never shuffle; the election shuffles only
+(id, modality, short key) rows, and the summary is a 4-group rollup.
+The per-modality keyers each scan only their routed slice (the
+filters all prune from ONE routing pass's output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from sunat_rree_demo_spark.operators.multimodal import (
+    gif_frame_count,
+    image_dhash,
+    pcm_frame_energy,
+    sniff_media_type,
+    video_fingerprint,
+    video_frame_stats,
+)
+
+#: routing classes, in census order
+MODALITIES = ("audio", "image", "text", "video")
+
+
+def route_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Adds a ``modality`` column from the payload's magic bytes —
+    the front-door routing decision of the curation job. GIFs are the
+    one container that needs more than magic bytes: an animated GIF
+    (≥2 image blocks, counted by the cheap no-LZW block walk
+    ``gif_frame_count``) routes as video, a single-frame GIF as
+    image. Anything without a known signature — including null
+    payloads — routes as text (the exact-hash modality): a crawl's
+    unknown bytes get exact dedup, never a decoder."""
+    import pandas as pd
+
+    def one(b) -> str:
+        if b is None:
+            return "text"
+        raw = bytes(b)
+        mt = sniff_media_type(raw)
+        if mt == "image/gif":
+            n = gif_frame_count(raw)
+            return "video" if n is not None and n >= 2 else "image"
+        fam = mt.split("/")[0]
+        return fam if fam in ("image", "audio", "video") else "text"
+
+    out_schema = T.StructType(
+        list(media.schema.fields)
+        + [T.StructField("modality", T.StringType(), False)])
+
+    def batches(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["modality"] = [one(b) for b in pdf["content"]]
+            yield pdf
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def _delta_sign_fp(frames: DataFrame, id_col: str, order_col: str,
+                   val_col: str) -> DataFrame:
+    """(id, fp) — the shared delta-sign fingerprint fold (q223's audio
+    device; ``video_fingerprint`` is the same fold over integer frame
+    means): bit i = 1 iff frame i's value < frame i+1's, packed
+    MSB-first into hex bytes. Pure JVM window + aggregate."""
+    byf = Window.partitionBy(id_col).orderBy(order_col)
+    return (
+        frames
+        .withColumn("_nxt", F.lead(val_col).over(byf))
+        .filter(F.col("_nxt").isNotNull())
+        .withColumn("_b", F.when(F.col(val_col) < F.col("_nxt"), 1)
+                    .otherwise(0))
+        .withColumn("_bi", (F.col(order_col) / 8).cast("bigint"))
+        .groupBy(id_col, "_bi")
+        .agg(F.sum(F.expr(
+            f"_b * shiftleft(1L, CAST(7 - {order_col} % 8 AS INT))"))
+            .alias("_byte"))
+        .groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_bi", "_byte"))),
+                lambda s: F.format_string("%02x", s["_byte"])),
+            "").alias("fp"))
+    )
+
+
+def media_dedup_keys(routed: DataFrame,
+                     id_col: str = "media_id",
+                     frame_ms: int = 20) -> DataFrame:
+    """(id, modality, dkey) for every routed media row. Keys are
+    prefixed per modality (``img:`` / ``aud:`` / ``vid:`` / ``txt:``)
+    so a routing slip can never fold across modalities; un-keyable
+    rows carry a NULL dkey (callers decide — ``curate_media`` gives
+    them per-item unique keys)."""
+    img = (
+        image_dhash(routed.filter(F.col("modality") == "image")
+                    .select(id_col, "content"))
+        .select(id_col,
+                F.concat(F.lit("img:"), "dhash").alias("dkey"))
+    )
+    aud = _delta_sign_fp(
+        pcm_frame_energy(routed.filter(F.col("modality") == "audio")
+                         .select(id_col, "content"),
+                         frame_ms=frame_ms),
+        id_col, "frame_no", "rms",
+    ).select(id_col, F.concat(F.lit("aud:"), "fp").alias("dkey"))
+    vid = (
+        video_fingerprint(
+            video_frame_stats(
+                routed.filter(F.col("modality") == "video")
+                .select(id_col, "content"), every_n=1),
+            id_col=id_col)
+        .select(id_col, F.concat(F.lit("vid:"), "fp").alias("dkey"))
+    )
+    txt = (
+        routed.filter(F.col("modality") == "text")
+        .select(id_col,
+                F.when(F.col("content").isNotNull(),
+                       F.concat(F.lit("txt:"), F.sha2("content", 256)))
+                .alias("dkey"))
+    )
+    keys = img.unionByName(aud).unionByName(vid).unionByName(txt)
+    return (
+        routed.select(id_col, "modality")
+        .join(keys, id_col, "left")
+    )
+
+
+def curate_media(media: DataFrame,
+                 id_col: str = "media_id",
+                 frame_ms: int = 20) -> DataFrame:
+    """One row per media item: (id, modality, dkey, keep_id,
+    is_survivor). The election is min-id per dedup key; items whose
+    modality keyer could not fingerprint them (NULL dkey) survive
+    individually under a per-item key."""
+    keyed = media_dedup_keys(route_media(media, id_col), id_col,
+                             frame_ms=frame_ms)
+    keyed = keyed.withColumn(
+        "_k", F.coalesce("dkey", F.concat(F.lit("uniq:"),
+                                          F.col(id_col))))
+    byk = Window.partitionBy("_k")
+    return (
+        keyed.withColumn("keep_id", F.min(id_col).over(byk))
+        .withColumn("is_survivor", F.col(id_col) == F.col("keep_id"))
+        .select(id_col, "modality", "dkey", "keep_id", "is_survivor")
+    )
+
+
+def curate_media_summary(curated: DataFrame,
+                         id_col: str = "media_id") -> DataFrame:
+    """Per-modality census of the curated corpus: items seen,
+    survivors kept, and how many were un-keyable (survived without a
+    fingerprint — the quarantine-shaped number to watch in a crawl)."""
+    return (
+        curated.groupBy("modality")
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.sum(F.col("is_survivor").cast("int")).cast("bigint")
+             .alias("n_survivors"),
+             F.sum(F.col("dkey").isNull().cast("int")).cast("bigint")
+             .alias("n_unkeyed"))
+        .orderBy("modality")
+    )

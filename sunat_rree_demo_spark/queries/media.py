@@ -3212,3 +3212,493 @@ def q235_video_dedup_funnel(spark, sf_dir):
                    .otherwise(0)).cast("bigint").alias("n_survivors"))
         .orderBy("variant")
     )
+
+
+#: q236 GIF-animation device: 22 chars per frame on an 11x2 canvas
+#: (width 11 — distinct from every other raster device), <=20 frames,
+#: per-doc GCE delay 4..8 cs so the fps rational round trip varies
+_GIFA_W = 11
+_GIFA_SPF = 22
+_GIFA_NF = 20
+
+
+@register(
+    "q236_gif_animation_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, least(length(s) // {_GIFA_SPF}, {_GIFA_NF})
+                          * {_GIFA_SPF}) AS s
+      FROM a WHERE length(s) >= 2 * {_GIFA_SPF}
+    ),
+    fr AS (
+      SELECT doc_id, s,
+             unnest(range(0, length(s) // {_GIFA_SPF})) AS f
+      FROM c
+    ),
+    v AS (
+      SELECT doc_id, f,
+             unnest(list_transform(range(1, {_GIFA_SPF} + 1),
+               i -> ascii(substr(s, CAST(f * {_GIFA_SPF} AS INT) + i,
+                                 1)))) AS val
+      FROM fr WHERE f % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_no,
+           CAST((200 + 4 + doc_id % 5)
+                // (2 * (4 + doc_id % 5)) AS INT) AS fps,
+           CAST({_GIFA_W} AS INT) AS width,
+           CAST(2 AS INT) AS height,
+           CAST(3 * {_GIFA_SPF} AS BIGINT) AS n_samples,
+           CAST((2 * 3 * sum(val) * 10000 + 3 * {_GIFA_SPF})
+                // (2 * 3 * {_GIFA_SPF}) AS DOUBLE) / 10000.0
+             AS mean_4dp,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "codec", "video", "gif"),
+)
+def q236_gif_animation_stats(spark, sf_dir):
+    """Sampled-frame pixel statistics through a REAL animated-GIF
+    encode→decode round trip (r9 — the last stdlib-feasible codec gap:
+    the r8 GIF decoder stopped at the poster frame; now every image
+    block decodes, composites under its Graphic Control Extension and
+    snapshots the full canvas): every second frame of each document's
+    animation is aggregated over its composited RGB samples, and the
+    fps recovered from the per-doc GCE delay (4–8 cs, a half-up
+    rational) rides along. The oracle computes the same stats straight
+    from the character slices at 3× sample weight (each gray char
+    becomes an (v,v,v) RGB pixel). An LZW slip, a disposal/compositing
+    bug, a delay→fps rounding error or a sampling off-by-one breaks
+    the hash.
+
+    Scale shape: one Arrow-batched encode pass and one decode pass at
+    media grain — GIF compositing is a sequential disposal chain, so
+    (unlike the AVI path) sampling bounds only the OUTPUT rows, not
+    the entropy decode; pixels never leave their task.
+
+    Reference parity: the reference has no media handling; this is
+    the multimodal extension surface (SURVEY.md §7.4)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_gif_animation,
+        video_frame_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, least(length(s) div {_GIFA_SPF}, "
+            f"{_GIFA_NF}) * {_GIFA_SPF})"))
+        .filter(F.length("s") >= 2 * _GIFA_SPF)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            b = s.encode("ascii")
+            frames = [b[k:k + _GIFA_SPF]
+                      for k in range(0, len(b), _GIFA_SPF)]
+            return encode_gif_animation(frames, _GIFA_W,
+                                        delay_cs=4 + mid % 5)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    fs = video_frame_stats(media, every_n=2)
+    return (
+        fs.select(
+            F.col("media_id").alias("doc_id"),
+            F.col("frame_no").cast("bigint").alias("frame_no"),
+            "fps", "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_4dp"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+_GV_VARIANTS = ("avi", "gif")
+
+
+@register(
+    "q238_gif_video_dedup",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, least(length(s) // {_VID_BPR}, {_VID_NF})
+                          * {_VID_BPR}) AS s
+      FROM a WHERE length(s) >= 2 * {_VID_BPR}
+    ),
+    fr AS (
+      SELECT doc_id, s,
+             unnest(range(0, length(s) // {_VID_BPR})) AS f
+      FROM c
+    ),
+    v AS (
+      SELECT doc_id, f,
+             unnest(list_transform(range(1, {_VID_BPR} + 1),
+               i -> ascii(substr(s, CAST(f * {_VID_BPR} AS INT) + i,
+                                 1)))) AS val
+      FROM fr
+    ),
+    g0 AS (
+      SELECT doc_id, f,
+             (1000 * sum(val)) // {_VID_BPR} AS m
+      FROM v GROUP BY doc_id, f
+    ),
+    d AS (
+      SELECT doc_id, f,
+             CASE WHEN m < lead(m) OVER w THEN 1 ELSE 0 END AS b,
+             lead(m) OVER w AS nxt
+      FROM g0 WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    byt AS (
+      SELECT doc_id, f // 8 AS bi,
+             sum(b * (1 << CAST(7 - f % 8 AS INT))) AS byte
+      FROM d WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                        '' ORDER BY bi) AS fp
+      FROM byt GROUP BY doc_id
+    ),
+    g AS (SELECT fp.fp, min(doc_id) AS keep_doc FROM fp GROUP BY 1),
+    m AS (
+      SELECT doc_id, fp, k,
+             CASE k WHEN 0 THEN 'avi' ELSE 'gif' END AS variant
+      FROM fp, (SELECT unnest(range(0, 2)) AS k)
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN k = 0 AND doc_id = g.keep_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM m JOIN g USING (fp)
+    GROUP BY variant ORDER BY variant
+    """,
+    tags=("media", "multimodal", "video", "gif", "dedup", "funnel"),
+)
+def q238_gif_video_dedup(spark, sf_dir):
+    """Cross-CONTAINER video dedup (r9): every document's footage
+    ships once as a Motion-JPEG AVI (5 fps, JPEG frames at 64×
+    sample weight) and once as an animated GIF (7 cs ticks, composited
+    RGB frames at 3× weight) — different container, different codec,
+    different frame rate, different color model. The frame-sequence
+    fingerprint (operators.multimodal.video_fingerprint) is invariant
+    to ALL of that by construction: the exact-integer milli-mean
+    (1000·sum div n) cancels both sample weights, and the delta-sign
+    bits ignore rate, so both muxes of a doc fold to ONE key, the
+    min-id election keeps the AVI, and the per-variant survivor
+    census is the proof. The oracle never sees a container: it
+    computes the fingerprint hex straight from the character slices.
+    One decoded pixel differing between the JPEG and the
+    LZW/compositing path anywhere breaks the fold.
+
+    Scale shape: one encode pass (two rows per doc), one demux+decode
+    pass, a media-grain fingerprint window, then a census over short
+    hex keys — pixels never shuffle (the q235 shape with the second
+    container swapped in)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_gif_animation,
+        encode_jpeg_gray_blocks,
+        video_fingerprint,
+        video_frame_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select("doc_id",
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, least(length(s) div {_VID_BPR}, "
+            f"{_VID_NF}) * {_VID_BPR})"))
+        .filter(F.length("s") >= 2 * _VID_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, variants, payloads = [], [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                b = s.encode("ascii")
+                chunks = [b[k:k + _VID_BPR]
+                          for k in range(0, len(b), _VID_BPR)]
+                ids.append(int(did) * 2)
+                variants.append("avi")
+                payloads.append(encode_avi_mjpeg(
+                    [encode_jpeg_gray_blocks(ch, _VID_BPR)
+                     for ch in chunks], _VID_BPR * 8, 8, fps=5))
+                ids.append(int(did) * 2 + 1)
+                variants.append("gif")
+                payloads.append(encode_gif_animation(
+                    chunks, _VID_BPR, delay_cs=7))
+            yield pd.DataFrame({
+                "media_id": ids, "variant": variants,
+                "content": payloads})
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("variant", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    fps = video_fingerprint(
+        video_frame_stats(media.select("media_id", "content"),
+                          every_n=1))
+    from pyspark.sql import Window
+
+    byfp = Window.partitionBy("fp")
+    elected = (
+        media.select("media_id", "variant")
+        .join(fps, "media_id")
+        .withColumn("_keep", F.min("media_id").over(byfp))
+    )
+    return (
+        elected.groupBy("variant")
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.sum(F.when(F.col("media_id") == F.col("_keep"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_survivors"))
+        .orderBy("variant")
+    )
+
+
+#: q237 mixed-corpus device: 72 printable chars per doc; modality by
+#: doc_id % 4; audio at rate 250 (SPF 5 -> 15 frames, 14 fp bits);
+#: text docs whose chars collide with a container magic are excluded
+#: from the device so the raw-bytes copy can never mis-sniff
+_MC_LEN = 72
+_MC_RATE = 250
+_MC_SPF = _MC_RATE * 20 // 1000  # pcm_frame_energy default frame_ms
+
+
+@register(
+    "q237_media_curation_summary",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                    1, {_MC_LEN}) AS s
+      FROM documents
+    ),
+    ok AS (SELECT doc_id, s FROM a WHERE length(s) = {_MC_LEN}),
+    img AS (
+      SELECT doc_id,
+             'img:' || array_to_string(list_transform(range(0, 8), r ->
+               printf('%02x', CAST(list_sum(list_transform(
+                 range(0, 8), c ->
+                 CASE WHEN ascii(substr(s, r * 9 + c + 1, 1))
+                           < ascii(substr(s, r * 9 + c + 2, 1))
+                      THEN 128 // (2 ** c) ELSE 0 END)) AS INT))), '')
+               AS dkey
+      FROM ok WHERE doc_id % 4 = 0
+    ),
+    av AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, {_MC_LEN} + 1),
+               i -> (ascii(substr(s, i, 1)) - 83) * 256)) AS smp,
+             unnest(range(0, {_MC_LEN})) AS pos
+      FROM ok WHERE doc_id % 4 = 1
+    ),
+    af AS (
+      SELECT doc_id, CAST(pos // {_MC_SPF} AS BIGINT) AS f,
+             sqrt(CAST(sum(CAST(smp AS BIGINT) * smp) AS DOUBLE)
+                  / count(*)) AS rms
+      FROM av GROUP BY 1, 2
+    ),
+    ad AS (
+      SELECT doc_id, f,
+             CASE WHEN rms < lead(rms) OVER w THEN 1 ELSE 0 END AS b,
+             lead(rms) OVER w AS nxt
+      FROM af WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    abyt AS (
+      SELECT doc_id, f // 8 AS bi,
+             sum(b * (1 << CAST(7 - f % 8 AS INT))) AS byte
+      FROM ad WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    afp AS (
+      SELECT doc_id,
+             'aud:' || string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                                  '' ORDER BY bi) AS dkey
+      FROM abyt GROUP BY doc_id
+    ),
+    vv AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, {_MC_LEN} + 1),
+               i -> ascii(substr(s, i, 1)))) AS val,
+             unnest(range(0, {_MC_LEN})) AS pos
+      FROM ok WHERE doc_id % 4 = 2
+    ),
+    vg AS (
+      SELECT doc_id, CAST(pos // {_VID_BPR} AS BIGINT) AS f,
+             (1000 * sum(val)) // {_VID_BPR} AS m
+      FROM vv GROUP BY 1, 2
+    ),
+    vd AS (
+      SELECT doc_id, f,
+             CASE WHEN m < lead(m) OVER w THEN 1 ELSE 0 END AS b,
+             lead(m) OVER w AS nxt
+      FROM vg WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    vbyt AS (
+      SELECT doc_id, f // 8 AS bi,
+             sum(b * (1 << CAST(7 - f % 8 AS INT))) AS byte
+      FROM vd WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    vfp AS (
+      SELECT doc_id,
+             'vid:' || string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                                  '' ORDER BY bi) AS dkey
+      FROM vbyt GROUP BY doc_id
+    ),
+    txt AS (
+      SELECT doc_id, 'txt:' || sha256(s) AS dkey
+      FROM ok
+      WHERE doc_id % 4 = 3
+        AND NOT (s LIKE 'BM%' OR s LIKE 'GIF8%' OR s LIKE 'fLaC%'
+                 OR s LIKE 'RIFF%' OR substr(s, 5, 4) = 'ftyp')
+    ),
+    keys AS (
+      SELECT * FROM img UNION ALL SELECT * FROM afp
+      UNION ALL SELECT * FROM vfp UNION ALL SELECT * FROM txt
+    ),
+    m AS (
+      SELECT doc_id * 2 + k AS media_id, dkey,
+             CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  WHEN 2 THEN 'video' ELSE 'text' END AS modality
+      FROM keys, (SELECT unnest(range(0, 2)) AS k)
+    ),
+    g AS (SELECT dkey, min(media_id) AS keep FROM m GROUP BY 1)
+    SELECT modality,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN media_id = g.keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
+           CAST(0 AS BIGINT) AS n_unkeyed
+    FROM m JOIN g USING (dkey)
+    GROUP BY modality ORDER BY modality
+    """,
+    tags=("media", "multimodal", "curation", "dedup", "end-to-end"),
+)
+def q237_media_curation_summary(spark, sf_dir):
+    """THE composed multimodal curation job (r9 — the media analogue
+    of q204's text funnel, closing the r8 verdict's top integration
+    gap): a MIXED corpus where every document ships two genuine copies
+    in one modality family — PNG+BMP images, WAV+FLAC audio (rate 250,
+    so the energy fingerprint carries 14 bits over 15 frames),
+    MJPEG-AVI + animated-GIF footage, or raw text bytes — flows
+    through ``plans.curate_media``: magic-byte routing (with the
+    animated-GIF-is-video probe), four REAL per-modality dedup keyers
+    (dHash / energy-delta fp / frame-brightness fp / sha-256), one
+    unified min-id election, and the per-modality survivor census.
+    The oracle recomputes every key straight from the characters and
+    never sees a container; a routing slip, any decoder regression in
+    any of the seven codecs involved, or an election drift breaks the
+    hash. Text docs whose characters begin with a container magic
+    ('BM', 'GIF8', 'RIFF', 'fLaC', 'ftyp' at offset 4) are excluded
+    by the DEVICE on both sides — raw bytes that sniff as media would
+    (correctly) route to a decoder and abort as corrupt, which is the
+    plan's honest taxonomy, not this census's subject.
+
+    Scale shape: one routing pass and four keyer passes, all
+    Arrow-batched at media grain with no payload shuffle; the
+    election shuffles (id, short key) rows; the census is a 4-group
+    rollup. Composition analog of reference run_pipeline.py:64."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_bmp_gray,
+        encode_flac_pcm16,
+        encode_gif_animation,
+        encode_jpeg_gray_blocks,
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+    from sunat_rree_demo_spark.plans.curate_media import (
+        curate_media,
+        curate_media_summary,
+    )
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select("doc_id",
+                 F.expr("substring(regexp_replace(text, '[^ -~]', '')"
+                        f", 1, {_MC_LEN})").alias("s"))
+        .filter(F.length("s") == _MC_LEN)
+        .filter((F.col("doc_id") % 4 != 3)
+                | ~(F.col("s").startswith("BM")
+                    | F.col("s").startswith("GIF8")
+                    | F.col("s").startswith("fLaC")
+                    | F.col("s").startswith("RIFF")
+                    | (F.substring("s", 5, 4) == "ftyp")))
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(did: int, s: str) -> list:
+            b = s.encode("ascii")
+            m = did % 4
+            if m == 0:
+                return [encode_png_gray(b, 9), encode_bmp_gray(b, 9)]
+            if m == 1:
+                smp = (np.frombuffer(b, np.uint8)
+                       .astype(np.int64) - 83) * 256
+                return [encode_wav_pcm16(smp, rate=_MC_RATE),
+                        encode_flac_pcm16(smp, rate=_MC_RATE)]
+            if m == 2:
+                chunks = [b[k:k + _VID_BPR]
+                          for k in range(0, len(b), _VID_BPR)]
+                return [
+                    encode_avi_mjpeg(
+                        [encode_jpeg_gray_blocks(c, _VID_BPR)
+                         for c in chunks], _VID_BPR * 8, 8, fps=5),
+                    encode_gif_animation(chunks, _VID_BPR,
+                                         delay_cs=7)]
+            return [b, b]
+
+        for pdf in it:
+            ids, payloads = [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                for k, p in enumerate(mk(int(did), s)):
+                    ids.append(int(did) * 2 + k)
+                    payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return curate_media_summary(curate_media(media))

@@ -1,21 +1,30 @@
 """Streaming PERCEPTUAL media dedup: the multimodal member of the
-streaming-ingest family (r8) — media batches arrive, each image is
-decoded for real and keyed by its 64-bit dHash
-(operators.multimodal.image_dhash), and only hashes never committed
-before survive. Because dHash collapses re-encodes, format changes and
-resolution changes of the same picture to ONE key (the q230-verified
-contract), the exact equi-anti-join against the committed hash store is
-already a NEAR-duplicate gate — no banded Hamming pass is needed for
-the dominant duplicate class a crawl actually ships (the same image
-re-hosted in a different container). Distance-1..3 perturbed variants
-are the batch job's territory (``dhash_hamming_pairs``); this stream
-keeps ingest O(batch).
+streaming-ingest family (r8; video keys r9) — media batches arrive,
+each payload is routed by magic bytes (plans.curate_media.route_media,
+including the animated-GIF-is-video probe), images are decoded for
+real and keyed by their 64-bit dHash
+(operators.multimodal.image_dhash), and VIDEOS (Motion-JPEG AVI and
+animated GIF, ≥2 frames) by their frame-brightness fingerprint
+(operators.multimodal.video_fingerprint, stored under a ``v:`` prefix
+so a video key can never collide with a bare 16-hex image key); only
+keys never committed before survive. Because dHash collapses
+re-encodes, format changes and resolution changes of the same picture
+to ONE key (the q230-verified contract), and the video fingerprint
+collapses re-muxed/re-coded/re-rated footage the same way (the
+q235/q238 contract), the exact equi-anti-join against the committed
+key store is already a NEAR-duplicate gate — no banded Hamming pass
+is needed for the dominant duplicate class a crawl actually ships
+(the same media re-hosted in a different container). Distance-1..3
+perturbed variants are the batch job's territory
+(``dhash_hamming_pairs``); this stream keeps ingest O(batch).
 
 Per micro-batch:
 
-1. decode + dHash every payload (one Arrow pass; undecodable or
-   sub-grid media yield a null hash and pass through ungated — a
-   router, not a black hole);
+1. route + decode + key every payload (Arrow passes; undecodable,
+   sub-grid, single-frame-footage, audio and text media yield a null
+   key and pass through ungated — a router, not a black hole;
+   exact-digest gates own the bytes the perceptual keyers cannot
+   see);
 2. keep the min-id row per hash WITHIN the batch;
 3. anti-join the committed hash store — survivors are genuinely new
    pictures;
@@ -26,12 +35,14 @@ Exactly-once: a committed batch id short-circuits; a crash replay
 recomputes identical partitions from committed state only and
 overwrites them byte-identically.
 
-EXACTNESS: the drained kept set equals the batch-global dHash dedup
-(min-id election) row-for-row when files arrive in ascending-id order —
-pinned by tests/test_media_stream.py, including a cross-format
-duplicate arriving in a LATER batch than its original.
+EXACTNESS: the drained kept set equals the batch-global perceptual
+dedup (min-id election over the same keys) row-for-row when files
+arrive in ascending-id order — pinned by tests/test_media_stream.py,
+including a cross-format image duplicate AND a re-muxed video
+duplicate (AVI → animated GIF) arriving in a LATER batch than their
+originals.
 
-Scale: the store holds 16-hex-char keys, never pixels; the per-batch
+Scale: the store holds short hex keys, never pixels or frames; the per-batch
 anti-join is broadcast-sized on the batch side. When the store outgrows
 a plain scan, bucket it on the hash (operators.dedup_index's layout).
 """
@@ -45,9 +56,45 @@ from sunat_rree_demo_spark.operators.dedup_index import (
     clear_commit_marker,
     committed_partition_dirs,
 )
-from sunat_rree_demo_spark.operators.multimodal import image_dhash
+from sunat_rree_demo_spark.operators.multimodal import (
+    image_dhash,
+    video_fingerprint,
+    video_frame_stats,
+)
+from sunat_rree_demo_spark.plans.curate_media import route_media
 
 BATCH_COL = "batch_id"
+
+
+def perceptual_keys(batch_df: DataFrame,
+                    id_col: str = "media_id") -> DataFrame:
+    """(id_col, dhash) for every input row: image rows carry their
+    bare 16-hex dHash (the r8 store format, unchanged on disk), video
+    rows carry ``v:`` + the frame-sequence fingerprint (r9 — the
+    fourth modality's streaming key), everything else NULL. One
+    routing pass feeds both keyers; rows neither keyer can fingerprint
+    (gated codecs, sub-grid images, single-frame footage) keep NULL
+    through the left join."""
+    routed = route_media(
+        batch_df.select(F.col(id_col).alias("media_id"), "content"))
+    img = (
+        image_dhash(routed.filter(F.col("modality") == "image")
+                    .select("media_id", "content"))
+        .select("media_id", "dhash")
+    )
+    vid = (
+        video_fingerprint(
+            video_frame_stats(
+                routed.filter(F.col("modality") == "video")
+                .select("media_id", "content"), every_n=1))
+        .select("media_id",
+                F.concat(F.lit("v:"), "fp").alias("dhash"))
+    )
+    return (
+        routed.select("media_id")
+        .join(img.unionByName(vid), "media_id", "left")
+        .select(F.col("media_id").alias(id_col), "dhash")
+    )
 
 
 def media_batch_committed(spark: SparkSession, store_path: str,
@@ -75,17 +122,16 @@ def process_media_batch(spark: SparkSession, batch_df: DataFrame,
     """One idempotent micro-batch of the perceptual dedup gate.
 
     ``batch_df`` needs (id_col, content). Kept rows carry
-    (id_col, dhash nullable): hashable images survive iff their hash
-    is new to (store ∪ earlier-in-batch); null-hash rows (audio,
-    junk, sub-grid images) are KEPT ungated — a perceptual gate must
-    never eat what it cannot see, downstream exact-digest gates own
-    those."""
+    (id_col, dhash nullable): keyable media (images by dHash, videos
+    by ``v:``-prefixed fingerprint) survive iff their key is new to
+    (store ∪ earlier-in-batch); null-key rows (audio, junk, sub-grid
+    images, single-frame footage) are KEPT ungated — a perceptual
+    gate must never eat what it cannot see, downstream exact-digest
+    gates own those."""
     if media_batch_committed(spark, store_path, batch_id):
         return
     hashed = (
-        image_dhash(batch_df.select(F.col(id_col).alias("media_id"),
-                                    "content"))
-        .select(F.col("media_id").alias(id_col), "dhash")
+        perceptual_keys(batch_df, id_col)
         .localCheckpoint()  # decode once: feeds both routes + writes
     )
     gated = (

@@ -147,3 +147,129 @@ def test_media_batch_replay_is_idempotent(spark, tmp_path,
     process_media_batch(spark, b2, 1, store)
     assert sorted((r.media_id, r.dhash)
                   for r in load_kept(spark, store).collect()) == before
+
+
+# ---------------------------------------------------------------- r9: video
+@pytest.fixture(scope="module")
+def video_three_files(spark, tmp_path_factory):
+    """Three id-ordered parquet files of FOOTAGE: file 1 ships AVI
+    originals; file 2 re-ships clip 0 as an animated GIF (the q238
+    cross-container duplicate) plus a fresh clip and a single-frame
+    GIF (an IMAGE, not footage); file 3 re-ships clip 1 re-RATED
+    (different fps, same frames) plus junk."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_gif_animation,
+        encode_gif_gray,
+        encode_jpeg_gray_blocks,
+    )
+
+    rng = np.random.RandomState(31)
+    clips = [[bytes(rng.randint(32, 127, 12, dtype=np.uint8)
+                    .astype(np.uint8)) for _ in range(5)]
+             for _ in range(4)]
+
+    def avi(ci, fps=5):
+        return encode_avi_mjpeg(
+            [encode_jpeg_gray_blocks(f, 12) for f in clips[ci]],
+            96, 8, fps=fps)
+
+    d = tmp_path_factory.mktemp("video_stream")
+
+    def write(name, rows):
+        ids, payloads = zip(*rows)
+        pq.write_table(pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "content": pa.array(payloads, pa.binary())}), d / name)
+
+    write("part1.parquet", [(0, avi(0)), (1, avi(1))])
+    write("part2.parquet",
+          [(100, encode_gif_animation(clips[0], 12, delay_cs=7)),
+           (110, avi(2)),
+           (120, encode_gif_gray(bytes(rng.randint(
+               32, 127, 72, dtype=np.uint8).astype(np.uint8)), 9))])
+    write("part3.parquet",
+          [(200, avi(1, fps=9)), (210, avi(3)), (220, b"junk")])
+    base = time.time() - 60
+    for k, name in enumerate(("part1.parquet", "part2.parquet",
+                              "part3.parquet")):
+        os.utime(d / name, (base + k, base + k))
+    return str(d)
+
+
+def test_streamed_video_dedup_equals_batch_global(spark, tmp_path,
+                                                  video_three_files):
+    """The fourth modality's streaming twin (r9): the drained kept set
+    equals the batch-global perceptual dedup over the SAME keys —
+    re-muxed (AVI→GIF) and re-rated duplicates arriving in later
+    batches fold; the single-frame GIF routes as an image and the
+    junk passes ungated."""
+    from sunat_rree_demo_spark.streaming.media_stream import (
+        load_gate_stats,
+        load_kept,
+        perceptual_keys,
+        run_media_dedup_stream,
+    )
+
+    store = str(tmp_path / "video_store")
+    run_media_dedup_stream(spark, _stream(spark, video_three_files),
+                           store)
+    kept = load_kept(spark, store)
+    got = {r.media_id for r in kept.collect()}
+
+    full = spark.read.parquet(video_three_files)
+    keyed = perceptual_keys(full)
+    want = {r.media_id for r in
+            keyed.filter("dhash IS NOT NULL").groupBy("dhash")
+            .agg(F.min("media_id").alias("media_id")).collect()} \
+        | {r.media_id for r in keyed.filter("dhash IS NULL").collect()}
+    assert got == want and want
+
+    # the cross-container and re-rated re-ships folded away
+    assert {100, 200}.isdisjoint(got)
+    # originals, the fresh clips, the poster-frame image, junk: kept
+    assert {0, 1, 110, 120, 210, 220} <= got
+    # video keys are v:-prefixed; the poster image's key is bare hex
+    keys = {r.media_id: r.dhash for r in kept.collect()}
+    assert keys[0].startswith("v:") and keys[210].startswith("v:")
+    assert keys[120] is not None and not keys[120].startswith("v:")
+    assert keys[220] is None
+
+    stats = {r.batch_id: r for r in
+             load_gate_stats(spark, store).collect()}
+    assert stats[0].n_kept == 2
+    assert stats[1].n_kept == 2      # GIF re-ship of clip 0 dropped
+    assert stats[2].n_kept == 2      # re-rated clip 1 dropped
+    assert stats[2].n_ungated == 1   # the junk payload
+
+
+def test_video_batch_replay_is_idempotent(spark, tmp_path,
+                                          video_three_files):
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        clear_commit_marker,
+    )
+    from sunat_rree_demo_spark.streaming.media_stream import (
+        load_kept,
+        media_batch_committed,
+        process_media_batch,
+    )
+
+    store = str(tmp_path / "video_store_replay")
+    b1 = spark.read.parquet(f"{video_three_files}/part1.parquet")
+    b2 = spark.read.parquet(f"{video_three_files}/part2.parquet")
+    process_media_batch(spark, b1, 0, store)
+    process_media_batch(spark, b2, 1, store)
+    before = sorted((r.media_id, r.dhash)
+                    for r in load_kept(spark, store).collect())
+    assert media_batch_committed(spark, store, 1)
+    process_media_batch(spark, b2, 1, store)  # short-circuit
+    clear_commit_marker(spark, f"{store}/kept/batch_id=1")
+    process_media_batch(spark, b2, 1, store)  # torn-state replay
+    assert sorted((r.media_id, r.dhash)
+                  for r in load_kept(spark, store).collect()) == before
