@@ -52,7 +52,8 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
            min_log_ratio: float | None = None,
            max_chunk_dup_frac: float | None = None,
            chunk_n: int = 8,
-           budget: int = 256, shards: int = 16) -> DataFrame:
+           budget: int = 256, shards: int = 16,
+           arr: DataFrame | None = None) -> DataFrame:
     """One row per surviving doc: (id, quality, split, shard,
     n_tokens, first_chunk, n_chunks). Deterministic end to end.
 
@@ -70,7 +71,16 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     the threshold, so neither path's edge set contains the other's.
     Default False keeps the estimate-based gate (and its invariant
     that NO estimated pair survives, which the exact path deliberately
-    relaxes)."""
+    relaxes).
+
+    ``arr`` — optional pre-materialized (id, shingles) arrays for the
+    WHOLE corpus (the session-memoized frame q40/q41/q205 share).
+    Shingles are doc-local, so filtering them to the survivor set
+    with a semi-join yields signatures identical to re-shingling the
+    survivors — the near-dup stage then skips the corpus's most
+    expensive Python pass (r9 shave; the q204 A/B in
+    bench_detail.json records the ratio). Only honored on the
+    estimate path (``exact_verify=False``)."""
     scored = docs.withColumn(
         "quality", quality_score(tokens(F.col(text_col))))
 
@@ -117,9 +127,16 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
 
     # 4-5. near-dup clustering on the survivors; keep the best-quality
     # doc per cluster (docs in no cluster survive by default)
-    pair_fn = verified_near_dup_pairs if exact_verify else minhash_lsh_pairs
-    edges = pair_fn(kept, id_col, text_col,
-                    threshold=near_dup_threshold).select("id1", "id2")
+    if arr is not None and not exact_verify:
+        kept_arr = arr.join(kept.select(id_col), id_col, "left_semi")
+        edges = minhash_lsh_pairs(
+            kept, id_col, text_col, threshold=near_dup_threshold,
+            arr=kept_arr).select("id1", "id2")
+    else:
+        pair_fn = (verified_near_dup_pairs if exact_verify
+                   else minhash_lsh_pairs)
+        edges = pair_fn(kept, id_col, text_col,
+                        threshold=near_dup_threshold).select("id1", "id2")
     return elect_and_pack(kept, edges, id_col, text_col,
                           budget=budget, shards=shards)
 
@@ -133,10 +150,21 @@ def elect_and_pack(kept: DataFrame, edges: DataFrame,
     drift: cluster the near-dup ``edges`` (id1, id2 over ``kept`` ids),
     keep the best-quality doc per cluster (id tiebreak), split
     deterministically, pack per split. ``kept`` must carry a
-    ``quality`` column."""
+    ``quality`` column.
+
+    Materialization discipline (r9 shave): the NARROW node-grain
+    (id, quality) projection is localCheckpointed once — the same
+    grain the CC labels already hold, so this adds no new scale
+    class — and the election/split/output branches all read it.
+    Without it the final job evaluated the whole upstream survivor
+    chain (quality scoring + exact dedup over full text) once per
+    branch. The text column itself is never checkpointed: it flows
+    into the packing pass exactly once, preserving the plan's
+    no-second-corpus-copy design."""
     labels = connected_components(edges)
+    kq = kept.select(id_col, "quality").localCheckpoint()
     losers = (
-        labels.join(kept.select(F.col(id_col).alias("node"), "quality"),
+        labels.join(kq.select(F.col(id_col).alias("node"), "quality"),
                     "node")
         .withColumnRenamed("node", id_col)
         .withColumn("_rn", F.row_number().over(
@@ -144,20 +172,25 @@ def elect_and_pack(kept: DataFrame, edges: DataFrame,
                                                F.asc(id_col))))
         .filter(F.col("_rn") > 1)
         .select(id_col)
+        .localCheckpoint()  # bounded by dup-cluster membership
     )
-    kept = kept.join(losers, id_col, "left_anti")
 
-    # 6. deterministic split (operators.text.hash_split — the single
-    # source of the recipe, shared with q62)
-    kept = kept.withColumn("split", hash_split(F.col(id_col)))
+    survivors = kq.join(losers, id_col, "left_anti")
 
-    # 7. pack surviving docs into training chunks, partitioned by split
-    # so train/validation/test pack into DISJOINT chunk streams — a
-    # training chunk must never straddle eval tokens
-    packed = pack_sequences(kept, id_col, text_col, budget=budget,
-                            shards=shards, partition_by=("split",))
+    # 6.-7. deterministic split (operators.text.hash_split — the
+    # single source of the recipe, shared with q62), then pack
+    # surviving docs into training chunks, partitioned by split so
+    # train/validation/test pack into DISJOINT chunk streams — a
+    # training chunk must never straddle eval tokens. This is the one
+    # branch that reads the text column (once); the split column
+    # reaches the output through pack_sequences' passthrough.
+    packed = pack_sequences(
+        kept.join(losers, id_col, "left_anti")
+        .withColumn("split", hash_split(F.col(id_col))),
+        id_col, text_col, budget=budget, shards=shards,
+        partition_by=("split",))
     return (
-        kept.select(id_col, "quality")
+        survivors
         .join(packed, id_col)
         .select(id_col, "quality", "split", "shard", "n_tokens",
                 "first_chunk", "n_chunks")

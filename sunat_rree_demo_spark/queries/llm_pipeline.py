@@ -700,11 +700,16 @@ def q204_curation_summary(spark, sf_dir):
     Scale shape: the plan is the operators' own (broadcast gates,
     banded LSH shuffle on survivors, bounded election windows,
     per-shard packing sorts) — a filter chain over the corpus that
-    never materializes a second copy."""
+    never materializes a second copy. The near-dup stage derives its
+    signatures from the session-memoized shingle arrays (shared with
+    q40/q41/q205, semi-joined to the survivor set — identical
+    signatures, r9 shave) instead of re-shingling."""
     from sunat_rree_demo_spark.plans.curate import curate, curate_summary
+    from sunat_rree_demo_spark.queries.dedup import corpus_shingle_arrays
 
     d = t(spark, sf_dir, "documents")
-    return curate_summary(curate(d))
+    return curate_summary(
+        curate(d, arr=corpus_shingle_arrays(spark, sf_dir)))
 
 
 # --------------------------------------------------------------------- q205

@@ -717,3 +717,41 @@ def test_video_frame_pass_no_shuffle_and_one_window(spark):
                if "Exchange" in ln) == 1, plan2
     assert "hashpartitioning(media_id" in plan2, plan2
     assert len(re.findall(r"\(\d+\) MapInPandas", plan2)) == 1
+
+
+def test_minhash_absorb_never_rescans_index(spark, tmp_path):
+    """absorb_batch is O(batch) by construction: it signatures only
+    its own docs and overwrites only its own partition directories —
+    it must succeed with the ENTIRE existing index moved away. Any
+    implementation that rescanned absorbed batches would throw here,
+    and at scale would turn per-batch ingest from O(batch) into
+    O(index) (the r9 lifecycle probe's measured claim,
+    scripts/scale_probe_index.py)."""
+    import shutil
+
+    from sunat_rree_demo_spark.operators.dedup_index import (
+        absorb_batch,
+        batch_committed,
+        write_minhash_index,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "text").limit(40)
+    path = str(tmp_path / "mh_norescan")
+    write_minhash_index(docs, path)
+    hidden = str(tmp_path / "hidden")
+    shutil.move(path, hidden)
+    batch = docs.selectExpr("doc_id + 1000000 AS doc_id", "text") \
+        .limit(10)
+    absorb_batch(batch, path, batch_id=5)  # index gone: must not care
+    assert batch_committed(spark, path, 5)
+    # restore the original batch dirs alongside the new one — the
+    # store must read whole again (the bootstrap's marker is the
+    # table-level _SUCCESS, so read the data back instead)
+    for table in ("sigs", "bands"):
+        shutil.move(f"{hidden}/{table}/batch_id=-1",
+                    f"{path}/{table}/batch_id=-1")
+    got = (spark.read.parquet(f"{path}/sigs")
+           .select("batch_id").distinct().collect())
+    assert {r.batch_id for r in got} == {-1, 5}
