@@ -77,10 +77,14 @@ SANCTIONED_TWINS = {
                   "of serving a 0.03s memoized plan",
         "sanctioned": "r7", "last_ab": "2026-08-15"},
     "q204_curation_summary": {
-        "reason": "documented-eager composed funnel — repeats the "
-                  "member operators' Python shingling the DuckDB "
-                  "twin also pays", "sanctioned": "r7",
-        "last_ab": "2026-08-15"},
+        "reason": "documented-eager composed funnel (CC election "
+                  "loop); r9 shave: signatures derive from the "
+                  "session-memoized shingle arrays (survivor "
+                  "semi-join) + one node-grain checkpoint — A/B "
+                  "10.9s -> 6.4s warm same box/session; residual is "
+                  "the eager CC rounds + per-branch quality chain "
+                  "the DuckDB recursive twin also pays",
+        "sanctioned": "r7", "last_ab": "2026-08-16"},
     "q205_lsh_eval": {
         "reason": "documented-eager detector eval (recomputes LSH "
                   "candidates + exhaustive truth per call)",

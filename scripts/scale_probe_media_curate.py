@@ -22,13 +22,18 @@ def main():
     from sunat_rree_demo_spark.session import get_spark, tune
 
     spark = tune(get_spark())
-    fn = REGISTRY["q237_media_curation_summary"].fn
+    # __wrapped__ bypasses the plan memo: a memoized DataFrame's
+    # re-collect reuses the session's shuffle files and skips the
+    # encode/decode stages entirely — the probe must pay the real
+    # funnel every run
+    fn = REGISTRY["q237_media_curation_summary"].fn.__wrapped__
+    fn(spark, "/root/testdata/sf0.01").collect()  # session warmup
     print("| scale | run | wall | rows |", flush=True)
     print("|---|---|---|---|", flush=True)
     walls = {}
     for scale, sf in (("1x", "/root/testdata/sf0.01"),
                       ("10x", "/root/testdata/sf0.1")):
-        for run in ("cold", "warm"):
+        for run in ("fresh1", "fresh2"):
             t0 = time.time()
             out = fn(spark, sf).collect()
             dt = time.time() - t0
@@ -36,8 +41,8 @@ def main():
             n = sum(r["n_items"] for r in out)
             print(f"| {scale} | {run} | {dt:.2f} s | {n} media |",
                   flush=True)
-    print(f"\nwarm ratio (10x / 1x): "
-          f"{walls[('10x', 'warm')] / walls[('1x', 'warm')]:.2f}x",
+    print(f"\nfresh-plan ratio (10x / 1x, second runs): "
+          f"{walls[('10x', 'fresh2')] / walls[('1x', 'fresh2')]:.2f}x",
           flush=True)
 
 

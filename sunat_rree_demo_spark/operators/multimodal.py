@@ -325,9 +325,13 @@ def decode_video_meta(payload: bytes) \
 def extract_video_meta(media: DataFrame) -> DataFrame:
     """Video metadata extraction — same Arrow-batched mapInPandas shape
     as ``extract_audio_meta``: ISO-BMFF containers parse for real
-    (stdlib box walk), and Motion-JPEG AVIs demux for real (r8 —
-    duration from frame count / rate, ``timescale`` carries the fps);
-    other containers yield NULL metadata rather than fakes."""
+    (stdlib box walk), Motion-JPEG AVIs demux for real (r8 —
+    duration from frame count / rate, ``timescale`` carries the fps),
+    and animated GIFs (≥2 image blocks) report duration/fps/dims from
+    the no-LZW header walk (r9, ``gif_anim_meta`` — metadata must
+    never pay pixel decode; single-frame GIFs are images and yield
+    NULL here); other containers yield NULL metadata rather than
+    fakes."""
     import pandas as pd
 
     def one(b: bytes):
@@ -339,7 +343,11 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
         except NotImplementedError:
             return None  # gated codec: metadata-null, not an abort
         if avi is None:
-            return None
+            anim = gif_anim_meta(b)
+            if anim is None or anim[3] < 2:
+                return None
+            w, h, fps, n = anim
+            return (n * 1000 // fps, fps, w, h)
         w, h, fps, frames = avi
         return (len(frames) * 1000 // fps, fps, w, h)
 
@@ -1389,33 +1397,48 @@ def decode_gif_frames(payload: bytes) \
     return (w, h, fps if fps is not None else 10, frames)
 
 
-def gif_frame_count(payload: bytes) -> int | None:
-    """Number of image blocks in a GIF — the cheap routing probe that
-    decides image-vs-video for a GIF without paying LZW decode: walk
-    the block sequence hopping palettes, extension sub-block chains
-    and data sub-block chains by their declared lengths, counting
-    0x2C image descriptors. Returns None for non-GIF payloads. This
+def gif_anim_meta(payload: bytes) \
+        -> tuple[int, int, int, int] | None:
+    """(width, height, fps, n_frames) for a GIF — the cheap
+    metadata/routing walk that never pays LZW decode: hop palettes,
+    extension sub-block chains and data sub-block chains by their
+    declared lengths, counting 0x2C image descriptors and reading the
+    first Graphic Control Extension's delay for the frame rate (the
+    same half-up rational + 10 fps default-tick convention as
+    ``decode_gif_frames``). Returns None for non-GIF payloads. This
     is deliberately LOOSE on validation (it never inflates pixels) —
-    it may return a count for a payload whose full decode would raise,
+    it may return counts for a payload whose full decode would raise,
     and the decoder that receives the routed payload stays the loud
     authority on corruption."""
     import struct
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
+    w, h = struct.unpack("<HH", payload[6:10])
     packed = payload[10]
     pos = 13
     if packed & 0x80:
         pos += 3 * (2 << (packed & 0x07))
     count = 0
+    fps = None
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:
             break
         if b0 == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
             pos += 2
+            first = True
             while pos < len(payload) and payload[pos]:
-                pos += 1 + payload[pos]
+                ln = payload[pos]
+                if (first and label == 0xF9 and fps is None
+                        and ln >= 4 and pos + 4 <= len(payload)):
+                    (delay,) = struct.unpack(
+                        "<H", payload[pos + 2:pos + 4])
+                    if delay:
+                        fps = (200 + delay) // (2 * delay)
+                first = False
+                pos += 1 + ln
             pos += 1
             continue
         if b0 != 0x2C:
@@ -1431,7 +1454,15 @@ def gif_frame_count(payload: bytes) -> int | None:
             pos += 1 + payload[pos]
         pos += 1
         count += 1
-    return count
+    return (w, h, fps if fps is not None else 10, count)
+
+
+def gif_frame_count(payload: bytes) -> int | None:
+    """Number of image blocks in a GIF — the routing probe that
+    decides image-vs-video for a GIF (see ``gif_anim_meta`` for the
+    walk's contract). Returns None for non-GIF payloads."""
+    meta = gif_anim_meta(payload)
+    return None if meta is None else meta[3]
 
 
 def encode_gif_animation(frames: list[bytes], width: int,

@@ -211,3 +211,37 @@ def test_gif_and_avi_fingerprints_fold_to_one_key(spark):
     fps = video_fingerprint(video_frame_stats(df, every_n=1)).collect()
     assert len(fps) == 2
     assert fps[0]["fp"] == fps[1]["fp"]
+
+
+def test_gif_anim_meta_walks_without_decode():
+    from sunat_rree_demo_spark.operators.multimodal import (
+        gif_anim_meta,
+    )
+
+    anim = encode_gif_animation([b"abcd" * 3, b"efgh" * 3], 12,
+                                delay_cs=4)
+    assert gif_anim_meta(anim) == (12, 1, 25, 2)
+    poster = encode_gif_gray(b"abcdabcd", 4)
+    assert gif_anim_meta(poster) == (4, 2, 10, 1)  # no GCE: 10 fps
+    assert gif_anim_meta(b"junk") is None
+    # delay 0 -> default renderer tick
+    z = encode_gif_animation([b"ab", b"cd"], 2, delay_cs=0)
+    assert gif_anim_meta(z)[2] == 10
+
+
+def test_extract_video_meta_covers_animated_gif(spark):
+    from sunat_rree_demo_spark.operators.multimodal import (
+        extract_video_meta,
+    )
+
+    anim = encode_gif_animation([b"x" * 12] * 6, 12, delay_cs=5)
+    poster = encode_gif_gray(b"abcdabcd", 4)
+    df = spark.createDataFrame(
+        [(1, "image/gif", bytearray(anim)),
+         (2, "image/gif", bytearray(poster))],
+        "media_id long, media_type string, content binary")
+    rows = {r.media_id: r for r in extract_video_meta(df).collect()}
+    # 6 frames at 20 fps (5 cs) = 300 ms
+    assert (rows[1].duration_ms, rows[1].timescale,
+            rows[1].width, rows[1].height) == (300, 20, 12, 1)
+    assert rows[2].duration_ms is None  # single frame = image
