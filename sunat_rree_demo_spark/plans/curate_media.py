@@ -156,13 +156,27 @@ def media_dedup_keys(routed: DataFrame,
 
 def curate_media(media: DataFrame,
                  id_col: str = "media_id",
-                 frame_ms: int = 20) -> DataFrame:
+                 frame_ms: int = 20,
+                 materialize_routed: bool = False) -> DataFrame:
     """One row per media item: (id, modality, dkey, keep_id,
     is_survivor). The election is min-id per dedup key; items whose
     modality keyer could not fingerprint them (NULL dkey) survive
-    individually under a per-item key."""
-    keyed = media_dedup_keys(route_media(media, id_col), id_col,
-                             frame_ms=frame_ms)
+    individually under a per-item key.
+
+    ``materialize_routed`` — the 100 TB knob: the four keyers each
+    prune the ONE routing pass's output to their own modality, so
+    lazily every branch re-scans the source payload column (four
+    column-pruned reads of the media bytes; each payload still
+    DECODES exactly once, in its own modality's branch). Passing True
+    localCheckpoints the routed frame so the source is read once —
+    the right call when the payload column is remote/expensive to
+    re-scan, at the cost of materializing one copy of the batch's
+    payloads (executor-local). Default False preserves the
+    no-second-copy shape for cheap columnar sources."""
+    routed = route_media(media, id_col)
+    if materialize_routed:
+        routed = routed.localCheckpoint()
+    keyed = media_dedup_keys(routed, id_col, frame_ms=frame_ms)
     keyed = keyed.withColumn(
         "_k", F.coalesce("dkey", F.concat(F.lit("uniq:"),
                                           F.col(id_col))))

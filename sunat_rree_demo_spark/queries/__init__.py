@@ -60,6 +60,7 @@ _R9_NEW = (
     "q236_gif_animation_stats",
     "q237_media_curation_summary",
     "q238_gif_video_dedup",
+    "q239_video_meta_census",
 )
 # longest-unchecked driver-green queries: the full r04 cohort (35), then
 # the oldest r05 rows; the [:50] cap decides how many r05 slots survive

@@ -3702,3 +3702,123 @@ def q237_media_curation_summary(spark, sf_dir):
     ])
     media = src.mapInPandas(encode, schema=media_schema)
     return curate_media_summary(curate_media(media))
+
+
+#: q239 video-metadata device: up to 18 frames of 12 chars; container
+#: by doc_id % 3 (AVI at 4..9 fps / animated GIF at 3..8 cs ticks /
+#: raw junk -> NULL row); the census verifies the CONTAINER headers —
+#: frame counts, the AVI rate and the GIF delay->fps rational — via
+#: the decode-free metadata walks
+_VM_NF = 18
+
+
+@register(
+    "q239_video_meta_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             least(length(s) // {_VID_BPR}, {_VM_NF}) AS nf,
+             4 + doc_id % 6 AS afps,
+             (200 + 3 + doc_id % 6)
+               // (2 * (3 + doc_id % 6)) AS gfps
+      FROM a WHERE length(s) >= 2 * {_VID_BPR}
+    )
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST(nf * 1000 // afps AS BIGINT)
+             WHEN 1 THEN CAST(nf * 1000 // gfps AS BIGINT)
+             ELSE NULL END AS duration_ms,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST(afps AS INT)
+             WHEN 1 THEN CAST(gfps AS INT)
+             ELSE NULL END AS timescale,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST({_VID_BPR} * 8 AS INT)
+             WHEN 1 THEN CAST({_VID_BPR} AS INT)
+             ELSE NULL END AS width,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST(8 AS INT)
+             WHEN 1 THEN CAST(1 AS INT)
+             ELSE NULL END AS height
+    FROM c ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "video", "metadata"),
+)
+def q239_video_meta_census(spark, sf_dir):
+    """Video-metadata census over a mixed-container corpus (r9 —
+    drives the decode-free metadata surface through the oracle):
+    every third doc muxes as a Motion-JPEG AVI (frame rate varying
+    4–9 fps), every third as an animated GIF (GCE ticks varying
+    3–8 cs, so the delay→fps half-up rational is load-bearing), and
+    every third ships raw bytes that must yield a NULL metadata row
+    (the degrade taxonomy, driver-checked). ``extract_video_meta``
+    reads duration/fps/dims from the CONTAINER HEADERS alone — the
+    AVI demux walk and the no-LZW GIF walk (``gif_anim_meta``) — so
+    a frame-count/rate/dimension slip in either mux or walk breaks
+    the hash; no pixel ever decodes (the front-door scale shape:
+    metadata passes must not pay entropy decode).
+
+    Scale shape: one Arrow-batched encode pass, one header-walk pass,
+    both at media grain with no shuffle; output is one row per doc."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_gif_animation,
+        encode_jpeg_gray_blocks,
+        extract_video_meta,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select("doc_id",
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, least(length(s) div {_VID_BPR}, "
+            f"{_VM_NF}) * {_VID_BPR})"))
+        .filter(F.length("s") >= 2 * _VID_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(did: int, s: str) -> bytes:
+            b = s.encode("ascii")
+            m = did % 3
+            if m == 2:
+                return b  # raw bytes: NULL metadata row
+            chunks = [b[k:k + _VID_BPR]
+                      for k in range(0, len(b), _VID_BPR)]
+            if m == 0:
+                return encode_avi_mjpeg(
+                    [encode_jpeg_gray_blocks(c, _VID_BPR)
+                     for c in chunks], _VID_BPR * 8, 8,
+                    fps=4 + did % 6)
+            return encode_gif_animation(chunks, _VID_BPR,
+                                        delay_cs=3 + did % 6)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "media_type": ["?"] * len(pdf),
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["doc_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        extract_video_meta(media)
+        .select(F.col("media_id").alias("doc_id"),
+                F.col("duration_ms").cast("bigint").alias("duration_ms"),
+                "timescale", "width", "height")
+        .orderBy("doc_id")
+    )

@@ -131,3 +131,20 @@ def test_summary_census(spark):
             summ["image"]["n_unkeyed"]) == (3, 2, 0)
     assert (summ["text"]["n_items"], summ["text"]["n_survivors"],
             summ["text"]["n_unkeyed"]) == (3, 2, 0)
+
+
+def test_materialize_routed_is_result_identical(spark):
+    """The 100 TB knob changes WHERE the routed frame lives (one
+    source read + executor-local copy vs per-keyer column-pruned
+    re-scans), never the result."""
+    s = _chars(72, 5)
+    rows = [
+        (1, bytearray(encode_png_gray(s, 9))),
+        (2, bytearray(encode_bmp_gray(s, 9))),
+        (3, b"same text"), (4, b"same text"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    lazy = sorted(map(tuple, curate_media(df).collect()))
+    eager = sorted(map(tuple, curate_media(
+        df, materialize_routed=True).collect()))
+    assert lazy == eager
