@@ -1273,7 +1273,8 @@ def decode_gif_frames(payload: bytes) \
     transparent start). ``fps`` is 100/delay rounded half-up from the
     first GCE's delay in centiseconds; GIFs with no GCE delay (or
     delay 0) report the 10 fps renderers substitute for the ~100 ms
-    default tick.
+    default tick; slower-than-1-fps slideshows clamp to 1 so duration
+    math never divides by zero.
 
     Returns None for non-GIF payloads; ValueError for corrupt streams
     (bad block ids, truncated tables/sub-blocks, out-of-bounds frame
@@ -1327,7 +1328,10 @@ def decode_gif_frames(payload: bytes) \
                 pend = ((gp >> 2) & 0x07,
                         tidx if gp & 0x01 else None, delay)
                 if fps is None and delay:
-                    fps = (200 + delay) // (2 * delay)
+                    # clamp to >=1: a slideshow GIF with a >2 s tick
+                    # is well-formed and must not round to fps=0
+                    # (review finding r9, second pass)
+                    fps = max(1, (200 + delay) // (2 * delay))
             continue
         if b0 != 0x2C:
             raise ValueError(f"bad GIF block 0x{b0:02x}")
@@ -1436,7 +1440,7 @@ def gif_anim_meta(payload: bytes) \
                     (delay,) = struct.unpack(
                         "<H", payload[pos + 2:pos + 4])
                     if delay:
-                        fps = (200 + delay) // (2 * delay)
+                        fps = max(1, (200 + delay) // (2 * delay))
                 first = False
                 pos += 1 + ln
             pos += 1
@@ -1476,8 +1480,6 @@ def encode_gif_animation(frames: list[bytes], width: int,
     returns each source byte as a (v,v,v) RGB sample. Sub-rectangle
     frames, transparency and disposal 2/3 are pinned by handcrafted
     bitstreams in tests (this encoder stays the simple device)."""
-    import struct
-
     import struct
 
     if not frames:
@@ -4320,11 +4322,18 @@ def decode_avi_mjpeg(payload: bytes) \
                                 # finding r8); non-integral rationals
                                 # (NTSC 30000/1001) are well-formed —
                                 # round half-up, don't classify as
-                                # corrupt (review finding r9)
+                                # corrupt (review finding r9). Clamp
+                                # to >=1: a sub-0.5 fps timelapse
+                                # (dwRate/dwScale = 1/3) is also
+                                # well-formed, and a rounded fps of 0
+                                # would re-poison the duration math
+                                # (review finding r9, second pass)
                                 if scale <= 0 or rate <= 0:
                                     raise ValueError(
                                         "non-positive AVI frame rate")
-                                fps = (2 * rate + scale) // (2 * scale)
+                                fps = max(
+                                    1, (2 * rate + scale)
+                                    // (2 * scale))
                                 if total_frames is not None \
                                         and dlen != total_frames:
                                     raise ValueError(
@@ -4456,9 +4465,18 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
                     except NotImplementedError:
                         continue  # a gated JPEG variant gates the video
                 else:
+                    # route with the no-LZW walk first: a poster-frame
+                    # GIF is an image and must not pay the full
+                    # LZW+compositing decode just to be discarded
+                    # (review finding r9, second pass); the full
+                    # decoder stays the loud authority for anything
+                    # the probe routes here
+                    nfr = gif_frame_count(raw)
+                    if nfr is None or nfr < 2:
+                        continue  # not a video container / poster frame
                     anim = decode_gif_frames(raw)
                     if anim is None or len(anim[3]) < 2:
-                        continue  # not a video container / poster frame
+                        continue  # authoritative recount disagrees
                     gw, gh, fps, gframes = anim
                     for fno in range(0, len(gframes), every_n):
                         a = np.frombuffer(gframes[fno], np.uint8)
@@ -4521,18 +4539,34 @@ def video_fingerprint(frame_stats: DataFrame,
     Returns (id_col, fp) for media with ≥2 frames; single-frame media
     carry no delta signal and yield no row (callers route them like
     null dHashes — ungated)."""
-    byf = Window.partitionBy(id_col).orderBy("frame_no")
+    return delta_sign_fingerprint(
+        frame_stats.withColumn(
+            "_m", F.expr("(1000 * sum_val) div n_samples")),
+        id_col, "frame_no", "_m")
+
+
+def delta_sign_fingerprint(frames: DataFrame, id_col: str,
+                           order_col: str, val_col: str) -> DataFrame:
+    """(id, fp) — the SHARED delta-sign fingerprint fold (one recipe,
+    one implementation — review finding r9): bit i = 1 iff frame i's
+    value < frame i+1's (ordered by ``order_col``, which must be the
+    dense 0-based position so bit indexes land right), packed
+    MSB-first into hex bytes. ``video_fingerprint`` feeds it integer
+    frame milli-means; the audio member (q223's device,
+    plans.curate_media) feeds it per-frame RMS — exact-int energy
+    sums + one sqrt keep the float compare cross-engine-deterministic.
+    Pure JVM window + aggregate; rows with <2 frames yield no row."""
+    byf = Window.partitionBy(id_col).orderBy(order_col)
     return (
-        frame_stats
-        .withColumn("_m", F.expr("(1000 * sum_val) div n_samples"))
-        .withColumn("_nxt", F.lead("_m").over(byf))
+        frames
+        .withColumn("_nxt", F.lead(val_col).over(byf))
         .filter(F.col("_nxt").isNotNull())
-        .withColumn("_b", F.when(F.col("_m") < F.col("_nxt"), 1)
+        .withColumn("_b", F.when(F.col(val_col) < F.col("_nxt"), 1)
                     .otherwise(0))
-        .withColumn("_bi", (F.col("frame_no") / 8).cast("bigint"))
+        .withColumn("_bi", (F.col(order_col) / 8).cast("bigint"))
         .groupBy(id_col, "_bi")
         .agg(F.sum(F.expr(
-            "_b * shiftleft(1L, CAST(7 - frame_no % 8 AS INT))"))
+            f"_b * shiftleft(1L, CAST(7 - {order_col} % 8 AS INT))"))
             .alias("_byte"))
         .groupBy(id_col)
         .agg(F.array_join(

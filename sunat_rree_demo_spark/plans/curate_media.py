@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from sunat_rree_demo_spark.operators.multimodal import (
+    delta_sign_fingerprint,
     gif_frame_count,
     image_dhash,
     pcm_frame_energy,
@@ -85,33 +86,6 @@ def route_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.mapInPandas(batches, schema=out_schema)
 
 
-def _delta_sign_fp(frames: DataFrame, id_col: str, order_col: str,
-                   val_col: str) -> DataFrame:
-    """(id, fp) — the shared delta-sign fingerprint fold (q223's audio
-    device; ``video_fingerprint`` is the same fold over integer frame
-    means): bit i = 1 iff frame i's value < frame i+1's, packed
-    MSB-first into hex bytes. Pure JVM window + aggregate."""
-    byf = Window.partitionBy(id_col).orderBy(order_col)
-    return (
-        frames
-        .withColumn("_nxt", F.lead(val_col).over(byf))
-        .filter(F.col("_nxt").isNotNull())
-        .withColumn("_b", F.when(F.col(val_col) < F.col("_nxt"), 1)
-                    .otherwise(0))
-        .withColumn("_bi", (F.col(order_col) / 8).cast("bigint"))
-        .groupBy(id_col, "_bi")
-        .agg(F.sum(F.expr(
-            f"_b * shiftleft(1L, CAST(7 - {order_col} % 8 AS INT))"))
-            .alias("_byte"))
-        .groupBy(id_col)
-        .agg(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_bi", "_byte"))),
-                lambda s: F.format_string("%02x", s["_byte"])),
-            "").alias("fp"))
-    )
-
-
 def media_dedup_keys(routed: DataFrame,
                      id_col: str = "media_id",
                      frame_ms: int = 20) -> DataFrame:
@@ -126,7 +100,7 @@ def media_dedup_keys(routed: DataFrame,
         .select(id_col,
                 F.concat(F.lit("img:"), "dhash").alias("dkey"))
     )
-    aud = _delta_sign_fp(
+    aud = delta_sign_fingerprint(
         pcm_frame_energy(routed.filter(F.col("modality") == "audio")
                          .select(id_col, "content"),
                          frame_ms=frame_ms),

@@ -3726,7 +3726,11 @@ _VM_NF = 18
              4 + doc_id % 6 AS afps,
              (200 + 3 + doc_id % 6)
                // (2 * (3 + doc_id % 6)) AS gfps
-      FROM a WHERE length(s) >= 2 * {_VID_BPR}
+      FROM a
+      WHERE length(s) >= 2 * {_VID_BPR}
+        AND NOT (doc_id % 3 = 2
+                 AND (s LIKE 'GIF8%' OR s LIKE 'RIFF%'
+                      OR substr(s, 5, 4) = 'ftyp'))
     )
     SELECT doc_id,
            CASE doc_id % 3
@@ -3761,7 +3765,12 @@ def q239_video_meta_census(spark, sf_dir):
     AVI demux walk and the no-LZW GIF walk (``gif_anim_meta``) — so
     a frame-count/rate/dimension slip in either mux or walk breaks
     the hash; no pixel ever decodes (the front-door scale shape:
-    metadata passes must not pay entropy decode).
+    metadata passes must not pay entropy decode). Junk-cohort docs
+    whose characters begin with a video-container magic ('GIF8',
+    'RIFF', 'ftyp' at offset 4) are excluded by the DEVICE on both
+    sides — raw bytes that sniff as a container would be walked, not
+    NULLed, which is the extractor's honest behavior but not this
+    census's subject (the q237 exclusion rationale).
 
     Scale shape: one Arrow-batched encode pass, one header-walk pass,
     both at media grain with no shuffle; output is one row per doc."""
@@ -3781,6 +3790,10 @@ def q239_video_meta_census(spark, sf_dir):
             f"substring(s, 1, least(length(s) div {_VID_BPR}, "
             f"{_VM_NF}) * {_VID_BPR})"))
         .filter(F.length("s") >= 2 * _VID_BPR)
+        .filter(~((F.col("doc_id") % 3 == 2)
+                  & (F.col("s").startswith("GIF8")
+                     | F.col("s").startswith("RIFF")
+                     | (F.substring("s", 5, 4) == "ftyp"))))
     )
 
     def encode(it):

@@ -245,3 +245,18 @@ def test_extract_video_meta_covers_animated_gif(spark):
     assert (rows[1].duration_ms, rows[1].timescale,
             rows[1].width, rows[1].height) == (300, 20, 12, 1)
     assert rows[2].duration_ms is None  # single frame = image
+
+
+def test_slow_slideshow_delay_clamps_to_one_fps():
+    """Review finding r9 (second pass): GCE delays above 200 cs (a
+    3 s-per-slide show is well-formed; u16 allows up to 655 s) must
+    clamp to 1 fps, not round to 0 and crash duration math."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        gif_anim_meta,
+    )
+
+    g = encode_gif_animation([b"ab", b"cd"], 2, delay_cs=300)
+    assert decode_gif_frames(g)[2] == 1
+    assert gif_anim_meta(g)[2] == 1
+    # and extract_video_meta survives it end to end
+    assert gif_anim_meta(g)[3] * 1000 // gif_anim_meta(g)[2] == 2000

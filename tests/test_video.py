@@ -251,3 +251,15 @@ def test_avi_missing_strf_is_corrupt():
         struct.pack_into("<I", out, anchor, sz - cut)
     with pytest.raises(ValueError, match="without strf"):
         decode_avi_mjpeg(bytes(out))
+
+
+def test_avi_sub_half_fps_clamps_to_one():
+    """Review finding r9 (second pass): a well-formed sub-0.5 fps
+    timelapse (dwRate/dwScale = 1/3) must not round to fps=0 — that
+    would re-poison every downstream duration division the r8 guard
+    exists to prevent."""
+    avi, frames = _avi([b"hello, world"] * 2)
+    pos = avi.find(b"strh") + 8 + 20
+    slow = avi[:pos] + struct.pack("<II", 3, 1) + avi[pos + 8:]
+    w, h, fps, got = decode_avi_mjpeg(slow)
+    assert fps == 1 and got == frames
