@@ -3,11 +3,13 @@ streaming-ingest family (r8; video keys r9) — media batches arrive,
 each payload is routed by magic bytes (plans.curate_media.route_media,
 including the animated-GIF-is-video probe), images are decoded for
 real and keyed by their 64-bit dHash
-(operators.multimodal.image_dhash), and VIDEOS (Motion-JPEG AVI and
+(operators.multimodal.image_dhash), VIDEOS (Motion-JPEG AVI and
 animated GIF, ≥2 frames) by their frame-brightness fingerprint
 (operators.multimodal.video_fingerprint, stored under a ``v:`` prefix
-so a video key can never collide with a bare 16-hex image key); only
-keys never committed before survive. Because dHash collapses
+so a video key can never collide with a bare 16-hex image key), and
+AUDIO (WAV/FLAC) by its frame-energy fingerprint (q223's device,
+``a:``-prefixed — r9 completes the perceptual modality matrix in the
+stream); only keys never committed before survive. Because dHash collapses
 re-encodes, format changes and resolution changes of the same picture
 to ONE key (the q230-verified contract), and the video fingerprint
 collapses re-muxed/re-coded/re-rated footage the same way (the
@@ -57,7 +59,9 @@ from sunat_rree_demo_spark.operators.dedup_index import (
     committed_partition_dirs,
 )
 from sunat_rree_demo_spark.operators.multimodal import (
+    delta_sign_fingerprint,
     image_dhash,
+    pcm_frame_energy,
     video_fingerprint,
     video_frame_stats,
 )
@@ -70,11 +74,13 @@ def perceptual_keys(batch_df: DataFrame,
                     id_col: str = "media_id") -> DataFrame:
     """(id_col, dhash) for every input row: image rows carry their
     bare 16-hex dHash (the r8 store format, unchanged on disk), video
-    rows carry ``v:`` + the frame-sequence fingerprint (r9 — the
-    fourth modality's streaming key), everything else NULL. One
-    routing pass feeds both keyers; rows neither keyer can fingerprint
-    (gated codecs, sub-grid images, single-frame footage) keep NULL
-    through the left join."""
+    rows ``v:`` + the frame-sequence fingerprint and audio rows
+    ``a:`` + the frame-energy fingerprint (r9 — the full perceptual
+    modality matrix streams; text stays with the exact-digest gates,
+    which is a different stream by design), everything else NULL.
+    One routing pass feeds the keyers; rows no keyer can fingerprint
+    (gated codecs, sub-grid images, single-frame footage,
+    shorter-than-two-frames audio) keep NULL through the left join."""
     routed = route_media(
         batch_df.select(F.col(id_col).alias("media_id"), "content"))
     img = (
@@ -90,9 +96,18 @@ def perceptual_keys(batch_df: DataFrame,
         .select("media_id",
                 F.concat(F.lit("v:"), "fp").alias("dhash"))
     )
+    aud = (
+        delta_sign_fingerprint(
+            pcm_frame_energy(
+                routed.filter(F.col("modality") == "audio")
+                .select("media_id", "content")),
+            "media_id", "frame_no", "rms")
+        .select("media_id",
+                F.concat(F.lit("a:"), "fp").alias("dhash"))
+    )
     return (
         routed.select("media_id")
-        .join(img.unionByName(vid), "media_id", "left")
+        .join(img.unionByName(vid).unionByName(aud), "media_id", "left")
         .select(F.col("media_id").alias(id_col), "dhash")
     )
 

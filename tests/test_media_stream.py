@@ -273,3 +273,56 @@ def test_video_batch_replay_is_idempotent(spark, tmp_path,
     process_media_batch(spark, b2, 1, store)  # torn-state replay
     assert sorted((r.media_id, r.dhash)
                   for r in load_kept(spark, store).collect()) == before
+
+
+def test_streamed_audio_dedup_folds_cross_container(spark, tmp_path,
+                                                    tmp_path_factory):
+    """r9: the audio modality streams through the same perceptual key
+    store — a FLAC re-ship of a WAV original arriving in a LATER
+    batch folds to one a:-prefixed key; audio shorter than two energy
+    frames passes ungated."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_flac_pcm16,
+        encode_wav_pcm16,
+    )
+    from sunat_rree_demo_spark.streaming.media_stream import (
+        load_kept,
+        run_media_dedup_stream,
+    )
+
+    rng = np.random.RandomState(41)
+    sig1 = (rng.randint(32, 127, 120).astype(np.int64) - 83) * 256
+    sig2 = (rng.randint(32, 127, 120).astype(np.int64) - 83) * 256
+    d = tmp_path_factory.mktemp("audio_stream")
+
+    def write(name, rows):
+        ids, payloads = zip(*rows)
+        pq.write_table(pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "content": pa.array(payloads, pa.binary())}), d / name)
+
+    write("part1.parquet",
+          [(0, encode_wav_pcm16(sig1, rate=1000))])
+    write("part2.parquet",
+          [(100, encode_flac_pcm16(sig1, rate=1000)),  # re-ship
+           (110, encode_wav_pcm16(sig2, rate=1000)),   # fresh
+           (120, encode_wav_pcm16(np.arange(4, dtype=np.int16),
+                                  rate=1000))])        # <2 frames
+    base = time.time() - 60
+    for k, name in enumerate(("part1.parquet", "part2.parquet")):
+        os.utime(d / name, (base + k, base + k))
+
+    store = str(tmp_path / "audio_store")
+    run_media_dedup_stream(spark, _stream(spark, str(d)), store)
+    kept = {r.media_id: r.dhash for r in
+            load_kept(spark, store).collect()}
+    assert set(kept) == {0, 110, 120}  # FLAC re-ship folded away
+    assert kept[0].startswith("a:") and kept[110].startswith("a:")
+    assert kept[0] != kept[110]
+    assert kept[120] is None  # too short to fingerprint: ungated
