@@ -755,3 +755,23 @@ def test_minhash_absorb_never_rescans_index(spark, tmp_path):
     got = (spark.read.parquet(f"{path}/sigs")
            .select("batch_id").distinct().collect())
     assert {r.batch_id for r in got} == {-1, 5}
+
+
+def test_curate_media_payloads_never_shuffle(spark):
+    """r9 tripwire for the composed mixed-modality curation plan
+    (SCALE.md "Composed mixed-media curation" row): payload bytes
+    stay inside the Arrow routing/keyer tasks — no Exchange in the
+    election plan may carry the binary ``content`` column. The
+    election shuffles only (id, modality, short key) rows; a
+    content-bearing Exchange would make the funnel shuffle the corpus
+    payloads at 100 TB."""
+    import re as _re
+
+    from sunat_rree_demo_spark.plans.curate_media import curate_media
+
+    media = spark.range(6).selectExpr(
+        "id AS media_id", "CAST('some payload' AS BINARY) AS content")
+    plan = plan_of(curate_media(media))
+    for block in plan.split("\n\n"):
+        if _re.match(r"\(\d+\) Exchange", block):
+            assert "content#" not in block, block
