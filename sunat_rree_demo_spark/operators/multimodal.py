@@ -538,7 +538,8 @@ def _wav_pcm16_data(payload: bytes) -> tuple[int, int, bytes] | None:
 
 
 def pcm_frame_energy(media: DataFrame, frame_ms: int = 20,
-                     decimate: int = 1) -> DataFrame:
+                     decimate: int = 1,
+                     corrupt: str = "raise") -> DataFrame:
     """REAL audio feature extraction — per-frame RMS energy over 16-bit
     PCM audio: RIFF/WAVE (linear PCM or G.711 μ/A-law expanded through
     the ITU tables) and FLAC (full frame-layer decode — see
@@ -547,7 +548,11 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20,
     neither container — and well-formed-but-gated codec variants
     (non-16-bit FLAC; decorrelated stereo decodes for real since
     r8) — yield no rows (opaque degrade, like the raster decoders);
-    only genuinely corrupt streams abort.
+    genuinely corrupt streams abort under the default
+    ``corrupt="raise"``, or yield no rows under ``corrupt="null"`` —
+    the QUARANTINE mode an unattended streaming ingest gate needs,
+    where one poisoned payload must never wedge exactly-once replay
+    (review finding r9; batch queries keep the loud default).
 
     Returns (media_id, frame_no, n_samples, rms): frames are
     ``frame_ms`` windows of mono-mixed samples (channel mean), RMS is
@@ -568,6 +573,9 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20,
     import pandas as pd
     from pyspark.sql import types as T
 
+    if corrupt not in ("raise", "null"):
+        raise ValueError("corrupt must be 'raise' or 'null'")
+
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_no", T.LongType()),
@@ -586,6 +594,10 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20,
                         parsed = decode_flac_pcm16(raw)
                 except NotImplementedError:
                     parsed = None  # gated variant: degrade, not abort
+                except ValueError:
+                    if corrupt == "raise":
+                        raise
+                    parsed = None  # quarantine mode: yield no rows
                 if parsed is None:
                     continue
                 rate, channels, data = parsed
@@ -623,7 +635,8 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20,
         batches, schema=out_schema)
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
+def image_dhash(media: DataFrame,
+                corrupt: str = "raise") -> DataFrame:
     """Perceptual difference hash (dHash) over REAL decoded pixels —
     the standard near-duplicate-image key (8×9 box-downsample,
     compare horizontally adjacent cells, 64 bits): the image member
@@ -641,10 +654,17 @@ def image_dhash(media: DataFrame) -> DataFrame:
     BIGINT so bit 63 needs no sign gymnastics in either engine.
 
     Images smaller than the 8×9 grid (or undecodable/gated payloads)
-    yield a null hash. Scale shape: one Arrow-batched pass, no
-    shuffle — grouping equal hashes afterwards is a census over
-    16-byte keys, never pixels."""
+    yield a null hash. Corrupt streams (a recognized magic whose body
+    fails decode) abort under the default ``corrupt="raise"``, or
+    yield a null hash under ``corrupt="null"`` — the quarantine mode
+    the streaming ingest gate uses so one poisoned payload cannot
+    wedge exactly-once replay (review finding r9). Scale shape: one
+    Arrow-batched pass, no shuffle — grouping equal hashes afterwards
+    is a census over 16-byte keys, never pixels."""
     import pandas as pd
+
+    if corrupt not in ("raise", "null"):
+        raise ValueError("corrupt must be 'raise' or 'null'")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
@@ -667,6 +687,10 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 dec = decode_tiff_pixels(raw)
         except NotImplementedError:
             dec = None
+        except ValueError:
+            if corrupt == "raise":
+                raise
+            dec = None  # quarantine mode: null hash
         if dec is None:
             return (None, None, None)
         w, h, ch, px = dec
@@ -4391,7 +4415,8 @@ def decode_avi_mjpeg(payload: bytes) \
     return (width, height, fps, frames)
 
 
-def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+def video_frame_stats(media: DataFrame, every_n: int = 1,
+                      corrupt: str = "raise") -> DataFrame:
     """Sampled-frame pixel statistics over REAL video decode — the
     keyframe-extraction step of a video-training-data pipeline: demux
     the Motion-JPEG AVI container, keep frames with
@@ -4413,7 +4438,10 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
     Degrade taxonomy (shared with the raster/audio paths): non-video
     payloads and honestly-gated codecs (non-MJPG handlers, gated JPEG
     variants inside a frame) yield NO rows for that media; corrupt
-    containers or a non-JPEG body inside a 00dc chunk raise.
+    containers or a non-JPEG body inside a 00dc chunk raise under the
+    default ``corrupt="raise"``, or yield NO rows under
+    ``corrupt="null"`` — the streaming gate's quarantine mode (review
+    finding r9).
 
     Scale shape: one Arrow-batched mapInPandas pass, no shuffle —
     stats land at (media, frame) grain and pixels never leave the
@@ -4422,6 +4450,8 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
 
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+    if corrupt not in ("raise", "null"):
+        raise ValueError("corrupt must be 'raise' or 'null'")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -4435,56 +4465,60 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
         T.StructField("max_val", T.IntegerType()),
     ])
 
+    def one_media(mid, raw: bytes) -> list:
+        dec = decode_avi_mjpeg(raw)
+        media_rows = []
+        if dec is not None:
+            _w, _h, fps, frames = dec
+            for fno in range(0, len(frames), every_n):
+                f = decode_jpeg_pixels(frames[fno])
+                if f is None:
+                    raise ValueError(
+                        "00dc chunk does not contain a JPEG")
+                fw, fh, ch, px = f
+                a = np.frombuffer(px, np.uint8)
+                media_rows.append(
+                    (mid, fno, fps, fw, fh, len(px),
+                     int(a.sum(dtype=np.int64)),
+                     int(a.min()) if a.size else None,
+                     int(a.max()) if a.size else None))
+        else:
+            # route with the no-LZW walk first: a poster-frame
+            # GIF is an image and must not pay the full
+            # LZW+compositing decode just to be discarded
+            # (review finding r9, second pass); the full
+            # decoder stays the loud authority for anything
+            # the probe routes here
+            nfr = gif_frame_count(raw)
+            if nfr is None or nfr < 2:
+                return []  # not a video container / poster frame
+            anim = decode_gif_frames(raw)
+            if anim is None or len(anim[3]) < 2:
+                return []  # authoritative recount disagrees
+            gw, gh, fps, gframes = anim
+            for fno in range(0, len(gframes), every_n):
+                a = np.frombuffer(gframes[fno], np.uint8)
+                media_rows.append(
+                    (mid, fno, fps, gw, gh, a.size,
+                     int(a.sum(dtype=np.int64)),
+                     int(a.min()) if a.size else None,
+                     int(a.max()) if a.size else None))
+        return media_rows
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 if payload is None:
                     continue
-                raw = bytes(payload)
                 try:
-                    dec = decode_avi_mjpeg(raw)
+                    media_rows = one_media(mid, bytes(payload))
                 except NotImplementedError:
-                    continue  # gated codec: degrade, don't abort
-                media_rows = []
-                if dec is not None:
-                    _w, _h, fps, frames = dec
-                    try:
-                        for fno in range(0, len(frames), every_n):
-                            f = decode_jpeg_pixels(frames[fno])
-                            if f is None:
-                                raise ValueError(
-                                    "00dc chunk does not contain a JPEG")
-                            fw, fh, ch, px = f
-                            a = np.frombuffer(px, np.uint8)
-                            media_rows.append(
-                                (mid, fno, fps, fw, fh, len(px),
-                                 int(a.sum(dtype=np.int64)),
-                                 int(a.min()) if a.size else None,
-                                 int(a.max()) if a.size else None))
-                    except NotImplementedError:
-                        continue  # a gated JPEG variant gates the video
-                else:
-                    # route with the no-LZW walk first: a poster-frame
-                    # GIF is an image and must not pay the full
-                    # LZW+compositing decode just to be discarded
-                    # (review finding r9, second pass); the full
-                    # decoder stays the loud authority for anything
-                    # the probe routes here
-                    nfr = gif_frame_count(raw)
-                    if nfr is None or nfr < 2:
-                        continue  # not a video container / poster frame
-                    anim = decode_gif_frames(raw)
-                    if anim is None or len(anim[3]) < 2:
-                        continue  # authoritative recount disagrees
-                    gw, gh, fps, gframes = anim
-                    for fno in range(0, len(gframes), every_n):
-                        a = np.frombuffer(gframes[fno], np.uint8)
-                        media_rows.append(
-                            (mid, fno, fps, gw, gh, a.size,
-                             int(a.sum(dtype=np.int64)),
-                             int(a.min()) if a.size else None,
-                             int(a.max()) if a.size else None))
+                    continue  # gated codec/variant: degrade, not abort
+                except ValueError:
+                    if corrupt == "raise":
+                        raise
+                    continue  # quarantine mode: yield no rows
                 rows.extend(media_rows)
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_no", "fps", "width", "height",

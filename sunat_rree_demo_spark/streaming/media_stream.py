@@ -23,10 +23,15 @@ perturbed variants are the batch job's territory
 Per micro-batch:
 
 1. route + decode + key every payload (Arrow passes; undecodable,
-   sub-grid, single-frame-footage, audio and text media yield a null
-   key and pass through ungated — a router, not a black hole;
-   exact-digest gates own the bytes the perceptual keyers cannot
-   see);
+   sub-grid, single-frame-footage, shorter-than-two-frames audio and
+   text media yield a null key and pass through ungated — a router,
+   not a black hole; exact-digest gates own the bytes the perceptual
+   keyers cannot see). CORRUPT media — a recognized magic whose body
+   fails decode — also key NULL here (the keyers run in their
+   ``corrupt="null"`` quarantine mode): an unattended exactly-once
+   stream replays a failed batch verbatim, so a poison payload that
+   aborted the task would wedge ingest FOREVER; quarantined rows are
+   kept, never deleted, and the batch jobs keep the loud default;
 2. keep the min-id row per hash WITHIN the batch;
 3. anti-join the committed hash store — survivors are genuinely new
    pictures;
@@ -78,21 +83,27 @@ def perceptual_keys(batch_df: DataFrame,
     ``a:`` + the frame-energy fingerprint (r9 — the full perceptual
     modality matrix streams; text stays with the exact-digest gates,
     which is a different stream by design), everything else NULL.
-    One routing pass feeds the keyers; rows no keyer can fingerprint
-    (gated codecs, sub-grid images, single-frame footage,
-    shorter-than-two-frames audio) keep NULL through the left join."""
+    One routing pass feeds the keyers (the routed frame is
+    localCheckpointed — a micro-batch is bounded, and without it each
+    keyer branch re-reads the source and re-runs the sniff walk); rows
+    no keyer can fingerprint (gated codecs, sub-grid images,
+    single-frame footage, shorter-than-two-frames audio, and CORRUPT
+    payloads — the keyers run in quarantine mode here, see the module
+    docstring) keep NULL through the left join."""
     routed = route_media(
-        batch_df.select(F.col(id_col).alias("media_id"), "content"))
+        batch_df.select(F.col(id_col).alias("media_id"), "content")) \
+        .localCheckpoint()
     img = (
         image_dhash(routed.filter(F.col("modality") == "image")
-                    .select("media_id", "content"))
+                    .select("media_id", "content"), corrupt="null")
         .select("media_id", "dhash")
     )
     vid = (
         video_fingerprint(
             video_frame_stats(
                 routed.filter(F.col("modality") == "video")
-                .select("media_id", "content"), every_n=1))
+                .select("media_id", "content"), every_n=1,
+                corrupt="null"))
         .select("media_id",
                 F.concat(F.lit("v:"), "fp").alias("dhash"))
     )
@@ -100,7 +111,7 @@ def perceptual_keys(batch_df: DataFrame,
         delta_sign_fingerprint(
             pcm_frame_energy(
                 routed.filter(F.col("modality") == "audio")
-                .select("media_id", "content")),
+                .select("media_id", "content"), corrupt="null"),
             "media_id", "frame_no", "rms")
         .select("media_id",
                 F.concat(F.lit("a:"), "fp").alias("dhash"))
@@ -138,16 +149,17 @@ def process_media_batch(spark: SparkSession, batch_df: DataFrame,
 
     ``batch_df`` needs (id_col, content). Kept rows carry
     (id_col, dhash nullable): keyable media (images by dHash, videos
-    by ``v:``-prefixed fingerprint) survive iff their key is new to
-    (store ∪ earlier-in-batch); null-key rows (audio, junk, sub-grid
-    images, single-frame footage) are KEPT ungated — a perceptual
-    gate must never eat what it cannot see, downstream exact-digest
-    gates own those."""
+    by ``v:``- and audio by ``a:``-prefixed fingerprints) survive iff
+    their key is new to (store ∪ earlier-in-batch); null-key rows
+    (junk/text, sub-grid images, single-frame footage, too-short
+    audio, and quarantined corrupt media) are KEPT ungated — a
+    perceptual gate must never eat what it cannot see, downstream
+    exact-digest gates own those."""
     if media_batch_committed(spark, store_path, batch_id):
         return
     hashed = (
         perceptual_keys(batch_df, id_col)
-        .localCheckpoint()  # decode once: feeds both routes + writes
+        .localCheckpoint()  # key once: feeds the gate, stats + writes
     )
     gated = (
         hashed.filter(F.col("dhash").isNotNull())

@@ -326,3 +326,60 @@ def test_streamed_audio_dedup_folds_cross_container(spark, tmp_path,
     assert kept[0].startswith("a:") and kept[110].startswith("a:")
     assert kept[0] != kept[110]
     assert kept[120] is None  # too short to fingerprint: ungated
+
+
+def test_corrupt_media_quarantines_instead_of_wedging(spark, tmp_path):
+    """r9 (review finding): a corrupt payload with a recognized magic
+    must NOT abort the micro-batch — exactly-once replay would re-run
+    the identical batch and wedge ingest forever. The keyers run in
+    quarantine mode inside the stream: corrupt media key NULL, are
+    KEPT ungated, and the batch commits; the batch operators keep the
+    loud ValueError default."""
+    import pytest as _pt
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_flac_pcm16,
+        encode_jpeg_gray_blocks,
+        encode_png_gray,
+        image_dhash,
+        pcm_frame_energy,
+        video_frame_stats,
+    )
+    from sunat_rree_demo_spark.streaming.media_stream import (
+        load_kept,
+        media_batch_committed,
+        process_media_batch,
+    )
+
+    sig = (np.arange(120, dtype=np.int64) % 64 - 32) * 256
+    flac = bytearray(encode_flac_pcm16(sig, rate=1000))
+    flac[len(flac) // 2] ^= 0xFF  # valid fLaC magic, poisoned body
+    png = bytearray(encode_png_gray(bytes(range(32, 104)), 9))
+    png[33] ^= 0xFF  # valid PNG magic, torn chunk
+    avi = bytearray(encode_avi_mjpeg(
+        [encode_jpeg_gray_blocks(b"x" * 12, 12)] * 3, 96, 8, fps=5))
+    avi[-6] ^= 0xFF  # valid AVI magic, corrupt idx1
+    good = encode_png_gray(bytes(range(40, 112)), 9)
+    rows = [(1, bytes(flac)), (2, bytes(png)), (3, bytes(avi)),
+            (4, bytes(good))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+
+    # batch operators stay loud on the same payloads
+    with _pt.raises(Exception,
+                    match="(?i)crc|corrupt|sync|mismatch|truncated"):
+        pcm_frame_energy(df.filter("media_id = 1")).collect()
+    with _pt.raises(Exception):
+        image_dhash(df.filter("media_id = 2")).collect()
+    with _pt.raises(Exception):
+        video_frame_stats(df.filter("media_id = 3")).collect()
+
+    # the stream quarantines and commits
+    store = str(tmp_path / "quarantine_store")
+    process_media_batch(spark, df, 0, store)
+    assert media_batch_committed(spark, store, 0)
+    kept = {r.media_id: r.dhash for r in
+            load_kept(spark, store).collect()}
+    assert set(kept) == {1, 2, 3, 4}
+    assert kept[1] is None and kept[2] is None and kept[3] is None
+    assert kept[4] is not None  # the healthy image still keys

@@ -764,14 +764,27 @@ def test_curate_media_payloads_never_shuffle(spark):
     election plan may carry the binary ``content`` column. The
     election shuffles only (id, modality, short key) rows; a
     content-bearing Exchange would make the funnel shuffle the corpus
-    payloads at 100 TB."""
+    payloads at 100 TB. Broadcast exchanges count too (a broadcast
+    ships the payloads to every executor), and the broadcast
+    threshold is disabled so the join compiles to the shuffle form it
+    would take at scale — at 6 test rows Spark would otherwise
+    broadcast the join and hide the regression entirely (review
+    finding r9, second pass)."""
     import re as _re
 
     from sunat_rree_demo_spark.plans.curate_media import curate_media
 
     media = spark.range(6).selectExpr(
         "id AS media_id", "CAST('some payload' AS BINARY) AS content")
-    plan = plan_of(curate_media(media))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(curate_media(media))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    hits = 0
     for block in plan.split("\n\n"):
-        if _re.match(r"\(\d+\) Exchange", block):
+        if _re.match(r"\(\d+\) (Broadcast)?Exchange", block):
+            hits += 1
             assert "content#" not in block, block
+    assert hits > 0  # the regex must actually see the exchanges
