@@ -98,6 +98,20 @@ SANCTIONED_TWINS = {
 }
 
 
+def load_regression_baseline(green_path: str,
+                             detail_path: str) -> dict[str, float]:
+    """warm_sec map the round-over-round diff baselines against: the
+    last GREEN detail record when one exists, else the last run of any
+    color (bootstrap for trees that predate the green file), else {}."""
+    for path in (green_path, detail_path):
+        try:
+            with open(path) as fh:
+                return json.load(fh).get("warm_sec", {})
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -199,16 +213,20 @@ def main() -> None:
     # the JSON + stderr, no exit code): the per-run ratio_offenders gate
     # above is the hard failure; this one is the round-to-round diff the
     # judge previously had to compute by hand.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "bench_detail.json")
+    # The regression diff baselines against the LAST GREEN run
+    # (rc=0), not simply the last run: r9's failed driver run left its
+    # inflated warm times in bench_detail.json, and diffing the next
+    # healthy run against those would report spurious "improvements"
+    # while masking real regressions (the silent-ratchet problem the
+    # r9 verdict flagged). bench_detail.json stays the record of the
+    # CURRENT run; bench_detail_last_green.json is only ever written
+    # by a run with zero ratio offenders.
+    green_path = os.path.join(here, "bench_detail_last_green.json")
     regress_cap = float(os.environ.get("SPARK_GRAFT_REGRESS_CAP", "2"))
     regress_floor = float(os.environ.get("SPARK_GRAFT_REGRESS_FLOOR_SEC", "0.5"))
-    prev_warm: dict[str, float] = {}
-    try:
-        with open(detail_path) as fh:
-            prev_warm = json.load(fh).get("warm_sec", {})
-    except (OSError, ValueError):
-        pass  # first run / unreadable previous detail: no diff possible
+    prev_warm = load_regression_baseline(green_path, detail_path)
     regressions = {
         k: {"prev": prev_warm[k], "now": v,
             "ratio": round(v / prev_warm[k], 2)}
@@ -240,6 +258,9 @@ def main() -> None:
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
+    if not offenders:  # green run → becomes the next regression baseline
+        with open(green_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
 
     # Stdout line stays SMALL AND BOUNDED: r3's 68-entry queries map
     # overflowed the driver's capture window (BENCH_r03.json parsed:null).

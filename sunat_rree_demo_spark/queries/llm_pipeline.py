@@ -104,7 +104,8 @@ def dup_pair_edges(spark, sf_dir: str):
             arr=corpus_shingle_arrays(spark, sf_dir))
             .select("id1", "id2"))
 
-    return session_memo(spark, _DUP_EDGE_CACHE, (sf_dir,), build)
+    return session_memo(spark, _DUP_EDGE_CACHE, (sf_dir,), build,
+                        parquet_name="pgmemo")
 
 
 # ---------------------------------------------------------------------- q61
@@ -797,3 +798,51 @@ def q205_lsh_eval(spark, sf_dir):
             .select("n_truth", "n_pred", "n_hit",
                     _hu("n_hit", "n_pred").alias("precision_4dp"),
                     _hu("n_hit", "n_truth").alias("recall_4dp")))
+
+
+# --------------------------------------------------------------------- q240
+@register(
+    "q240_curation_served",
+    # same semantics as q204, so the SAME oracle: the served funnel
+    # must be hash-identical to the eager one or the serving path is
+    # wrong (the q187-vs-q41 device, applied to the whole funnel)
+    oracle=_q204_oracle(),
+    tags=("llm-pipeline", "curation", "end-to-end", "index", "served"),
+)
+def q240_curation_served(spark, sf_dir):
+    """q204's end-to-end curation funnel SERVED FROM THE PERSISTED
+    MinHash index instead of recomputing LSH per call — the production
+    shape for a pipeline that re-curates variants (new quality cutoff,
+    new probe suite) over a corpus whose dedup index already exists:
+    quality gate → exact dedup → near-dup edges from
+    ``queries.dedup.full_index_pairs`` (session-memoized, built once,
+    restricted to survivors with two semi-joins) → best-per-cluster
+    election → split → packing. Signatures and band buckets are pure
+    per-doc functions of the text, so corpus-level estimate pairs
+    filtered to survivor endpoints are IDENTICAL to re-running the
+    banded pipeline over the survivors — this query and q204 share one
+    oracle and must land on one hash.
+
+    The plan memo applies (memoize=True): the CC election loop and its
+    localCheckpoints run once per session, and repeated calls re-read
+    checkpointed loop state — the warm cost a real serving tier pays.
+    The decision-guide pairing with q204 lives in COVERAGE.md."""
+    from sunat_rree_demo_spark.operators.dedup import exact_dedup
+    from sunat_rree_demo_spark.plans.curate import (
+        curate_summary,
+        elect_and_pack,
+    )
+    from sunat_rree_demo_spark.queries.dedup import full_index_pairs
+
+    d = t(spark, sf_dir, "documents")
+    kept = (d.withColumn("quality", quality_score(tokens(F.col("text"))))
+            .filter(F.col("quality") >= 0.25))
+    kept = exact_dedup(kept, "text", "doc_id")
+    ids = kept.select("doc_id")
+    edges = (
+        full_index_pairs(spark, sf_dir)
+        .join(ids.withColumnRenamed("doc_id", "id1"), "id1", "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "id2"), "id2", "left_semi")
+        .select("id1", "id2")
+    )
+    return curate_summary(elect_and_pack(kept, edges))

@@ -305,7 +305,8 @@ def embedding_pair_edges(spark, sf_dir: str):
         spark, _EMB_EDGE_CACHE, (sf_dir,),
         lambda: near_dup_pairs_blocked(
             t(spark, sf_dir, "embeddings"), threshold=0.3)
-        .select("id1", "id2"))
+        .select("id1", "id2"),
+        parquet_name="egmemo")
 
 
 # ---------------------------------------------------------------------- q82

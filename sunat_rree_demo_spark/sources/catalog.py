@@ -56,12 +56,34 @@ def register_session_cache(cache: dict) -> None:
         _SESSION_CACHES.append(cache)
 
 
-def session_memo(spark, cache: dict, key_suffix: tuple, build):
+def session_memo(spark, cache: dict, key_suffix: tuple, build,
+                 parquet_name: str | None = None):
     """One implementation of the app-id-keyed lazy memo every
     session-scoped materialized intermediate uses (monthly flows,
     shingle arrays, pair graphs): look up (app_id, *key_suffix) in
-    ``cache``, else ``build()``, ``persist()``, store, return. The
-    cache must be ``register_session_cache``-ed by its owner."""
+    ``cache``, else ``build()``, materialize, store, return. The
+    cache must be ``register_session_cache``-ed by its owner.
+
+    Two materialization tiers:
+
+    - default (``parquet_name=None``): ``persist()`` — right for tiny
+      frames (monthly flows, k-means assignments) whose recompute is
+      one cheap aggregate.
+    - ``parquet_name="..."``: write the built frame ONCE to a
+      session-scoped parquet directory under the warehouse and memoize
+      the READ-BACK scan. For intermediates whose recompute is an
+      expensive Python pass (the mapInPandas shingler, the pair-graph
+      joins) this removes the BlockManager from the availability story
+      entirely: persisted blocks compete with 200+ other queries'
+      execution memory and whatever LRU evicts is silently recomputed
+      — the r9 bench flagged exactly the shingle/pair-graph consumer
+      family (q40 1.1→8.3 s, q41 1.1→14.0 s) under the media family's
+      fixture pressure. A columnar re-scan of the materialized table
+      is O(100 ms) and, unlike block survival, deterministic. This is
+      also the honest 100 TB shape: a real pipeline WRITES its shingle
+      table once and every later pass reads it (same contract as the
+      persisted MinHash/IVF indexes in operators/*_index.py).
+    """
     try:
         app = spark.sparkContext.applicationId
     except Exception:  # Spark Connect has no sparkContext
@@ -70,9 +92,40 @@ def session_memo(spark, cache: dict, key_suffix: tuple, build):
     cached = cache.get(key)
     if cached is not None:
         return cached
-    df = build().persist()
+    if parquet_name is None:
+        df = build().persist()
+    else:
+        df = _materialize_via_warehouse(spark, app, parquet_name,
+                                        key_suffix, build)
     cache[key] = df
     return df
+
+
+def _materialize_via_warehouse(spark, app: str, name: str,
+                               key_suffix: tuple, build):
+    """Write build() to ``<warehouse>/<name>_<key>_<app>`` and return
+    the read-back scan. The directory name ends with the sanitized
+    application id (``local_<13-digit start millis>``), the exact shape
+    ``sources.sinks.drop_stale_app_tables`` reaps, so abandoned
+    generations from dead sessions are bounded by the same janitor the
+    bucketed index tables already use (called here at build time)."""
+    import re
+
+    safe = "_".join(re.sub(r"\W", "_", str(p)).strip("_")
+                    for p in key_suffix if str(p))
+    own = re.sub(r"\W", "_", app)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = f"{warehouse}/{name}_{safe}_{own}"
+    build().write.mode("overwrite").parquet(path)
+    try:  # janitor: reap parquet memos of sessions dead > TTL
+        from sunat_rree_demo_spark.sources.sinks import (
+            drop_stale_app_tables,
+        )
+
+        drop_stale_app_tables(spark, f"{name}_")
+    except Exception:  # janitor failure must never fail the build
+        pass
+    return spark.read.parquet(path)
 
 
 def _session_stopped(df: DataFrame) -> bool:

@@ -38,12 +38,13 @@ def assert_windows_partitioned(plan: str) -> None:
 
 
 def test_q40_pairs_reuse_shingle_cache_all_broadcast(spark):
-    """q40: shingle arrays come from the session cache (InMemoryTable
-    Scan — the Python shingler must not re-run per action), pair keys
-    are 64-bit hashes (xxhash64), and no join falls back to
-    sort-merge."""
+    """q40: shingle arrays come from the session-materialized shingle
+    table (r10: a warehouse parquet memo — the Python shingler must
+    not appear in the serving plan at all), pair keys are 64-bit
+    hashes (xxhash64), and no join falls back to sort-merge."""
     plan = plan_of(fresh("q40_ngram_jaccard_pairs")(spark, SF_SMOKE))
-    assert "InMemoryTableScan" in plan
+    assert "MapInPandas" not in plan  # shingler ran at memo-build time
+    assert "shmemo_" in plan          # … serving reads the parquet memo
     assert "xxhash64" in plan
     assert "SortMergeJoin" not in plan
 
@@ -75,7 +76,8 @@ def test_q97_ppjoin_filters_inside_candidate_join(spark):
     assert "0.8" in join_conds[0]
     assert "xxhash64" in plan
     assert "SortMergeJoin" not in plan
-    assert "InMemoryTableScan" in plan  # shared shingle cache
+    assert "MapInPandas" not in plan  # shared shingle memo, no re-shingle
+    assert "shmemo_" in plan
 
 
 def test_q110_global_topk_is_take_ordered(spark):
