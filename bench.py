@@ -48,14 +48,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SANCTIONED_TWINS = {
     "q40_ngram_jaccard_pairs": {
         "reason": "documented-eager exhaustive-Jaccard ground-truth "
-                  "twin: recomputes shingle arrays per call "
-                  "(memoize=False) so the bench pays the real "
-                  "tokenize cost; q41/q71 are the banded production "
-                  "path", "sanctioned": "r3", "last_ab": "2026-08-14"},
+                  "twin: re-runs the grouped-combination join per "
+                  "call (memoize=False); since r10 the shingle arrays "
+                  "come from the warehouse parquet memo, so per-call "
+                  "cost is the join, not Python shingling; q41/q71 "
+                  "are the banded production path",
+        "sanctioned": "r3", "last_ab": "2026-08-16"},
     "q41_minhash_lsh_pairs": {
-        "reason": "re-checkpoints the pair graph per call BY POLICY "
-                  "(bench honesty); q187 is the index-served "
-                  "contrast", "sanctioned": "r4", "last_ab": "2026-08-14"},
+        "reason": "re-derives signatures + checkpoints per call BY "
+                  "POLICY (bench honesty; shingle arrays from the r10 "
+                  "parquet memo); q187 is the index-served contrast",
+        "sanctioned": "r4", "last_ab": "2026-08-16"},
     "q97_prefix_filter_pairs": {
         "reason": "per-call signature recompute (memoize=False) — "
                   "the prefix-filter candidate generator is the "
@@ -83,7 +86,8 @@ SANCTIONED_TWINS = {
                   "semi-join) + one node-grain checkpoint — A/B "
                   "10.9s -> 6.4s warm same box/session; residual is "
                   "the eager CC rounds + per-branch quality chain "
-                  "the DuckDB recursive twin also pays",
+                  "the DuckDB recursive twin also pays; q240 is the "
+                  "memoized index-served contrast (r10)",
         "sanctioned": "r7", "last_ab": "2026-08-16"},
     "q205_lsh_eval": {
         "reason": "documented-eager detector eval (recomputes LSH "

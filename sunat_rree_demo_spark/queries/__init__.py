@@ -41,62 +41,61 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
 # the FIRST 50 registry entries in iteration order (see BASELINE.md "Driver
-# correctness snapshot cap").  The union of CORRECTNESS_r01-r08 covers every
-# query registered through q235 (234 ever green; q46 rows-only by design).
-# The round-9 window retires the rotation debt the r8 verdict flagged: new
-# r9 queries first (first driver check — highest priority), then the 35
-# queries whose newest driver row is still r04 (q02–q13 core relational and
-# the q101–q142 stats/econ tail, deferred when the r8 window filled), then
-# the oldest r05-era rows as far as the 50-slot cap allows.  Displaced
-# fillers stay driver-green via their historical rows and the identical
-# local exact-hash gate (scripts/check_parity.py), which runs all 230+
-# queries every round.
+# correctness snapshot cap").  The union of CORRECTNESS_r01-r09 covers every
+# query registered through q239 (every one green at its newest appearance;
+# q46 rows-only by design).  The round-10 window: new r10 queries first
+# (first driver check — highest priority), then the full 39-query cohort
+# whose newest driver row is still r05, then the oldest r06 rows as far as
+# the 50-slot cap allows.  Displaced fillers stay driver-green via their
+# historical rows and the identical local exact-hash gate
+# (scripts/check_parity.py), which runs all 240+ queries every round.
 # Registration itself is unchanged; this only re-orders the dict.
 # tests/test_driver_window.py asserts every registered query has either a
 # historical CORRECTNESS row or a slot in the current window.
 # ---------------------------------------------------------------------------
-# round-9 additions (first driver check) — append here when registering
-_R9_NEW = (
-    "q236_gif_animation_stats",
-    "q237_media_curation_summary",
-    "q238_gif_video_dedup",
-    "q239_video_meta_census",
+# round-10 additions (first driver check) — append here when registering
+_R10_NEW = (
+    "q240_curation_served",
+    "q241_png16_stats",
+    "q242_mp4_frame_stats",
+    "q243_video_dedup_cross_container",
+    "q244_mixed_depth_census",
 )
-# longest-unchecked driver-green queries: the full r04 cohort (35), then
-# the oldest r05 rows; the [:50] cap decides how many r05 slots survive
-_R9_FILLERS = (
-    "q02_filter_range_membership", "q03_conditional_pivot_agg",
-    "q04_pivot_table", "q05_month_name_map",
-    "q06_scalar_stats", "q07_count_distinct",
-    "q10_anti_join", "q11_union_distinct",
-    "q12_having_max_case", "q13_argmax_month",
-    "q101_cusum_drift", "q102_benford_digits",
-    "q106_rolling_correlation", "q108_pmi_collocations",
-    "q109_weighted_median", "q110_kmv_set_ops",
-    "q111_linear_interpolation", "q112_embedding_covariance",
-    "q126_bpe_merges", "q127_chunk_dedup_rewrite",
-    "q128_retrieval_eval", "q129_inverted_index",
-    "q130_hard_negatives", "q131_pareto_frontier",
-    "q132_bigram_surprisal", "q133_vocab_coverage",
-    "q134_pq_encode", "q135_count_min_sketch",
-    "q136_top_event_paths", "q137_bpe_apply",
-    "q138_ngram_novelty", "q139_share_of_parent",
-    "q140_psi_drift", "q141_multi_touch_attribution",
-    "q142_customer_set_ops",
-    # oldest r05-era rows (driver row last seen r05)
-    "q69_ann_recall", "q70_stratified_sample",
-    "q71_verified_near_dups", "q72_repetition_signals",
-    "q73_length_percentiles", "q74_unigram_surprisal",
-    "q75_semantic_dedup", "q76_regional_market_share",
-    "q77_event_funnel", "q78_click_attribution",
-    "q79_small_qty_revenue", "q80_importance_weights",
-    "q81_scd2_intervals", "q82_near_dup_triangles",
-    "q83_winsorized_stats",
+# longest-unchecked driver-green queries: the FULL r05 cohort (39 — the
+# r9 verdict's rotation ask: after this window no registered query's
+# newest driver row is older than r06), then the oldest r06 rows as far
+# as the 50-slot cap allows
+_R10_FILLERS = (
+    "q80_importance_weights", "q81_scd2_intervals",
+    "q82_near_dup_triangles", "q83_winsorized_stats",
+    "q84_priority_sample", "q85_transition_matrix",
+    "q86_retention_cohorts", "q87_gap_fill",
+    "q88_rank_distribution", "q89_salted_skew_agg",
+    "q90_grouping_sets", "q91_kmv_distinct",
+    "q92_fuzzy_name_pairs", "q93_dormant_high_value",
+    "q103_snapshot_diff", "q104_trade_pagerank",
+    "q105_incremental_agg", "q107_zorder_stats",
+    "q113_click_attribution_outer", "q114_token_entropy",
+    "q115_copurchase_pairs", "q116_dq_report",
+    "q117_chi2_independence", "q118_shipping_priority",
+    "q119_returned_item_losses", "q120_large_volume_customers",
+    "q121_cheapest_supplier", "q122_bottleneck_suppliers",
+    "q123_supplier_diversity", "q124_source_mixture",
+    "q125_cohort_ltv", "q143_rolling_chunk_dups",
+    "q144_containment_pairs", "q145_zipf_slope",
+    "q146_cross_source_dup_matrix", "q147_seq_length_histogram",
+    "q148_pq_adc_topk", "q149_simhash_pairs",
+    "q150_novelty_contribution",
+    # oldest r06-era rows (driver row last seen r06)
+    "q45_ann_lsh_topk", "q54_ann_ivf_topk",
+    "q151_minhash_containment", "q152_slow_ship_priority",
+    "q153_promo_revenue_share", "q154_local_supplier_volume",
+    "q155_nation_market_share",
 )
-_R9_WINDOW = tuple(
-    n for n in (_R9_NEW + _R9_FILLERS) if n in REGISTRY
+_R10_WINDOW = tuple(
+    n for n in (_R10_NEW + _R10_FILLERS) if n in REGISTRY
 )[:50]
-_head = {n: REGISTRY[n] for n in _R9_WINDOW}
+_head = {n: REGISTRY[n] for n in _R10_WINDOW}
 _tail = {n: q for n, q in REGISTRY.items() if n not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

@@ -3835,3 +3835,496 @@ def q239_video_meta_census(spark, sf_dir):
                 "timescale", "width", "height")
         .orderBy("doc_id")
     )
+
+
+#: q241 16-bit PNG device: width 15 (unique among the raster devices)
+#: and FULL-RANGE samples — each printable char becomes the 16-bit
+#: level ascii·257 (the classic 8→16-bit replication 0xAB→0xABAB), so
+#: a byte-truncating decode or a missed high byte shifts every stat
+_P16_W = 15
+
+
+@register(
+    "q241_png16_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_P16_W}) * {_P16_W}) AS s
+      FROM a WHERE length(s) >= {_P16_W}
+    ),
+    v AS (
+      SELECT doc_id, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                    i -> ascii(substr(s, i, 1)) * 257)) AS val
+      FROM c
+    )
+    SELECT doc_id,
+           CAST({_P16_W} AS INT) AS width,
+           CAST(n // {_P16_W} AS INT) AS height,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((2 * sum(val) * 10000 + n) // (2 * n) AS DOUBLE)
+             / 10000.0 AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec", "png", "16-bit"),
+)
+def q241_png16_stats(spark, sf_dir):
+    """Pixel statistics through a REAL 16-bit grayscale PNG
+    encode→decode round trip (r10 — the last documented image-decode
+    gap): each document's printable chars become full-range 16-bit
+    samples (ascii·257), written big-endian with the row filters
+    cycling through all five types and half the corpus Adam7-
+    interlaced, decoded at NATIVE grain by ``decode_png_samples`` and
+    aggregated with the typed ``bit_depth`` column that makes 16-bit
+    stats safe downstream. The oracle computes the same stats straight
+    from the characters at 257× weight — a single byte-order, filter
+    offset (bpp=2), interlace-geometry or truncation slip breaks the
+    hash.
+
+    Scale shape: one Arrow-batched encode pass + the stats decode pass
+    at media grain — no pixel ever shuffles (q186's shape at twice the
+    sample width)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_png_gray,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_P16_W}) * {_P16_W})"))
+        .filter(F.length("s") >= _P16_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            vals = [ord(ch) * 257 for ch in s]
+            return encode_png_gray(vals, _P16_W, "cycle",
+                                   interlace=(mid % 2 == 0), depth=16)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height", "bit_depth",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: q242 MP4 device: 10 uniform blocks per frame (width 80 — unique
+#: among the video devices), ≤20 frames, fps 3 + doc % 5
+_MP4_BPR = 10
+_MP4_NF = 20
+
+
+@register(
+    "q242_mp4_frame_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, least(length(s) // {_MP4_BPR}, {_MP4_NF})
+                          * {_MP4_BPR}) AS s
+      FROM a WHERE length(s) >= {_MP4_BPR}
+    ),
+    fr AS (
+      SELECT doc_id, s,
+             unnest(range(0, length(s) // {_MP4_BPR})) AS f
+      FROM c
+    ),
+    v AS (
+      SELECT doc_id, f,
+             unnest(list_transform(range(1, {_MP4_BPR} + 1),
+               i -> ascii(substr(s, CAST(f * {_MP4_BPR} AS INT) + i,
+                                 1)))) AS val
+      FROM fr WHERE f % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_no,
+           CAST(3 + doc_id % 5 AS INT) AS fps,
+           CAST({_MP4_BPR} * 8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(64 * {_MP4_BPR} AS BIGINT) AS n_pixels,
+           CAST((2 * 64 * sum(val) * 10000 + 64 * {_MP4_BPR})
+                // (2 * 64 * {_MP4_BPR}) AS DOUBLE) / 10000.0
+             AS mean_val,
+           CAST(min(val) AS INT) AS min_val,
+           CAST(max(val) AS INT) AS max_val
+    FROM v GROUP BY doc_id, f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "codec", "video", "mp4"),
+)
+def q242_mp4_frame_stats(spark, sf_dir):
+    """q226's sampled-frame statistics through the OTHER container: a
+    REAL ISO-BMFF (MP4) Motion-JPEG mux→demux→decode round trip (r10 —
+    MP4 is what an actual crawl contains; AVI was the only demuxed
+    container before). Every second frame of each document's MP4 is
+    located through the stsc/stsz/stco sample map, decoded through the
+    full JPEG pipeline and aggregated; the stts-derived frame rate
+    (varying per doc) rides along, so the mdhd timescale round trip is
+    load-bearing. The oracle never sees a container: it slices the
+    same characters into frames at 64× pixel weight. A box-walk slip,
+    a chunk-offset error, a sampling off-by-one or any JPEG regression
+    breaks the hash.
+
+    Scale shape: identical to q226 — one encode pass, one demux+decode
+    pass at media grain, sampled-out frames never reach the entropy
+    decoder, output bounded by frames/2."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_gray_blocks,
+        encode_mp4_mjpeg,
+        video_frame_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, least(length(s) div {_MP4_BPR}, "
+            f"{_MP4_NF}) * {_MP4_BPR})"))
+        .filter(F.length("s") >= _MP4_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            b = s.encode("ascii")
+            frames = [
+                encode_jpeg_gray_blocks(b[k:k + _MP4_BPR], _MP4_BPR)
+                for k in range(0, len(b), _MP4_BPR)]
+            return encode_mp4_mjpeg(frames, _MP4_BPR * 8, 8,
+                                    fps=3 + mid % 5)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    fs = video_frame_stats(media, every_n=2)
+    return (
+        fs.select(
+            F.col("media_id").alias("doc_id"),
+            F.col("frame_no").cast("bigint").alias("frame_no"),
+            "fps", "width", "height",
+            F.col("n_samples").cast("bigint").alias("n_pixels"),
+            (F.expr("(2 * sum_val * 10000 + n_samples) "
+                    "div (2 * n_samples)").cast("double") / 10000.0)
+            .alias("mean_val"),
+            "min_val", "max_val",
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+@register(
+    "q243_video_dedup_cross_container",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, least(length(s) // {_VID_BPR}, {_VID_NF})
+                          * {_VID_BPR}) AS s
+      FROM a WHERE length(s) >= 2 * {_VID_BPR}
+    ),
+    fr AS (
+      SELECT doc_id, s,
+             unnest(range(0, length(s) // {_VID_BPR})) AS f
+      FROM c
+    ),
+    v AS (
+      SELECT doc_id, f,
+             unnest(list_transform(range(1, {_VID_BPR} + 1),
+               i -> ascii(substr(s, CAST(f * {_VID_BPR} AS INT) + i,
+                                 1)))) AS val
+      FROM fr
+    ),
+    g0 AS (
+      SELECT doc_id, f,
+             (1000 * sum(val)) // {_VID_BPR} AS m
+      FROM v GROUP BY doc_id, f
+    ),
+    d AS (
+      SELECT doc_id, f,
+             CASE WHEN m < lead(m) OVER w THEN 1 ELSE 0 END AS b,
+             lead(m) OVER w AS nxt
+      FROM g0 WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    byt AS (
+      SELECT doc_id, f // 8 AS bi,
+             sum(b * (1 << CAST(7 - f % 8 AS INT))) AS byte
+      FROM d WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                        '' ORDER BY bi) AS fp
+      FROM byt GROUP BY doc_id
+    ),
+    g AS (SELECT fp.fp, min(doc_id) AS keep_doc FROM fp GROUP BY 1),
+    m AS (
+      SELECT doc_id, fp, k,
+             CASE k WHEN 0 THEN 'avi' WHEN 1 THEN 'gif'
+                    ELSE 'mp4' END AS variant
+      FROM fp, (SELECT unnest(range(0, 3)) AS k)
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN k = 0 AND doc_id = g.keep_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM m JOIN g USING (fp)
+    GROUP BY variant ORDER BY variant
+    """,
+    tags=("media", "multimodal", "video", "mp4", "dedup", "funnel"),
+)
+def q243_video_dedup_cross_container(spark, sf_dir):
+    """q238's cross-container video dedup widened to the THREE
+    containers a real crawl mixes (r10): every document's footage
+    ships as a Motion-JPEG AVI (5 fps, 64× JPEG weight), an animated
+    GIF (7 cs ticks, 3× composited-RGB weight) AND a Motion-JPEG MP4
+    (9 fps, 64× weight through the ISO-BMFF sample map). The
+    frame-sequence fingerprint is invariant to container, codec, frame
+    rate and color model by construction — the exact-integer
+    milli-mean cancels every weight — so all three muxes of a doc fold
+    to ONE key and the min-id election keeps the AVI. The per-variant
+    survivor census is the proof; the oracle computes the fingerprint
+    hex straight from the character slices. One decoded pixel
+    differing between the JPEG path (shared by AVI and MP4) and the
+    LZW/compositing path, or one demuxed frame out of order in ANY
+    container, breaks the fold.
+
+    Scale shape: one encode pass (three rows per doc), one
+    demux+decode pass, a media-grain fingerprint window, then a census
+    over short hex keys — pixels never shuffle."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_gif_animation,
+        encode_jpeg_gray_blocks,
+        encode_mp4_mjpeg,
+        video_fingerprint,
+        video_frame_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select("doc_id",
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, least(length(s) div {_VID_BPR}, "
+            f"{_VID_NF}) * {_VID_BPR})"))
+        .filter(F.length("s") >= 2 * _VID_BPR)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, variants, payloads = [], [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                b = s.encode("ascii")
+                chunks = [b[k:k + _VID_BPR]
+                          for k in range(0, len(b), _VID_BPR)]
+                jpegs = [encode_jpeg_gray_blocks(ch, _VID_BPR)
+                         for ch in chunks]
+                ids.append(int(did) * 3)
+                variants.append("avi")
+                payloads.append(encode_avi_mjpeg(
+                    jpegs, _VID_BPR * 8, 8, fps=5))
+                ids.append(int(did) * 3 + 1)
+                variants.append("gif")
+                payloads.append(encode_gif_animation(
+                    chunks, _VID_BPR, delay_cs=7))
+                ids.append(int(did) * 3 + 2)
+                variants.append("mp4")
+                payloads.append(encode_mp4_mjpeg(
+                    jpegs, _VID_BPR * 8, 8, fps=9))
+            yield pd.DataFrame({
+                "media_id": ids, "variant": variants,
+                "content": payloads})
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("variant", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    fps = video_fingerprint(
+        video_frame_stats(media.select("media_id", "content"),
+                          every_n=1))
+    from pyspark.sql import Window
+
+    byfp = Window.partitionBy("fp")
+    elected = (
+        media.select("media_id", "variant")
+        .join(fps, "media_id")
+        .withColumn("_keep", F.min("media_id").over(byfp))
+    )
+    return (
+        elected.groupBy("variant")
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.sum(F.when(F.col("media_id") == F.col("_keep"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_survivors"))
+        .orderBy("variant")
+    )
+
+
+#: q244 mixed-depth device: width 18; even docs encode 8-bit
+#: (val=ascii), odd docs 16-bit (val=ascii·257). Because
+#: 65535 = 257·255, the NORMALIZED level of a char is identical in
+#: both cohorts — the invariant that makes a missed bit_depth
+#: normalization (dividing 16-bit sums by 255) instantly visible.
+_MXD_W = 18
+
+
+@register(
+    "q244_mixed_depth_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (length(s) // {_MXD_W}) * {_MXD_W}) AS s,
+             CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 257 END AS wt
+      FROM a WHERE length(s) >= {_MXD_W}
+    ),
+    v AS (
+      SELECT doc_id, bit_depth, wt, length(s) AS n,
+             unnest(list_transform(range(1, length(s) + 1),
+                    i -> ascii(substr(s, i, 1)))) AS val
+      FROM c
+    ),
+    per AS (
+      SELECT bit_depth,
+             count(DISTINCT doc_id) AS n_images,
+             CAST(sum(1) AS BIGINT) AS n_samples,
+             sum(CAST(val AS BIGINT) * wt) AS sum_val
+      FROM v GROUP BY bit_depth
+    )
+    SELECT CAST(bit_depth AS INT) AS bit_depth,
+           CAST(n_images AS BIGINT) AS n_images,
+           n_samples,
+           CAST((2 * 1000000 * sum_val
+                 + n_samples * ((1 << bit_depth) - 1))
+                // (2 * n_samples * ((1 << bit_depth) - 1))
+                AS DOUBLE) / 1000000.0 AS norm_mean_6dp
+    FROM per ORDER BY bit_depth
+    """,
+    tags=("media", "multimodal", "png", "16-bit", "census"),
+)
+def q244_mixed_depth_census(spark, sf_dir):
+    """The query the ``bit_depth`` column exists FOR: a mixed-depth
+    image corpus (even docs 8-bit PNGs, odd docs full-range 16-bit
+    PNGs of the same characters) rolled up per depth with the
+    normalized mean level — sum/(n·(2^bit_depth−1)) as a half-up 6dp
+    integer division. The device makes normalization load-bearing:
+    ascii·257 over 65535 equals ascii over 255, so the two cohorts'
+    normalized means sit in the same narrow band, and dividing the
+    16-bit cohort by an assumed 255 would be ~257× off — the silent
+    bug the typed column prevents. A real pipeline runs exactly this
+    census before thresholding brightness/contrast filters across a
+    crawl's mixed bit depths.
+
+    Scale shape: one encode pass, one stats decode pass at media
+    grain, then a 2-row census — only (depth, count, sums) shuffle."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_png_gray,
+        image_pixel_stats,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (length(s) div {_MXD_W}) * {_MXD_W})"))
+        .filter(F.length("s") >= _MXD_W)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            if mid % 2 == 0:
+                return encode_png_gray(s.encode("ascii"), _MXD_W)
+            return encode_png_gray([ord(ch) * 257 for ch in s],
+                                   _MXD_W, depth=16)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    stats = image_pixel_stats(media)
+    den = "n_samples * ((1 << bit_depth) - 1)"
+    return (
+        stats.groupBy(F.col("bit_depth").cast("int").alias("bit_depth"))
+        .agg(F.count("*").cast("bigint").alias("n_images"),
+             F.sum("n_samples").alias("n_samples"),
+             F.sum("sum_val").alias("sum_val"))
+        .select("bit_depth", "n_images", "n_samples",
+                (F.expr(f"(2 * 1000000 * sum_val + {den}) "
+                        f"div (2 * {den})").cast("double")
+                 / 1000000.0).alias("norm_mean_6dp"))
+        .orderBy("bit_depth")
+    )

@@ -1,0 +1,206 @@
+"""r10 codec surface: 16-bit PNG native-grain decode and the
+Motion-JPEG ISO-BMFF (MP4) demuxer.
+
+Exactness contracts under test (media playbook):
+- 16-bit samples are big-endian pairs; the row filters' 'left' offset
+  is 2 bytes; Adam7 passes reset per sub-image — a slip in any of the
+  three shifts every decoded level.
+- decode_png_pixels (the byte-grain API dHash and the funnels read)
+  stays GATED on 16-bit: byte-truncating 65535-level samples would
+  silently change its consumers' meaning.
+- MP4 samples come back verbatim through stsc/stsz/stco; non-jpeg
+  sample entries are honest gates (NotImplementedError), torn sample
+  tables are corruption (ValueError), audio-only containers are None.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sunat_rree_demo_spark.operators.multimodal import (
+    decode_mp4_mjpeg,
+    decode_png_pixels,
+    decode_png_samples,
+    encode_jpeg_gray_blocks,
+    encode_mp4_mjpeg,
+    encode_png_gray,
+)
+
+
+# ------------------------------------------------------------- 16-bit PNG
+def test_png16_round_trip_all_filters_and_interlace():
+    rng = np.random.RandomState(11)
+    for w, h in ((1, 1), (5, 4), (15, 9), (21, 17)):
+        vals = rng.randint(0, 65536, size=w * h).tolist()
+        for fc in ("none", "cycle"):
+            for il in (False, True):
+                png = encode_png_gray(vals, w, fc, interlace=il,
+                                      depth=16)
+                gw, gh, ch, depth, s = decode_png_samples(png)
+                assert (gw, gh, ch, depth) == (w, h, 1, 16)
+                assert s.dtype == np.uint16
+                assert s.tolist() == vals, (w, h, fc, il)
+
+
+def test_png16_gated_at_byte_grain_api():
+    png = encode_png_gray([0, 65535, 257, 4096], 2, depth=16)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png_pixels(png)
+
+
+def test_png16_encoder_range_check():
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_png_gray([0, 65536], 2, depth=16)
+
+
+def test_png8_byte_api_unchanged_and_reports_depth():
+    px = bytes(range(24))
+    png = encode_png_gray(px, 6, "cycle")
+    assert decode_png_pixels(png) == (6, 4, 1, px)
+    assert decode_png_samples(png)[3] == 8
+
+
+def test_png16_corrupt_length_raises():
+    png = encode_png_gray([1, 2, 3, 4], 2, depth=16)
+    # truncate one byte inside IDAT: unfilter must see the mismatch
+    import zlib
+
+    sig, pos, parts = png[:8], 8, []
+    while pos + 8 <= len(png):
+        (clen,) = struct.unpack(">I", png[pos:pos + 4])
+        typ = png[pos + 4:pos + 8]
+        body = png[pos + 8:pos + 8 + clen]
+        if typ == b"IDAT":
+            raw = zlib.decompress(body)
+            body = zlib.compress(raw[:-1])
+        parts.append((typ, body))
+        pos += 12 + clen
+    out = sig
+    for typ, body in parts:
+        out += (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+    with pytest.raises(ValueError):
+        decode_png_samples(out)
+
+
+# ------------------------------------------------------------ MP4 / MJPEG
+def _frames(n=4, bpr=10):
+    return [encode_jpeg_gray_blocks(bytes(32 + (i + j) % 90
+                                          for j in range(bpr)), bpr)
+            for i in range(n)]
+
+
+def test_mp4_round_trip_verbatim_frames():
+    frames = _frames(6)
+    mp4 = encode_mp4_mjpeg(frames, 80, 8, fps=4)
+    w, h, fps, got = decode_mp4_mjpeg(mp4)
+    assert (w, h, fps) == (80, 8, 4)
+    assert got == frames
+
+
+def test_mp4_non_bmff_is_none():
+    assert decode_mp4_mjpeg(b"RIFF\x00\x00\x00\x00AVI LIST") is None
+    assert decode_mp4_mjpeg(b"\x89PNG\r\n\x1a\n" + bytes(16)) is None
+
+
+def test_mp4_foreign_codec_is_gated():
+    mp4 = bytearray(encode_mp4_mjpeg(_frames(2), 80, 8))
+    i = mp4.find(b"jpeg", mp4.find(b"stsd"))
+    mp4[i:i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_mjpeg(bytes(mp4))
+
+
+def test_mp4_audio_only_is_none():
+    mp4 = bytearray(encode_mp4_mjpeg(_frames(2), 80, 8))
+    i = mp4.find(b"vide", mp4.find(b"hdlr"))
+    mp4[i:i + 4] = b"soun"
+    assert decode_mp4_mjpeg(bytes(mp4)) is None
+
+
+def test_mp4_sample_out_of_range_raises():
+    frames = _frames(2)
+    mp4 = bytearray(encode_mp4_mjpeg(frames, 80, 8))
+    # point the last stco offset past EOF
+    i = mp4.find(b"stco")
+    (cnt,) = struct.unpack(">I", mp4[i + 8:i + 12])
+    last = i + 12 + 4 * (cnt - 1)
+    mp4[last:last + 4] = struct.pack(">I", len(mp4) + 1)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_mp4_mjpeg(bytes(mp4))
+
+
+def test_mp4_torn_stsz_raises():
+    mp4 = bytearray(encode_mp4_mjpeg(_frames(3), 80, 8))
+    # claim more samples than the table carries
+    i = mp4.find(b"stsz")
+    mp4[i + 12:i + 16] = struct.pack(">I", 99)
+    with pytest.raises(ValueError):
+        decode_mp4_mjpeg(bytes(mp4))
+
+
+def test_mp4_fps_half_up_from_stts():
+    # timescale 30000, delta 1001 -> 29.97 -> rounds half-up to 30
+    frames = _frames(2)
+    mp4 = bytearray(encode_mp4_mjpeg(frames, 80, 8, fps=30000))
+    i = mp4.find(b"stts")
+    mp4[i + 16:i + 20] = struct.pack(">I", 1001)  # per-sample delta
+    w, h, fps, got = decode_mp4_mjpeg(bytes(mp4))
+    assert fps == 30
+    assert got == frames
+
+
+# ------------------------------------------------ Spark-side integration
+def test_video_frame_stats_mp4_and_avi_agree(spark):
+    """The same JPEG frames muxed as AVI and as MP4 must yield
+    identical per-frame stats rows (modulo media_id/fps) — the
+    cross-container invariant q243 folds on."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        video_frame_stats,
+    )
+
+    frames = _frames(5, 12)
+    avi = encode_avi_mjpeg(frames, 96, 8, fps=5)
+    mp4 = encode_mp4_mjpeg(frames, 96, 8, fps=9)
+    media = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(mp4))],
+        "media_id long, content binary")
+    rows = video_frame_stats(media, every_n=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(
+            (r.frame_no, r.width, r.height, r.n_samples, r.sum_val,
+             r.min_val, r.max_val))
+    assert sorted(by_media) == [0, 1]
+    assert sorted(by_media[0]) == sorted(by_media[1])
+    fps = {r.media_id: r.fps for r in rows}
+    assert fps == {0: 5, 1: 9}
+
+
+def test_image_pixel_stats_bit_depth_column(spark):
+    """8-bit rows keep their previous values and gain bit_depth=8;
+    16-bit PNGs report native-grain stats with bit_depth=16; non-image
+    payloads stay all-null including bit_depth."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        image_pixel_stats,
+    )
+
+    png8 = encode_png_gray(bytes([10, 20, 30, 40, 50, 60]), 3)
+    png16 = encode_png_gray([10 * 257, 20 * 257, 30 * 257,
+                             40 * 257, 50 * 257, 60 * 257], 3,
+                            depth=16)
+    media = spark.createDataFrame(
+        [(0, bytearray(png8)), (1, bytearray(png16)), (2, b"junk")],
+        "media_id long, content binary")
+    got = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    r8, r16, rj = got[0], got[1], got[2]
+    assert (r8.width, r8.height, r8.bit_depth) == (3, 2, 8)
+    assert (r8.sum_val, r8.min_val, r8.max_val) == (210, 10, 60)
+    assert (r16.width, r16.height, r16.bit_depth) == (3, 2, 16)
+    assert r16.sum_val == 210 * 257
+    assert (r16.min_val, r16.max_val) == (10 * 257, 60 * 257)
+    assert rj.bit_depth is None and rj.sum_val is None
