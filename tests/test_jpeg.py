@@ -324,9 +324,14 @@ def test_entropy_segment_cut_excludes_fill_run():
 
 def test_pixel_stats_degrade_gated_variants(spark):
     """A mixed crawl batch with one extended-sequential JPEG (gated)
-    and one 16-bit PNG must yield null-stats rows for those, not abort
-    the aggregate job (review finding r7) — while a decodable sibling
-    in the same batch still gets real stats."""
+    must yield a null-stats row for it, not abort the aggregate job
+    (review finding r7) — while decodable siblings in the same batch
+    still get real stats. Since r10 a WELL-FORMED 16-bit PNG is one of
+    those decodable siblings (native-grain stats, bit_depth=16); a
+    depth-byte-flipped 8-bit PNG is now CORRUPT (declared 16-bit over
+    8-bit-sized data) and must raise loudly, per the taxonomy."""
+    import pytest as _pytest
+
     from sunat_rree_demo_spark.operators.multimodal import (
         encode_png_gray,
         image_pixel_stats,
@@ -335,14 +340,24 @@ def test_pixel_stats_degrade_gated_variants(spark):
     good = encode_jpeg_gray_blocks(bytes([90] * 16), 16)
     prog = bytearray(good)
     prog[good.index(b"\xff\xc0") + 1] = 0xC1  # SOF1 extended (gated)
-    png = bytearray(encode_png_gray(bytes([1, 2, 3, 4]), 2))
-    png[24] = 16  # IHDR bit depth -> 16 (gated; CRC is not checked)
-    rows = [(1, bytearray(good)), (2, prog), (3, png)]
+    png16 = encode_png_gray([257, 2 * 257, 3 * 257, 4 * 257], 2,
+                            depth=16)
+    rows = [(1, bytearray(good)), (2, prog), (3, bytearray(png16))]
     media = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r.media_id: r for r in image_pixel_stats(media).collect()}
     assert got[1].n_samples == 1024 and got[1].sum_val == 1024 * 90
+    assert got[1].bit_depth == 8
     assert got[2].width is None and got[2].n_samples is None
-    assert got[3].width is None and got[3].n_samples is None
+    assert got[2].bit_depth is None
+    assert (got[3].n_samples, got[3].sum_val, got[3].bit_depth) \
+        == (4, 10 * 257, 16)
+
+    corrupt = bytearray(encode_png_gray(bytes([1, 2, 3, 4]), 2))
+    corrupt[24] = 16  # IHDR says 16-bit over 8-bit-sized IDAT
+    bad = spark.createDataFrame([(9, corrupt)],
+                                "media_id long, content binary")
+    with _pytest.raises(Exception, match="length mismatch"):
+        image_pixel_stats(bad).collect()
 
 
 def test_fill_bytes_before_markers_accepted():
