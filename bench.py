@@ -209,8 +209,10 @@ def main() -> None:
         k for k, r in per_query_ratio.items()
         if r is not None and r > ratio_cap and timings[k] >= abs_floor)
     # round-over-round regression tripwire: diff this run's warm times
-    # against the PREVIOUS bench_detail.json (loaded before we overwrite
-    # it). Noise-band-aware — the documented warm-timing noise on this
+    # against the last GREEN run's record (see load_regression_baseline
+    # and the green_path note below — r10: a failed run's inflated warm
+    # times must not become the diff base).
+    # Noise-band-aware — the documented warm-timing noise on this
     # shared box is ~2x for sub-second queries (BASELINE.md), so a query
     # is flagged only when it BOTH grew more than REGRESS_CAP x AND the
     # absolute growth exceeds REGRESS_FLOOR_SEC. Warn-only (reported in

@@ -1112,11 +1112,21 @@ def decode_png_pixels(payload: bytes) \
     native-grain path (``decode_png_samples``, r10) serves them to
     ``image_pixel_stats`` with a typed ``bit_depth`` column. Returns
     None for non-PNG payloads; ``ValueError`` for corrupt streams."""
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    # gate on the IHDR depth byte BEFORE paying inflate + the Python
+    # unfilter loop: the byte-grain consumers (dHash, the funnels, the
+    # streaming keyer) discard 16-bit payloads as a gated variant, so
+    # decoding first would be O(pixels) of pure waste per such image
+    # (IHDR is the mandatory first chunk; depth sits at offset 24)
+    if len(payload) >= 25 and payload[12:16] == b"IHDR" \
+            and payload[24] == 16:
+        raise NotImplementedError("16-bit PNG (8-bit only)")
     dec = decode_png_samples(payload)
     if dec is None:
         return None
     width, height, ch, depth, samples = dec
-    if depth == 16:
+    if depth == 16:  # backstop for a non-leading IHDR
         raise NotImplementedError("16-bit PNG (8-bit only)")
     return (width, height, ch, samples.astype(np.uint8).tobytes())
 
@@ -4553,6 +4563,12 @@ def _mp4_sample_tables(payload: bytes, s0: int, s1: int):
     stts = stsc = sizes = offs = None
     for btyp, b0, b1 in _iter_boxes(payload, s0, s1):
         body = payload[b0 + 4:b1]  # skip version+flags of full boxes
+        # every handled table starts with at least one u32 after the
+        # version/flags — a shorter box is torn, and it must be a
+        # ValueError (the quarantine contract), never a struct.error
+        if btyp in (b"stsd", b"stts", b"stsc", b"stsz", b"co64",
+                    b"stco") and len(body) < 4:
+            raise ValueError("torn MP4 sample-table box")
         if btyp == b"stsd":
             (cnt,) = struct.unpack(">I", body[:4])
             if cnt < 1 or len(body) < 4 + 16:
@@ -4575,8 +4591,16 @@ def _mp4_sample_tables(payload: bytes, s0: int, s1: int):
             stsc = [struct.unpack(">III", body[4 + 12 * k:16 + 12 * k])
                     for k in range(cnt)]
         elif btyp == b"stsz":
+            if len(body) < 8:
+                raise ValueError("torn stsz")
             uniform, cnt = struct.unpack(">II", body[:8])
             if uniform:
+                # bounds check BEFORE materializing cnt list entries:
+                # no container can hold more samples than bytes, and a
+                # corrupt cnt=0xFFFFFFFF would otherwise allocate tens
+                # of GB ahead of the consistency checks
+                if cnt > len(payload) or uniform > len(payload):
+                    raise ValueError("stsz exceeds container size")
                 sizes = [uniform] * cnt
             else:
                 if len(body) < 8 + 4 * cnt:
@@ -4632,8 +4656,19 @@ def decode_mp4_mjpeg(payload: bytes) \
                     continue
                 for ityp, i0, i1 in _iter_boxes(payload, m0, m1):
                     if ityp == b"mdhd" and i1 - i0 >= 16:
-                        timescale = int.from_bytes(
-                            payload[i0 + 12:i0 + 16], "big")
+                        # version 1 widens creation/modification to
+                        # u64, moving timescale to offset 20 (same
+                        # layout split decode_video_meta handles for
+                        # mvhd) — reading the v0 offset there would
+                        # yield half a timestamp as a silently wrong
+                        # timescale
+                        if payload[i0] == 1:
+                            if i1 - i0 >= 24:
+                                timescale = int.from_bytes(
+                                    payload[i0 + 20:i0 + 24], "big")
+                        else:
+                            timescale = int.from_bytes(
+                                payload[i0 + 12:i0 + 16], "big")
                     elif ityp == b"hdlr" and i1 - i0 >= 12:
                         handler = payload[i0 + 8:i0 + 12]
                     elif ityp == b"minf":
@@ -4660,6 +4695,8 @@ def decode_mp4_mjpeg(payload: bytes) \
             # fps: half-up timescale/delta of the first stts run (the
             # constant-rate case every real MJPEG mux writes); clamp
             # like the AVI path so timelapse rates can't yield fps=0
+            if not stts:
+                raise ValueError("empty stts")
             delta = stts[0][1]
             if delta <= 0:
                 raise ValueError("non-positive MP4 sample delta")

@@ -204,3 +204,142 @@ def test_image_pixel_stats_bit_depth_column(spark):
     assert r16.sum_val == 210 * 257
     assert (r16.min_val, r16.max_val) == (10 * 257, 60 * 257)
     assert rj.bit_depth is None and rj.sum_val is None
+
+
+def test_mp4_routes_as_video_and_folds_with_avi(spark):
+    """The curation front door and the streaming perceptual keyer both
+    get MP4 for free: route_media classifies ISO-BMFF as video, and
+    the same footage muxed as AVI and MP4 folds to ONE fingerprint key
+    in media_dedup_keys and perceptual_keys alike."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+    )
+    from sunat_rree_demo_spark.plans.curate_media import (
+        media_dedup_keys,
+        route_media,
+    )
+    from sunat_rree_demo_spark.streaming.media_stream import (
+        perceptual_keys,
+    )
+
+    frames = _frames(4, 12)
+    avi = encode_avi_mjpeg(frames, 96, 8, fps=5)
+    mp4 = encode_mp4_mjpeg(frames, 96, 8, fps=9)
+    media = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(mp4))],
+        "media_id long, content binary")
+
+    routed = route_media(media)
+    assert {r.media_id: r.modality for r in routed.collect()} \
+        == {0: "video", 1: "video"}
+
+    dkeys = {r.media_id: r.dkey
+             for r in media_dedup_keys(routed).collect()}
+    assert dkeys[0] is not None and dkeys[0].startswith("vid:")
+    assert dkeys[0] == dkeys[1]
+
+    skeys = {r.media_id: r.dhash
+             for r in perceptual_keys(media).collect()}
+    assert skeys[0] is not None and skeys[0].startswith("v:")
+    assert skeys[0] == skeys[1]
+
+
+def test_png16_rgb_decode_hand_built():
+    """The decoder's 16-bit path is channel-generic (bpp = 2·ch): a
+    hand-built 16-bit RGB PNG (filter-0 rows, big-endian pairs) must
+    come back sample-exact. The module's encoder is grayscale-only, so
+    this pins the color branch independently."""
+    import zlib
+
+    w, h = 3, 2
+    vals = list(range(0, w * h * 3 * 1000, 1000))  # 18 samples < 65536
+    raw = bytearray()
+    k = 0
+    for _row in range(h):
+        raw.append(0)  # filter 0
+        for _s in range(w * 3):
+            raw += vals[k].to_bytes(2, "big")
+            k += 1
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)  # color type 2
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    gw, gh, ch, depth, s = decode_png_samples(png)
+    assert (gw, gh, ch, depth) == (w, h, 3, 16)
+    assert s.tolist() == vals
+
+
+def test_mp4_torn_tiny_table_box_is_valueerror():
+    """A sample-table box shorter than its first u32 must raise
+    ValueError (the quarantine contract), never struct.error — a
+    poisoned payload escaping as a non-ValueError would wedge the
+    streaming gate's corrupt='null' replay (review finding r10)."""
+    mp4 = bytearray(encode_mp4_mjpeg(_frames(2), 80, 8))
+    i = mp4.find(b"stts") - 4
+    # shrink the stts box to 10 bytes (header + 2 junk bytes): the
+    # following bytes become garbage boxes inside stbl
+    mp4[i:i + 4] = struct.pack(">I", 10)
+    with pytest.raises(ValueError):
+        decode_mp4_mjpeg(bytes(mp4))
+
+
+def test_mp4_huge_uniform_stsz_bounded_before_allocation():
+    """stsz uniform_size path must bounds-check cnt against the
+    container BEFORE materializing the size list (a corrupt
+    cnt=0xFFFFFFFF would otherwise allocate tens of GB)."""
+    mp4 = bytearray(encode_mp4_mjpeg(_frames(2), 80, 8))
+    i = mp4.find(b"stsz")
+    mp4[i + 8:i + 12] = struct.pack(">I", 100)       # uniform size
+    mp4[i + 12:i + 16] = struct.pack(">I", 0xFFFFFFFF)  # sample count
+    with pytest.raises(ValueError, match="exceeds container"):
+        decode_mp4_mjpeg(bytes(mp4))
+
+
+def test_mp4_mdhd_version1_timescale_offset():
+    """A version-1 mdhd (64-bit times) carries its timescale at body
+    offset 20; reading the v0 offset there would take half a
+    modification timestamp as the timescale and emit a silently wrong
+    fps (review finding r10)."""
+    frames = _frames(2)
+    mp4 = bytearray(encode_mp4_mjpeg(frames, 80, 8, fps=6))
+    i = mp4.find(b"mdhd")
+    body = i + 4  # version byte
+    # rebuild the mdhd body as v1: version=1, creation/modification
+    # u64 (zeros), timescale u32, duration u64 — the box our encoder
+    # writes is v0 with 20 body bytes + language/pre_defined; widen it
+    import struct as _s
+
+    old_len_off = i - 4
+    (old_len,) = _s.unpack(">I", mp4[old_len_off:old_len_off + 4])
+    v1_body = (bytes([1]) + b"\x00\x00\x00" + bytes(16)
+               + _s.pack(">I", 6) + _s.pack(">Q", 2)
+               + _s.pack(">HH", 0x55C4, 0))
+    new_box = _s.pack(">I", 8 + len(v1_body)) + b"mdhd" + v1_body
+    # splice: grow every enclosing box size by the delta
+    delta = len(new_box) - old_len
+    out = bytearray(mp4[:old_len_off]) + new_box \
+        + mp4[old_len_off + old_len:]
+    for fourcc in (b"moov", b"trak", b"mdia"):
+        j = out.find(fourcc)
+        (sz,) = _s.unpack(">I", out[j - 4:j])
+        out[j - 4:j] = _s.pack(">I", sz + delta)
+    w, h, fps, got = decode_mp4_mjpeg(bytes(out))
+    assert fps == 6
+    assert got == frames
+    assert body  # silence the unused-variable lint
+
+
+def test_png16_byte_api_gates_before_decoding():
+    """The byte-grain gate must fire off the IHDR depth byte, before
+    inflate/unfilter: a 16-bit PNG with a CORRUPT pixel stream still
+    raises NotImplementedError (not ValueError) here — proof the gate
+    precedes the decode work it exists to skip."""
+    png = bytearray(encode_png_gray([1, 2, 3, 4], 2, depth=16))
+    png[-20] ^= 0xFF  # corrupt inside IDAT/IEND tail
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png_pixels(bytes(png))
