@@ -592,6 +592,8 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 20,
                     parsed = _wav_pcm16_data(raw)
                     if parsed is None:
                         parsed = decode_flac_pcm16(raw)
+                    if parsed is None:  # ISO-BMFF PCM audio (r10)
+                        parsed = decode_mp4_pcm16(raw)
                 except NotImplementedError:
                     parsed = None  # gated variant: degrade, not abort
                 except ValueError:
@@ -2060,6 +2062,11 @@ def sniff_media_type(payload: bytes) -> str:
     if payload[:4] == b"fLaC":
         return "audio/flac"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # audio-branded ISO-BMFF (M4A/M4B) sniffs audio — the r10 PCM
+        # demux serves it; other brands stay video/mp4 (the common
+        # case, and brandless fragments can't be told apart by magic)
+        if payload[8:12] in (b"M4A ", b"M4B "):
+            return "audio/mp4"
         return "video/mp4"
     return "application/octet-stream"
 
@@ -4554,13 +4561,17 @@ def encode_mp4_mjpeg(frames: list[bytes], width: int, height: int,
 
 def _mp4_sample_tables(payload: bytes, s0: int, s1: int):
     """Parse one ``stbl`` box: returns (fourcc, width, height, stts
-    entries, stsc entries, sizes, chunk offsets). Missing mandatory
-    tables raise ValueError — a video trak without its sample map is
-    corrupt, not gated."""
+    entries, stsc entries, sizes, chunk offsets, stsd body bytes).
+    The raw stsd body rides along so format-specific callers (the
+    audio decoder reads channels/samplesize/samplerate from the
+    SoundDescription fields) can parse their own entry layout.
+    Missing mandatory tables raise ValueError — a media trak without
+    its sample map is corrupt, not gated."""
     import struct
 
     fourcc = width = height = None
     stts = stsc = sizes = offs = None
+    sd_body = b""
     for btyp, b0, b1 in _iter_boxes(payload, s0, s1):
         body = payload[b0 + 4:b1]  # skip version+flags of full boxes
         # every handled table starts with at least one u32 after the
@@ -4573,6 +4584,7 @@ def _mp4_sample_tables(payload: bytes, s0: int, s1: int):
             (cnt,) = struct.unpack(">I", body[:4])
             if cnt < 1 or len(body) < 4 + 16:
                 raise ValueError("empty stsd")
+            sd_body = body
             fourcc = body[8:12]
             # sample entry: 8 header + 6 reserved + 2 dref + 16
             # pre_defined/reserved, then u16 width / u16 height
@@ -4617,8 +4629,8 @@ def _mp4_sample_tables(payload: bytes, s0: int, s1: int):
                     for k in range(cnt)]
     if fourcc is None or stts is None or stsc is None \
             or sizes is None or offs is None:
-        raise ValueError("MP4 video trak missing sample tables")
-    return fourcc, width, height, stts, stsc, sizes, offs
+        raise ValueError("MP4 media trak missing sample tables")
+    return fourcc, width, height, stts, stsc, sizes, offs, sd_body
 
 
 def decode_mp4_mjpeg(payload: bytes) \
@@ -4639,10 +4651,46 @@ def decode_mp4_mjpeg(payload: bytes) \
     for torn sample tables or out-of-range samples."""
     import struct
 
-    if len(payload) < 16 or payload[4:8] not in (b"ftyp", b"moov",
-                                                 b"mdat", b"free",
-                                                 b"wide"):
+    if not _is_bmff(payload):
         return None
+    for handler, timescale, tables in _mp4_tracks(payload):
+        if handler != b"vide":
+            continue  # audio/hint track: keep looking
+        if tables is None or not timescale:
+            raise ValueError("MP4 video trak missing stbl/mdhd")
+        fourcc, w, h, stts, stsc, sizes, offs, _sd = \
+            _mp4_sample_tables(payload, *tables)
+        if fourcc not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
+            raise NotImplementedError(
+                f"MP4 video codec {fourcc.decode('latin1')!r}")
+        if fourcc in (b"mjpa", b"mjpb"):
+            # QuickTime field-split Motion-JPEG variants carry
+            # per-field headers the baseline pipeline can't split
+            raise NotImplementedError(
+                f"QuickTime {fourcc.decode('latin1')} field-split "
+                "Motion-JPEG")
+        if w is None or not h:
+            raise ValueError("MP4 jpeg sample entry without dims")
+        fps = _mp4_rate(stts, timescale)
+        frames = _mp4_collect_samples(payload, stts, stsc, sizes, offs)
+        return (w, h, fps, frames)
+    return None
+
+
+def _is_bmff(payload: bytes) -> bool:
+    """Cheap ISO-BMFF sniff: a known top-level box type at offset 4."""
+    return len(payload) >= 16 and payload[4:8] in (
+        b"ftyp", b"moov", b"mdat", b"free", b"wide")
+
+
+def _mp4_tracks(payload: bytes):
+    """Yield (handler fourcc, mdhd timescale, stbl (start, end)) per
+    trak of an ISO-BMFF payload — the shared moov walk of the video
+    and audio demuxers. mdhd version 1 widens creation/modification
+    to u64, moving timescale to offset 20 (same layout split
+    ``decode_video_meta`` handles for mvhd) — reading the v0 offset
+    there would yield half a timestamp as a silently wrong
+    timescale."""
     for btype, b0, b1 in _iter_boxes(payload, 0, len(payload)):
         if btype != b"moov":
             continue
@@ -4656,12 +4704,6 @@ def decode_mp4_mjpeg(payload: bytes) \
                     continue
                 for ityp, i0, i1 in _iter_boxes(payload, m0, m1):
                     if ityp == b"mdhd" and i1 - i0 >= 16:
-                        # version 1 widens creation/modification to
-                        # u64, moving timescale to offset 20 (same
-                        # layout split decode_video_meta handles for
-                        # mvhd) — reading the v0 offset there would
-                        # yield half a timestamp as a silently wrong
-                        # timescale
                         if payload[i0] == 1:
                             if i1 - i0 >= 24:
                                 timescale = int.from_bytes(
@@ -4672,59 +4714,188 @@ def decode_mp4_mjpeg(payload: bytes) \
                     elif ityp == b"hdlr" and i1 - i0 >= 12:
                         handler = payload[i0 + 8:i0 + 12]
                     elif ityp == b"minf":
-                        for styp, s0, s1 in _iter_boxes(payload, i0, i1):
+                        for styp, s0, s1 in _iter_boxes(payload,
+                                                        i0, i1):
                             if styp == b"stbl":
                                 tables = (s0, s1)
-            if handler != b"vide":
-                continue  # audio/hint track: keep looking
-            if tables is None or not timescale:
-                raise ValueError("MP4 video trak missing stbl/mdhd")
-            fourcc, w, h, stts, stsc, sizes, offs = \
-                _mp4_sample_tables(payload, *tables)
-            if fourcc not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
-                raise NotImplementedError(
-                    f"MP4 video codec {fourcc.decode('latin1')!r}")
-            if fourcc in (b"mjpa", b"mjpb"):
-                # QuickTime field-split Motion-JPEG variants carry
-                # per-field headers the baseline pipeline can't split
-                raise NotImplementedError(
-                    f"QuickTime {fourcc.decode('latin1')} field-split "
-                    "Motion-JPEG")
-            if w is None or not h:
-                raise ValueError("MP4 jpeg sample entry without dims")
-            # fps: half-up timescale/delta of the first stts run (the
-            # constant-rate case every real MJPEG mux writes); clamp
-            # like the AVI path so timelapse rates can't yield fps=0
-            if not stts:
-                raise ValueError("empty stts")
-            delta = stts[0][1]
-            if delta <= 0:
-                raise ValueError("non-positive MP4 sample delta")
-            fps = max(1, (2 * timescale + delta) // (2 * delta))
-            n = len(sizes)
-            if sum(c for c, _d in stts) != n:
-                raise ValueError("stts/stsz sample counts differ")
-            # expand the stsc runs: samples-per-chunk for each chunk
-            frames: list[bytes] = []
-            si = 0
-            for ci, off in enumerate(offs, start=1):
-                spc = 0
-                for first, per_chunk, _sdi in stsc:
-                    if first <= ci:
-                        spc = per_chunk
-                for _ in range(spc):
-                    if si >= n:
-                        break
-                    size = sizes[si]
-                    if off + size > len(payload):
-                        raise ValueError("MP4 sample out of range")
-                    frames.append(payload[off:off + size])
-                    off += size
-                    si += 1
-            if si != n:
-                raise ValueError("stsc/stco cover fewer samples "
-                                 "than stsz declares")
-            return (w, h, fps, frames)
+            yield handler, timescale, tables
+
+
+def _mp4_rate(stts, timescale: int) -> int:
+    """Half-up timescale/delta of the first stts run (the constant-
+    rate case every real mux writes), clamped ≥ 1 like the AVI path so
+    timelapse rates can't yield 0 and poison duration math."""
+    if not stts:
+        raise ValueError("empty stts")
+    delta = stts[0][1]
+    if delta <= 0:
+        raise ValueError("non-positive MP4 sample delta")
+    return max(1, (2 * timescale + delta) // (2 * delta))
+
+
+def _mp4_collect_samples(payload: bytes, stts, stsc, sizes,
+                         offs) -> list[bytes]:
+    """Slice every sample out of mdat by expanding the stsc runs over
+    the chunk offsets — shared by the video (frames) and audio (PCM
+    runs) demuxers. Strict: counts must agree across stts/stsz and
+    the map must cover every sample, offsets in bounds."""
+    n = len(sizes)
+    if sum(c for c, _d in stts) != n:
+        raise ValueError("stts/stsz sample counts differ")
+    out: list[bytes] = []
+    si = 0
+    for ci, off in enumerate(offs, start=1):
+        spc = 0
+        for first, per_chunk, _sdi in stsc:
+            if first <= ci:
+                spc = per_chunk
+        for _ in range(spc):
+            if si >= n:
+                break
+            size = sizes[si]
+            if off + size > len(payload):
+                raise ValueError("MP4 sample out of range")
+            out.append(payload[off:off + size])
+            off += size
+            si += 1
+    if si != n:
+        raise ValueError("stsc/stco cover fewer samples "
+                         "than stsz declares")
+    return out
+
+
+def encode_mp4_pcm16(samples: "np.ndarray", rate: int = 8000,
+                     channels: int = 1,
+                     big_endian: bool = False) -> bytes:
+    """Minimal ISO-BMFF PCM-16 audio muxer (the M4A twin of
+    ``encode_wav_pcm16``, r10): uncompressed int16 samples in mdat
+    under a ``sowt`` (little-endian) or ``twos`` (big-endian)
+    SoundDescription, one PCM frame per table sample, ~100 ms of
+    frames per chunk — so the demux walks a REAL multi-sample-per-
+    chunk stsc map (the video muxer's one-sample chunks never
+    exercise that path). PCM is lossless: a decode recovers the given
+    samples bit-exactly, which is what lets an oracle compute frame
+    energies straight from the source characters."""
+    import struct
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size == 0 or arr.size % channels:
+        raise ValueError("samples must be a nonzero multiple of "
+                         "channels")
+    if rate <= 0 or channels <= 0:
+        raise ValueError("rate/channels must be positive")
+    if arr.max(initial=0) > 32767 or arr.min(initial=0) < -32768:
+        raise ValueError("sample out of int16 range")
+    dt = ">i2" if big_endian else "<i2"
+    pcm = arr.astype(dt).tobytes()
+    n = arr.size // channels          # PCM frames (table samples)
+    bpf = 2 * channels                # bytes per PCM frame
+    spc = max(1, rate // 10)          # ~100 ms of frames per chunk
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    def full(typ: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return box(typ, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+    ftyp = box(b"ftyp", b"M4A " + struct.pack(">I", 0)
+               + b"M4A " + b"isom")
+    mdat = box(b"mdat", pcm)
+    n_chunks = (n + spc - 1) // spc
+    offs = [len(ftyp) + 8 + ci * spc * bpf for ci in range(n_chunks)]
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                         0, 0, 0x40000000)
+    mvhd = full(b"mvhd", 0, 0, struct.pack(
+        ">IIIIiH", 0, 0, rate, n, 0x10000, 0x100)
+        + bytes(10) + matrix + bytes(24) + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", 0, 3, struct.pack(
+        ">IIIII", 0, 0, 1, 0, n) + bytes(8)
+        + struct.pack(">hhhH", 0, 0, 0x100, 0) + matrix
+        + struct.pack(">II", 0, 0))
+    mdhd = full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, rate, n, 0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun"
+                + bytes(12) + b"PCM\x00")
+    entry = (struct.pack(">I", 36)
+             + (b"twos" if big_endian else b"sowt") + bytes(6)
+             + struct.pack(">H", 1)          # data_ref_index
+             + bytes(8)                      # version/revision/vendor
+             + struct.pack(">HHHHI", channels, 16, 0, 0, rate << 16))
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    # stsc: every chunk holds spc frames, the LAST may be shorter —
+    # the standard two-run form
+    last = n - spc * (n_chunks - 1)
+    stsc_runs = [(1, spc, 1)]
+    if n_chunks > 1 and last != spc:
+        stsc_runs.append((n_chunks, last, 1))
+    elif n_chunks == 1:
+        stsc_runs = [(1, n, 1)]
+    stsc = full(b"stsc", 0, 0, struct.pack(">I", len(stsc_runs))
+                + b"".join(struct.pack(">III", *r) for r in stsc_runs))
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", bpf, n))
+    stco = full(b"stco", 0, 0, struct.pack(">I", n_chunks)
+                + b"".join(struct.pack(">I", x) for x in offs))
+    smhd = full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dinf = box(b"dinf", full(b"dref", 0, 0, struct.pack(">I", 1)
+                             + full(b"url ", 0, 1, b"")))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", smhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def decode_mp4_pcm16(payload: bytes) \
+        -> tuple[int, int, bytes] | None:
+    """(sample_rate, n_channels, PCM16-LE data bytes) for an ISO-BMFF
+    audio container (M4A/MOV) carrying uncompressed 16-bit PCM — the
+    fourth audio container (r10, after WAV, G.711-in-WAV and FLAC),
+    sharing every downstream consumer through the ONE uniform PCM16
+    contract of ``_wav_pcm16_data``. ``sowt`` (little-endian) and
+    ``twos`` (big-endian, byte-swapped here) decode; compressed
+    SoundDescriptions (``mp4a`` AAC, ``alac``, …) and non-16-bit PCM
+    raise NotImplementedError — the honest codec gate; torn sample
+    tables raise ValueError. None for non-ISO-BMFF payloads and for
+    containers with no audio track (a video-only MP4 is not
+    corrupt)."""
+    import struct
+
+    if not _is_bmff(payload):
+        return None
+    for handler, timescale, tables in _mp4_tracks(payload):
+        if handler != b"soun":
+            continue  # video/hint track: keep looking
+        if tables is None or not timescale:
+            raise ValueError("MP4 audio trak missing stbl/mdhd")
+        fourcc, _w, _h, stts, stsc, sizes, offs, sd_body = \
+            _mp4_sample_tables(payload, *tables)
+        if fourcc not in (b"sowt", b"twos"):
+            raise NotImplementedError(
+                f"MP4 audio codec {fourcc.decode('latin1')!r}")
+        # SoundDescription v0 fields (QTFF): channels u16 / samplesize
+        # u16 at entry offsets 24/26, samplerate 16.16 u32 at 32 —
+        # stsd body offsets 28/30 and 36 (4 count + 8 entry header)
+        if len(sd_body) < 40:
+            raise ValueError("torn MP4 SoundDescription")
+        channels, samplesize = struct.unpack(">HH", sd_body[28:32])
+        (rate_fx,) = struct.unpack(">I", sd_body[36:40])
+        rate = rate_fx >> 16
+        if samplesize != 16:
+            raise NotImplementedError(
+                f"{samplesize}-bit MP4 PCM (16-bit only)")
+        if not channels or not rate:
+            raise ValueError("MP4 PCM entry without channels/rate")
+        runs = _mp4_collect_samples(payload, stts, stsc, sizes, offs)
+        data = b"".join(runs)
+        if len(data) % (2 * channels):
+            raise ValueError("MP4 PCM data not frame-aligned")
+        if fourcc == b"twos":  # big-endian: swap to the LE contract
+            data = (np.frombuffer(data, ">i2").astype("<i2")
+                    .tobytes())
+        return (rate, channels, data)
     return None
 
 

@@ -70,6 +70,19 @@ def route_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
         if mt == "image/gif":
             n = gif_frame_count(raw)
             return "video" if n is not None and n >= 2 else "image"
+        if mt == "video/mp4":
+            # ISO-BMFF magic can't tell audio-only containers apart
+            # (unbranded M4A); the cheap no-sample-decode trak walk
+            # can (r10) — an audio-only MP4 must reach the audio
+            # keyer, not yield no video rows and survive unkeyed
+            from sunat_rree_demo_spark.operators.multimodal import (
+                _mp4_tracks,
+            )
+
+            kinds = {h for h, _ts, _tb in _mp4_tracks(raw)}
+            if b"vide" not in kinds and b"soun" in kinds:
+                return "audio"
+            return "video"
         fam = mt.split("/")[0]
         return fam if fam in ("image", "audio", "video") else "text"
 

@@ -60,6 +60,8 @@ _R10_NEW = (
     "q242_mp4_frame_stats",
     "q243_video_dedup_cross_container",
     "q244_mixed_depth_census",
+    "q245_m4a_frame_energy",
+    "q246_audio_dedup_cross_container",
 )
 # longest-unchecked driver-green queries: the FULL r05 cohort (39 — the
 # r9 verdict's rotation ask: after this window no registered query's

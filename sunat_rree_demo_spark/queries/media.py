@@ -4328,3 +4328,226 @@ def q244_mixed_depth_census(spark, sf_dir):
                  / 1000000.0).alias("norm_mean_6dp"))
         .orderBy("bit_depth")
     )
+
+
+@register(
+    "q245_m4a_frame_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 85) * 256)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM a WHERE length(s) >= 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             sum(CAST(smp AS BIGINT) * smp) AS ssq
+      FROM v GROUP BY 1, 2
+    )
+    SELECT doc_id, frame_no, n_samples,
+           round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 4) AS rms_4dp
+    FROM f ORDER BY doc_id, frame_no
+    """,
+    tags=("media", "multimodal", "codec", "audio", "mp4"),
+)
+def q245_m4a_frame_energy(spark, sf_dir):
+    """q207's per-frame RMS energies through the FOURTH audio
+    container (r10): each document's chars become int16 PCM inside a
+    genuine ISO-BMFF (M4A) file — even docs little-endian ``sowt``,
+    odd docs big-endian ``twos``, so the byte-order swap is
+    load-bearing — demuxed through the stsc/stsz/stco sample map
+    (multi-sample chunks, unlike the video mux) into the same uniform
+    PCM16 contract WAV/G.711/FLAC already share. The oracle computes
+    the energies straight from the characters at 256× weight; a chunk
+    slip, an endianness miss or a SoundDescription misparse breaks
+    the hash.
+
+    Scale shape: identical to q207 — one encode pass, one
+    demux+energy pass at media grain, frame-grain output, no
+    shuffle before the output sort."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_mp4_pcm16,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(mid: int, s: str) -> bytes:
+            smp = (np.frombuffer(s.encode("ascii"), np.uint8)
+                   .astype(np.int64) - 85) * 256
+            return encode_mp4_pcm16(smp, rate=_WAV_RATE,
+                                    big_endian=(mid % 2 == 1))
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["media_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        pcm_frame_energy(media, frame_ms=_WAV_FRAME_MS)
+        .select(F.col("media_id").alias("doc_id"),
+                "frame_no", "n_samples",
+                F.round("rms", 4).alias("rms_4dp"))
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+@register(
+    "q246_audio_dedup_cross_container",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    ok AS (SELECT doc_id, s FROM a WHERE length(s) >= {_WAV_SPF} + 1),
+    v AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1),
+               i -> (ascii(substr(s, i, 1)) - 79) * 256)) AS smp,
+             unnest(range(0, length(s))) AS pos
+      FROM ok
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(pos // {_WAV_SPF} AS BIGINT) AS frame_no,
+             sqrt(CAST(sum(CAST(smp AS BIGINT) * smp) AS DOUBLE)
+                  / count(*)) AS rms
+      FROM v GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT doc_id, frame_no,
+             CASE WHEN rms < lead(rms) OVER w THEN 1 ELSE 0 END AS b,
+             lead(rms) OVER w AS nxt
+      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+    ),
+    byt AS (
+      SELECT doc_id, frame_no // 8 AS bi,
+             sum(b * (1 << CAST(7 - frame_no % 8 AS INT))) AS byte
+      FROM d WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(printf('%02x', CAST(byte AS BIGINT)),
+                        '' ORDER BY bi) AS fp
+      FROM byt GROUP BY doc_id
+    ),
+    g AS (SELECT fp.fp, min(doc_id) AS keep_doc FROM fp GROUP BY 1),
+    m AS (
+      SELECT doc_id, fp, k,
+             CASE k WHEN 0 THEN 'm4a' ELSE 'wav' END AS variant
+      FROM fp, (SELECT unnest(range(0, 2)) AS k)
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN k = 0 AND doc_id = g.keep_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM m JOIN g USING (fp)
+    GROUP BY variant ORDER BY variant
+    """,
+    tags=("media", "multimodal", "audio", "mp4", "dedup", "funnel"),
+)
+def q246_audio_dedup_cross_container(spark, sf_dir):
+    """The recording-level dedup story across the WAV↔M4A container
+    boundary (r10): every document's signal ships once as an ISO-BMFF
+    PCM file (``sowt``/``twos`` rotating by doc parity) and once as a
+    RIFF/WAVE file — both lossless, so the frame-energy delta-sign
+    fingerprint folds the two muxes to ONE key, the min-id election
+    keeps the M4A copy (it carries the smaller media_id), and the
+    per-variant survivor census is the proof. One PCM byte differing
+    between the chunk-map demux and the RIFF walk anywhere breaks the
+    fold. The oracle computes the fingerprint hex straight from the
+    characters and never sees a container.
+
+    Scale shape: one encode pass (two rows per doc), one decode+energy
+    pass, a media-grain fingerprint window, then a census over short
+    hex keys — samples never shuffle (q231's shape with the fourth
+    container swapped in)."""
+    from pyspark.sql import Window as W
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        delta_sign_fingerprint,
+        encode_mp4_pcm16,
+        encode_wav_pcm16,
+        pcm_frame_energy,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select("doc_id",
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .filter(F.length("s") >= _WAV_SPF + 1)
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, variants, payloads = [], [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                smp = (np.frombuffer(s.encode("ascii"), np.uint8)
+                       .astype(np.int64) - 79) * 256
+                ids.append(int(did) * 2)
+                variants.append("m4a")
+                payloads.append(encode_mp4_pcm16(
+                    smp, rate=_WAV_RATE,
+                    big_endian=(int(did) % 2 == 1)))
+                ids.append(int(did) * 2 + 1)
+                variants.append("wav")
+                payloads.append(encode_wav_pcm16(smp, rate=_WAV_RATE))
+            yield pd.DataFrame({
+                "media_id": ids, "variant": variants,
+                "content": payloads})
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("variant", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    fps = delta_sign_fingerprint(
+        pcm_frame_energy(media.select("media_id", "content"),
+                         frame_ms=_WAV_FRAME_MS),
+        "media_id", "frame_no", "rms")
+    byfp = W.partitionBy("fp")
+    elected = (
+        media.select("media_id", "variant")
+        .join(fps, "media_id")
+        .withColumn("_keep", F.min("media_id").over(byfp))
+    )
+    return (
+        elected.groupBy("variant")
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.sum(F.when(F.col("media_id") == F.col("_keep"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_survivors"))
+        .orderBy("variant")
+    )

@@ -343,3 +343,93 @@ def test_png16_byte_api_gates_before_decoding():
     png[-20] ^= 0xFF  # corrupt inside IDAT/IEND tail
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_png_pixels(bytes(png))
+
+
+# ------------------------------------------------------------- M4A / PCM
+def test_m4a_round_trip_both_endiannesses():
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_mp4_pcm16,
+        encode_mp4_pcm16,
+    )
+
+    rng = np.random.RandomState(5)
+    for n, ch, be in ((7, 1, False), (1603, 1, True), (802, 2, False)):
+        smp = rng.randint(-32768, 32768, size=n * ch)
+        m4a = encode_mp4_pcm16(smp, rate=8000, channels=ch,
+                               big_endian=be)
+        rate, c, data = decode_mp4_pcm16(m4a)
+        assert (rate, c) == (8000, ch)
+        assert np.array_equal(np.frombuffer(data, "<i2"),
+                              smp.astype(np.int16))
+
+
+def test_m4a_codec_and_depth_gates():
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_mp4_pcm16,
+        encode_mp4_pcm16,
+    )
+
+    m4a = bytearray(encode_mp4_pcm16(np.arange(10), rate=8000))
+    i = m4a.find(b"sowt", m4a.find(b"stsd"))
+    comp = bytearray(m4a)
+    comp[i:i + 4] = b"mp4a"
+    with pytest.raises(NotImplementedError, match="mp4a"):
+        decode_mp4_pcm16(bytes(comp))
+    deep = bytearray(m4a)
+    # samplesize u16 relative to the "stsd" fourcc position j: +4
+    # fourcc itself, +4 version/flags, +4 entry count, +4 entry size,
+    # +4 entry fourcc, +6 reserved, +2 dref, +8 ver/rev/vendor,
+    # +2 channels = j+38
+    j = m4a.find(b"stsd")
+    assert bytes(m4a[j + 38:j + 40]) == struct.pack(">H", 16)
+    deep[j + 38:j + 40] = struct.pack(">H", 8)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_mp4_pcm16(bytes(deep))
+
+
+def test_m4a_video_only_container_is_none():
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_mp4_pcm16,
+    )
+
+    mp4 = encode_mp4_mjpeg(_frames(2), 80, 8)
+    assert decode_mp4_pcm16(mp4) is None
+
+
+def test_m4a_routes_audio_and_folds_with_wav(spark):
+    """An audio-only ISO-BMFF container must reach the AUDIO keyer
+    (trak-walk routing, r10) and fold with the WAV mux of the same
+    signal in both the curation keyer and the streaming keyer."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_mp4_pcm16,
+        encode_wav_pcm16,
+    )
+    from sunat_rree_demo_spark.plans.curate_media import (
+        media_dedup_keys,
+        route_media,
+    )
+    from sunat_rree_demo_spark.streaming.media_stream import (
+        perceptual_keys,
+    )
+
+    rng = np.random.RandomState(9)
+    smp = rng.randint(-20000, 20000, size=800)
+    wav = encode_wav_pcm16(smp, rate=8000)
+    m4a = encode_mp4_pcm16(smp, rate=8000, big_endian=True)
+    media = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(m4a))],
+        "media_id long, content binary")
+
+    routed = route_media(media)
+    assert {r.media_id: r.modality for r in routed.collect()} \
+        == {0: "audio", 1: "audio"}
+
+    dkeys = {r.media_id: r.dkey
+             for r in media_dedup_keys(routed).collect()}
+    assert dkeys[0] is not None and dkeys[0].startswith("aud:")
+    assert dkeys[0] == dkeys[1]
+
+    skeys = {r.media_id: r.dhash
+             for r in perceptual_keys(media).collect()}
+    assert skeys[0] is not None and skeys[0].startswith("a:")
+    assert skeys[0] == skeys[1]
