@@ -102,6 +102,14 @@ SANCTIONED_TWINS = {
 }
 
 
+def is_green_run(offenders) -> bool:
+    """A run may replace ``bench_detail_last_green.json`` (the
+    regression baseline) ONLY when it has zero ratio offenders — a
+    failed run's inflated warm times must never become the base the
+    next healthy run diffs against (the r9 poisoned-ratchet lesson)."""
+    return not offenders
+
+
 def load_regression_baseline(green_path: str,
                              detail_path: str) -> dict[str, float]:
     """warm_sec map the round-over-round diff baselines against: the
@@ -264,7 +272,7 @@ def main() -> None:
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    if not offenders:  # green run → becomes the next regression baseline
+    if is_green_run(offenders):  # → becomes the next regression baseline
         with open(green_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
 

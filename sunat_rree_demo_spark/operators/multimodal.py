@@ -4669,7 +4669,7 @@ def decode_mp4_mjpeg(payload: bytes) \
             raise NotImplementedError(
                 f"QuickTime {fourcc.decode('latin1')} field-split "
                 "Motion-JPEG")
-        if w is None or not h:
+        if not w or not h:
             raise ValueError("MP4 jpeg sample entry without dims")
         fps = _mp4_rate(stts, timescale)
         frames = _mp4_collect_samples(payload, stts, stsc, sizes, offs)
@@ -4742,6 +4742,13 @@ def _mp4_collect_samples(payload: bytes, stts, stsc, sizes,
     n = len(sizes)
     if sum(c for c, _d in stts) != n:
         raise ValueError("stts/stsz sample counts differ")
+    # stsc runs must start at chunk 1 and be strictly increasing by
+    # first_chunk — the per-chunk scan below assumes it, and an
+    # unsorted table would silently misassign counts otherwise
+    if not stsc or stsc[0][0] != 1 \
+            or any(stsc[k][0] >= stsc[k + 1][0]
+                   for k in range(len(stsc) - 1)):
+        raise ValueError("unsorted or gapped stsc runs")
     out: list[bytes] = []
     si = 0
     for ci, off in enumerate(offs, start=1):

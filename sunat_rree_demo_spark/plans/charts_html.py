@@ -41,16 +41,16 @@ _CSS = """
 .viz-root { color-scheme: light;
   --surface-1:#fcfcfb; --text-primary:#0b0b0b; --text-secondary:#52514e;
   --grid:#e4e3df;
-  --series-1:#2a78d6; --series-2:#eb6834; --series-3:#1baf7a; }
+  --series-1:#2a78d6; --series-2:#eb6834; --series-3:#1baf7a; --series-4:#8a5cc8; --series-5:#b8921a; --series-6:#d04d7c; --series-7:#158fad; --series-8:#7f7e78; }
 @media (prefers-color-scheme: dark) {
   :root:where(:not([data-theme="light"])) .viz-root { color-scheme: dark;
     --surface-1:#1a1a19; --text-primary:#ffffff; --text-secondary:#c3c2b7;
     --grid:#34332f;
-    --series-1:#3987e5; --series-2:#d95926; --series-3:#199e70; } }
+    --series-1:#3987e5; --series-2:#d95926; --series-3:#199e70; --series-4:#8a5cc8; --series-5:#b8921a; --series-6:#d04d7c; --series-7:#158fad; --series-8:#7f7e78; } }
 :root[data-theme="dark"] .viz-root { color-scheme: dark;
   --surface-1:#1a1a19; --text-primary:#ffffff; --text-secondary:#c3c2b7;
   --grid:#34332f;
-  --series-1:#3987e5; --series-2:#d95926; --series-3:#199e70; }
+  --series-1:#3987e5; --series-2:#d95926; --series-3:#199e70; --series-4:#8a5cc8; --series-5:#b8921a; --series-6:#d04d7c; --series-7:#158fad; --series-8:#7f7e78; }
 .viz-root { background: var(--surface-1); color: var(--text-primary);
   font: 13px/1.4 system-ui, sans-serif; padding: 16px; }
 .viz-root h1 { font-size: 16px; margin: 0 0 8px; }
@@ -291,6 +291,13 @@ _RENDERERS = {
     "scatter": _render_scatter,
     "dashboard": _render_dashboard,
 }
+
+
+def render_figure(bundle: dict[str, Any]) -> str:
+    """Just the legend+SVG fragment for one bundle — for callers that
+    embed a figure inside their own page (the serving tier's category
+    view) rather than emitting a standalone document."""
+    return _RENDERERS[bundle["kind"]](bundle)
 
 
 def render_chart_html(name: str, bundle: dict[str, Any]) -> str:

@@ -101,6 +101,22 @@ def session_memo(spark, cache: dict, key_suffix: tuple, build,
     return df
 
 
+def _memo_dir_name(name: str, key_suffix: tuple, app: str) -> str:
+    """Directory name for a parquet-tier memo. Sanitizing is lossy
+    ('sf0.1' and 'sf0_1' both become 'sf0_1'), so a short hash of the
+    RAW key rides along — the path is injective in key_suffix, and two
+    sessions can never overwrite each other's live memo files."""
+    import hashlib
+    import re
+
+    safe = "_".join(re.sub(r"\W", "_", str(p)).strip("_")
+                    for p in key_suffix if str(p))
+    safe += "_" + hashlib.sha1(
+        repr(key_suffix).encode()).hexdigest()[:8]
+    own = re.sub(r"\W", "_", app)
+    return f"{name}_{safe}_{own}"
+
+
 def _materialize_via_warehouse(spark, app: str, name: str,
                                key_suffix: tuple, build):
     """Write build() to ``<warehouse>/<name>_<key>_<app>`` and return
@@ -109,13 +125,8 @@ def _materialize_via_warehouse(spark, app: str, name: str,
     ``sources.sinks.drop_stale_app_tables`` reaps, so abandoned
     generations from dead sessions are bounded by the same janitor the
     bucketed index tables already use (called here at build time)."""
-    import re
-
-    safe = "_".join(re.sub(r"\W", "_", str(p)).strip("_")
-                    for p in key_suffix if str(p))
-    own = re.sub(r"\W", "_", app)
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    path = f"{warehouse}/{name}_{safe}_{own}"
+    path = f"{warehouse}/{_memo_dir_name(name, key_suffix, app)}"
     build().write.mode("overwrite").parquet(path)
     try:  # janitor: reap parquet memos of sessions dead > TTL
         from sunat_rree_demo_spark.sources.sinks import (

@@ -42,13 +42,13 @@ def test_baseline_skips_unreadable_files(tmp_path):
 
 
 def test_failed_run_never_writes_green_baseline():
-    """The green file is written ONLY under the zero-offenders branch —
-    pin the guard textually so a refactor can't quietly drop it."""
+    """The write-green decision is a named function: a run with any
+    ratio offender must not replace the regression baseline."""
     import inspect
 
     import bench
 
-    src = inspect.getsource(bench.main)
-    i = src.index("green_path, \"w\"")
-    guard = src[:i].rsplit("if ", 1)[1]
-    assert guard.startswith("not offenders")
+    assert bench.is_green_run([]) is True
+    assert bench.is_green_run(["q40_ngram_jaccard_pairs"]) is False
+    # and main() must actually route the write through it
+    assert "is_green_run(offenders)" in inspect.getsource(bench.main)

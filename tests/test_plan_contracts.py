@@ -119,3 +119,16 @@ def test_q156_no_doc_grain_global_window(spark):
     assert "avg_surprisal" in unpartitioned[0]
     # the window's input is the groupBy(avg_surprisal).count() frame
     assert re.search(r"Keys \[1\]: \[avg_surprisal#\d+\]", plan)
+
+
+def test_memo_dir_name_injective_under_sanitizing():
+    """r11 (advice fix): 'sf0.1' and 'sf0_1' sanitize to the same stem —
+    the raw-key hash suffix must keep their memo directories distinct,
+    while identical keys still map to one path."""
+    from sunat_rree_demo_spark.sources.catalog import _memo_dir_name
+
+    a = _memo_dir_name("shmemo_docs", ("sf0.1", 5), "local_123")
+    b = _memo_dir_name("shmemo_docs", ("sf0_1", 5), "local_123")
+    assert a != b
+    assert a == _memo_dir_name("shmemo_docs", ("sf0.1", 5), "local_123")
+    assert a.endswith("_local_123")  # janitor reap shape preserved

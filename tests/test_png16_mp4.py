@@ -142,6 +142,30 @@ def test_mp4_torn_stsz_raises():
         decode_mp4_mjpeg(bytes(mp4))
 
 
+def test_mp4_unsorted_stsc_raises():
+    """stsc runs must start at chunk 1 and increase strictly — the
+    per-chunk expansion assumes it, so a shuffled table is corruption
+    (ValueError up front), not a silent count misassignment."""
+    mp4 = bytearray(encode_mp4_mjpeg(_frames(3), 80, 8))
+    i = mp4.find(b"stsc")
+    # first run's first_chunk lives right after box hdr+ver/flags+count
+    mp4[i + 12:i + 16] = struct.pack(">I", 2)
+    with pytest.raises(ValueError, match="stsc"):
+        decode_mp4_mjpeg(bytes(mp4))
+
+
+def test_mp4_zero_width_sample_entry_raises():
+    """A declared 0×h (or w×0) jpeg sample entry is torn metadata —
+    both axes must be loud, not just height."""
+    mp4 = bytearray(encode_mp4_mjpeg(_frames(2), 80, 8))
+    i = mp4.find(b"stsd")
+    # sample-entry width u16 at stsd body offset 36 (body = i+8)
+    assert struct.unpack(">H", mp4[i + 44:i + 46])[0] == 80
+    mp4[i + 44:i + 46] = struct.pack(">H", 0)
+    with pytest.raises(ValueError, match="dims"):
+        decode_mp4_mjpeg(bytes(mp4))
+
+
 def test_mp4_fps_half_up_from_stts():
     # timescale 30000, delta 1001 -> 29.97 -> rounds half-up to 30
     frames = _frames(2)
