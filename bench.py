@@ -96,9 +96,11 @@ SANCTIONED_TWINS = {
     "q206_ivf_recall_curve": {
         "reason": "eval pays one exact query-by-corpus distance pass "
                   "per call (memoize=False); r8 single-block-pass "
-                  "rewrite took it 2.01x -> 1.3x (0.91s vs 0.70s "
-                  "twin, final r8 bench)", "sanctioned": "r8",
-        "last_ab": "2026-08-15"},
+                  "rewrite took it 2.01x -> 1.3x; r11 idle-box re-A/B "
+                  "(4 spark / 3 twin reps, one session): 1.98s vs "
+                  "0.99s twin = 2.0x — the r8 1.3x row was stale "
+                  "(the twin got faster), measured number refreshed",
+        "sanctioned": "r8", "last_ab": "2026-08-16"},
 }
 
 

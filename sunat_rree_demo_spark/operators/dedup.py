@@ -208,18 +208,59 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     # already-materialized corpus (the session shingle cache shared by
     # q40/q71/q97) passes it via ``arr`` and the Python shingler
     # doesn't run at all.
+    return jaccard_scores(
+        pair_intersection_table(docs, id_col, text_col, n,
+                                max_shingle_df, arr,
+                                opname="ngram_jaccard_pairs"),
+        threshold)
+
+
+def pair_intersection_table(docs: DataFrame, id_col: str, text_col: str,
+                            n: int = 5,
+                            max_shingle_df: int | None = 256,
+                            arr: DataFrame | None = None,
+                            opname: str = "pair_intersection_table") \
+        -> DataFrame:
+    """(id1, id2, inter, n1, n2) for every document pair sharing at
+    least one n-gram shingle — the shared upstream of EVERY exact
+    set-similarity score: Jaccard (``jaccard_scores``), containment
+    (``containment_scores``), and any overlap/Dice variant are pure
+    per-row projections of this one frame, so a pipeline computing
+    several scores (q40's Jaccard pairs, q144's containment pairs,
+    q146's provenance matrix) writes this table ONCE and filters it
+    per score instead of re-running the grouped pair emit per query.
+    Same guard prelude, hash caveat and single-shuffle pair emit as
+    ``ngram_jaccard_pairs`` (this IS its upstream since r11)."""
     if arr is None:
         arr = (doc_shingle_arrays(docs, id_col, text_col, n)
                .localCheckpoint(eager=False))
     sh, sizes = _guarded_shingle_rows(arr, id_col, max_shingle_df,
-                                      "ngram_jaccard_pairs")
+                                      opname)
     inter, sa, sb = _pair_intersections(sh, sizes, id_col)
+    return inter.join(sa, "id1").join(sb, "id2")
+
+
+def jaccard_scores(pair_inter: DataFrame,
+                   threshold: float = 0.3) -> DataFrame:
+    """Jaccard projection of a ``pair_intersection_table`` frame:
+    |∩| / (|A| + |B| − |∩|) ≥ threshold → (id1, id2, jaccard)."""
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.join(sa, "id1").join(sb, "id2")
-        .filter(jac >= threshold)
-        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
-    )
+    return (pair_inter.filter(jac >= threshold)
+            .select("id1", "id2", F.round(jac, 4).alias("jaccard")))
+
+
+def containment_scores(pair_inter: DataFrame,
+                       threshold: float = 0.5) -> DataFrame:
+    """Containment projection of a ``pair_intersection_table`` frame:
+    max(|∩|/|A|, |∩|/|B|) ≥ threshold → (id1, id2, c12, c21, cmax);
+    c12 = |∩|/|A| is the fraction of doc1 contained in doc2."""
+    c12 = F.col("inter") / F.col("n1")
+    c21 = F.col("inter") / F.col("n2")
+    return (pair_inter.filter(F.greatest(c12, c21) >= threshold)
+            .select("id1", "id2",
+                    F.round(c12, 4).alias("c12"),
+                    F.round(c21, 4).alias("c21"),
+                    F.round(F.greatest(c12, c21), 4).alias("cmax")))
 
 
 def _guarded_shingle_rows(arr: DataFrame, id_col: str,
@@ -308,22 +349,11 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     exhaustive oracle is provably unaffected there). Scale path: LSH
     candidates + this verify, exactly like
     ``verified_near_dup_pairs``."""
-    if arr is None:
-        arr = (doc_shingle_arrays(docs, id_col, text_col, n)
-               .localCheckpoint(eager=False))
-    sh, sizes = _guarded_shingle_rows(arr, id_col, max_shingle_df,
-                                      "containment_pairs")
-    inter, sa, sb = _pair_intersections(sh, sizes, id_col)
-    c12 = F.col("inter") / F.col("n1")
-    c21 = F.col("inter") / F.col("n2")
-    return (
-        inter.join(sa, "id1").join(sb, "id2")
-        .filter(F.greatest(c12, c21) >= threshold)
-        .select("id1", "id2",
-                F.round(c12, 4).alias("c12"),
-                F.round(c21, 4).alias("c21"),
-                F.round(F.greatest(c12, c21), 4).alias("cmax"))
-    )
+    return containment_scores(
+        pair_intersection_table(docs, id_col, text_col, n,
+                                max_shingle_df, arr,
+                                opname="containment_pairs"),
+        threshold)
 
 
 def chunk_dup_stats(docs: DataFrame, id_col: str, text_col: str,

@@ -94,10 +94,45 @@ _R10_FILLERS = (
     "q153_promo_revenue_share", "q154_local_supplier_volume",
     "q155_nation_market_share",
 )
-_R10_WINDOW = tuple(
-    n for n in (_R10_NEW + _R10_FILLERS) if n in REGISTRY
+# round-11 additions (first driver check) — append here when registering
+_R11_NEW = (
+    "q247_mp4_meta_census",
+)
+# the full 46-query cohort whose newest driver row is still r06 (the
+# r10 verdict's rotation ask: after this window no registered query's
+# newest driver row is older than r07); q46 is the rows-only HLL check
+_R11_FILLERS = (
+    "q153_promo_revenue_share", "q154_local_supplier_volume",
+    "q155_nation_market_share", "q156_surprisal_yield_curve",
+    "q157_pricing_summary", "q158_forecast_revenue",
+    "q159_volume_shipping", "q160_product_type_profit",
+    "q161_late_line_priority", "q162_customer_order_distribution",
+    "q163_top_supplier", "q164_disjunctive_revenue",
+    "q165_dominant_part_suppliers", "q166_brand_value_share",
+    "q167_kmeans_census", "q168_cluster_balanced_sample",
+    "q169_concurrent_sessions", "q170_cluster_safe_split",
+    "q171_vocab_kl_divergence", "q172_ivf_kmeans_topk",
+    "q173_cluster_label_purity", "q174_maxmatch_pieces",
+    "q175_session_error_overlap", "q176_trigram_lang_id",
+    "q177_copurchase_communities", "q178_sq8_quantization_error",
+    "q179_hybrid_rrf_fusion", "q180_mmr_rerank",
+    "q181_winnowing_fingerprints", "q182_sorted_neighborhood_pairs",
+    "q183_local_clustering_coeff", "q184_multipass_blocking_pairs",
+    "q185_index_join_candidates", "q186_png_pixel_stats",
+    "q187_bucketed_minhash_join", "q188_tokens_per_dollar",
+    "q189_quantile_sketch_merge", "q190_suffix_array_lcp_dups",
+    "q191_skyline_suppliers", "q192_segmented_regression",
+    "q193_recursive_bom", "q194_window_dedup_rank",
+    "q195_bitmap_index_intersect", "q196_bloom_filter_join",
+    "q197_personalized_pagerank", "q46_approx_distinct",
+    # oldest r07-era rows pad the window to 50; each new r11 query
+    # registered above displaces the lowest of these to the next round
+    "q01_annual_balance", "q18_quarterly_rollup", "q198_html_to_text",
+)
+_R11_WINDOW = tuple(
+    n for n in (_R11_NEW + _R11_FILLERS) if n in REGISTRY
 )[:50]
-_head = {n: REGISTRY[n] for n in _R10_WINDOW}
+_head = {n: REGISTRY[n] for n in _R11_WINDOW}
 _tail = {n: q for n, q in REGISTRY.items() if n not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

@@ -15,7 +15,6 @@ from sunat_rree_demo_spark.operators.dedup import (
     MINHASH_K,
     contamination_overlap,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
 )
 from sunat_rree_demo_spark.operators.text import (
     EMAIL_RE,
@@ -94,14 +93,17 @@ register_session_cache(_DUP_EDGE_CACHE)
 
 def dup_pair_edges(spark, sf_dir: str):
     """(id1, id2) exact 5-gram Jaccard ≥ 0.3 pairs over documents,
-    persisted per (session, sf_dir)."""
-    from sunat_rree_demo_spark.queries.dedup import corpus_shingle_arrays
+    persisted per (session, sf_dir). r11: the build projects the
+    session pair-intersection memo instead of re-running the grouped
+    pair emit — one cold pass feeds this, q144 and q146."""
+    from sunat_rree_demo_spark.operators.dedup import jaccard_scores
+    from sunat_rree_demo_spark.queries.dedup import (
+        corpus_pair_intersections,
+    )
 
     def build():
-        d = t(spark, sf_dir, "documents")
-        return (ngram_jaccard_pairs(
-            d, "doc_id", "text", n=5, threshold=0.3,
-            arr=corpus_shingle_arrays(spark, sf_dir))
+        return (jaccard_scores(
+            corpus_pair_intersections(spark, sf_dir), threshold=0.3)
             .select("id1", "id2"))
 
     return session_memo(spark, _DUP_EDGE_CACHE, (sf_dir,), build,

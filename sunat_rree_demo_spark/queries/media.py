@@ -4551,3 +4551,112 @@ def q246_audio_dedup_cross_container(spark, sf_dir):
                    .otherwise(0)).cast("bigint").alias("n_survivors"))
         .orderBy("variant")
     )
+
+
+# --------------------------------------------------------------------- q247
+@register(
+    "q247_mp4_meta_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             least(length(s) // {_VID_BPR}, {_VM_NF}) AS nf,
+             4 + doc_id % 6 AS fps
+      FROM a
+      WHERE length(s) >= 2 * {_VID_BPR}
+        AND NOT (doc_id % 2 = 1
+                 AND (s LIKE 'GIF8%' OR s LIKE 'RIFF%'
+                      OR substr(s, 5, 4) IN
+                         ('ftyp', 'moov', 'mdat', 'free', 'wide')))
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(nf * 1000 // fps AS BIGINT) END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(fps AS INT) END AS timescale,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST({_VID_BPR} * 8 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INT) END AS height
+    FROM c ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "video", "metadata", "mp4"),
+)
+def q247_mp4_meta_census(spark, sf_dir):
+    """MP4 metadata census — q239's decode-free census device pointed
+    at the THIRD video container (r11, VERDICT r10 #4): every even doc
+    muxes its printable characters as a Motion-JPEG MP4
+    (``encode_mp4_mjpeg``: mvhd timescale = the 4–9 fps device value,
+    duration = one tick per frame, tkhd 16.16 dims), every odd doc
+    ships raw bytes that must yield a NULL metadata row.
+    ``extract_video_meta`` answers from the ISO-BMFF box walk ALONE
+    (``decode_video_meta`` — ISO/IEC 14496-12 §8.2.2/§8.3.2 mvhd+tkhd
+    offsets); the closed-form oracle recomputes duration/timescale/
+    dims from the device arithmetic, so a tick-rate, version-offset or
+    fixed-point slip in either mux or walk breaks the hash — and no
+    sample ever decodes (metadata passes must not pay entropy decode).
+    Junk docs whose characters sniff as a walkable container ('GIF8',
+    'RIFF', or an ISO-BMFF top-level fourcc at offset 4) are excluded
+    by the device on both sides, exactly q239's exclusion rationale.
+
+    Scale shape: one Arrow-batched encode pass, one header-walk pass,
+    both at media grain with no shuffle; one row per doc."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_jpeg_gray_blocks,
+        encode_mp4_mjpeg,
+        extract_video_meta,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select("doc_id",
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, least(length(s) div {_VID_BPR}, "
+            f"{_VM_NF}) * {_VID_BPR})"))
+        .filter(F.length("s") >= 2 * _VID_BPR)
+        .filter(~((F.col("doc_id") % 2 == 1)
+                  & (F.col("s").startswith("GIF8")
+                     | F.col("s").startswith("RIFF")
+                     | F.substring("s", 5, 4).isin(
+                         "ftyp", "moov", "mdat", "free", "wide"))))
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(did: int, s: str) -> bytes:
+            b = s.encode("ascii")
+            if did % 2 == 1:
+                return b  # raw bytes: NULL metadata row
+            chunks = [b[k:k + _VID_BPR]
+                      for k in range(0, len(b), _VID_BPR)]
+            return encode_mp4_mjpeg(
+                [encode_jpeg_gray_blocks(c, _VID_BPR) for c in chunks],
+                _VID_BPR * 8, 8, fps=4 + did % 6)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "media_type": ["?"] * len(pdf),
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["doc_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        extract_video_meta(media)
+        .select(F.col("media_id").alias("doc_id"),
+                F.col("duration_ms").cast("bigint").alias("duration_ms"),
+                "timescale", "width", "height")
+        .orderBy("doc_id")
+    )

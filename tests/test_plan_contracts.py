@@ -49,6 +49,19 @@ def test_q40_pairs_reuse_shingle_cache_all_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_q144_q146_project_pair_intersection_memo(spark):
+    """q144/q146 (r11): both are per-row projections of the session
+    pair-intersection memo — the serving plan is a parquet scan of the
+    ``immemo_`` table plus filter/agg; neither the Python shingler nor
+    the grouped pair emit (posexplode over shingle arrays) may appear."""
+    for name in ("q144_containment_pairs",
+                 "q146_cross_source_dup_matrix"):
+        plan = plan_of(fresh(name)(spark, SF_SMOKE))
+        assert "MapInPandas" not in plan, name
+        assert "immemo_" in plan, name
+        assert "posexplode" not in plan, name
+
+
 def test_q61_q68_cluster_output_reads_checkpoints(spark):
     """q61/q68: the returned plan reads the CHECKPOINTED loop state
     (Scan ExistingRDD) — lineage stays one round deep — and the final
