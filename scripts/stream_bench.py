@@ -100,7 +100,8 @@ def main() -> None:
         n_docs = _prep_docs(spark, sf_dir, docs_dir)
         n_media = _prep_media(spark, docs_dir, media_dir)
 
-        def timed(name: str, n_rows: int, fn) -> None:
+        def timed(name: str, n_rows: int, fn,
+                  extra=None) -> None:
             t0 = time.monotonic()
             fn()
             wall = time.monotonic() - t0
@@ -109,13 +110,26 @@ def main() -> None:
                 "batches": N_FILES, "wall_sec": round(wall, 2),
                 "rows_per_sec": round(n_rows / wall, 1),
                 "sec_per_batch": round(wall / N_FILES, 2),
+                # extra is a thunk: the split lists fill DURING fn()
+                **(extra() if extra is not None else {}),
             })
             print(json.dumps(rows_out[-1]))
 
+        # r11 (verdict task #5): split the minhash-index stream's
+        # per-batch cost into signature pass / index-read probe /
+        # absorb write — the r10 table argued (not measured) that the
+        # 10x outlier rides the probe's index read, not state growth
+        split: list = []
         timed("dedup_minhash_index", n_docs, lambda: run_dedup_stream(
             spark, _file_stream(spark, docs_dir, DOCS_DDL),
             os.path.join(root, "dedup_idx"),
-            os.path.join(root, "dedup_pairs"), timeout=1200))
+            os.path.join(root, "dedup_pairs"), timeout=1200,
+            timings=split),
+            extra=lambda: {"split": {
+                "sig_sec": round(sum(t[1] for t in split), 2),
+                "probe_sec": round(sum(t[2] for t in split), 2),
+                "absorb_sec": round(sum(t[3] for t in split), 2),
+                "by_batch": [list(t) for t in split]}})
         timed("bloom_exact_dedup", n_docs, lambda: run_bloom_dedup_stream(
             spark, _file_stream(spark, docs_dir, DOCS_DDL),
             os.path.join(root, "bloom_store"), timeout=1200))

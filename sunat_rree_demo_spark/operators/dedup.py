@@ -249,6 +249,28 @@ def jaccard_scores(pair_inter: DataFrame,
             .select("id1", "id2", F.round(jac, 4).alias("jaccard")))
 
 
+def setsim_score_matrix(pair_inter: DataFrame,
+                        min_dice: float = 0.4) -> DataFrame:
+    """All four classic set-overlap scores as ONE projection of a
+    ``pair_intersection_table`` frame — Jaccard |∩|/|∪|, Dice
+    2|∩|/(|A|+|B|), overlap coefficient |∩|/min(|A|,|B|) and max
+    containment — filtered on Dice (the middle-of-the-road score:
+    monotone in Jaccard, bounded by overlap). The triage view a dedup
+    pipeline reads when tuning thresholds: one parquet scan of the
+    pair graph, four column expressions, no new shuffle."""
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    dice = 2 * F.col("inter") / (F.col("n1") + F.col("n2"))
+    ovl = F.col("inter") / F.least("n1", "n2")
+    cmax = F.greatest(F.col("inter") / F.col("n1"),
+                      F.col("inter") / F.col("n2"))
+    return (pair_inter.filter(dice >= min_dice)
+            .select("id1", "id2",
+                    F.round(jac, 4).alias("jaccard"),
+                    F.round(dice, 4).alias("dice"),
+                    F.round(ovl, 4).alias("overlap"),
+                    F.round(cmax, 4).alias("cmax")))
+
+
 def containment_scores(pair_inter: DataFrame,
                        threshold: float = 0.5) -> DataFrame:
     """Containment projection of a ``pair_intersection_table`` frame:

@@ -188,6 +188,75 @@ def _decode_flac_streaminfo(payload: bytes) \
     return (rate, channels, bits, total_samples * 1000 // rate)
 
 
+def _decode_bmff_audio_meta(payload: bytes) \
+        -> tuple[int, int, int, int] | None:
+    """ISO-BMFF (M4A/MOV) audio metadata from the moov walk ALONE —
+    no sample ever decodes (r11, the audio twin of
+    ``decode_video_meta``): the first ``trak`` whose ``minf`` carries
+    an ``smhd`` (the sound-media header that marks an audio track,
+    ISO/IEC 14496-12 §8.4.5.3) answers from its ``mdhd``
+    (timescale u32 + duration u32/u64, version-dependent — §8.4.2)
+    and the first ``stsd`` SoundDescription's v0 fixed fields
+    (channelcount u16, samplesize u16 at entry offset 24 — §12.2.3).
+    Returns (sample_rate, n_channels, bits_per_sample, duration_ms)
+    with the rate from mdhd's timescale (the authoritative tick rate;
+    the entry's 16.16 field mirrors it), or None when no audio track
+    exists — a video-only MP4 is not corrupt, it just has no audio
+    metadata."""
+    for btype, b0, b1 in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ityp, i0, i1 in _iter_boxes(payload, b0, b1):
+            if ityp != b"trak":
+                continue
+            mdhd_ts = mdhd_dur = None
+            is_audio = False
+            chans = bits = None
+            for mtyp, m0, m1 in _iter_boxes(payload, i0, i1):
+                if mtyp != b"mdia":
+                    continue
+                for dtyp, d0, d1 in _iter_boxes(payload, m0, m1):
+                    if dtyp == b"mdhd" and d1 - d0 >= 20:
+                        version = payload[d0]
+                        if version == 1:
+                            if d1 - d0 < 32:
+                                continue
+                            mdhd_ts = int.from_bytes(
+                                payload[d0 + 20:d0 + 24], "big")
+                            mdhd_dur = int.from_bytes(
+                                payload[d0 + 24:d0 + 32], "big")
+                        else:
+                            mdhd_ts = int.from_bytes(
+                                payload[d0 + 12:d0 + 16], "big")
+                            mdhd_dur = int.from_bytes(
+                                payload[d0 + 16:d0 + 20], "big")
+                    elif dtyp == b"minf":
+                        for ntyp, n0, n1 in _iter_boxes(payload, d0, d1):
+                            if ntyp == b"smhd":
+                                is_audio = True
+                            elif ntyp == b"stbl":
+                                for styp, s0, s1 in _iter_boxes(
+                                        payload, n0, n1):
+                                    # stsd: fullbox header (4) +
+                                    # entry_count (4) + first entry:
+                                    # size/fourcc (8) + reserved/
+                                    # data_ref (8) + ver/rev/vendor
+                                    # (8) -> channels u16, bits u16
+                                    if styp == b"stsd" and s1 - s0 >= 36:
+                                        e0 = s0 + 8
+                                        chans = int.from_bytes(
+                                            payload[e0 + 24:e0 + 26],
+                                            "big")
+                                        bits = int.from_bytes(
+                                            payload[e0 + 26:e0 + 28],
+                                            "big")
+            if is_audio and mdhd_ts and mdhd_dur is not None \
+                    and chans:
+                return (mdhd_ts, chans, bits or 0,
+                        mdhd_dur * 1000 // mdhd_ts)
+    return None
+
+
 def decode_audio_meta(payload: bytes) \
         -> tuple[int, int, int, int] | None:
     """REAL stdlib header parse for audio payloads — RIFF/WAVE (walk
@@ -199,6 +268,9 @@ def decode_audio_meta(payload: bytes) \
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        if len(payload) >= 16 and payload[4:8] in (
+                b"ftyp", b"moov", b"mdat", b"free", b"wide"):
+            return _decode_bmff_audio_meta(payload)
         return _decode_flac_streaminfo(payload)
     rate = channels = bits = block_align = None
     data_len = None
@@ -220,9 +292,10 @@ def decode_audio_meta(payload: bytes) \
 
 def extract_audio_meta(media: DataFrame) -> DataFrame:
     """Audio metadata extraction via the same Arrow-batched mapInPandas
-    shape as ``decode_media``: WAV headers parse for real (stdlib);
-    other codecs (mp3/flac — no libraries here) yield NULL metadata
-    rather than fakes."""
+    shape as ``decode_media``: WAV chunk lists, FLAC STREAMINFO and
+    (r11) ISO-BMFF moov walks all parse for real (stdlib, no sample
+    decode); other codecs (mp3 — no libraries here) yield NULL
+    metadata rather than fakes."""
     import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -498,20 +571,127 @@ def _g711_alaw_table() -> "np.ndarray":
 _G711_TABLES: dict[int, "np.ndarray"] = {}  # fmt tag -> lazy table
 
 
+#: IMA/DVI ADPCM quantizer tables (IMA "Recommended Practices for
+#: Enhancing Digital Audio Compatibility", rev 3.00 §6 — public spec;
+#: also RFC 3551 §4.5.1). 89 step sizes, index deltas keyed by the
+#: low 3 bits of the 4-bit code (the sign bit never moves the index).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+_IMA_INDEX_DELTA = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_step(pred: int, idx: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition — the shared reference both the
+    WAV decoder and the device mux run (and the q249 oracle re-derives
+    in SQL): diff = step/8 (+step if bit2, +step/2 if bit1, +step/4 if
+    bit0), sign bit subtracts, predictor clamps to int16, index moves
+    by the low-3-bit delta and clamps to [0, 88]."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    pred = pred - diff if code & 8 else pred + diff
+    pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+    idx += _IMA_INDEX_DELTA[code & 7]
+    return pred, (0 if idx < 0 else (88 if idx > 88 else idx))
+
+
+def _ima_adpcm_decode_block(data: bytes, n_samples: int) -> list[int]:
+    """Decode ONE IMA ADPCM block (4-byte header + packed nibbles,
+    low nibble first) to ``n_samples`` int16 values; the header
+    predictor IS the block's first sample. Torn headers and
+    out-of-range step indexes raise ValueError (corruption taxonomy,
+    not silence)."""
+    import struct
+
+    if len(data) < 4:
+        raise ValueError("torn IMA ADPCM block: header needs 4 bytes")
+    (pred,) = struct.unpack("<h", data[:2])
+    idx = data[2]
+    if idx > 88:
+        raise ValueError(f"IMA ADPCM step index {idx} out of range")
+    out = [pred]
+    body = data[4:]
+    k = 0
+    while len(out) < n_samples:
+        byte_i, half = divmod(k, 2)
+        if byte_i >= len(body):
+            raise ValueError("torn IMA ADPCM block: nibbles exhausted "
+                             f"at sample {len(out)}/{n_samples}")
+        code = (body[byte_i] >> (4 * half)) & 0xF
+        pred, idx = _ima_adpcm_step(pred, idx, code)
+        out.append(pred)
+        k += 1
+    return out
+
+
+def encode_wav_ima_adpcm(codes: "np.ndarray", rate: int = 8000) -> bytes:
+    """Mono IMA ADPCM WAV mux driven by 4-bit CODES (the device-side
+    twin of the tag-0x11 branch in ``_wav_pcm16_data``): the state
+    machine starts at (predictor 0, step index 0) — sample 0 is the
+    header predictor, each code yields one more sample — and the
+    whole stream is ONE block (``wSamplesPerBlock`` = len(codes)+1),
+    so an oracle can re-simulate the exact decode from the code
+    sequence with no block-boundary bookkeeping. fmt tag 0x11 with
+    the standard cbSize=2 extension carrying samples-per-block, plus
+    a ``fact`` chunk with the total sample count."""
+    import struct
+
+    arr = np.asarray(codes, dtype=np.int64)
+    if arr.size == 0:
+        raise ValueError("at least one code required")
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    if arr.min() < 0 or arr.max() > 15:
+        raise ValueError("codes must be 4-bit (0..15)")
+    if arr.size % 2:
+        raise ValueError("code count must be even (whole packed bytes)")
+    n_samples = arr.size + 1
+    nyb = arr.astype(np.uint8)
+    packed = (nyb[0::2] | (nyb[1::2] << 4)).tobytes()
+    block = struct.pack("<hBB", 0, 0, 0) + packed
+    block_align = len(block)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // n_samples or 1,
+                      block_align, 4, 2, n_samples)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n_samples)
+            + b"data" + struct.pack("<I", len(block)) + block
+            + (b"\x00" if len(block) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _wav_pcm16_data(payload: bytes) -> tuple[int, int, bytes] | None:
     """(sample_rate, n_channels, PCM16-LE data bytes) for a RIFF/WAVE
     payload, walking the chunk list like ``decode_audio_meta``.
-    Handles format tag 1 (16-bit linear PCM, returned as stored) and
-    the G.711 companded telephony codecs — tag 7 (μ-law) and tag 6
+    Handles format tag 1 (16-bit linear PCM, returned as stored), the
+    G.711 companded telephony codecs — tag 7 (μ-law) and tag 6
     (A-law), 8 bits per sample, expanded to linear int16 through the
-    REAL ITU-T tables so every downstream consumer sees one uniform
-    PCM16 contract. None for anything else (24-bit PCM, float, ADPCM,
-    …) — callers treat those as opaque, the degrade path."""
+    REAL ITU-T tables — and (r11) tag 0x11 mono IMA/DVI ADPCM,
+    decompressed block-by-block through the real quantizer state
+    machine (``_ima_adpcm_decode_block``), so every downstream
+    consumer sees one uniform PCM16 contract. Stereo ADPCM raises
+    NotImplementedError (honest codec gate); torn ADPCM blocks raise
+    ValueError. None for anything else (24-bit PCM, float, …) —
+    callers treat those as opaque, the degrade path."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     tag = rate = channels = bits = None
+    block_align = spb = fact_total = None
     data = None
     i = 12
     while i + 8 <= len(payload):
@@ -520,7 +700,12 @@ def _wav_pcm16_data(payload: bytes) -> tuple[int, int, bytes] | None:
         if cid == b"fmt " and clen >= 16 and i + 24 <= len(payload):
             tag, channels, rate = struct.unpack(
                 "<HHI", payload[i + 8:i + 16])
-            (bits,) = struct.unpack("<H", payload[i + 22:i + 24])
+            (block_align, bits) = struct.unpack(
+                "<HH", payload[i + 20:i + 24])
+            if clen >= 20 and i + 28 <= len(payload):
+                (spb,) = struct.unpack("<H", payload[i + 26:i + 28])
+        elif cid == b"fact" and clen >= 4:
+            (fact_total,) = struct.unpack("<I", payload[i + 8:i + 12])
         elif cid == b"data":
             data = payload[i + 8:i + 8 + clen]
         i += 8 + clen + (clen & 1)
@@ -534,6 +719,25 @@ def _wav_pcm16_data(payload: bytes) -> tuple[int, int, bytes] | None:
                                  else _g711_ulaw_table())
         lin = _G711_TABLES[tag][np.frombuffer(data, np.uint8)]
         return rate, channels, lin.astype("<i2").tobytes()
+    if tag == 0x11 and bits == 4:
+        if channels != 1:
+            raise NotImplementedError(
+                "IMA ADPCM: only mono decodes (stereo interleaves "
+                "nibbles per 8-sample channel run — gated)")
+        if not block_align or not spb:
+            raise ValueError("IMA ADPCM fmt missing block_align / "
+                             "samples-per-block")
+        remaining = fact_total if fact_total is not None else (
+            (len(data) // block_align) * spb)
+        samples: list[int] = []
+        for b0 in range(0, len(data), block_align):
+            if remaining <= 0:
+                break
+            n = min(spb, remaining)
+            samples.extend(_ima_adpcm_decode_block(
+                data[b0:b0 + block_align], n))
+            remaining -= n
+        return rate, 1, np.asarray(samples, "<i2").tobytes()
     return None
 
 

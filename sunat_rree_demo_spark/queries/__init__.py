@@ -97,6 +97,9 @@ _R10_FILLERS = (
 # round-11 additions (first driver check) — append here when registering
 _R11_NEW = (
     "q247_mp4_meta_census",
+    "q248_setsim_score_matrix",
+    "q249_adpcm_decode_census",
+    "q250_m4a_meta_census",
 )
 # the full 46-query cohort whose newest driver row is still r06 (the
 # r10 verdict's rotation ask: after this window no registered query's

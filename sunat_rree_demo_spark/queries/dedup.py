@@ -470,6 +470,55 @@ def q146_cross_source_dup_matrix(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- q248
+@register(
+    "q248_setsim_score_matrix",
+    memoize=False,  # projection of the session pair-intersection memo
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT id1, id2,
+             CAST(inter AS DOUBLE)
+               / (sa.n + sb.n - inter) AS jaccard,
+             2.0 * inter / (sa.n + sb.n) AS dice,
+             CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS ovl,
+             greatest(CAST(inter AS DOUBLE) / sa.n,
+                      CAST(inter AS DOUBLE) / sb.n) AS cmax
+      FROM inter
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+    )
+    SELECT id1, id2, round(jaccard, 4) AS jaccard,
+           round(dice, 4) AS dice, round(ovl, 4) AS overlap,
+           round(cmax, 4) AS cmax
+    FROM sc WHERE dice >= 0.4 ORDER BY id1, id2
+    """,
+    tags=("dedup", "similarity", "scores"),
+)
+def q248_setsim_score_matrix(spark, sf_dir):
+    """The full set-similarity score matrix — Jaccard, Dice, overlap
+    coefficient and max containment per co-shingling pair, Dice ≥ 0.4
+    (r11): the threshold-tuning triage view, and the proof of the
+    pair-intersection memo's write-once/project-many contract — THREE
+    sibling queries (q144 containment, q146 source matrix, this
+    matrix) now share one per-session grouped pair emit and each
+    serves as a parquet scan plus column arithmetic (Broder'97 §3's
+    resemblance/containment family computed off one intersection
+    table). The oracle recomputes all four scores exhaustively from
+    the shingle CTE."""
+    from sunat_rree_demo_spark.operators.dedup import setsim_score_matrix
+
+    return (setsim_score_matrix(
+        corpus_pair_intersections(spark, sf_dir), min_dice=0.4)
+        .orderBy("id1", "id2"))
+
+
 # --------------------------------------------------------------------- q149
 #: 28 bits = every REAL bit of the sha-derived base hash (simhash's
 #: upper bits past 27 are structurally zero); 4 bands × 7 bits keeps

@@ -4660,3 +4660,246 @@ def q247_mp4_meta_census(spark, sf_dir):
                 "timescale", "width", "height")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------- q250
+#: q250 M4A audio-metadata device: caps the sample count so the mux
+#: stays cheap; rate cycles 8000/11025/16000 and channels 1/2 by
+#: doc_id, so the census covers the full v0 SoundDescription grid
+_AM_CAP = 400
+
+
+@register(
+    "q250_m4a_meta_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             (least(length(s), {_AM_CAP}) // 2) * 2 AS ns,
+             CASE (doc_id // 2) % 3 WHEN 0 THEN 8000
+                  WHEN 1 THEN 11025 ELSE 16000 END AS rate,
+             1 + (doc_id // 2) % 2 AS ch
+      FROM a
+      WHERE length(s) >= 4
+        AND NOT (doc_id % 2 = 1
+                 AND (s LIKE 'RIFF%' OR s LIKE 'fLaC%'
+                      OR substr(s, 5, 4) IN
+                         ('ftyp', 'moov', 'mdat', 'free', 'wide')))
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(rate AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(ch AS INT) END AS n_channels,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(16 AS INT) END AS bits_per_sample,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((ns // ch) * 1000 // rate AS BIGINT)
+                END AS duration_ms
+    FROM c ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "audio", "metadata", "mp4"),
+)
+def q250_m4a_meta_census(spark, sf_dir):
+    """M4A audio-metadata census — the audio twin of q247 (r11):
+    every even doc muxes its printable characters as PCM-in-MP4
+    (``encode_mp4_pcm16``, rate cycling 8000/11025/16000 Hz and
+    channel count 1/2 by doc), every odd doc ships raw bytes that
+    must yield a NULL metadata row. ``extract_audio_meta`` answers
+    from the NEW ISO-BMFF moov walk alone (``_decode_bmff_audio_meta``
+    — smhd marks the audio trak, mdhd carries timescale/duration,
+    the v0 SoundDescription carries channels/bits; ISO/IEC 14496-12
+    §8.4, §12.2.3): before r11 the ISO-BMFF audio branch existed only
+    inside the sample decoder, so metadata cost a full PCM demux.
+    The closed-form oracle recomputes rate/channels/bits/duration
+    from the device arithmetic — a version-offset, fixed-point or
+    frames-vs-samples slip in mux or walk breaks the hash; no sample
+    ever decodes. Junk docs sniffing as a walkable audio container
+    ('RIFF', 'fLaC', or an ISO-BMFF fourcc at offset 4) are excluded
+    by the device on both sides (q239's exclusion rationale).
+
+    Scale shape: one Arrow-batched encode pass, one header-walk pass,
+    media grain, no shuffle; one row per doc."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        encode_mp4_pcm16,
+        extract_audio_meta,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select("doc_id",
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (least(length(s), {_AM_CAP}) div 2) * 2)"))
+        .filter(F.length("s") >= 4)
+        .filter(~((F.col("doc_id") % 2 == 1)
+                  & (F.col("s").startswith("RIFF")
+                     | F.col("s").startswith("fLaC")
+                     | F.substring("s", 5, 4).isin(
+                         "ftyp", "moov", "mdat", "free", "wide"))))
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        def mk(did: int, s: str) -> bytes:
+            b = s.encode("ascii")
+            if did % 2 == 1:
+                return b  # raw bytes: NULL metadata row
+            smp = (np.frombuffer(b, np.uint8).astype(np.int64)
+                   - 79) * 256
+            rate = (8000, 11025, 16000)[(did // 2) % 3]
+            return encode_mp4_pcm16(smp, rate=rate,
+                                    channels=1 + (did // 2) % 2)
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "content": [mk(int(m), s) for m, s in
+                            zip(pdf["doc_id"], pdf["s"])],
+            })
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    media = src.mapInPandas(encode, schema=media_schema)
+    return (
+        extract_audio_meta(media)
+        .select(F.col("media_id").alias("doc_id"),
+                "sample_rate", "n_channels", "bits_per_sample",
+                F.col("duration_ms").cast("bigint").alias("duration_ms"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------- q249
+#: q249 ADPCM device: cap the code stream so the oracle's recursive
+#: state-machine depth is bounded; one code per printable char (low 4
+#: bits), even count = whole packed bytes
+_ADPCM_CAP = 160
+
+
+def _ima_tables_sql() -> str:
+    from sunat_rree_demo_spark.operators.multimodal import _IMA_STEPS
+
+    return "[" + ", ".join(map(str, _IMA_STEPS)) + "]"
+
+
+@register(
+    "q249_adpcm_decode_census",
+    oracle=f"""
+    WITH RECURSIVE a AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(s, 1, (least(length(s), {_ADPCM_CAP}) // 2) * 2) AS s
+      FROM a WHERE length(s) >= 2
+    ),
+    st AS (SELECT {_ima_tables_sql()} AS tbl),
+    sim AS (
+      SELECT doc_id, s, 0 AS k, 0 AS pred, 0 AS idx FROM c
+      UNION ALL
+      SELECT q.doc_id, q.s, q.k + 1,
+        greatest(-32768, least(32767,
+          q.pred + CASE WHEN q.code >= 8 THEN -1 ELSE 1 END * (
+            q.step // 8
+            + CASE WHEN (q.code // 4) % 2 = 1 THEN q.step ELSE 0 END
+            + CASE WHEN (q.code // 2) % 2 = 1 THEN q.step // 2
+                   ELSE 0 END
+            + CASE WHEN q.code % 2 = 1 THEN q.step // 4 ELSE 0 END))),
+        greatest(0, least(88, q.idx +
+          CASE WHEN q.code % 8 < 4 THEN -1
+               ELSE 2 * (q.code % 8 - 3) END))
+      FROM (
+        SELECT s.*, ascii(substr(s.s, s.k + 1, 1)) % 16 AS code,
+               st.tbl[s.idx + 1] AS step
+        FROM sim s, st WHERE s.k < length(s.s)
+      ) q
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS sum_amp,
+           CAST(sum(CAST(pred AS BIGINT) * pred) AS BIGINT) AS sum_sq
+    FROM sim GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("media", "multimodal", "codec", "audio", "adpcm"),
+)
+def q249_adpcm_decode_census(spark, sf_dir):
+    """IMA/DVI ADPCM decode census — the one stdlib-feasible
+    COMPRESSED audio codec a web crawl actually contains (r11,
+    VERDICT r10 optional item; format tag 0x11, the DVI/IMA quantizer
+    of the IMA Digital Audio Compatibility spec rev 3.00 §6 / RFC
+    3551 §4.5.1): each document's printable chars become 4-bit ADPCM
+    CODES muxed into a real mono tag-0x11 WAV
+    (``encode_wav_ima_adpcm``), and the census decodes them through
+    the SHARED WAV sample map — ``_wav_pcm16_data``'s new ADPCM
+    branch, the same uniform-PCM16 contract every energy/fingerprint
+    consumer reads — accumulating int64-exact per-doc n/sum/sum² of
+    the decompressed samples. The oracle re-simulates the quantizer
+    state machine in pure SQL: a WITH RECURSIVE walk carrying
+    (predictor, step index) per document step-by-step over the SAME
+    89-entry step table the decoder uses (rendered into the SQL from
+    the one Python constant), so a clamp, sign-bit, index-delta or
+    table slip on either side breaks the hash. Everything integer —
+    no float discipline needed anywhere.
+
+    Scale shape: one Arrow-batched encode pass and one decode+reduce
+    pass, both media-grain with no shuffle; the sequential quantizer
+    recursion stays INSIDE each task's Arrow batch (state machines
+    don't distribute — the parallel grain is documents, exactly how a
+    100 TB audio ingest decodes: one file per task, vectorized across
+    files)."""
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _wav_pcm16_data,
+        encode_wav_ima_adpcm,
+    )
+    from sunat_rree_demo_spark.operators.skew import fan_out
+
+    import numpy as np
+
+    d = t(spark, sf_dir, "documents")
+    src = fan_out(
+        d.select("doc_id",
+                 F.regexp_replace("text", "[^ -~]", "").alias("s"))
+        .withColumn("s", F.expr(
+            f"substring(s, 1, (least(length(s), {_ADPCM_CAP}) div 2)"
+            " * 2)"))
+        .filter(F.length("s") >= 2)
+    )
+
+    def decode_census(it):
+        import pandas as pd
+
+        def one(did: int, s: str):
+            codes = np.frombuffer(s.encode("ascii"), np.uint8) % 16
+            wav = encode_wav_ima_adpcm(codes.astype(np.int64),
+                                       rate=8000)
+            _rate, _ch, pcm = _wav_pcm16_data(wav)
+            smp = np.frombuffer(pcm, "<i2").astype(np.int64)
+            return (did, smp.size, int(smp.sum()),
+                    int((smp * smp).sum()))
+
+        for pdf in it:
+            rows = [one(int(i), s) for i, s in
+                    zip(pdf["doc_id"], pdf["s"])]
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "sum_amp", "sum_sq"])
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ])
+    return src.mapInPandas(decode_census, schema=out_schema) \
+        .orderBy("doc_id")

@@ -59,7 +59,8 @@ def docs_file_stream(spark: SparkSession, directory: str,
 
 def process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                   index_path: str, pairs_path: str,
-                  threshold: float = 0.3) -> None:
+                  threshold: float = 0.3,
+                  timings: list | None = None) -> None:
     """One micro-batch commit, idempotent under replay of the same
     (batch content, batch id) — foreachBatch's crash-recovery contract.
     Steps, in commit order: near-dup pairs overwrite
@@ -69,30 +70,46 @@ def process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     anywhere mid-sequence rewrites identical files (the probe result is
     unchanged because the new batch's own ids are resolved
     new-batch-wins against whatever partial index state survived)."""
+    import time
+
     if batch_committed(spark, index_path, batch_id):
         return  # crash-replay of a fully-committed batch: no-op
+    t0 = time.monotonic()
     batch = batch_df.localCheckpoint()  # one pass over the source
     # ONE signature pass per batch: the probe and the absorb share the
     # checkpointed frame (the Python shingle/minhash pass dominates
     # ingest cost)
     sig = minhash_signatures(batch, "doc_id", "text").localCheckpoint()
+    t1 = time.monotonic()
     (incremental_near_dup_pairs(spark, batch, index_path,
                                 threshold=threshold, new_sig=sig)
      .write.mode("overwrite")
      .parquet(f"{pairs_path}/{BATCH_COL}={batch_id}"))
+    t2 = time.monotonic()
     absorb_batch(batch, index_path, batch_id, sig=sig)
+    if timings is not None:
+        # (batch_id, signature pass, index-read probe+pair write,
+        # absorb write) — the capacity-planning split stream_bench
+        # reports (the r10 SCALE.md table argued, not measured, that
+        # the per-batch cost rides the probe's index read, not absorb)
+        timings.append((batch_id, round(t1 - t0, 3),
+                        round(t2 - t1, 3),
+                        round(time.monotonic() - t2, 3)))
 
 
 def run_dedup_stream(spark: SparkSession, docs_stream: DataFrame,
                      index_path: str, pairs_path: str,
-                     threshold: float = 0.3, timeout: int = 300) -> None:
+                     threshold: float = 0.3, timeout: int = 300,
+                     timings: list | None = None) -> None:
     """Drain the stream: per micro-batch, emit near-dup pairs to
     ``pairs_path/batch_id=N`` (read the root to get all pairs plus a
     discovered ``batch_id`` column) and absorb the batch into the
-    index at ``index_path`` — ``process_batch`` per micro-batch."""
+    index at ``index_path`` — ``process_batch`` per micro-batch.
+    ``timings`` (optional) collects the per-batch
+    (batch_id, sig_sec, probe_sec, absorb_sec) split."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         process_batch(spark, batch_df, batch_id, index_path, pairs_path,
-                      threshold)
+                      threshold, timings=timings)
 
     q = (
         docs_stream.writeStream.foreachBatch(handle)

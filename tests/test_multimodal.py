@@ -218,6 +218,32 @@ def test_extract_audio_meta_mapinpandas(spark):
     assert got[2].sample_rate is None and got[2].byte_len == 20
 
 
+def test_decode_audio_meta_isobmff_moov_walk():
+    """r11: M4A metadata answers from the moov walk alone — rate/
+    channels/bits/duration match the mux parameters for the full
+    SoundDescription grid, a video-only MP4 yields None (no audio
+    trak is not corrupt), junk yields None."""
+    import numpy as np
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        decode_audio_meta,
+        encode_jpeg_gray_blocks,
+        encode_mp4_mjpeg,
+        encode_mp4_pcm16,
+    )
+
+    smp = (np.arange(300) % 100 - 50) * 100
+    for rate in (8000, 16000):
+        for ch in (1, 2):
+            got = decode_audio_meta(
+                encode_mp4_pcm16(smp, rate=rate, channels=ch))
+            assert got == (rate, ch, 16, (300 // ch) * 1000 // rate)
+    video_only = encode_mp4_mjpeg(
+        [encode_jpeg_gray_blocks(b"hello world!", 12)], 96, 8, fps=5)
+    assert decode_audio_meta(video_only) is None
+    assert decode_audio_meta(b"\x00\x00\x00\x08ftypjunkpayload!") is None
+
+
 def _flac_payload(rate=44100, channels=2, bits=16, total_samples=441000):
     """Minimal FLAC: magic + one STREAMINFO metadata block (34 bytes)."""
     packed = ((rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36)
@@ -1669,3 +1695,57 @@ def test_tiff_deflate_trailing_garbage_is_loud():
     struct.pack_into("<I", sb, i + 8, len(comp))
     with pytest.raises(ValueError, match="length mismatch"):
         decode_tiff_pixels(bytes(sb))
+
+
+def test_ima_adpcm_roundtrip_and_taxonomy():
+    """r11: tag-0x11 mono IMA ADPCM decodes through the shared WAV
+    sample map; the decode must equal the reference state-machine
+    simulation exactly, stereo is gated, torn blocks and wild step
+    indexes raise ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _ima_adpcm_decode_block,
+        _ima_adpcm_step,
+        _wav_pcm16_data,
+        encode_wav_ima_adpcm,
+    )
+
+    codes = np.array([3, 7, 12, 0, 15, 8, 1, 4, 9, 2, 14, 5],
+                     dtype=np.int64)
+    rate, ch, pcm = _wav_pcm16_data(encode_wav_ima_adpcm(codes, 8000))
+    assert (rate, ch) == (8000, 1)
+    pred, idx, ref = 0, 0, [0]
+    for c in codes:
+        pred, idx = _ima_adpcm_step(pred, idx, int(c))
+        ref.append(pred)
+    assert np.frombuffer(pcm, "<i2").tolist() == ref
+
+    # multi-block decode: two hand-built blocks, the second's header
+    # restarts the predictor — real IMA WAV semantics
+    blk = struct.pack("<hBB", 100, 4, 0) + bytes([0x21])  # 2 codes
+    b2 = struct.pack("<hBB", -7, 0, 0) + bytes([0x08])
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, len(blk), 4, 2, 3)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(blk) + len(b2)) + blk + b2)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    _r, _c, pcm2 = _wav_pcm16_data(payload)
+    got = np.frombuffer(pcm2, "<i2").tolist()
+    assert got[0] == 100 and got[3] == -7 and len(got) == 6
+
+    with pytest.raises(ValueError):
+        _ima_adpcm_decode_block(b"\x00\x00", 2)          # torn header
+    with pytest.raises(ValueError):
+        _ima_adpcm_decode_block(
+            struct.pack("<hBB", 0, 89, 0) + b"\x00", 2)  # step idx > 88
+    with pytest.raises(ValueError):
+        _ima_adpcm_decode_block(
+            struct.pack("<hBB", 0, 0, 0), 2)             # nibbles exhausted
+    stereo = bytearray(encode_wav_ima_adpcm(codes, 8000))
+    i = stereo.index(b"fmt ") + 8
+    stereo[i + 2:i + 4] = struct.pack("<H", 2)           # channels = 2
+    with pytest.raises(NotImplementedError):
+        _wav_pcm16_data(bytes(stereo))

@@ -55,7 +55,8 @@ def test_q144_q146_project_pair_intersection_memo(spark):
     ``immemo_`` table plus filter/agg; neither the Python shingler nor
     the grouped pair emit (posexplode over shingle arrays) may appear."""
     for name in ("q144_containment_pairs",
-                 "q146_cross_source_dup_matrix"):
+                 "q146_cross_source_dup_matrix",
+                 "q248_setsim_score_matrix"):
         plan = plan_of(fresh(name)(spark, SF_SMOKE))
         assert "MapInPandas" not in plan, name
         assert "immemo_" in plan, name
