@@ -293,6 +293,74 @@ _RENDERERS = {
 }
 
 
+#: Zoomable-figure enhancement (r11 — the reference's Plotly charts
+#: pan/zoom; `eda.py:84-298` relies on Plotly's default modebar). The
+#: SVG figures stay fully readable with scripting disabled; this
+#: inline, dependency-free script progressively adds wheel-zoom
+#: (cursor-anchored), drag-pan and double-click-reset to every
+#: `.viz-root svg` by rewriting the viewBox — the SVG analog of
+#: Plotly's axis-rescale, keeping the zero-dependency stance.
+PANZOOM_JS = """
+(function () {
+  'use strict';
+  function enhance(svg) {
+    var vb0 = (svg.getAttribute('viewBox') || '').split(/\\s+/).map(Number);
+    if (vb0.length !== 4 || vb0.some(isNaN)) return;
+    var vb = vb0.slice(), drag = null;
+    svg.style.cursor = 'grab';
+    svg.style.touchAction = 'none';
+    function apply() { svg.setAttribute('viewBox', vb.join(' ')); }
+    function pt(ev) {
+      var r = svg.getBoundingClientRect();
+      return [vb[0] + (ev.clientX - r.left) / r.width * vb[2],
+              vb[1] + (ev.clientY - r.top) / r.height * vb[3]];
+    }
+    svg.addEventListener('wheel', function (ev) {
+      ev.preventDefault();
+      var f = ev.deltaY < 0 ? 0.8 : 1.25;
+      var z = (vb[2] * f) / vb0[2];
+      if (z < 0.05 || z > 1) { vb = vb0.slice(); apply(); return; }
+      var p = pt(ev);
+      vb = [p[0] - (p[0] - vb[0]) * f, p[1] - (p[1] - vb[1]) * f,
+            vb[2] * f, vb[3] * f];
+      apply();
+    }, { passive: false });
+    svg.addEventListener('pointerdown', function (ev) {
+      drag = [ev.clientX, ev.clientY, vb[0], vb[1]];
+      svg.setPointerCapture(ev.pointerId);
+      svg.style.cursor = 'grabbing';
+    });
+    svg.addEventListener('pointermove', function (ev) {
+      if (!drag) return;
+      var r = svg.getBoundingClientRect();
+      vb[0] = drag[2] - (ev.clientX - drag[0]) / r.width * vb[2];
+      vb[1] = drag[3] - (ev.clientY - drag[1]) / r.height * vb[3];
+      apply();
+    });
+    svg.addEventListener('pointerup', function () {
+      drag = null; svg.style.cursor = 'grab';
+    });
+    svg.addEventListener('dblclick', function () {
+      vb = vb0.slice(); apply();
+    });
+  }
+  function init() {
+    document.querySelectorAll('.viz-root svg').forEach(enhance);
+  }
+  if (document.readyState === 'loading') {
+    document.addEventListener('DOMContentLoaded', init);
+  } else { init(); }
+})();
+"""
+
+
+def panzoom_script() -> str:
+    """The interactive-figure `<script>` element, for pages embedding
+    `render_figure` fragments (the serving tier includes it once per
+    page; `render_chart_html` documents carry it themselves)."""
+    return f"<script>{PANZOOM_JS}</script>"
+
+
 def render_figure(bundle: dict[str, Any]) -> str:
     """Just the legend+SVG fragment for one bundle — for callers that
     embed a figure inside their own page (the serving tier's category
@@ -317,7 +385,7 @@ def render_chart_html(name: str, bundle: dict[str, Any]) -> str:
         f"<body><div class=\"viz-root\"><h1>{html.escape(name)}</h1>"
         f"{figure}</div>\n"
         f"<script type=\"application/json\" id=\"chart-data\">{payload}"
-        "</script>\n</body></html>\n")
+        f"</script>\n{panzoom_script()}</body></html>\n")
 
 
 def write_chart_html_artifacts(kpi_monthly: DataFrame,

@@ -63,6 +63,8 @@ class BadRequest(ValueError):
 
 
 def _page(title: str, body: str) -> str:
+    from sunat_rree_demo_spark.plans.charts_html import panzoom_script
+
     return ("<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
             f"<title>{html.escape(title)}</title>"
             f"<style>{_STYLE}</style></head>\n<body>"
@@ -71,7 +73,10 @@ def _page(title: str, body: str) -> str:
             "<a href=\"/category\">category</a>"
             "<a href=\"/ranking\">ranking</a>"
             "<a href=\"/insights\">insights</a></nav>"
-            f"<h1>{html.escape(title)}</h1>{body}</body></html>\n")
+            f"<h1>{html.escape(title)}</h1>{body}"
+            # r11: the reference's Plotly figures pan/zoom; the SVG
+            # analogs get wheel-zoom/drag-pan/dblclick-reset here
+            f"{panzoom_script()}</body></html>\n")
 
 
 def _table(rows: list, columns: list[str]) -> str:

@@ -190,3 +190,32 @@ def test_chart_html_artifacts_render_and_embed_data(spark, tmp_path):
     with open(paths["outliers"], encoding="utf-8") as f:
         out = f.read()
     assert out.count('fill="var(--series-2)"') == 7
+
+
+def test_chart_html_is_interactive_and_degrades(spark, tmp_path):
+    """r11: every chart document carries the dependency-free pan/zoom
+    script (the Plotly-modebar analog — wheel zoom, drag pan,
+    double-click reset on the SVG viewBox) AFTER the data payload, so
+    the figure and embedded JSON stay fully usable with scripting
+    disabled; serve.py pages include the same script once."""
+    from sunat_rree_demo_spark.plans.charts_html import (
+        PANZOOM_JS,
+        panzoom_script,
+        write_chart_html_artifacts,
+    )
+    from sunat_rree_demo_spark.plans.serve import _page
+
+    km = spark.read.parquet(f"{REF}/kpi_monthly.parquet")
+    paths = write_chart_html_artifacts(km, str(tmp_path))
+    for p in paths.values():
+        with open(p, encoding="utf-8") as f:
+            doc = f.read()
+        assert PANZOOM_JS in doc
+        assert doc.index('id="chart-data"') < doc.index("viewBox', vb")
+    for hook in ("wheel", "pointerdown", "dblclick", "viewBox"):
+        assert hook in PANZOOM_JS
+    # '</' must never appear raw inside the script element
+    assert "</" not in PANZOOM_JS
+    page = _page("t", "<div class='viz-root'><svg viewBox='0 0 1 1'>"
+                 "</svg></div>")
+    assert page.count(panzoom_script()) == 1
