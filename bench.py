@@ -98,9 +98,14 @@ SANCTIONED_TWINS = {
                   "per call (memoize=False); r8 single-block-pass "
                   "rewrite took it 2.01x -> 1.3x; r11 idle-box re-A/B "
                   "(4 spark / 3 twin reps, one session): 1.98s vs "
-                  "0.99s twin = 2.0x — the r8 1.3x row was stale "
-                  "(the twin got faster), measured number refreshed",
-        "sanctioned": "r8", "last_ab": "2026-08-16"},
+                  "0.99s twin = 2.0x — the r8 1.3x row was stale. "
+                  "r11 also flattened the tail: the kernel's bounded "
+                  "pool (<= tasks*|Q|*4k rows) now reduces on the "
+                  "driver in ONE job — the old two-window/three-join "
+                  "tail tripled under session pressure (7.4s, the "
+                  "run-A offender) while re-ranking rows the driver "
+                  "handles in milliseconds",
+        "sanctioned": "r8", "last_ab": "2026-08-17"},
 }
 
 

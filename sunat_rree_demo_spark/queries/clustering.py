@@ -506,9 +506,9 @@ def q206_ivf_recall_curve(spark, sf_dir):
     # cluster is the argmin-distance centroid, ties → lower — exactly
     # the fit's assignment rule): no assignment join. And because
     # top-k is DISTRIBUTIVE over batches, the kernel emits only each
-    # batch's top-k per (query, depth-class) — the global windows
-    # re-rank a bounded pool (≤ tasks × queries × 4k rows), never the
-    # full query×corpus score matrix.
+    # batch's top-k per (query, depth-class) — the driver reduce
+    # re-ranks a bounded pool (≤ tasks × queries × 4k rows), never
+    # the full query×corpus score matrix.
     import pandas as pd
 
     out_schema = ("q_id long, n_id long, prn int, d2 long")
@@ -546,39 +546,40 @@ def q206_ivf_recall_curve(spark, sf_dir):
                     "d2": dj[rows].astype(np.int64)}))
             yield pd.concat(outs, ignore_index=True)
 
-    scored = (emb.select("vec_id", "embedding")
-              .mapInPandas(dists, out_schema).localCheckpoint())
-    wq = Window.partitionBy("q_id").orderBy("d2", "n_id")
-    bru5 = (scored.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= _RECALL_K).select("q_id", "n_id"))
-    npos = bru5.agg(F.count("*").cast("bigint").alias("n_possible"))
-
-    # every probe depth in ONE windowed pass: replicate each scored
-    # row onto the depths whose probe set contains its cell, rank
-    # within (query, depth), keep top-k, count hits against the truth
-    # in a single aggregation — the r7 shape ran a window + join + agg
-    # PER depth and paid the per-job overhead three times over
-    depths = spark.createDataFrame([(d,) for d in _NPROBES],
-                                   "nprobe int")
-    wqd = Window.partitionBy("q_id", "nprobe").orderBy("d2", "n_id")
-    hits = (scored.join(F.broadcast(depths),
-                        F.col("prn") <= F.col("nprobe"))
-            .withColumn("rk", F.row_number().over(wqd))
-            .filter(F.col("rk") <= _RECALL_K)
-            .join(bru5, ["q_id", "n_id"])
-            .groupBy("nprobe")
-            .agg(F.count("*").alias("hits")))
-    # a depth with ZERO hits yields no group — restore it as 0 (the
-    # oracle's per-depth scalar counts always emit a row)
-    hits = (depths.join(hits, "nprobe", "left")
-            .select(F.col("nprobe").cast("bigint").alias("nprobe"),
-                    F.coalesce("hits", F.lit(0)).cast("bigint")
-                    .alias("n_hits")))
-    return (
-        hits.crossJoin(F.broadcast(npos))
-        .select("nprobe", "n_hits", "n_possible",
-                (F.expr("(2 * 10000 * n_hits + n_possible)"
-                        " div (2 * n_possible)").cast("double") / 10000.0)
-                .alias("recall_4dp"))
-        .orderBy("nprobe")
-    )
+    # ONE job total (r11): the kernel already reduced query×corpus to
+    # a BOUNDED pool (≤ tasks · |Q| · 4·k rows — each task emits only
+    # its batch top-k per (query, depth-class)), so the final re-rank
+    # is a driver-side numpy reduce over that pool — the same bounded
+    # collect the ANN top-k family uses. The previous shape finished
+    # with two windows + three joins over the identical pool; under a
+    # loaded session those extra shuffle stages tripled the warm time
+    # (BENCH r11 run A: 7.4 s vs the 2.0 s idle A/B) while computing
+    # nothing the driver can't do on ≤ thousands of rows. At cluster
+    # scale the pool grows only with task count; if it ever outgrew
+    # the driver the old windowed reduce is the drop-in alternative —
+    # the kernel (the scalable part) is unchanged.
+    pool = (emb.select("vec_id", "embedding")
+            .mapInPandas(dists, out_schema).toPandas())
+    d2a = pool["d2"].to_numpy(np.int64)
+    nida = pool["n_id"].to_numpy(np.int64)
+    prna = pool["prn"].to_numpy(np.int32)
+    qida = pool["q_id"].to_numpy(np.int64)
+    bru: dict[int, set] = {}
+    ivf: dict[int, dict[int, set]] = {d: {} for d in _NPROBES}
+    for q in qid_arr:
+        m = qida == q
+        dj, nj, pj = d2a[m], nida[m], prna[m]
+        order = np.lexsort((nj, dj))
+        bru[q] = set(nj[order[:_RECALL_K]].tolist())
+        for np_ in _NPROBES:
+            cand = order[pj[order] <= np_][:_RECALL_K]
+            ivf[np_][q] = set(nj[cand].tolist())
+    npos = sum(len(v) for v in bru.values())
+    rows = []
+    for np_ in _NPROBES:
+        h = sum(len(ivf[np_][q] & bru[q]) for q in qid_arr.tolist())
+        rows.append((int(np_), int(h), int(npos),
+                     ((2 * 10000 * h + npos) // (2 * npos)) / 10000.0))
+    return spark.createDataFrame(
+        rows, "nprobe long, n_hits long, n_possible long, "
+              "recall_4dp double").orderBy("nprobe")
