@@ -41,14 +41,14 @@ from sunat_rree_demo_spark.queries import extraction  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation: the harness's CORRECTNESS snapshot records only
 # the FIRST 50 registry entries in iteration order (see BASELINE.md "Driver
-# correctness snapshot cap").  The union of CORRECTNESS_r01-r09 covers every
-# query registered through q239 (every one green at its newest appearance;
-# q46 rows-only by design).  The round-10 window: new r10 queries first
-# (first driver check — highest priority), then the full 39-query cohort
-# whose newest driver row is still r05, then the oldest r06 rows as far as
-# the 50-slot cap allows.  Displaced fillers stay driver-green via their
-# historical rows and the identical local exact-hash gate
-# (scripts/check_parity.py), which runs all 240+ queries every round.
+# correctness snapshot cap").  The union of CORRECTNESS_r01-r10 covers every
+# query registered through q246 (every one green at its newest appearance;
+# q46 rows-only by design).  The round-11 window: new r11 queries first
+# (first driver check — highest priority), then the full 46-query cohort
+# whose newest driver row is still r06, padded to 50 with the oldest r07
+# rows.  Displaced fillers stay driver-green via their historical rows and
+# the identical local exact-hash gate (scripts/check_parity.py), which
+# runs all 250 queries every round.
 # Registration itself is unchanged; this only re-orders the dict.
 # tests/test_driver_window.py asserts every registered query has either a
 # historical CORRECTNESS row or a slot in the current window.
