@@ -148,3 +148,40 @@ def test_materialize_routed_is_result_identical(spark):
     eager = sorted(map(tuple, curate_media(
         df, materialize_routed=True).collect()))
     assert lazy == eager
+
+
+def test_adpcm_wav_folds_with_pcm_wav_in_curation(spark):
+    """r11: an IMA-ADPCM WAV routes through the same audio keyer as
+    linear PCM — both containers of the SAME signal (state-machine-
+    generated, so the lossy codec represents it exactly) fold to one
+    aud: key and the min-id election keeps one copy. This pins the
+    full integration chain: route_media's RIFF sniff → pcm_frame_energy
+    → _wav_pcm16_data's tag-0x11 branch → delta-sign fingerprint."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from sunat_rree_demo_spark.operators.multimodal import (
+        _ima_adpcm_step,
+        encode_wav_ima_adpcm,
+        encode_wav_pcm16,
+    )
+    from sunat_rree_demo_spark.plans.curate_media import curate_media
+
+    rng = np.random.RandomState(7)
+    codes = rng.randint(0, 16, 120).astype(np.int64)
+    pred, idx, samples = 0, 0, [0]
+    for c in codes:
+        pred, idx = _ima_adpcm_step(pred, idx, int(c))
+        samples.append(pred)
+    smp = np.asarray(samples, np.int64)
+
+    media = spark.createDataFrame([
+        Row(media_id=1, content=bytearray(encode_wav_pcm16(smp,
+                                                           rate=1000))),
+        Row(media_id=2, content=bytearray(encode_wav_ima_adpcm(
+            codes, rate=1000))),
+    ], "media_id long, content binary")
+    rows = {r.media_id: r for r in curate_media(media).collect()}
+    assert rows[1].modality == rows[2].modality == "audio"
+    assert rows[1].dkey == rows[2].dkey          # ONE aud: key
+    assert rows[1].is_survivor and not rows[2].is_survivor
