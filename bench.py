@@ -90,9 +90,12 @@ SANCTIONED_TWINS = {
                   "memoized index-served contrast (r10)",
         "sanctioned": "r7", "last_ab": "2026-08-16"},
     "q205_lsh_eval": {
-        "reason": "documented-eager detector eval (recomputes LSH "
-                  "candidates + exhaustive truth per call)",
-        "sanctioned": "r7", "last_ab": "2026-08-15"},
+        "reason": "r11: both eval sides now read session parquet "
+                  "memos (truth=pgmemo, pred=mhmemo shared with q65); "
+                  "residual per-call cost is the pair-key join + "
+                  "count triple itself — the generation pipelines "
+                  "keep their own eager measurements (q40/q41)",
+        "sanctioned": "r7", "last_ab": "2026-08-17"},
     "q206_ivf_recall_curve": {
         "reason": "eval pays one exact query-by-corpus distance pass "
                   "per call (memoize=False); r8 single-block-pass "

@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
+from sunat_rree_demo_spark.localrel import local_df
 from sunat_rree_demo_spark.operators.clustering import (
     kmeans_fit,
     quantize_micros,
@@ -65,8 +66,8 @@ def write_ivf_index(emb: DataFrame, path: str, k: int = 8,
     spark = emb.sparkSession
     cent, assign = kmeans_fit(emb, k=k, iters=iters,
                               id_col=id_col, vec_col=vec_col)
-    cent_df = spark.createDataFrame(
-        [(int(ci), [int(v) for v in cent[ci]]) for ci in range(k)],
+    cent_df = local_df(
+        spark, [(int(ci), [int(v) for v in cent[ci]]) for ci in range(k)],
         "cluster int, centroid array<bigint>")
     cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
     (emb.select(id_col, vec_col)
@@ -152,13 +153,13 @@ def ivf_index_search(spark: SparkSession, path: str,
     for qi in range(len(q_ids)):
         order = np.lexsort((np.arange(cent.shape[0]), d2c[qi]))
         probes += [(int(q_ids[qi]), int(ci)) for ci in order[:nprobe]]
-    probe_df = spark.createDataFrame(probes, "q_id long, cluster int")
+    probe_df = local_df(spark, probes, "q_id long, cluster int")
     probed_cells = sorted({c for _, c in probes})
 
     dirs = committed_vector_dirs(spark, path)
     if not dirs:
-        return spark.createDataFrame(
-            [], "q_id long, rank bigint, n_id long, d2 long")
+        return local_df(
+            spark, [], "q_id long, rank bigint, n_id long, d2 long")
     vecs = (spark.read.option("basePath", f"{path}/vectors")
             .parquet(*dirs)
             .filter(F.col("cluster").isin(probed_cells)))  # dir pruning
@@ -234,7 +235,7 @@ def forget_vectors(spark: SparkSession, path: str, ids: list,
     dirs = committed_vector_dirs(spark, path)
     if not dirs:
         return []
-    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    id_df = local_df(spark, [(i,) for i in ids], f"{id_col} long")
     vecs = spark.read.option("basePath", f"{path}/vectors").parquet(*dirs)
     touched = sorted(
         (r[BATCH_COL], r["cluster"])

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from sunat_rree_demo_spark.localrel import local_df
 from sunat_rree_demo_spark.operators.dedup import (
     LSH_BANDS,
     MINHASH_K,
@@ -453,7 +454,7 @@ def forget_ids(spark: SparkSession, path: str, ids: list,
     batch's marker is cleared first (committed-only readers skip it
     mid-rewrite) and restored by the bands write, but the pass as a
     whole is not transactional against a concurrent absorb."""
-    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    id_df = local_df(spark, [(i,) for i in ids], f"{id_col} long")
     sigs = spark.read.parquet(f"{path}/sigs")
     touched = sorted(
         r[BATCH_COL]

@@ -21,6 +21,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from sunat_rree_demo_spark.localrel import local_df
 from sunat_rree_demo_spark.operators.skew import fan_out
 
 
@@ -728,8 +729,8 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 4, k: int = 3,
             d2u = np.floor(d2 * 1e6 + 0.5).astype("int64")
             lut_rows += [(int(r[0]), m, ci, int(d2u[ci]))
                          for ci in range(len(d2u))]
-    lut = spark.createDataFrame(
-        lut_rows, "qid long, m int, c long, lutu long")
+    lut = local_df(
+        spark, lut_rows, "qid long, m int, c long, lutu long")
 
     codes = pq_encode(emb, n_centroids, m_subspaces, id_col, vec_col)
     stack_expr = "stack({}, {}) AS (m, c)".format(

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from sunat_rree_demo_spark.localrel import local_df
+
 #: count-min geometry: 4 hash rows × 64 counters.
 CMS_DEPTH = 4
 CMS_WIDTH = 64
@@ -125,7 +127,7 @@ def histogram_quantiles(hist: DataFrame,
     wn = Window.partitionBy(*sc)
     cum = (hist.withColumn("cum", F.sum("c").over(wc))
            .withColumn("n", F.sum("c").over(wn)))
-    qs = spark.createDataFrame(list(probes), "qn long, qd long, qname string")
+    qs = local_df(spark, list(probes), "qn long, qd long, qname string")
     probe = cum.crossJoin(F.broadcast(qs)) \
         .withColumn("r", F.expr("(n * qn + qd - 1) div qd"))
     hit = (probe.filter(F.col("cum") >= F.col("r"))

@@ -600,7 +600,17 @@ def maxmatch_vocab(docs, text_col: str, top_k: int = 64,
     frequency; ties break lexicographic). Returned as a DataFrame of
     pieces so the selection itself is engine-checkable — the q174
     oracle re-derives it verbatim in SQL."""
-    words = _corpus_vocab(docs, text_col)
+    return _maxmatch_vocab_from_words(_corpus_vocab(docs, text_col),
+                                      top_k, max_len)
+
+
+def _maxmatch_vocab_from_words(words, top_k: int, max_len: int):
+    """Vocab selection over an already-built (w, c) word table — split
+    out so :func:`maxmatch_apply` can derive vocab AND segmentation
+    from ONE materialized word frame instead of re-running the
+    corpus-grain explode+reduce under each branch (the ``words``
+    subtree used to be evaluated three times per call: the chars
+    branch, the subs branch, and the apply pass)."""
     # the CASE guards the sequence(1,0) trap for empty-string words
     # (whitespace-only docs tokenize to ['']): Spark's sequence(1, 0)
     # is the DESCENDING [1, 0], which would leak '' into the vocab
@@ -638,13 +648,18 @@ def maxmatch_apply(docs, id_col: str, text_col: str, top_k: int = 64,
     mapInPandas with the ≤ alphabet+top_k piece set in the task
     closure — exactly how production tokenizers cache word→pieces),
     then each document joins its token rows against that word table
-    and aggregates. The corpus is scanned once for the vocabulary and
-    once for the apply join; the greedy loop never sees corpus grain.
-    The bounded vocabulary collect is the documented-eager step."""
+    and aggregates. The corpus is scanned once for the apply join and
+    once — materialized via localCheckpoint — for the shared (w, c)
+    word table that BOTH the vocabulary branches and the segmentation
+    pass read (guide §2.4: the explode+reduce used to be re-evaluated
+    under the chars, subs, and apply subtrees — three corpus reduces
+    per call, now one). The bounded vocabulary collect is the
+    documented-eager step."""
     import pandas as pd
 
-    vocab = {r.p for r in maxmatch_vocab(docs, text_col, top_k,
-                                         max_len).collect()}
+    words = _corpus_vocab(docs, text_col).localCheckpoint()
+    vocab = {r.p for r in _maxmatch_vocab_from_words(words, top_k,
+                                                     max_len).collect()}
     ml = int(max_len)
 
     def seg(batches):
@@ -665,12 +680,14 @@ def maxmatch_apply(docs, id_col: str, text_col: str, top_k: int = 64,
                 out.append(n)
             yield pd.DataFrame({"w": pdf["w"], "_np": out})
 
-    pieces = (_corpus_vocab(docs, text_col).select("w")
-              .mapInPandas(seg, "w string, _np bigint"))
+    pieces = words.select("w").mapInPandas(seg, "w string, _np bigint")
     tk = docs.select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("w"))
+    # broadcast the word→pieces table (vocab grain, the production
+    # tokenizer cache shape — oov_stats broadcasts its vocab the same
+    # way): the exploded corpus never reshuffles for the join
     return (
-        tk.join(pieces, "w")
+        tk.join(F.broadcast(pieces), "w")
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_words"),
              F.sum(F.length("w")).cast("bigint").alias("n_chars"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Window, functions as F
 
+from sunat_rree_demo_spark.localrel import local_df
 from sunat_rree_demo_spark.operators.clustering import kmeans_fit
 from sunat_rree_demo_spark.queries.base import register, t
 from sunat_rree_demo_spark.sources.catalog import (
@@ -148,8 +149,8 @@ def q167_kmeans_census(spark, sf_dir):
     bounded partials ever reach the driver. Clusters empty in the final
     assignment drop from the census on both engines (inner join)."""
     cent, assign = _fitted(spark, sf_dir)
-    l1 = spark.createDataFrame(
-        [(int(ci), int(np.abs(cent[ci]).sum())) for ci in range(_K)],
+    l1 = local_df(
+        spark, [(int(ci), int(np.abs(cent[ci]).sum())) for ci in range(_K)],
         "cluster int, centroid_l1 long")
     return (
         assign.groupBy("cluster")
@@ -318,7 +319,7 @@ def q172_ivf_kmeans_topk(spark, sf_dir):
     qmat = quantize_micros(qrows["embedding"])          # (Q, d) int64
     q_ids = qrows["vec_id"].to_numpy()
     probes = _probe_rows(cent, qmat, q_ids, _NPROBE)
-    probe_df = spark.createDataFrame(probes, "q_id long, cluster int")
+    probe_df = local_df(spark, probes, "q_id long, cluster int")
 
     cand = (assign.join(F.broadcast(probe_df), "cluster")
             .filter(F.col("vec_id") != F.col("q_id"))
@@ -580,6 +581,6 @@ def q206_ivf_recall_curve(spark, sf_dir):
         h = sum(len(ivf[np_][q] & bru[q]) for q in qid_arr.tolist())
         rows.append((int(np_), int(h), int(npos),
                      ((2 * 10000 * h + npos) // (2 * npos)) / 10000.0))
-    return spark.createDataFrame(
-        rows, "nprobe long, n_hits long, n_possible long, "
-              "recall_4dp double").orderBy("nprobe")
+    return local_df(
+        spark, rows, "nprobe long, n_hits long, n_possible long, "
+                     "recall_4dp double").orderBy("nprobe")

@@ -26,6 +26,7 @@ from sunat_rree_demo_spark.operators.similarity import (
     near_dup_pairs_blocked,
     semantic_dedup,
 )
+from sunat_rree_demo_spark.localrel import local_df
 from sunat_rree_demo_spark.queries.base import register, t
 from sunat_rree_demo_spark.sources.catalog import (
     register_session_cache,
@@ -675,8 +676,8 @@ def q180_mmr_rerank(spark, sf_dir):
                 best = (key, d, score)
         picked.append((step, best[1], best[2]))
         chosen.append(best[1])
-    return spark.createDataFrame(
-        picked, "pick bigint, doc_id bigint, mmr_score bigint")
+    return local_df(
+        spark, picked, "pick bigint, doc_id bigint, mmr_score bigint")
 
 
 # --------------------------------------------------------------------- q183

@@ -28,6 +28,13 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for driver<->JVM transfers (toPandas/createDataFrame) and —
+    # critically — for localrel.local_df: with Arrow on, small literal
+    # frames become LocalRelations instead of Python-RDD scans that
+    # schedule 32 pickled tasks per action (guide §6 "Arrow for driver
+    # transfers"). Runtime-settable, so driver-supplied vanilla sessions
+    # get it through tune() like everything else.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local-deployment split size: the test warehouse's parquet files are
     # ~1-11 MB, so the 128 MB default turns every scan into ONE task and
     # serializes it on a single core (measured 4× on aggregate-over-

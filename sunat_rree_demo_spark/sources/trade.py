@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from sunat_rree_demo_spark.functions.months import MONTH_NAMES_ES
+from sunat_rree_demo_spark.localrel import local_df
 
 TRADE_SCHEMA = T.StructType([
     T.StructField("year", T.LongType(), False),
@@ -79,7 +80,7 @@ def synthetic_trade(spark: SparkSession, start_year: int = 2005,
             # a warn-level reconciliation discrepancy on one year
             reported = round(total + 5e6, 2) if (year, flow) == (2012, "export") else total
             rows.append((year, "Total", flow, reported, total))
-    return spark.createDataFrame(rows, TRADE_SCHEMA)
+    return local_df(spark, rows, TRADE_SCHEMA)
 
 
 def synthetic_trade_prod(spark: SparkSession, start_year: int = 2005,
@@ -104,7 +105,7 @@ def synthetic_trade_prod(spark: SparkSession, start_year: int = 2005,
                 if vals:
                     rows.append((year, "Total", flow, cat,
                                  round(sum(v for _, v in vals), 2)))
-    return spark.createDataFrame(rows, TRADE_PROD_SCHEMA)
+    return local_df(spark, rows, TRADE_PROD_SCHEMA)
 
 
 def register_trade_views(spark: SparkSession, trade: DataFrame | None = None,

@@ -49,6 +49,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from sunat_rree_demo_spark.localrel import local_df
+
 from sunat_rree_demo_spark.operators.dedup import base_hash_col
 from sunat_rree_demo_spark.operators.dedup_index import (
     _hadoop_fs,
@@ -87,7 +89,7 @@ def current_bloom(spark: SparkSession, store_path: str) -> DataFrame:
     """(word, m): bit_or merge of every committed batch's masks."""
     dirs = _committed_dirs(spark, store_path, "bloom")
     if not dirs:
-        return spark.createDataFrame([], "word bigint, m bigint")
+        return local_df(spark, [], "word bigint, m bigint")
     return (spark.read.parquet(*dirs)
             .groupBy("word").agg(F.bit_or("m").alias("m")))
 
@@ -95,7 +97,7 @@ def current_bloom(spark: SparkSession, store_path: str) -> DataFrame:
 def committed_digests(spark: SparkSession, store_path: str) -> DataFrame:
     dirs = _committed_dirs(spark, store_path, "digests")
     if not dirs:
-        return spark.createDataFrame([], "dg string")
+        return local_df(spark, [], "dg string")
     return spark.read.parquet(*dirs).select("dg")
 
 
@@ -140,7 +142,7 @@ def process_bloom_batch(spark: SparkSession, batch_df: DataFrame,
     # bloom said "maybe seen" but the exact store said new -> these
     # survivors are precisely the filter's false positives
     n_false_pos = n_kept - n_definite
-    stats = spark.createDataFrame(
+    stats = local_df(spark, 
         [(batch_id, n_docs, uniq.count(), n_definite, n_maybe,
           n_false_pos, n_kept)],
         "batch_id long, n_docs long, n_unique long, n_definite_new long, "
@@ -194,14 +196,14 @@ def load_kept(spark: SparkSession, store_path: str,
     """(id, dg) of every kept row across committed batches."""
     dirs = _committed_dirs(spark, store_path, "kept")
     if not dirs:
-        return spark.createDataFrame([], f"dg string, {id_col} long")
+        return local_df(spark, [], f"dg string, {id_col} long")
     return spark.read.parquet(*dirs)
 
 
 def load_gate_stats(spark: SparkSession, store_path: str) -> DataFrame:
     dirs = _committed_dirs(spark, store_path, "stats")
     if not dirs:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "batch_id long, n_docs long, n_unique long, "
                 "n_definite_new long, n_maybe long, n_false_pos long, "
                 "n_kept long")
@@ -239,7 +241,7 @@ def compact_bloom_store(spark: SparkSession, store_path: str) -> None:
     # commit: an empty kept partition carries the target's marker
     kept_schema = spark.read.parquet(
         _committed_dirs(spark, store_path, "kept")[0]).schema
-    (spark.createDataFrame([], kept_schema).write.mode("overwrite")
+    (local_df(spark, [], kept_schema).write.mode("overwrite")
      .parquet(f"{store_path}/kept/{BATCH_COL}={target}"))
     fs, _ = _hadoop_fs(spark, store_path)
     for d in dirs_d + dirs_b:
@@ -294,7 +296,7 @@ def forget_docs(spark: SparkSession, store_path: str, ids: list,
     micro-batch, and a crash mid-OVERWRITE of one partition needs this
     same pass re-run to finish healing (markers stay cleared until the
     kept rewrite completes)."""
-    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    id_df = local_df(spark, [(i,) for i in ids], f"{id_col} long")
     kept_dirs = _all_batch_dirs(spark, store_path, "kept")
     if not kept_dirs:
         return []

@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
+from sunat_rree_demo_spark.localrel import local_df
+
 from sunat_rree_demo_spark.operators.clustering import assign_under
 from sunat_rree_demo_spark.operators.dedup_index import _hadoop_fs
 
@@ -104,6 +106,6 @@ def load_assignments(spark: SparkSession, store_path: str,
                     spark, store_path, int(name.split("=", 1)[1])):
                 dirs.append(f"{store_path}/assign/{name}")
     if not dirs:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"{id_col} long, cluster int, d2 bigint")
     return spark.read.parquet(*dirs)

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from sunat_rree_demo_spark.localrel import local_df
+
 from sunat_rree_demo_spark.operators.dedup_index import (
     _hadoop_fs,
     clear_commit_marker,
@@ -99,7 +101,7 @@ def load_cms(spark: SparkSession, cms_path: str) -> DataFrame:
             if cms_batch_committed(spark, cms_path, batch_id):
                 committed.append(f"{cms_path}/{name}")
     if not committed:
-        return spark.createDataFrame([], _CMS_SCHEMA)
+        return local_df(spark, [], _CMS_SCHEMA)
     return (spark.read.parquet(*committed)
             .groupBy("j", "bucket")
             .agg(F.sum("c").cast("bigint").alias("c")))
@@ -110,5 +112,5 @@ def probe_cms(spark: SparkSession, cms_path: str,
     """(term, cms_est) frequency estimates for ``terms`` from the
     persisted sketch — the mid-stream queryability a state-store sketch
     wouldn't give."""
-    probes = spark.createDataFrame([(t,) for t in terms], "term string")
+    probes = local_df(spark, [(t,) for t in terms], "term string")
     return cms_estimates(load_cms(spark, cms_path), probes)

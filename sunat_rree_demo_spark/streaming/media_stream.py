@@ -58,6 +58,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from sunat_rree_demo_spark.localrel import local_df
+
 from sunat_rree_demo_spark.operators.dedup_index import (
     batch_marker_committed,
     clear_commit_marker,
@@ -138,7 +140,7 @@ def _committed_dirs(spark: SparkSession, store_path: str,
 def committed_hashes(spark: SparkSession, store_path: str) -> DataFrame:
     dirs = _committed_dirs(spark, store_path, "hashes")
     if not dirs:
-        return spark.createDataFrame([], "dhash string")
+        return local_df(spark, [], "dhash string")
     return spark.read.parquet(*dirs).select("dhash")
 
 
@@ -172,7 +174,7 @@ def process_media_batch(spark: SparkSession, batch_df: DataFrame,
         .localCheckpoint()
     n_media = hashed.count()
     n_ungated = ungated.count()
-    stats = spark.createDataFrame(
+    stats = local_df(spark, 
         [(batch_id, n_media, n_media - n_ungated, n_ungated,
           kept.count())],
         f"{BATCH_COL} long, n_media long, n_hashed long, "
@@ -218,14 +220,14 @@ def load_kept(spark: SparkSession, store_path: str,
     the empty-store fallback schema carries it (review finding r8)."""
     dirs = _committed_dirs(spark, store_path, "kept")
     if not dirs:
-        return spark.createDataFrame([], f"{id_col} long, dhash string")
+        return local_df(spark, [], f"{id_col} long, dhash string")
     return spark.read.parquet(*dirs)
 
 
 def load_gate_stats(spark: SparkSession, store_path: str) -> DataFrame:
     dirs = _committed_dirs(spark, store_path, "stats")
     if not dirs:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"{BATCH_COL} long, n_media long, n_hashed long, "
                 "n_ungated long, n_kept long")
     return spark.read.parquet(*dirs)

@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from sunat_rree_demo_spark.localrel import local_df
+
 from sunat_rree_demo_spark.operators.dedup import rolling_window_keys
 from sunat_rree_demo_spark.operators.dedup_index import (
     _hadoop_fs,
@@ -72,7 +74,7 @@ def seen_keys(spark: SparkSession, store_path: str) -> DataFrame:
     """Every key in a COMMITTED batch (torn partials invisible)."""
     dirs = _committed_key_dirs(spark, store_path)
     if not dirs:
-        return spark.createDataFrame([], "key bigint")
+        return local_df(spark, [], "key bigint")
     return spark.read.parquet(*dirs).select("key")
 
 
@@ -164,7 +166,7 @@ def load_novelty_stats(spark: SparkSession, store_path: str,
                     spark, store_path, int(name.split("=", 1)[1])):
                 dirs.append(f"{store_path}/stats/{name}")
     if not dirs:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"{id_col} long, n_windows bigint, n_novel bigint, "
                 "novelty_frac double")
     return spark.read.parquet(*dirs)

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from sunat_rree_demo_spark.localrel import local_df
+
 from sunat_rree_demo_spark.operators.dedup_index import (
     _hadoop_fs,
     clear_commit_marker,
@@ -116,7 +118,7 @@ def merged_sketch(spark: SparkSession, store_path: str) -> DataFrame:
     """The accumulated (bin, c) histogram over committed batches."""
     dirs = _visible_hist_dirs(spark, store_path)
     if not dirs:
-        return spark.createDataFrame([], "bin bigint, c bigint")
+        return local_df(spark, [], "bin bigint, c bigint")
     return merge_histograms(spark.read.parquet(*dirs))
 
 
