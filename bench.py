@@ -81,14 +81,16 @@ SANCTIONED_TWINS = {
         "sanctioned": "r7", "last_ab": "2026-08-15"},
     "q204_curation_summary": {
         "reason": "documented-eager composed funnel (CC election "
-                  "loop); r9 shave: signatures derive from the "
-                  "session-memoized shingle arrays (survivor "
-                  "semi-join) + one node-grain checkpoint — A/B "
-                  "10.9s -> 6.4s warm same box/session; residual is "
-                  "the eager CC rounds + per-branch quality chain "
-                  "the DuckDB recursive twin also pays; q240 is the "
-                  "memoized index-served contrast (r10)",
-        "sanctioned": "r7", "last_ab": "2026-08-16"},
+                  "loop); r9 shave: shingle-array memo (A/B 10.9s -> "
+                  "6.4s); r11 shave: the near-dup stage reads the "
+                  "mhmemo pair graph restricted to survivors by two "
+                  "semi-joins (per-doc signatures make the edge sets "
+                  "provably identical) — same-session A/B 5.4-6.4s -> "
+                  "3.3-3.5s, results hash-identical; residual is the "
+                  "eager quality chain + exact dedup + CC rounds + "
+                  "election/pack the DuckDB recursive twin also pays; "
+                  "q240 is the memoized index-served contrast (r10)",
+        "sanctioned": "r7", "last_ab": "2026-08-17"},
     "q205_lsh_eval": {
         "reason": "r11: both eval sides now read session parquet "
                   "memos (truth=pgmemo, pred=mhmemo shared with q65); "

