@@ -165,12 +165,24 @@ def main() -> None:
         # queries still cost two reps.
         runs = []
         for i in range(3):
+            # label the rep's jobs so a UI/event-log reader can map
+            # stages back to queries (optimization guide §1.5); the
+            # call is driver-side metadata only, set OUTSIDE the
+            # timed region
+            try:
+                spark.sparkContext.setJobDescription(f"bench:{name}#r{i}")
+            except Exception:  # Spark Connect: no sparkContext
+                pass
             t0 = time.monotonic()
             q.fn(spark, sf_dir).toArrow()
             runs.append(time.monotonic() - t0)
             if i >= 1 and runs[-1] <= 1.25 * runs[-2] \
                     and runs[-2] <= 1.25 * runs[-1]:
                 break
+        try:
+            spark.sparkContext.setJobDescription(None)
+        except Exception:
+            pass
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 

@@ -1009,11 +1009,33 @@ def _signatures_from_shingle_arrays(arr: DataFrame, id_col: str,
     return arr.mapInPandas(gen, schema=out_schema)
 
 
+def lsh_candidate_pairs_from_arrays(arr: DataFrame, id_col: str,
+                                    k: int = MINHASH_K,
+                                    bands: int = LSH_BANDS) -> DataFrame:
+    """Distinct banded-LSH band-collision candidate pairs (id1 < id2)
+    over precomputed doc-grain shingle arrays — the candidate
+    GENERATION half of ``verified_near_dup_pairs``, factored out so a
+    session can materialize the candidate table once (the production
+    pipeline writes it per corpus snapshot) while each verify pass
+    stays per-call. Signatures and banding are per-doc properties, so
+    the pair set is a pure function of (arr, k, bands)."""
+    sig = _signatures_from_shingle_arrays(arr, id_col, k).localCheckpoint()
+    b = band_rows(sig, id_col, k, bands)
+    return (
+        b.alias("a").join(b.alias("b"), ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+
+
 def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
                             n: int = 5, threshold: float = 0.3,
                             k: int = MINHASH_K,
                             bands: int = LSH_BANDS,
-                            arr: DataFrame | None = None) -> DataFrame:
+                            arr: DataFrame | None = None,
+                            cand: DataFrame | None = None) -> DataFrame:
     """Two-tier near-dup detection — the production pipeline shape:
     sub-quadratic MinHash+LSH candidate generation, then EXACT n-gram
     Jaccard computed only over the candidate pairs. Every emitted pair
@@ -1031,20 +1053,18 @@ def verified_near_dup_pairs(docs: DataFrame, id_col: str, text_col: str,
     The corpus is Python-shingled exactly ONCE: the doc-grain arrays
     are checkpointed first and the MinHash signatures derive from them
     (``_signatures_from_shingle_arrays``) instead of re-shingling
-    inside ``minhash_signatures``."""
+    inside ``minhash_signatures``.
+
+    ``cand`` — optional pre-materialized candidate-pair table (the
+    ``lsh_candidate_pairs_from_arrays`` output, e.g. a session memo):
+    the verify pass — the per-query work of the two-tier shape — then
+    runs without re-deriving signatures or re-banding."""
     # doc-grain arrays checkpointed once: they feed the signature
     # derivation AND the two verify-join branches (id1 side, id2 side)
     if arr is None:
         arr = doc_shingle_arrays(docs, id_col, text_col, n).localCheckpoint()
-    sig = _signatures_from_shingle_arrays(arr, id_col, k).localCheckpoint()
-    b = band_rows(sig, id_col, k, bands)
-    cand = (
-        b.alias("a").join(b.alias("b"), ["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id1"),
-                F.col(f"b.{id_col}").alias("id2"))
-        .distinct()
-    )
+    if cand is None:
+        cand = lsh_candidate_pairs_from_arrays(arr, id_col, k, bands)
     a1 = arr.select(F.col(id_col).alias("id1"), F.col("shingles").alias("s1"))
     a2 = arr.select(F.col(id_col).alias("id2"), F.col("shingles").alias("s2"))
     inter = F.size(F.array_intersect("s1", "s2"))

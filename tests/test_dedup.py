@@ -169,6 +169,32 @@ def test_signatures_from_arrays_match_minhash_signatures(spark):
     assert got == want and want
 
 
+def test_verified_pairs_cand_memo_equivalence(spark):
+    """verified_near_dup_pairs with a pre-materialized candidate table
+    (the r11 cdmemo serving path) must emit the identical pair set as
+    the in-line generation: signatures and band buckets are per-doc
+    properties, so the candidate set is a pure function of the arrays."""
+    from sunat_rree_demo_spark.operators.dedup import (
+        doc_shingle_arrays,
+        lsh_candidate_pairs_from_arrays,
+        verified_near_dup_pairs,
+    )
+    from sunat_rree_demo_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    arr = doc_shingle_arrays(d, "doc_id", "text").localCheckpoint()
+    inline = sorted(
+        map(tuple, verified_near_dup_pairs(
+            d, "doc_id", "text", threshold=0.3, arr=arr).collect()))
+    cand = lsh_candidate_pairs_from_arrays(arr, "doc_id").localCheckpoint()
+    served = sorted(
+        map(tuple, verified_near_dup_pairs(
+            d, "doc_id", "text", threshold=0.3, arr=arr,
+            cand=cand).collect()))
+    assert served == inline and inline
+
+
 def test_bloom_decontaminate_superset_of_exact(spark):
     """Bloom-filter decontamination must flag every exactly-contaminated
     doc (no false negatives) and keep its false-positive surplus under
