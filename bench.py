@@ -123,16 +123,29 @@ def is_green_run(offenders) -> bool:
 
 
 def load_regression_baseline(green_path: str,
-                             detail_path: str) -> dict[str, float]:
+                             detail_path: str,
+                             cpus: int | None = None) -> dict[str, float]:
     """warm_sec map the round-over-round diff baselines against: the
     last GREEN detail record when one exists, else the last run of any
-    color (bootstrap for trees that predate the green file), else {}."""
+    color (bootstrap for trees that predate the green file), else {}.
+
+    A record made at a DIFFERENT core count is skipped: the driver
+    benches the same suite at a lower ``SPARK_GRAFT_CPUS`` to measure
+    scaling, and diffing e.g. an 8-core run against a 32-core baseline
+    flags compute-bound queries as "regressed" when the only change is
+    the core count (observed: q204 3.0s@32c -> 6.2s@8c, a scaling
+    measurement, not a regression). Records that predate the ``cpus``
+    key stay comparable (bootstrap)."""
     for path in (green_path, detail_path):
         try:
             with open(path) as fh:
-                return json.load(fh).get("warm_sec", {})
+                rec = json.load(fh)
         except (OSError, ValueError):
             continue
+        rec_cpus = rec.get("cpus")
+        if cpus is not None and rec_cpus is not None and rec_cpus != cpus:
+            continue
+        return rec.get("warm_sec", {})
     return {}
 
 
@@ -146,6 +159,10 @@ def main() -> None:
 
     from sunat_rree_demo_spark.queries import REGISTRY
     from sunat_rree_demo_spark.session import get_spark
+
+    # same derivation as session.get_spark: recorded into the detail
+    # file so regression diffs only compare same-core-count runs
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
     spark = get_spark("bench")
 
@@ -264,7 +281,7 @@ def main() -> None:
     green_path = os.path.join(here, "bench_detail_last_green.json")
     regress_cap = float(os.environ.get("SPARK_GRAFT_REGRESS_CAP", "2"))
     regress_floor = float(os.environ.get("SPARK_GRAFT_REGRESS_FLOOR_SEC", "0.5"))
-    prev_warm = load_regression_baseline(green_path, detail_path)
+    prev_warm = load_regression_baseline(green_path, detail_path, cpus)
     regressions = {
         k: {"prev": prev_warm[k], "now": v,
             "ratio": round(v / prev_warm[k], 2)}
@@ -285,6 +302,7 @@ def main() -> None:
     }
     detail = {
         "sf": sf_val,
+        "cpus": cpus,
         "warm_sec": timings,
         "cold_sec": cold,
         "oracle_sec": oracle_timings,

@@ -41,6 +41,27 @@ def test_baseline_skips_unreadable_files(tmp_path):
                                     str(tmp_path / "b")) == {}
 
 
+def test_baseline_skips_other_core_count(tmp_path):
+    """The driver benches the suite at a lower SPARK_GRAFT_CPUS to
+    measure scaling; warm times from a different core count must not
+    become the regression-diff base (an 8-core draw of a compute-bound
+    query is ~2-4x its 32-core time by scaling alone)."""
+    green = tmp_path / "green.json"
+    detail = tmp_path / "detail.json"
+    green.write_text(json.dumps({"cpus": 32, "warm_sec": {"q1": 1.0}}))
+    detail.write_text(json.dumps({"cpus": 8, "warm_sec": {"q1": 4.0}}))
+    # 8-core run: the 32-core green record is incomparable, the 8-core
+    # detail record matches
+    assert load_regression_baseline(str(green), str(detail), 8) == {"q1": 4.0}
+    # 32-core run: green matches directly
+    assert load_regression_baseline(str(green), str(detail), 32) == {"q1": 1.0}
+    # records that predate the cpus key stay comparable (bootstrap)
+    green.write_text(json.dumps({"warm_sec": {"q1": 2.0}}))
+    assert load_regression_baseline(str(green), str(detail), 32) == {"q1": 2.0}
+    # cpus=None (caller did not resolve it) keeps the old behavior
+    assert load_regression_baseline(str(green), str(detail)) == {"q1": 2.0}
+
+
 def test_failed_run_never_writes_green_baseline():
     """The write-green decision is a named function: a run with any
     ratio offender must not replace the regression baseline."""
