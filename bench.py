@@ -23,6 +23,23 @@ Measurement protocol (recorded in BASELINE.md):
   attribution (the r6 q167/q168 false regression) — report the
   fastest (steady state); first-run times are preserved under
   cold_sec in the detail file.
+
+r12 ADDITIVE changes (timing methodology untouched — same reps, same
+``toArrow()`` action, same suite total definition):
+- the stdout line gains ``cpus`` (the resolved SPARK_GRAFT_CPUS) and a
+  ``scaling_probe_xxhash64`` entry in ``queries`` — a fixed-work
+  compute-bound probe timed OUTSIDE the suite total whose warm time
+  tracks the core count, so a low-core driver run can prove the
+  harness honors ``SPARK_GRAFT_CPUS`` even when every suite query is
+  overhead-bound at sf0.1 (the r11 ``suspect_cpus_ignored`` false
+  positive);
+- ``bench_detail.json`` gains ``task_time_sec`` (per-query executor
+  task-time avg over the warm reps, harvested from the status store
+  outside the timed region) and the stdout line its suite-level sum —
+  wall ≫ task time at full cores = fixed per-job overhead, not plan
+  work;
+- regression baselines are per-core-count files
+  (``bench_detail_last_green_c<cpus>.json``).
 """
 
 from __future__ import annotations
@@ -122,12 +139,18 @@ def is_green_run(offenders) -> bool:
     return not offenders
 
 
-def load_regression_baseline(green_path: str,
+def load_regression_baseline(green_path,
                              detail_path: str,
                              cpus: int | None = None) -> dict[str, float]:
     """warm_sec map the round-over-round diff baselines against: the
     last GREEN detail record when one exists, else the last run of any
     color (bootstrap for trees that predate the green file), else {}.
+
+    ``green_path`` may be a tuple of candidate green files, checked in
+    order (r12: per-core-count green files — see main(); alternating
+    SPARK_GRAFT_CPUS runs used to overwrite ONE shared green file, so
+    a green run at the other count could evict this count's baseline
+    and drop later diffs onto a possibly-red detail record).
 
     A record made at a DIFFERENT core count is skipped: the driver
     benches the same suite at a lower ``SPARK_GRAFT_CPUS`` to measure
@@ -136,7 +159,9 @@ def load_regression_baseline(green_path: str,
     the core count (observed: q204 3.0s@32c -> 6.2s@8c, a scaling
     measurement, not a regression). Records that predate the ``cpus``
     key stay comparable (bootstrap)."""
-    for path in (green_path, detail_path):
+    greens = (green_path if isinstance(green_path, (list, tuple))
+              else (green_path,))
+    for path in (*greens, detail_path):
         try:
             with open(path) as fh:
                 rec = json.load(fh)
@@ -147,6 +172,38 @@ def load_regression_baseline(green_path: str,
             continue
         return rec.get("warm_sec", {})
     return {}
+
+
+def _task_time_ms(sc, descs) -> int | None:
+    """Sum of executor task run time (ms) across every job whose
+    description is in ``descs`` — read from the driver's
+    AppStatusStore AFTER the timed region (r12, verdict ask: make
+    compute vs fixed per-job overhead separable without trusting the
+    wall clock; a query whose wall is 50 ms but whose task time is
+    9 ms is scheduler/Arrow-floor-bound, while task time ≫ wall shows
+    core-parallel compute). Returns None when the store is unreachable
+    (Spark Connect). Purely observational: never touches timings."""
+    try:
+        store = sc._jsc.sc().statusStore()
+        quant = sc._gateway.new_array(sc._jvm.double, 0)
+        stages = store.stageList(None, False, False, quant, None)
+        stage_rt = {}
+        for i in range(stages.size()):
+            sd = stages.apply(i)
+            stage_rt[sd.stageId()] = sd.executorRunTime()
+        jobs = store.jobsList(None)
+        total = 0
+        for i in range(jobs.size()):
+            jd = jobs.apply(i)
+            desc = jd.description()
+            d = desc.get() if desc.isDefined() else None
+            if d and d in descs:
+                sids = jd.stageIds()
+                for s in range(sids.size()):
+                    total += stage_rt.get(int(str(sids.apply(s))), 0)
+        return total
+    except Exception:  # pragma: no cover - store internals may drift
+        return None
 
 
 def main() -> None:
@@ -171,6 +228,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    task_time: dict[str, float] = {}
     for name, q in REGISTRY.items():
         # Two runs, plus a THIRD only when run 2 still differs >25%
         # from run 1 — the signature of an eager session-memoized
@@ -202,6 +260,51 @@ def main() -> None:
             pass
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        # executor task-time avg across this query's WARM reps (outside
+        # the timed region; rep 0 is excluded — it carries once-per-
+        # session memo builds): the compute-vs-overhead evidence layer
+        try:
+            tt = _task_time_ms(
+                spark.sparkContext,
+                {f"bench:{name}#r{i}" for i in range(1, len(runs))})
+        except Exception:  # Spark Connect: no sparkContext
+            tt = None
+        if tt is not None:
+            task_time[name] = round(tt / (1000.0 * (len(runs) - 1)), 3)
+
+    # Compute-bound scaling probe (r12, additive — never replaces a
+    # query entry): a fixed-work xxhash64 reduction over spark.range,
+    # sized so its warm time is CPU-bound at every SPARK_GRAFT_CPUS the
+    # driver uses. The r11 driver run flagged `suspect_cpus_ignored`
+    # because every remaining suite query is ≤2s warm at sf0.1 (memo
+    # serving + fixed per-job overhead) and so cannot demonstrate core
+    # scaling; this probe's 8c/32c warm ratio tracks the core ratio by
+    # construction (fixed work, partitions ∝ cpus). Timed with the same
+    # min-of-reps protocol, OUTSIDE the suite total (`value` keeps its
+    # definition: sum over registry queries only).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    probe_rows = int(os.environ.get("SPARK_GRAFT_SCALING_PROBE_ROWS",
+                                    "1500000000"))
+    probe_runs = []
+    for i in range(3):
+        try:
+            spark.sparkContext.setJobDescription(f"bench:scaling_probe#r{i}")
+        except Exception:  # Spark Connect: no sparkContext
+            pass
+        t0 = time.monotonic()
+        # bit_xor, not sum: ANSI mode raises on long-sum overflow
+        spark.range(0, probe_rows, 1, cpus * 4) \
+            .select(F.expr("bit_xor(xxhash64(id))")).toArrow()
+        probe_runs.append(time.monotonic() - t0)
+        if i >= 1 and probe_runs[-1] <= 1.25 * probe_runs[-2] \
+                and probe_runs[-2] <= 1.25 * probe_runs[-1]:
+            break
+    try:
+        spark.sparkContext.setJobDescription(None)
+    except Exception:
+        pass
+    scaling_probe = round(min(probe_runs), 3)
 
     # stop Spark BEFORE timing DuckDB: a live 32-thread JVM (GC, AQE
     # housekeeping) steals cores from the baseline and inflates the
@@ -278,10 +381,16 @@ def main() -> None:
     # r9 verdict flagged). bench_detail.json stays the record of the
     # CURRENT run; bench_detail_last_green.json is only ever written
     # by a run with zero ratio offenders.
-    green_path = os.path.join(here, "bench_detail_last_green.json")
+    # r12: one green file PER CORE COUNT — the legacy shared file stays
+    # readable as a cpus-checked bootstrap but is no longer written, so
+    # an 8-core green run can never evict the 32-core baseline (the
+    # alternating-runs hole the r11 advisor flagged).
+    green_path = os.path.join(here, f"bench_detail_last_green_c{cpus}.json")
+    legacy_green_path = os.path.join(here, "bench_detail_last_green.json")
     regress_cap = float(os.environ.get("SPARK_GRAFT_REGRESS_CAP", "2"))
     regress_floor = float(os.environ.get("SPARK_GRAFT_REGRESS_FLOOR_SEC", "0.5"))
-    prev_warm = load_regression_baseline(green_path, detail_path, cpus)
+    prev_warm = load_regression_baseline((green_path, legacy_green_path),
+                                         detail_path, cpus)
     regressions = {
         k: {"prev": prev_warm[k], "now": v,
             "ratio": round(v / prev_warm[k], 2)}
@@ -303,6 +412,8 @@ def main() -> None:
     detail = {
         "sf": sf_val,
         "cpus": cpus,
+        "scaling_probe_sec": scaling_probe,
+        "task_time_sec": task_time,
         "warm_sec": timings,
         "cold_sec": cold,
         "oracle_sec": oracle_timings,
@@ -324,17 +435,27 @@ def main() -> None:
     # queries map is capped to the slowest few (full map: bench_detail.json).
     top_n = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_QUERIES", "8"))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
+    # the scaling probe rides the queries map ADDITIVELY (top_n registry
+    # entries stay) so the driver's low-core scaling diff always sees
+    # one entry whose ratio tracks the core ratio
+    slowest["scaling_probe_xxhash64"] = scaling_probe
     out = {
         "metric": "full_query_suite_wall",
         "value": total,
         "unit": "sec",
         "sf": sf_val,
+        "cpus": cpus,
         "n_queries": len(timings),
         "ratio_vs_duckdb": round(covered / oracle_total, 3) if oracle_total else None,
         "cold_total_sec": round(sum(cold.values()), 3),
         "oracle_total_sec": oracle_total,
         "oracle_covered_spark_sec": covered if oracle_timings else None,
         "n_oracle_errors": len(oracle_errors),
+        # per-rep executor task-time over the whole suite: wall far above
+        # this at full cores = fixed per-job overhead, not compute (the
+        # per-query split lives in bench_detail.json "task_time_sec")
+        "task_time_total_sec":
+            round(sum(task_time.values()), 3) if task_time else None,
         "ratio_offenders": offenders,
         "regressed_vs_prev": sorted(regressions),
         "queries": slowest,

@@ -43,40 +43,51 @@ def connected_components(edges: DataFrame, src: str = "id1",
     # one job. One eager checkpoint = upstream runs exactly once.
     raw = edges.select(F.col(src).alias("a"),
                        F.col(dst).alias("b")).localCheckpoint()
-    sym = (
-        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # CLOSED-neighborhood adjacency (r12, guide §2.4 — one join + one
+    # aggregate per round instead of join + aggregate + join): each
+    # node carries a flagged SELF row (a, a, _s=1), so a single
+    # min-aggregate over the neighbor-label join yields the new label
+    # (min over the closed neighborhood — the self row contributes the
+    # node's own current label) AND the old label (the _s=1 row) in
+    # one pass; the old shape needed a second, label-grain join to
+    # re-attach old_comp and to cover neighborless nodes, which the
+    # self row now covers by construction. Labels per round are
+    # IDENTICAL: min(nbr ∪ self) = least(own, min(nbr)).
+    symc = (
+        raw.select("a", "b", F.lit(0).alias("_s"))
+        .union(raw.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                          F.lit(0).alias("_s")))
+        .union(raw.select("a", F.col("a").alias("b"),
+                          F.lit(1).alias("_s")))
+        .union(raw.select(F.col("b").alias("a"), F.col("b").alias("b"),
+                          F.lit(1).alias("_s")))
         .distinct()
         .localCheckpoint(eager=False)
     )
     # seed with the closed-neighborhood min — exactly the result of a
     # first identity-label round, one round (join + count job) cheaper.
-    # This eager checkpoint is the first action through sym, so the lazy
-    # sym checkpoint materializes inside the same job.
+    # This eager checkpoint is the first action through symc, so the
+    # lazy symc checkpoint materializes inside the same job.
     labels = (
-        sym.groupBy(F.col("a").alias("node"))
-        .agg(F.least(F.min("b"), F.min("a")).alias("comp"))
+        symc.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_rounds):
-        nbr_min = (
-            sym.join(labels.select(F.col("node").alias("b"),
-                                   F.col("comp").alias("nbr_comp")), "b")
-            .groupBy("a").agg(F.min("nbr_comp").alias("nbr_min"))
-        )
         proposed = (
-            labels.join(nbr_min.select(F.col("a").alias("node"), "nbr_min"),
-                        "node", "left")
-            .select("node",
-                    F.col("comp").alias("old_comp"),
-                    F.least("comp", F.coalesce("nbr_min", "comp"))
-                    .alias("comp"))
+            symc.join(labels.select(F.col("node").alias("b"),
+                                    F.col("comp").alias("nbr_comp")), "b")
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("comp"),
+                 F.max(F.when(F.col("_s") == 1, F.col("nbr_comp")))
+                 .alias("old_comp"))
             # lazy: the changed-count below is the first action, so it
             # materializes the checkpoint and checks convergence in the
             # SAME job (the eager form paid two jobs per round)
             .localCheckpoint(eager=False)
         )
         changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
-        labels = proposed.select("node", "comp")
+        labels = proposed.select(F.col("a").alias("node"), "comp")
         if changed == 0:
             return labels
     # no-silent-caps: unconverged labels are WRONG labels — fail loudly

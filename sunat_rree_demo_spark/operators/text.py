@@ -654,7 +654,24 @@ def maxmatch_apply(docs, id_col: str, text_col: str, top_k: int = 64,
     pass read (guide §2.4: the explode+reduce used to be re-evaluated
     under the chars, subs, and apply subtrees — three corpus reduces
     per call, now one). The bounded vocabulary collect is the
-    documented-eager step."""
+    documented-eager step.
+
+    The apply-join broadcast is SIZE-GATED (r12): the word→pieces
+    table is distinct-CORPUS-word grain, which grows with the corpus
+    (Heaps' law) — unlike ``oov_stats``'s ``limit(vocab_size)`` table
+    it is not bounded by construction, and force-broadcasting it at
+    the 100 TB design point would blow the 8 GB broadcast cap. Below
+    ``SPARK_GRAFT_MAXMATCH_BCAST_WORDS`` distinct words (default 1e6 —
+    a production tokenizer's word→pieces cache size, ~50 MB framed)
+    the whole table broadcasts as before; above it, only the top-cap
+    most FREQUENT words broadcast (the cache shape: Zipf puts ~90 %+
+    of token occurrences in the head) and the long-tail token rows —
+    pre-filtered by a broadcast anti-join so only cache misses move —
+    shuffle-join the residual piece table (guide §2.5's hot-key
+    split / §3.1 bounded-broadcast discipline). The word count is one
+    cheap job over the already-checkpointed word table."""
+    import os
+
     import pandas as pd
 
     words = _corpus_vocab(docs, text_col).localCheckpoint()
@@ -678,16 +695,38 @@ def maxmatch_apply(docs, id_col: str, text_col: str, top_k: int = 64,
                     i += step
                     n += 1
                 out.append(n)
-            yield pd.DataFrame({"w": pdf["w"], "_np": out})
+            yield pd.DataFrame({"w": pdf["w"], "c": pdf["c"], "_np": out})
 
-    pieces = words.select("w").mapInPandas(seg, "w string, _np bigint")
+    pieces = words.select("w", "c").mapInPandas(
+        seg, "w string, c bigint, _np bigint")
     tk = docs.select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("w"))
-    # broadcast the word→pieces table (vocab grain, the production
-    # tokenizer cache shape — oov_stats broadcasts its vocab the same
-    # way): the exploded corpus never reshuffles for the join
+    bcast_cap = int(os.environ.get("SPARK_GRAFT_MAXMATCH_BCAST_WORDS",
+                                   "1000000"))
+    if words.count() <= bcast_cap:
+        # bounded by the measured count: broadcast the whole
+        # word→pieces table (the production tokenizer cache shape —
+        # oov_stats broadcasts its vocab the same way); the exploded
+        # corpus never reshuffles for the join
+        seg_rows = tk.join(F.broadcast(pieces.select("w", "_np")), "w")
+    else:
+        # corpus too wordy for one broadcast: checkpoint the segmented
+        # table once (every branch reads it — without this the Python
+        # segmentation pass would run once per branch), broadcast the
+        # bounded top-frequency head, and shuffle-join only the
+        # anti-join survivors (the Zipf tail) against the residual.
+        # All three joins reference the SAME broadcast subtree so the
+        # exchange builds once (ReusedExchange).
+        pieces = pieces.localCheckpoint()
+        bhot = F.broadcast(pieces.orderBy(F.desc("c"), "w")
+                           .limit(bcast_cap).select("w", "_np"))
+        tail = pieces.join(bhot, "w", "left_anti").select("w", "_np")
+        seg_rows = (
+            tk.join(bhot, "w")
+            .unionByName(tk.join(bhot, "w", "left_anti").join(tail, "w"))
+        )
     return (
-        tk.join(F.broadcast(pieces), "w")
+        seg_rows
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_words"),
              F.sum(F.length("w")).cast("bigint").alias("n_chars"),

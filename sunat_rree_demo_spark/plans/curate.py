@@ -54,7 +54,8 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
            chunk_n: int = 8,
            budget: int = 256, shards: int = 16,
            arr: DataFrame | None = None,
-           edges: DataFrame | None = None) -> DataFrame:
+           edges: DataFrame | None = None,
+           edges_threshold: float | None = None) -> DataFrame:
     """One row per surviving doc: (id, quality, split, shard,
     n_tokens, first_chunk, n_chunks). Deterministic end to end.
 
@@ -89,7 +90,22 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     estimate are all per-doc/per-pair properties, so the survivor
     pair graph is EXACTLY the full graph with both endpoints
     restricted to survivors — two semi-joins, no recompute. Takes
-    precedence over ``arr``; only honored on the estimate path."""
+    precedence over ``arr``; only honored on the estimate path.
+    ``edges_threshold`` (required with ``edges``) declares the
+    threshold the pair graph was BUILT at and must equal
+    ``near_dup_threshold`` — r11 advisory: a memo built at a different
+    threshold would silently curate with the wrong graph."""
+    if edges is not None:
+        if edges_threshold is None:
+            raise ValueError(
+                "edges requires edges_threshold: declare the threshold "
+                "the pre-materialized pair graph was built at")
+        if edges_threshold != near_dup_threshold:
+            raise ValueError(
+                f"edges was built at threshold {edges_threshold} but "
+                f"near_dup_threshold is {near_dup_threshold}: the "
+                "survivor restriction is only valid for a graph built "
+                "at the SAME threshold")
     scored = docs.withColumn(
         "quality", quality_score(tokens(F.col(text_col))))
 
@@ -134,17 +150,30 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
     # 3. exact dedup (content-hash canonical row)
     kept = exact_dedup(kept, text_col, id_col)
 
+    # Materialize the NARROW node-grain (id, quality) survivor frame
+    # ONCE, here, right after the last text-reading gate (r12, guide
+    # §2.4/§5: the quality chain — tokenize + HOF fold over every doc —
+    # used to re-evaluate under EVERY branch that touched the survivor
+    # set: both edge-restriction semi-join broadcasts, the election
+    # checkpoint, and the packing branch; measured ~0.25-0.4s per
+    # evaluation at sf0.1, the dominant cost of q204). Every id-only
+    # consumer below reads this checkpoint; the text column itself is
+    # still never checkpointed — the packing branch re-reads it from
+    # ``docs`` restricted to survivor ids (one semi-join), preserving
+    # the no-second-corpus-copy design.
+    kq = kept.select(id_col, "quality").localCheckpoint()
+
     # 4-5. near-dup clustering on the survivors; keep the best-quality
     # doc per cluster (docs in no cluster survive by default)
     if edges is not None and not exact_verify:
-        kept_ids = kept.select(id_col)
+        kept_ids = kq.select(id_col)
         edges = (edges.select("id1", "id2")
                  .join(kept_ids.withColumnRenamed(id_col, "id1"),
                        "id1", "left_semi")
                  .join(kept_ids.withColumnRenamed(id_col, "id2"),
                        "id2", "left_semi"))
     elif arr is not None and not exact_verify:
-        kept_arr = arr.join(kept.select(id_col), id_col, "left_semi")
+        kept_arr = arr.join(kq.select(id_col), id_col, "left_semi")
         edges = minhash_lsh_pairs(
             kept, id_col, text_col, threshold=near_dup_threshold,
             arr=kept_arr).select("id1", "id2")
@@ -154,12 +183,15 @@ def curate(docs: DataFrame, probe: DataFrame | None = None,
         edges = pair_fn(kept, id_col, text_col,
                         threshold=near_dup_threshold).select("id1", "id2")
     return elect_and_pack(kept, edges, id_col, text_col,
-                          budget=budget, shards=shards)
+                          budget=budget, shards=shards,
+                          kq=kq, text_src=docs)
 
 
 def elect_and_pack(kept: DataFrame, edges: DataFrame,
                    id_col: str = "doc_id", text_col: str = "text",
-                   budget: int = 256, shards: int = 16) -> DataFrame:
+                   budget: int = 256, shards: int = 16,
+                   kq: DataFrame | None = None,
+                   text_src: DataFrame | None = None) -> DataFrame:
     """Steps 4b-7 of the curation recipe, shared verbatim by the batch
     plan above and the streaming finalizer
     (streaming.curate_stream.finalize_curated) so the two paths cannot
@@ -176,9 +208,21 @@ def elect_and_pack(kept: DataFrame, edges: DataFrame,
     chain (quality scoring + exact dedup over full text) once per
     branch. The text column itself is never checkpointed: it flows
     into the packing pass exactly once, preserving the plan's
-    no-second-corpus-copy design."""
+    no-second-corpus-copy design.
+
+    ``kq`` (r12): the caller may pass the (id, quality) checkpoint it
+    already holds (curate() builds it before the edge restriction) so
+    the survivor chain is materialized exactly once per funnel, not
+    once here and once there. ``text_src`` (r12): where the packing
+    branch reads (id, text) from — pass the RAW corpus frame and the
+    packing input becomes ``text_src`` semi-joined to the survivor
+    ids, which avoids re-evaluating the whole quality + exact-dedup
+    chain just to recover the text column (the rows are identical:
+    survivor ids already encode every gate). Defaults preserve the
+    pre-r12 behavior for the streaming finalizer."""
     labels = connected_components(edges)
-    kq = kept.select(id_col, "quality").localCheckpoint()
+    if kq is None:
+        kq = kept.select(id_col, "quality").localCheckpoint()
     losers = (
         labels.join(kq.select(F.col(id_col).alias("node"), "quality"),
                     "node")
@@ -200,9 +244,15 @@ def elect_and_pack(kept: DataFrame, edges: DataFrame,
     # training chunk must never straddle eval tokens. This is the one
     # branch that reads the text column (once); the split column
     # reaches the output through pack_sequences' passthrough.
+    if text_src is not None:
+        # survivor ids already encode every upstream gate: one
+        # semi-join recovers the text without re-running the gates
+        pack_in = text_src.select(id_col, text_col).join(
+            survivors.select(id_col), id_col, "left_semi")
+    else:
+        pack_in = kept.join(losers, id_col, "left_anti")
     packed = pack_sequences(
-        kept.join(losers, id_col, "left_anti")
-        .withColumn("split", hash_split(F.col(id_col))),
+        pack_in.withColumn("split", hash_split(F.col(id_col))),
         id_col, text_col, budget=budget, shards=shards,
         partition_by=("split",))
     return (

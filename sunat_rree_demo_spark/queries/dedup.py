@@ -95,22 +95,31 @@ def corpus_pair_intersections(spark, sf_dir: str, n: int = 5):
 #: the two-tier shape is the VERIFY join, which q71 still pays per
 #: call. Signatures and band buckets are per-doc properties, so the
 #: memoized set is identical to what the in-line generation emits.
-_LSH_CAND_CACHE: dict[tuple[str, str, int], "DataFrame"] = {}
+_LSH_CAND_CACHE: dict[tuple[str, str, int, int, int], "DataFrame"] = {}
 register_session_cache(_LSH_CAND_CACHE)
 
 
-def lsh_candidate_pairs(spark, sf_dir: str, n: int = 5):
+def lsh_candidate_pairs(spark, sf_dir: str, n: int = 5,
+                        k: int | None = None, bands: int | None = None):
     """Distinct (band, bucket)-collision candidate pairs over the
-    documents corpus, persisted per (session, sf_dir, n) via the
-    warehouse parquet tier (``cdmemo``)."""
+    documents corpus, persisted per (session, sf_dir, n, k, bands) via
+    the warehouse parquet tier (``cdmemo``). The candidate set is a
+    pure function of (arr, k, bands) — r11 advisory: k/bands must be
+    part of the memo key or a caller with non-default LSH geometry
+    would be served a memo built under a different one."""
     from sunat_rree_demo_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
         lsh_candidate_pairs_from_arrays,
     )
 
+    k = MINHASH_K if k is None else k
+    bands = LSH_BANDS if bands is None else bands
     return session_memo(
-        spark, _LSH_CAND_CACHE, (sf_dir, n),
+        spark, _LSH_CAND_CACHE, (sf_dir, n, k, bands),
         lambda: lsh_candidate_pairs_from_arrays(
-            corpus_shingle_arrays(spark, sf_dir, n), "doc_id"),
+            corpus_shingle_arrays(spark, sf_dir, n), "doc_id",
+            k=k, bands=bands),
         parquet_name="cdmemo")
 
 

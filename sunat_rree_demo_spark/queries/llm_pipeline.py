@@ -746,7 +746,8 @@ def q204_curation_summary(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return curate_summary(
-        curate(d, edges=minhash_pair_edges(spark, sf_dir)))
+        curate(d, edges=minhash_pair_edges(spark, sf_dir),
+               edges_threshold=0.3))
 
 
 # --------------------------------------------------------------------- q205

@@ -35,6 +35,12 @@ _RUNTIME_CONFS = {
     # transfers"). Runtime-settable, so driver-supplied vanilla sessions
     # get it through tune() like everything else.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # keep the Arrow createDataFrame path's type-error semantics aligned
+    # with the classic path (r11 advisory): without this a float landing
+    # in a long field is silently truncated where the classic path
+    # raised, so localrel.local_df's behavior would depend on WHICH
+    # conversion path a frame took. Runtime-settable.
+    "spark.sql.execution.pandas.convertToArrowArraySafely": "true",
     # local-deployment split size: the test warehouse's parquet files are
     # ~1-11 MB, so the 128 MB default turns every scan into ONE task and
     # serializes it on a single core (measured 4× on aggregate-over-

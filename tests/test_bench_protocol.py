@@ -62,6 +62,27 @@ def test_baseline_skips_other_core_count(tmp_path):
     assert load_regression_baseline(str(green), str(detail)) == {"q1": 2.0}
 
 
+def test_baseline_per_core_green_files(tmp_path):
+    """r12: green baselines are kept PER CORE COUNT (a tuple of
+    candidate green files, checked in order) so an alternating-cpus
+    run sequence can never evict the other count's green record."""
+    g32 = tmp_path / "green_c32.json"
+    g8 = tmp_path / "green_c8.json"
+    legacy = tmp_path / "green.json"
+    detail = tmp_path / "detail.json"
+    g32.write_text(json.dumps({"cpus": 32, "warm_sec": {"q1": 1.0}}))
+    g8.write_text(json.dumps({"cpus": 8, "warm_sec": {"q1": 3.0}}))
+    detail.write_text(json.dumps({"cpus": 8, "warm_sec": {"q1": 9.0}}))
+    assert load_regression_baseline((str(g32), str(legacy)),
+                                    str(detail), 32) == {"q1": 1.0}
+    assert load_regression_baseline((str(g8), str(legacy)),
+                                    str(detail), 8) == {"q1": 3.0}
+    # missing per-core file, cpus-matching legacy green: bootstrap
+    legacy.write_text(json.dumps({"cpus": 8, "warm_sec": {"q1": 2.0}}))
+    assert load_regression_baseline((str(tmp_path / "nope"), str(legacy)),
+                                    str(detail), 8) == {"q1": 2.0}
+
+
 def test_failed_run_never_writes_green_baseline():
     """The write-green decision is a named function: a run with any
     ratio offender must not replace the regression baseline."""

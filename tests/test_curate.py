@@ -122,6 +122,22 @@ def test_exact_verify_path_scrubs_true_near_dups(spark, curated):
                                    threshold=0.3).count() == 0
 
 
+def test_curate_edges_requires_matching_threshold(spark):
+    """A pre-materialized pair graph is only valid at the threshold it
+    was built at (r12 guard): passing ``edges`` without declaring its
+    threshold, or with a mismatched one, must fail loudly instead of
+    curating with the wrong graph."""
+    from sunat_rree_demo_spark.plans.curate import curate
+
+    docs = spark.createDataFrame([(1, "a b c d e")],
+                                 "doc_id long, text string")
+    edges = spark.createDataFrame([], "id1 long, id2 long")
+    with pytest.raises(ValueError, match="edges_threshold"):
+        curate(docs, edges=edges)
+    with pytest.raises(ValueError, match="SAME threshold"):
+        curate(docs, edges=edges, edges_threshold=0.5)
+
+
 def test_curate_dsir_selection_stage(spark):
     """The optional DSIR stage must keep exactly the quality-survivor
     docs whose importance weight clears the threshold, and compose

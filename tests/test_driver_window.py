@@ -28,30 +28,30 @@ def _historical_keys():
 
 def test_every_query_has_a_driver_slot():
     seen = _historical_keys()
-    window = set(Q._R11_WINDOW)
+    window = set(Q._R12_WINDOW)
     uncovered = [
         name for name in Q.REGISTRY if name not in seen and name not in window
     ]
     assert not uncovered, (
         "queries registered without a scheduled driver slot "
-        f"(add to _R11_NEW in queries/__init__.py): {uncovered}"
+        f"(add to _R12_NEW in queries/__init__.py): {uncovered}"
     )
 
 
 def test_window_is_full_and_valid():
     # the driver snapshots exactly 50 entries; an undersized window wastes
     # correctness slots, an oversized one silently truncates
-    assert len(Q._R11_WINDOW) == 50
-    assert len(set(Q._R11_WINDOW)) == 50
-    missing = [n for n in Q._R11_WINDOW if n not in Q.REGISTRY]
+    assert len(Q._R12_WINDOW) == 50
+    assert len(set(Q._R12_WINDOW)) == 50
+    missing = [n for n in Q._R12_WINDOW if n not in Q.REGISTRY]
     assert not missing, f"window names not in REGISTRY (typo?): {missing}"
     # the window must actually be the head of the registry iteration order
-    assert list(Q.REGISTRY)[:50] == list(Q._R11_WINDOW)
+    assert list(Q.REGISTRY)[:50] == list(Q._R12_WINDOW)
 
 
 def test_planned_names_have_no_typos():
-    # _R11_FILLERS references queries that must already exist; _R11_NEW may
+    # _R12_FILLERS references queries that must already exist; _R12_NEW may
     # name not-yet-registered queries (they are this round's build plan)
     # but anything registered must spell its window name right.
-    for name in Q._R11_FILLERS:
+    for name in Q._R12_FILLERS:
         assert name in Q.REGISTRY, name

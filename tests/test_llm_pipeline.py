@@ -385,6 +385,28 @@ def test_maxmatch_greedy_longest_match_semantics(spark):
     assert got3[1] == 4  # abc|ab per word, two words
 
 
+def test_maxmatch_bcast_cap_split_path_equivalence(spark, monkeypatch):
+    """Above ``SPARK_GRAFT_MAXMATCH_BCAST_WORDS`` distinct words the
+    apply join must switch to the bounded hot-head broadcast + tail
+    shuffle join (the r12 scale guard: the word→pieces table is
+    corpus-word grain, unbounded) and emit rows IDENTICAL to the
+    all-broadcast path."""
+    from sunat_rree_demo_spark.operators.text import maxmatch_apply
+
+    docs = spark.createDataFrame(
+        [(1, "abcab abcab xx"), (2, "zz zz zz qq abcab"),
+         (3, "qq xx zz abcab wy")],
+        "doc_id long, text string")
+    base = {tuple(r)
+            for r in maxmatch_apply(docs, "doc_id", "text").collect()}
+    monkeypatch.setenv("SPARK_GRAFT_MAXMATCH_BCAST_WORDS", "2")
+    split_df = maxmatch_apply(docs, "doc_id", "text")
+    assert {tuple(r) for r in split_df.collect()} == base
+    # the hot head entering the broadcast is bounded by construction
+    plan = split_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 2" in plan
+
+
 def test_label_propagation_splits_weakly_bridged_communities(spark):
     """Barbell graph: two support-3 triangles joined by one support-1
     bridge. CC merges everything into one component; 3-round weighted
