@@ -69,8 +69,15 @@ SANCTIONED_TWINS = {
                   "call (memoize=False); since r10 the shingle arrays "
                   "come from the warehouse parquet memo, so per-call "
                   "cost is the join, not Python shingling; q41/q71 "
-                  "are the banded production path",
-        "sanctioned": "r3", "last_ab": "2026-08-16"},
+                  "are the banded production path. r12 audit: shingle "
+                  "group-size distribution has NO skew (max df 4 vs "
+                  "the 256 guard; 97% singletons) so no salt; the "
+                  "combination emit adds no reshuffle of the memo "
+                  "scan (2 fundamental shuffles: group emit + pair "
+                  "count); a fan_out of the memo scan was A/B'd 4 "
+                  "reps each way and REJECTED (1.42s -> 2.0s — "
+                  "repartition moves the whole shingle-array payload)",
+        "sanctioned": "r3", "last_ab": "2026-08-18"},
     "q41_minhash_lsh_pairs": {
         "reason": "re-derives signatures + checkpoints per call BY "
                   "POLICY (bench honesty; shingle arrays from the r10 "
@@ -103,11 +110,18 @@ SANCTIONED_TWINS = {
                   "mhmemo pair graph restricted to survivors by two "
                   "semi-joins (per-doc signatures make the edge sets "
                   "provably identical) — same-session A/B 5.4-6.4s -> "
-                  "3.3-3.5s, results hash-identical; residual is the "
-                  "eager quality chain + exact dedup + CC rounds + "
-                  "election/pack the DuckDB recursive twin also pays; "
+                  "3.3-3.5s, results hash-identical; r12 settled the "
+                  "noise-level sf0.1 draw at a compute-bound scale: "
+                  "10x corpus (50k docs, 250k edges, "
+                  "scripts/ab_r12_q204_scale.py) edges 5.46s vs arr "
+                  "9.21s = 1.69x, identical summaries. r12 also "
+                  "checkpoints the narrow (id, quality) survivor frame "
+                  "once (the quality chain used to re-evaluate under "
+                  "every branch; 4.44s -> 2.59s back-to-back); residual "
+                  "is the eager quality chain + exact dedup + CC rounds "
+                  "+ election/pack the DuckDB recursive twin also pays; "
                   "q240 is the memoized index-served contrast (r10)",
-        "sanctioned": "r7", "last_ab": "2026-08-17"},
+        "sanctioned": "r7", "last_ab": "2026-08-18"},
     "q205_lsh_eval": {
         "reason": "r11: both eval sides now read session parquet "
                   "memos (truth=pgmemo, pred=mhmemo shared with q65); "

@@ -91,6 +91,26 @@ def main() -> None:
     )
 
     spark = get_spark("stream-bench")
+
+    # Session warmup (r12): the session's first foreachBatch pays
+    # one-time JVM/codegen/Python-worker/AQE first-touch costs — the
+    # r11 table charged them all to dedup_minhash_index (always run
+    # first), whose batch-0 probe drew 6-7s vs the ~1.4s steady state,
+    # making it look 3x its siblings. One throwaway 1-batch drain
+    # against a scratch index absorbs them; every stream is then
+    # measured from a warm session, like bench.py's warmup query.
+    wroot = tempfile.mkdtemp(prefix="stream_bench_warm_")
+    from sunat_rree_demo_spark.streaming.dedup_stream import (
+        run_dedup_stream as _warm_dedup,
+    )
+    wdocs = os.path.join(wroot, "docs")
+    spark.read.parquet(os.path.join(sf_dirs[0], "documents.parquet")) \
+        .limit(64).coalesce(1).write.mode("overwrite").parquet(wdocs)
+    _warm_dedup(spark, _file_stream(spark, wdocs, DOCS_DDL),
+                os.path.join(wroot, "idx"), os.path.join(wroot, "pairs"),
+                timeout=600)
+    shutil.rmtree(wroot, ignore_errors=True)
+
     rows_out = []
     for sf_dir in sf_dirs:
         sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -234,6 +234,14 @@ def pair_intersection_table(docs: DataFrame, id_col: str, text_col: str,
     if arr is None:
         arr = (doc_shingle_arrays(docs, id_col, text_col, n)
                .localCheckpoint(eager=False))
+    # NO fan_out on the memo-scan path (r12, A/B'd): the few-split
+    # memo scan does serialize the explode/group map stage on as many
+    # cores (4 tasks / 438 ms at sf0.1), but round-robin repartition
+    # must move the WHOLE shingle-array payload through a shuffle
+    # (plus the sort-before-repartition pass) — measured q40 1.42s ->
+    # 2.0s, q41 1.21s -> 1.76s back-to-back. Guide §8's rule applies
+    # to the fix, not just the query: don't shuffle heavy payloads to
+    # save a sub-second map stage.
     sh, sizes = _guarded_shingle_rows(arr, id_col, max_shingle_df,
                                       opname)
     inter, sa, sb = _pair_intersections(sh, sizes, id_col)
@@ -1006,6 +1014,9 @@ def _signatures_from_shingle_arrays(arr: DataFrame, id_col: str,
             if ids:
                 yield pd.DataFrame({id_col: ids, "sig": sigs})
 
+    # no fan_out here (r12, A/B'd — see pair_intersection_table):
+    # repartitioning the shingle-array payload costs more than the
+    # few-task Python pass it would parallelize (q41 1.21s -> 1.76s)
     return arr.mapInPandas(gen, schema=out_schema)
 
 

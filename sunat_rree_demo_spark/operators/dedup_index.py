@@ -38,6 +38,8 @@ joins; plain parquet keeps this module engine-portable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -270,13 +272,25 @@ def absorb_batch(docs: DataFrame, path: str, batch_id: int,
     if sig is None:
         sig = minhash_signatures(docs, id_col, text_col, n, k) \
             .localCheckpoint()
+    # Coalesced writes (r12, guide §6): a micro-batch is bounded by
+    # construction, but its signature frame inherits the shuffle
+    # partition count — absorb used to write 32 ~4.5 KB files PER
+    # BATCH PER TABLE, so after k batches every probe paid 2k×32
+    # footer reads + listings (measured: the dedup stream's probe
+    # stage was 3× its siblings at sf0.1). One file per batch
+    # partition is the right layout at any realistic micro-batch size
+    # (≈ batch×k longs ≪ the 128 MB-1 GB/file target); deployments
+    # ingesting giant batches raise SPARK_GRAFT_ABSORB_FILES.
+    # coalesce keeps the replay contract: same batch content → same
+    # rewritten files.
+    n_files = int(os.environ.get("SPARK_GRAFT_ABSORB_FILES", "1"))
     clear_commit_marker(spark, f"{path}/bands/{BATCH_COL}={batch_id}")
     retry_transient_write(
-        lambda: sig.write.mode("overwrite").parquet(
+        lambda: sig.coalesce(n_files).write.mode("overwrite").parquet(
             f"{path}/sigs/{BATCH_COL}={batch_id}"))
     retry_transient_write(
         lambda: band_rows(sig, id_col, k, bands)
-        .write.mode("overwrite").parquet(
+        .coalesce(n_files).write.mode("overwrite").parquet(
             f"{path}/bands/{BATCH_COL}={batch_id}"))
 
 

@@ -807,3 +807,52 @@ def test_curate_media_payloads_never_shuffle(spark):
             hits += 1
             assert "content#" not in block, block
     assert hits > 0  # the regex must actually see the exchanges
+
+
+def test_global_windows_only_on_bounded_grains(spark):
+    """r12 (verdict ask): the registry's unpartitioned-window sites are
+    pinned by name. Every ``GLOBAL_WINDOW`` lint warning in the full
+    250-query sweep must come from one of the KNOWN bounded-grain
+    sites — calendar grain (year/month aggregates of monthly_flows),
+    value-domain grain (distinct 4dp scores), source grain (≤16
+    sources), or a top-k-limited frame — so a future query cannot
+    silently introduce a data-grain global window (the one shape the
+    warning exists to catch at 100 TB).
+
+    The allowlist maps query → why its global window is bounded; a new
+    flagged query fails until its grain is argued here."""
+    from sunat_rree_demo_spark.plans.lint import audit
+    from sunat_rree_demo_spark.queries import REGISTRY
+
+    bounded = {
+        # yoy_over_annual / ytd deltas: input is one row per YEAR
+        "q19_annual_performance": "year-grain aggregate",
+        "q23_ytd_vs_prior": "year-grain YTD aggregate",
+        # monthly_flows derivatives: ≤ years×12 rows by construction
+        "q24_kpi_monthly": "calendar (year, month) grain",
+        "q26_rolling_trend": "calendar (year, month) grain",
+        "q27_sigma_outliers": "calendar (year, month) grain",
+        "q101_cusum_drift": "calendar (year, month) grain",
+        "q106_rolling_correlation": "calendar (year, month) grain",
+        "q156_surprisal_yield_curve": "calendar (year, month) grain",
+        # domain_rank: running count over DISTINCT 4dp scores (≤10⁴+1)
+        "q50_robust_outliers": "value-domain grain (distinct 4dp scores)",
+        # rank windows over an orderBy().limit(k) result
+        "q179_hybrid_rrf_fusion": "top-k-limited frame (RRF depth)",
+        # per-source cumulative cost: sources are a bounded enum (≤16)
+        "q188_tokens_per_dollar": "source grain",
+    }
+    flagged = {}
+    for name, q in REGISTRY.items():
+        findings = audit(q.fn.__wrapped__(spark, SF_SMOKE))
+        hits = [f for f in findings if f.code == "GLOBAL_WINDOW"]
+        if hits:
+            flagged[name] = len(hits)
+    unexpected = sorted(set(flagged) - set(bounded))
+    assert not unexpected, (
+        "unpartitioned window on an UNPINNED site — argue its grain is "
+        f"bounded and add it to the allowlist, or partition it: {unexpected}"
+    )
+    # the allowlist must not go stale: every pinned site still exists
+    gone = sorted(set(bounded) - set(flagged))
+    assert not gone, f"allowlisted sites no longer flagged (stale): {gone}"
