@@ -41,53 +41,54 @@ def connected_components(edges: DataFrame, src: str = "id1",
     # straight off `edges` would compute the (expensive — e.g. the
     # Python-shingled near-dup pair pipeline) upstream plan twice in
     # one job. One eager checkpoint = upstream runs exactly once.
+    #
+    # r12 note (attempted and REVERTED): a closed-neighborhood variant
+    # — self rows flagged into the adjacency so ONE join+aggregate per
+    # round replaces join+aggregate+join — produced identical labels
+    # and measured ~15% faster on q61's input, but its fatter
+    # adjacency (4 unions + flag) pushes Spark's size-only INNER-join
+    # estimate (left×right product) past the broadcast threshold even
+    # for tiny graphs, flipping the callers' downstream label/size
+    # joins to static SortMergeJoin (the plan contract
+    # tests/test_plan_contracts.py pins BHJ there). The two-join round
+    # below keeps the second join LEFT OUTER, whose size estimate does
+    # not product-explode.
     raw = edges.select(F.col(src).alias("a"),
                        F.col(dst).alias("b")).localCheckpoint()
-    # CLOSED-neighborhood adjacency (r12, guide §2.4 — one join + one
-    # aggregate per round instead of join + aggregate + join): each
-    # node carries a flagged SELF row (a, a, _s=1), so a single
-    # min-aggregate over the neighbor-label join yields the new label
-    # (min over the closed neighborhood — the self row contributes the
-    # node's own current label) AND the old label (the _s=1 row) in
-    # one pass; the old shape needed a second, label-grain join to
-    # re-attach old_comp and to cover neighborless nodes, which the
-    # self row now covers by construction. Labels per round are
-    # IDENTICAL: min(nbr ∪ self) = least(own, min(nbr)).
-    symc = (
-        raw.select("a", "b", F.lit(0).alias("_s"))
-        .union(raw.select(F.col("b").alias("a"), F.col("a").alias("b"),
-                          F.lit(0).alias("_s")))
-        .union(raw.select("a", F.col("a").alias("b"),
-                          F.lit(1).alias("_s")))
-        .union(raw.select(F.col("b").alias("a"), F.col("b").alias("b"),
-                          F.lit(1).alias("_s")))
+    sym = (
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=False)
     )
     # seed with the closed-neighborhood min — exactly the result of a
     # first identity-label round, one round (join + count job) cheaper.
-    # This eager checkpoint is the first action through symc, so the
-    # lazy symc checkpoint materializes inside the same job.
+    # This eager checkpoint is the first action through sym, so the lazy
+    # sym checkpoint materializes inside the same job.
     labels = (
-        symc.groupBy(F.col("a").alias("node"))
-        .agg(F.min("b").alias("comp"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.min("a")).alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("b"),
+                                   F.col("comp").alias("nbr_comp")), "b")
+            .groupBy("a").agg(F.min("nbr_comp").alias("nbr_min"))
+        )
         proposed = (
-            symc.join(labels.select(F.col("node").alias("b"),
-                                    F.col("comp").alias("nbr_comp")), "b")
-            .groupBy("a")
-            .agg(F.min("nbr_comp").alias("comp"),
-                 F.max(F.when(F.col("_s") == 1, F.col("nbr_comp")))
-                 .alias("old_comp"))
+            labels.join(nbr_min.select(F.col("a").alias("node"), "nbr_min"),
+                        "node", "left")
+            .select("node",
+                    F.col("comp").alias("old_comp"),
+                    F.least("comp", F.coalesce("nbr_min", "comp"))
+                    .alias("comp"))
             # lazy: the changed-count below is the first action, so it
             # materializes the checkpoint and checks convergence in the
             # SAME job (the eager form paid two jobs per round)
             .localCheckpoint(eager=False)
         )
         changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
-        labels = proposed.select(F.col("a").alias("node"), "comp")
+        labels = proposed.select("node", "comp")
         if changed == 0:
             return labels
     # no-silent-caps: unconverged labels are WRONG labels — fail loudly
