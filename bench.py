@@ -307,9 +307,15 @@ def main() -> None:
         except Exception:  # Spark Connect: no sparkContext
             pass
         t0 = time.monotonic()
-        # bit_xor, not sum: ANSI mode raises on long-sum overflow
+        # bit_xor, not sum: ANSI mode raises on long-sum overflow; the
+        # hash is CHAINED 4 deep so per-row ALU work dominates the
+        # range scan and the 8c/32c ratio is unambiguous on SMT boxes
+        # (measured: single hash 0.41s@32c/0.58s@8c = 1.4x, chained
+        # 1.58s@32c/3.76s@8c = 2.4x)
         spark.range(0, probe_rows, 1, cpus * 4) \
-            .select(F.expr("bit_xor(xxhash64(id))")).toArrow()
+            .select(F.expr(
+                "bit_xor(xxhash64(xxhash64(xxhash64(xxhash64(id)))))")) \
+            .toArrow()
         probe_runs.append(time.monotonic() - t0)
         if i >= 1 and probe_runs[-1] <= 1.25 * probe_runs[-2] \
                 and probe_runs[-2] <= 1.25 * probe_runs[-1]:
